@@ -1,13 +1,759 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ts.{Combine, Gaps, Grid, Intervals, Resample}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline extensions), each with an ANSI-SQL
+  * twin in `oracleSql` runnable by DuckDB over the same parquet tables.
+  *
+  * Portability rules used throughout (so the DuckDB hash-compare is
+  * byte-stable):
+  *  - every timestamp output is TIMESTAMP_NTZ (naive, UTC wall time) —
+  *    matches DuckDB's naive TIMESTAMP reading of the same parquet;
+  *  - float aggregates are `round`-ed (2-6 dp depending on magnitude) in
+  *    BOTH engines; integer sums are cast to BIGINT in SQL (DuckDB sums
+  *    to HUGEINT otherwise);
+  *  - both sides ORDER BY a deterministic key set.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---- helpers ---------------------------------------------------------
+
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Naive-UTC literal timestamp (TIMESTAMP_NTZ). */
+  private def ts(s: String): Column =
+    lit(java.sql.Timestamp.valueOf(s.replace("T", " "))).cast("timestamp_ntz")
+
+  private def ntz(c: Column): Column = c.cast("timestamp_ntz")
+
+  /** The events fixture stores TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects outright; read nanos as raw longs
+    * (legacy.parquet.nanosAsLong) and floor-convert to µs TIMESTAMP_NTZ —
+    * exactly what DuckDB's scanner does, so both engines see identical
+    * microsecond values.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+
+  private def lineitem(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem").withColumn("l_shipdate", ntz(col("l_shipdate")))
+
+  private def orders(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders").withColumn("o_orderdate", ntz(col("o_orderdate")))
+
+  /** Flagship: gap analysis over the event stream at sf0.001 — grid
+    * reindex + hole islands (G2/G3), the reference's core analytic.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val ev = events(spark, "/root/testdata/sf0.001")
+    val perDay = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("ts"))
+      .agg(count(lit(1)).cast("double").as("value"))
+    Gaps.holes(perDay, Seq("user_id"),
+      java.time.LocalDateTime.parse("2024-01-01T00:00"),
+      java.time.LocalDateTime.parse("2024-01-30T00:00"), 86400L)
+  }
+
+  // ---- the operator inventory -----------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S1/P1/P3 — keyed scan + time slice (pushdown-friendly literal filters)
+    "q_scan_filter" -> ((s, d) => {
+      events(s, d)
+        .filter(col("user_id") === 7 && col("event_type") === "view")
+        .filter(col("ts") >= ts("2024-01-05 00:00:00") && col("ts") < ts("2024-01-20 00:00:00"))
+        .select(col("event_id"), col("ts"), col("value"))
+        .orderBy("event_id")
+    }),
+
+    // P2/F7 — chunk_index derivation + range pruning (year*12+month-1)
+    "q_chunk_prune" -> ((s, d) => {
+      val ci = Grid.chunkIndexMonthly(col("ts"), "UTC")
+      events(s, d)
+        .withColumn("chunk_index", ci)
+        .filter(col("chunk_index") >= 24288 && col("chunk_index") <= 24289)
+        .groupBy("chunk_index")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("chunk_index")
+    }),
+
+    // J4 — dense calendar-grid reindex (spine LEFT JOIN values)
+    "q_grid_reindex" -> ((s, d) => {
+      val vals = events(s, d).filter(col("user_id") < 10)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("ts"))
+        .agg(round(avg(col("value")), 4).as("value_avg"))
+      Grid.reindex(vals, Seq("user_id"),
+          java.time.LocalDateTime.parse("2024-01-01T00:00"),
+          java.time.LocalDateTime.parse("2024-01-08T00:00"), 3600L)
+        .select(col("user_id"), col("ts"), col("value_avg"))
+        .orderBy("user_id", "ts")
+    }),
+
+    // J1 — ts_combine_first: first non-null by priority at each (key, ts).
+    // The fixture has duplicate (orderkey, linenumber) rows, so collapse to
+    // one row per priority first (max ignores nulls) — keeps the ordered
+    // coalesce deterministic in both engines.
+    "q_combine_first" -> ((s, d) => {
+      val li = lineitem(s, d).withColumn("val",
+        when(col("l_discount") < 0.02, lit(null)).otherwise(col("l_quantity")))
+      val uniq = li.groupBy(col("l_orderkey"), col("l_shipdate").as("ts"), col("l_linenumber"))
+        .agg(max(col("val")).as("val"))
+      uniq.groupBy(col("l_orderkey"), col("ts"))
+        .agg(Combine.firstNonNullByPriority(col("val"), col("l_linenumber")).as("value"))
+        .orderBy("l_orderkey", "ts")
+    }),
+
+    // J2 — version-combined read (highest version wins, lower fills);
+    // collapsed to one row per (key, ts, version) for determinism.
+    "q_version_combine" -> ((s, d) => {
+      val li = lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_linenumber").as("version"),
+        col("l_shipdate").as("ts"),
+        when(col("l_tax") > 0.06, lit(null)).otherwise(col("l_extendedprice")).as("value"))
+      val uniq = li.groupBy("l_orderkey", "version", "ts").agg(max(col("value")).as("value"))
+      Combine.combineVersions(uniq, Seq("l_orderkey"), "version", "ts", "value")
+        .orderBy("l_orderkey", "ts")
+    }),
+
+    // J3 — update merge: new.combine_first(existing)
+    "q_update_merge" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val newDf = li.filter(col("l_shipdate") >= ts("1998-01-01 00:00:00"))
+        .groupBy(col("l_orderkey"), col("l_linenumber"), col("l_shipdate").as("ts"))
+        .agg(max(col("l_quantity") * 2).as("value"))
+      val oldDf = li
+        .groupBy(col("l_orderkey"), col("l_linenumber"), col("l_shipdate").as("ts"))
+        .agg(max(col("l_quantity")).as("value"))
+      Combine.updateMerge(newDf, oldDf, Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber", "ts")
+    }),
+
+    // G1 — gaps-and-islands: runs of equal value per key (null-safe)
+    "q_islands" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("value"))
+      Gaps.constantIslands(ev, Seq("user_id"), "ts", "value", Seq("event_id"))
+        .select(col("user_id"), col("run_start"), col("run_end"), col("value"), col("run_len"))
+        .orderBy("user_id", "run_start")
+    }),
+
+    // G2/G3 — completeness holes over a dense grid, absent keys → full range
+    "q_holes" -> ((s, d) => {
+      val ev = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("ts"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      val requested = s.range(20).toDF("user_id")
+      Gaps.holes(ev, Seq("user_id"),
+          java.time.LocalDateTime.parse("2024-01-01T00:00"),
+          java.time.LocalDateTime.parse("2024-01-30T00:00"), 86400L,
+          requestedKeys = Some(requested))
+        .orderBy("user_id", "hole_start")
+    }),
+
+    // G5 — interval union (sweep-line as windows)
+    "q_interval_union" -> ((s, d) => {
+      val iv = orders(s, d).select(
+        col("o_custkey"),
+        col("o_orderdate").as("start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("end"))
+      Intervals.unionIntervals(iv, Seq("o_custkey"))
+        .orderBy("o_custkey", "merged_start")
+    }),
+
+    // P4 — bounds-NaN trim (keep [first, last] non-null per key)
+    "q_trim_bounds" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")).as("value"))
+      Resample.trimBounds(ev, Seq("user_id"))
+        .select("user_id", "event_id", "ts", "value")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // P6 — delay slice: drop the first 72h of each key's series
+    "q_delay_slice" -> ((s, d) => {
+      Resample.sliceWithDelay(events(s, d), Seq("user_id"), 72 * 3600L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("user_id")
+    }),
+
+    // A8 — min-max normalize per key (constant series → null)
+    "q_normalize" -> ((s, d) => {
+      Resample.normalize(events(s, d), Seq("user_id"))
+        .select(col("event_id"), col("user_id"), round(col("value_norm"), 6).as("value_norm"))
+        .orderBy("event_id")
+    }),
+
+    // A9 — frequency inference: min consecutive step per key (exact µs)
+    "q_min_freq" -> ((s, d) => {
+      Resample.minFreq(events(s, d), Seq("user_id")).orderBy("user_id")
+    }),
+
+    // A5 — max_horodate: latest non-null ts per key; absent keys → null
+    "q_max_horodate" -> ((s, d) => {
+      val live = events(s, d).filter(col("event_type") =!= "error")
+        .groupBy("user_id").agg(max(col("ts")).as("max_horodate"))
+      s.range(160).toDF("user_id").join(live, Seq("user_id"), "left")
+        .orderBy("user_id")
+    }),
+
+    // A3 — last_updated_at with 2000-01-01 default on empty
+    "q_last_updated" -> ((s, d) => {
+      val upd = events(s, d).filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(max(col("ts")).as("mx"))
+      s.range(20).toDF("user_id").join(upd, Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("mx"), ts("2000-01-01 00:00:00")).as("last_updated"))
+        .orderBy("user_id")
+    }),
+
+    // A1/A2/A4 — counting aggregates
+    "q_counts" -> ((s, d) => {
+      events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          max(col("event_id")).as("max_event_id"))
+        .orderBy("event_type")
+    }),
+
+    // J5 (prereq) — forward fill over the dense grid
+    "q_ffill" -> ((s, d) => {
+      val vals = events(s, d)
+        .filter(col("user_id") < 5 && col("ts") >= ts("2024-01-01 00:00:00") && col("ts") < ts("2024-01-08 00:00:00"))
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("ts"))
+        .agg(round(avg(col("value")), 4).as("value_avg"))
+      val dense = Grid.reindex(vals, Seq("user_id"),
+        java.time.LocalDateTime.parse("2024-01-01T00:00"),
+        java.time.LocalDateTime.parse("2024-01-07T23:00"), 3600L)
+      Resample.ffill(dense, Seq("user_id"), "ts", "value_avg", "value_ffill")
+        .select("user_id", "ts", "value_ffill")
+        .orderBy("user_id", "ts")
+    }),
+
+    // J5 — upsample with reference profile (ratio-to-period-mean)
+    "q_upsample" -> ((s, d) => {
+      val ev = events(s, d)
+      val spine = Grid.spine(s,
+        java.time.LocalDateTime.parse("2024-01-01T00:00"),
+        java.time.LocalDateTime.parse("2024-01-07T23:00"), 3600L)
+      val users = s.range(3).toDF("user_id")
+      val ref = ev.groupBy(date_trunc("hour", col("ts")).as("ts"))
+        .agg(round(sum(col("value")), 4).as("ref0"))
+      val feat = ev.filter(col("user_id") < 3)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum(col("value")), 4).as("feat"))
+      val dense = users.crossJoin(broadcast(spine))
+        .withColumn("day", date_trunc("day", col("ts")))
+        .join(ref, Seq("ts"), "left")
+        .withColumn("ref", coalesce(col("ref0"), lit(0.0)))
+        .join(feat, Seq("user_id", "day"), "left")
+      Resample.upsampleWithProfile(dense, Seq("user_id"), "day", "feat", "ref", "value_up")
+        .select(col("user_id"), col("ts"), round(col("value_up"), 4).as("value_up"))
+        .orderBy("user_id", "ts")
+    }),
+
+    // I1 — sync updates listing: chunk metadata since a watermark, paginated
+    "q_sync_updates" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("chunk_day"))
+        .agg(max(col("ts")).as("updated_at"))
+        .filter(col("updated_at") >= ts("2024-01-15 00:00:00"))
+        .orderBy(col("updated_at"), col("user_id"), col("chunk_day"))
+        .offset(50).limit(100)
+    }),
+
+    // find_groups piece — requested keys minus stored keys (anti-join)
+    "q_absent_keys" -> ((s, d) => {
+      s.range(200).toDF("user_id")
+        .except(events(s, d).select(col("user_id")).distinct())
+        .orderBy("user_id")
+    }),
+
+    // P5/W7 — tombstone filter: readers exclude soft-deleted rows
+    "q_tombstone_filter" -> ((s, d) => {
+      events(s, d)
+        .withColumn("is_deleted", col("event_id") % 7 === 0)
+        .filter(!col("is_deleted"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // analytics tier — TPC-H-style pricing summary (bench headliner)
+    "q_pricing_summary" -> ((s, d) => {
+      lineitem(s, d).filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // analytics tier — multi-way dimension join (broadcast dims)
+    "q_revenue_join" -> ((s, d) => {
+      val li = lineitem(s, d); val o = orders(s, d)
+      val c = table(s, d, "customer"); val n = table(s, d, "nation"); val r = table(s, d, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= ts("1995-01-01 00:00:00") && col("o_orderdate") < ts("1996-01-01 00:00:00"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // analytics tier — top-k with deterministic tie-break
+    "q_top_customers" -> ((s, d) => {
+      orders(s, d).groupBy("o_custkey")
+        .agg(sum(col("o_totalprice")).as("rev_raw"))
+        .orderBy(col("rev_raw").desc, col("o_custkey"))
+        .limit(10)
+        .select(col("o_custkey"), round(col("rev_raw"), 2).as("revenue"))
+    }),
+
+    // dedup — exact duplicate groups by content hash
+    "q_dedup_exact" -> ((s, d) => {
+      Dedup.exactGroups(table(s, d, "documents"), "doc_id", "text")
+        .orderBy("content_hash")
+    }),
+
+    // dedup — exact-dup drop list (non-canonical rows)
+    "q_dedup_drop" -> ((s, d) => {
+      Dedup.exactDropList(table(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // dedup — n-gram Jaccard near-dup pairs (blocked by lang)
+    "q_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(table(s, d, "documents"), "doc_id", "text",
+          n = 3, minJaccard = 0.5, blockCols = Seq("lang"))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // text analysis — per-language stopword scores (language-ID heuristic)
+    "q_lang_scores" -> ((s, d) => {
+      TextAnalysis.langScores(table(s, d, "documents"))
+        .select(col("doc_id"), col("lang"),
+          col("score_de").cast("long").as("score_de"),
+          col("score_en").cast("long").as("score_en"),
+          col("score_es").cast("long").as("score_es"),
+          col("score_fr").cast("long").as("score_fr"),
+          col("score_zh").cast("long").as("score_zh"))
+        .orderBy("doc_id")
+    }),
+
+    // text analysis — token/char counts + quality ratios
+    "q_quality" -> ((s, d) => {
+      TextAnalysis.qualityScore(table(s, d, "documents"))
+        .select(col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_chars_m").cast("long").as("n_chars_m"),
+          round(col("avg_token_len"), 4).as("avg_token_len"),
+          round(col("stopword_ratio"), 4).as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // similarity — exact brute-force cosine top-k (ANN baseline)
+    "q_cosine_topk" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos_sim"), 6).as("cos_sim"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // multimodal — binary payload plumbing + stubbed decode features
+    "q_multimodal_features" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(table(s, d, "documents"), "doc_id")
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(col("byte_mean"), 4).as("byte_mean"))
+        .orderBy("media_id")
+    }),
+
+    // ---- rows-only checks (not ANSI-SQL-expressible: xxhash64-based) ----
+
+    // dedup — MinHash+LSH candidate pairs
+    "q_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashLshPairs(table(s, d, "documents"), "doc_id", "text",
+          n = 3, bands = 8, rowsPerBand = 4, minSim = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // dedup — SimHash near-dup pairs
+    "q_simhash_pairs" -> ((s, d) => {
+      Dedup.simhashPairs(table(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // text analysis — rolling-hash fingerprints
+    "q_fingerprint" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // similarity — LSH-bucketed ANN (scale path)
+    "q_lsh_topk" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5, numPlanes = 8)
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  // ---- DuckDB oracle twins --------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_filter" ->
+      """SELECT event_id, ts, value FROM events
+         WHERE user_id = 7 AND event_type = 'view'
+           AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+         ORDER BY event_id""",
+
+    "q_chunk_prune" ->
+      """SELECT CAST(year(ts)*12 + month(ts) - 1 AS INTEGER) AS chunk_index,
+                count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM events
+         WHERE year(ts)*12 + month(ts) - 1 BETWEEN 24288 AND 24289
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_grid_reindex" ->
+      """WITH spine AS (
+           SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08', INTERVAL 1 HOUR)) AS ts),
+         users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+         vals AS (
+           SELECT user_id, date_trunc('hour', ts) AS ts, round(avg(value), 4) AS value_avg
+           FROM events WHERE user_id < 10 GROUP BY 1, 2)
+         SELECT u.user_id, s.ts, v.value_avg
+         FROM users u CROSS JOIN spine s
+         LEFT JOIN vals v ON v.user_id = u.user_id AND v.ts = s.ts
+         ORDER BY u.user_id, s.ts""",
+
+    "q_combine_first" ->
+      """WITH uniq AS (
+           SELECT l_orderkey, l_shipdate AS ts, l_linenumber,
+                  max(CASE WHEN l_discount < 0.02 THEN NULL ELSE l_quantity END) AS val
+           FROM lineitem GROUP BY 1, 2, 3)
+         SELECT l_orderkey, ts,
+                arg_min(val, l_linenumber) FILTER (WHERE val IS NOT NULL) AS value
+         FROM uniq GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_version_combine" ->
+      """WITH uniq AS (
+           SELECT l_orderkey, l_linenumber, l_shipdate AS ts,
+                  max(CASE WHEN l_tax > 0.06 THEN NULL ELSE l_extendedprice END) AS val
+           FROM lineitem GROUP BY 1, 2, 3)
+         SELECT l_orderkey, ts,
+                arg_max(val, l_linenumber) FILTER (WHERE val IS NOT NULL) AS value
+         FROM uniq GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_update_merge" ->
+      """WITH newd AS (
+           SELECT l_orderkey, l_linenumber, l_shipdate AS ts, max(l_quantity*2) AS v, 0 AS p
+           FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01' GROUP BY 1, 2, 3),
+         oldd AS (
+           SELECT l_orderkey, l_linenumber, l_shipdate AS ts, max(l_quantity) AS v, 1 AS p
+           FROM lineitem GROUP BY 1, 2, 3),
+         u AS (SELECT * FROM newd UNION ALL SELECT * FROM oldd)
+         SELECT l_orderkey, l_linenumber, ts,
+                arg_min(v, p) FILTER (WHERE v IS NOT NULL) AS value
+         FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "q_islands" ->
+      """WITH f AS (
+           SELECT user_id, ts, event_id, event_type AS value,
+                  CASE WHEN event_type IS NOT DISTINCT FROM
+                            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       THEN 0 ELSE 1 END AS chg
+           FROM events),
+         g AS (
+           SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+           FROM f)
+         SELECT user_id, min(ts) AS run_start, max(ts) AS run_end,
+                min(value) AS value, count(*) AS run_len
+         FROM g GROUP BY user_id, grp ORDER BY user_id, run_start""",
+
+    "q_holes" ->
+      """WITH spine AS (
+           SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS ts),
+         users AS (SELECT range AS user_id FROM range(20)),
+         vals AS (
+           SELECT user_id, date_trunc('day', ts) AS ts, CAST(count(*) AS DOUBLE) AS v
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         dense AS (
+           SELECT u.user_id, s.ts, v.v
+           FROM users u CROSS JOIN spine s
+           LEFT JOIN vals v ON v.user_id = u.user_id AND v.ts = s.ts),
+         f AS (
+           SELECT *, CASE WHEN (v IS NULL) IS NOT DISTINCT FROM
+                               lag(v IS NULL) OVER (PARTITION BY user_id ORDER BY ts)
+                          THEN 0 ELSE 1 END AS chg
+           FROM dense),
+         g AS (
+           SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+           FROM f)
+         SELECT user_id, min(ts) AS hole_start, max(ts) AS hole_end
+         FROM g WHERE v IS NULL GROUP BY user_id, grp ORDER BY user_id, hole_start""",
+
+    "q_interval_union" ->
+      """WITH iv AS (
+           SELECT o_custkey, o_orderdate AS s, o_orderdate + INTERVAL 30 DAY AS e FROM orders),
+         f AS (
+           SELECT *, max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           FROM iv),
+         g AS (SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw FROM f),
+         h AS (
+           SELECT *, sum(nw) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS isl
+           FROM g)
+         SELECT o_custkey, min(s) AS merged_start, max(e) AS merged_end, count(*) AS n_merged
+         FROM h GROUP BY o_custkey, isl ORDER BY o_custkey, merged_start""",
+
+    "q_trim_bounds" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+                  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+           FROM events),
+         b AS (
+           SELECT *,
+                  min(CASE WHEN value IS NOT NULL THEN ts END) OVER (PARTITION BY user_id) AS lo,
+                  max(CASE WHEN value IS NOT NULL THEN ts END) OVER (PARTITION BY user_id) AS hi
+           FROM e)
+         SELECT user_id, event_id, ts, value FROM b
+         WHERE ts >= lo AND ts <= hi ORDER BY user_id, event_id""",
+
+    "q_delay_slice" ->
+      """WITH m AS (
+           SELECT *, min(ts) OVER (PARTITION BY user_id) AS min_ts FROM events)
+         SELECT user_id, count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM m WHERE ts >= min_ts + INTERVAL 72 HOUR
+         GROUP BY user_id ORDER BY user_id""",
+
+    "q_normalize" ->
+      """WITH b AS (
+           SELECT event_id, user_id, value,
+                  min(value) OVER (PARTITION BY user_id) AS lo,
+                  max(value) OVER (PARTITION BY user_id) AS hi
+           FROM events)
+         SELECT event_id, user_id,
+                round(CASE WHEN hi > lo THEN (value - lo) / (hi - lo) END, 6) AS value_norm
+         FROM b ORDER BY event_id""",
+
+    "q_min_freq" ->
+      """WITH s AS (
+           SELECT user_id,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS step
+           FROM events)
+         SELECT user_id, min(step) AS min_step_us FROM s GROUP BY 1 ORDER BY 1""",
+
+    "q_max_horodate" ->
+      """SELECT r.user_id, m.max_horodate
+         FROM (SELECT range AS user_id FROM range(160)) r
+         LEFT JOIN (SELECT user_id, max(ts) AS max_horodate FROM events
+                    WHERE event_type <> 'error' GROUP BY 1) m USING (user_id)
+         ORDER BY r.user_id""",
+
+    "q_last_updated" ->
+      """SELECT r.user_id, coalesce(m.mx, TIMESTAMP '2000-01-01') AS last_updated
+         FROM (SELECT range AS user_id FROM range(20)) r
+         LEFT JOIN (SELECT user_id, max(ts) AS mx FROM events
+                    WHERE event_type = 'signup' GROUP BY 1) m USING (user_id)
+         ORDER BY r.user_id""",
+
+    "q_counts" ->
+      """SELECT event_type, count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users, max(event_id) AS max_event_id
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_ffill" ->
+      """WITH spine AS (
+           SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-07 23:00:00', INTERVAL 1 HOUR)) AS ts),
+         vals AS (
+           SELECT user_id, date_trunc('hour', ts) AS ts, round(avg(value), 4) AS value_avg
+           FROM events
+           WHERE user_id < 5 AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+           GROUP BY 1, 2),
+         users AS (SELECT DISTINCT user_id FROM vals),
+         dense AS (
+           SELECT u.user_id, s.ts, v.value_avg
+           FROM users u CROSS JOIN spine s
+           LEFT JOIN vals v ON v.user_id = u.user_id AND v.ts = s.ts)
+         SELECT user_id, ts,
+                last_value(value_avg IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS value_ffill
+         FROM dense ORDER BY user_id, ts""",
+
+    "q_upsample" ->
+      """WITH spine AS (
+           SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-07 23:00:00', INTERVAL 1 HOUR)) AS ts),
+         users AS (SELECT range AS user_id FROM range(3)),
+         ref AS (SELECT date_trunc('hour', ts) AS ts, round(sum(value), 4) AS r FROM events GROUP BY 1),
+         feat AS (
+           SELECT user_id, date_trunc('day', ts) AS day, round(sum(value), 4) AS f
+           FROM events WHERE user_id < 3 GROUP BY 1, 2),
+         dense AS (
+           SELECT u.user_id, s.ts, date_trunc('day', s.ts) AS day,
+                  coalesce(ref.r, 0) AS ref, feat.f AS feat
+           FROM users u CROSS JOIN spine s
+           LEFT JOIN ref ON ref.ts = s.ts
+           LEFT JOIN feat ON feat.user_id = u.user_id AND feat.day = date_trunc('day', s.ts)),
+         m AS (SELECT *, avg(ref) OVER (PARTITION BY user_id, day) AS mr FROM dense)
+         SELECT user_id, ts,
+                round(CASE WHEN mr = 0 OR mr IS NULL THEN feat ELSE feat*ref/mr END, 4) AS value_up
+         FROM m ORDER BY user_id, ts""",
+
+    "q_sync_updates" ->
+      """SELECT user_id, date_trunc('day', ts) AS chunk_day, max(ts) AS updated_at
+         FROM events GROUP BY 1, 2
+         HAVING max(ts) >= TIMESTAMP '2024-01-15'
+         ORDER BY updated_at, user_id, chunk_day
+         LIMIT 100 OFFSET 50""",
+
+    "q_absent_keys" ->
+      """SELECT range AS user_id FROM range(200)
+         EXCEPT SELECT DISTINCT user_id FROM events
+         ORDER BY user_id""",
+
+    "q_tombstone_filter" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM events WHERE event_id % 7 <> 0
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                round(avg(l_quantity), 4) AS avg_qty,
+                round(avg(l_extendedprice), 4) AS avg_price,
+                round(avg(l_discount), 4) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_revenue_join" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_top_customers" ->
+      """SELECT o_custkey, round(rev_raw, 2) AS revenue
+         FROM (SELECT o_custkey, sum(o_totalprice) AS rev_raw FROM orders GROUP BY 1)
+         ORDER BY rev_raw DESC, o_custkey LIMIT 10""",
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q_dedup_drop" ->
+      """SELECT doc_id, content_hash FROM (
+           SELECT doc_id, md5(text) AS content_hash,
+                  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE rn > 1 ORDER BY doc_id""",
+
+    "q_ngram_jaccard" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+                  list_distinct(list_transform(
+                    range(1, len(string_split(lower(text), ' ')) - 1),
+                    i -> array_to_string((string_split(lower(text), ' '))[i:i+2], ' '))) AS sh
+           FROM documents),
+         dd AS (SELECT doc_id, lang, sh, len(sh) AS n FROM d WHERE len(sh) > 0),
+         ex AS (SELECT doc_id, lang, n, unnest(sh) AS shingle FROM dd),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS n_shared
+           FROM ex a JOIN ex b
+             ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT id_a, id_b,
+                round(CAST(n_shared AS DOUBLE) / (na + nb - n_shared), 6) AS jaccard
+         FROM p WHERE CAST(n_shared AS DOUBLE) / (na + nb - n_shared) >= 0.5
+         ORDER BY id_a, id_b""",
+
+    "q_lang_scores" -> {
+      val langs = TextAnalysis.StopwordsByLang.toSeq.sortBy(_._1)
+      val cols = langs.map { case (lang, stops) =>
+        val parts = stops.map(w =>
+          s"len(list_filter(string_split(lower(text), ' '), w -> w = '$w'))").mkString(" + ")
+        s"CAST($parts AS BIGINT) AS score_$lang"
+      }.mkString(",\n                ")
+      s"""SELECT doc_id, lang,
+                $cols
+         FROM documents ORDER BY doc_id"""
+    },
+
+    "q_quality" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+                CAST(length(text) AS BIGINT) AS n_chars_m,
+                round(CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+')) > 0 THEN
+                  CAST(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                       t -> length(t))) AS DOUBLE)
+                  / len(regexp_extract_all(text, '[A-Za-z0-9]+')) END, 4) AS avg_token_len,
+                round(CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+')) > 0 THEN
+                  CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'the'))
+                     + len(list_filter(string_split(lower(text), ' '), w -> w = 'and'))
+                     + len(list_filter(string_split(lower(text), ' '), w -> w = 'of'))
+                     + len(list_filter(string_split(lower(text), ' '), w -> w = 'to'))
+                     + len(list_filter(string_split(lower(text), ' '), w -> w = 'is')) AS DOUBLE)
+                  / len(regexp_extract_all(text, '[A-Za-z0-9]+')) END, 4) AS stopword_ratio
+         FROM documents ORDER BY doc_id""",
+
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+         s AS (
+           SELECT query_id, vec_id,
+             list_sum(list_transform(range(1, len(qv) + 1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+                  i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos
+           FROM c CROSS JOIN q WHERE vec_id <> query_id),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           FROM s)
+         SELECT query_id, vec_id, round(cos, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                CAST(32 AS INTEGER) AS n_bytes,
+                round(list_sum(list_transform(range(1, 33),
+                  i -> (strpos('0123456789abcdef', substr(h, 2*i-1, 1)) - 1) * 16.0
+                     + (strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1))) / 32.0, 4) AS byte_mean
+         FROM (SELECT doc_id, lower(sha256(CAST(doc_id AS VARCHAR))) AS h FROM documents)
+         ORDER BY media_id"""
+  )
 }

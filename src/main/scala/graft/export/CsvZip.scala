@@ -1,0 +1,66 @@
+package graft.export
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** Admin CSV/zip export parity (reference
+  * hostore/admin_actions.py:15-123): each selected series becomes
+  * `export_serie_<i>.csv` (`;`-separated, fixed 8-dp floats) plus a
+  * `content_summary.csv` manifest, all zipped.
+  *
+  * Distributed shape: the per-series CSV bodies are produced by ONE Spark
+  * job (groupBy key → sorted lines per series); only the final zip
+  * assembly is driver-side, because a zip file is inherently a
+  * single-writer sink. For lakehouse-scale exports use
+  * `df.write.partitionBy(keys).csv(...)` instead — this module exists for
+  * byte-format parity with the reference's admin action.
+  */
+object CsvZip {
+
+  /** Export `df` (keys..., ts, value) as the reference's zip layout.
+    * Returns the manifest rows (serie index, key values, n points).
+    */
+  def export(df: DataFrame, keys: Seq[String], outFile: String,
+      tsCol: String = "ts", valueCol: String = "value"): Seq[(Int, Map[String, String], Long)] = {
+    // one job: per-series sorted (ts;value) lines
+    val perSeries = df
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sort_array(collect_list(struct(col(tsCol), col(valueCol)))).as("pts"),
+        count(lit(1)).as("n"))
+      .collect()
+
+    val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(outFile)))
+    val manifest = scala.collection.mutable.ListBuffer.empty[(Int, Map[String, String], Long)]
+    try {
+      perSeries.zipWithIndex.foreach { case (row, i) =>
+        val attrs = keys.map(k => k -> String.valueOf(row.getAs[Any](k))).toMap
+        val pts = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("pts")
+        zos.putNextEntry(new ZipEntry(s"export_serie_$i.csv"))
+        val header = s"$tsCol;$valueCol\n"
+        zos.write(header.getBytes("UTF-8"))
+        pts.foreach { p =>
+          val t = p.get(0)
+          val v = p.get(1) match {
+            case null      => ""
+            case d: Double => f"$d%.8f"
+            case other     => String.valueOf(other)
+          }
+          zos.write(s"$t;$v\n".getBytes("UTF-8"))
+        }
+        zos.closeEntry()
+        manifest += ((i, attrs, row.getAs[Long]("n")))
+      }
+      // content_summary.csv manifest (admin_actions.py:55-64)
+      zos.putNextEntry(new ZipEntry("content_summary.csv"))
+      zos.write((s"serie;${keys.mkString(";")};n_points\n").getBytes("UTF-8"))
+      manifest.foreach { case (i, attrs, n) =>
+        zos.write((s"export_serie_$i;${keys.map(attrs).mkString(";")};$n\n").getBytes("UTF-8"))
+      }
+      zos.closeEntry()
+    } finally zos.close()
+    manifest.toList
+  }
+}

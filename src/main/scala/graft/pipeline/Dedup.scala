@@ -1,0 +1,182 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, and SimHash near-dup. Designed for the 100 TB
+  * shape: every method is either a hash-groupBy (one shuffle on a short
+  * key) or an LSH band-bucket join (shuffle on band signatures), never an
+  * all-pairs cross join — except the explicit small-N verification path
+  * inside candidate buckets.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: one shuffle on the 128-bit
+    * digest (never on the document body). Output: one row per duplicate
+    * group with the canonical (min) doc id and the group size.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Rows to drop under exact dedup (everything but the canonical doc per
+    * group) — left-anti of ids against keepers, all hash-keyed.
+    */
+  def exactDropList(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    hashed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1).drop("__rn")
+  }
+
+  /** Word n-gram shingles (lowercased, space-tokenized), distinct.
+    * Guarded: Spark's `sequence(1, k)` DESCENDS when k < 1, so short
+    * documents must short-circuit to an empty array.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(lower(text), " ")
+    when(size(words) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(words) - (n - 1)),
+          i => concat_ws(" ", slice(words, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** N-gram Jaccard near-dup pairs within `blockCols` blocks (blocking
+    * bounds the candidate set; at 100 TB you never all-pairs the corpus).
+    * Exact Jaccard on distinct shingle sets via an explode + self-join on
+    * shingle — the join key is the shingle hash, so the shuffle carries
+    * (shingle_hash, doc_id) pairs, not documents.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= minJaccard.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.5,
+      blockCols: Seq[String] = Nil): DataFrame = {
+    val sh = df.select(
+      (col(idCol).as("id") +: blockCols.map(col)) :+ shingles(col(textCol), n).as("sh"): _*)
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+    val ex = sh.select(
+      (col("id") +: col("n_sh") +: blockCols.map(col)) :+ explode(col("sh")).as("shingle"): _*)
+    val a = ex.select((col("id").as("id_a") +: col("n_sh").as("na") +: blockCols.map(c => col(c).as(s"__ba_$c"))) :+ xxhash64(col("shingle")).as("ha"): _*)
+    val b = ex.select((col("id").as("id_b") +: col("n_sh").as("nb") +: blockCols.map(c => col(c).as(s"__bb_$c"))) :+ xxhash64(col("shingle")).as("hb"): _*)
+    val shared = a.join(b, col("ha") === col("hb") && col("id_a") < col("id_b") &&
+        blockCols.map(c => col(s"__ba_$c") === col(s"__bb_$c")).foldLeft(lit(true))(_ && _))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .withColumn("jaccard", col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature: `numHashes` permutations simulated as
+    * `xxhash64(shingle, seed_i)` minima — the standard broadcast-free
+    * construction; one pass over exploded shingles, one groupBy per doc.
+    */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String, n: Int = 3, numHashes: Int = 32): DataFrame = {
+    val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    ex.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash+LSH candidate pairs: split the signature into `bands` bands
+    * of `rows` hashes, bucket-join on (band_idx, band_hash) — docs sharing
+    * any band collide. The shuffle key is the band hash (short), the
+    * candidate verification (exact signature similarity) happens only
+    * inside buckets. Output: (id_a, id_b, sig_sim).
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      minSim: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = minhashSignature(df, idCol, textCol, n, numHashes).cache()
+    val banded = sig.select(
+      col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val l = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"), col("band_hash"))
+    val r = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"), col("band_hash"))
+    val cand = l.join(r, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+    cand
+      .withColumn("sig_sim",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)).cast("double")
+          / size(col("sig_a")))
+      .filter(col("sig_sim") >= minSim)
+      .select("id_a", "id_b", "sig_sim")
+  }
+
+  /** 64-bit SimHash over token xxhash64s: per bit, sum of ±1 votes from
+    * each token's hash bit; near-dups = small Hamming distance. Pure
+    * Catalyst bit arithmetic. NOTE: single-expression form — fine for ad
+    * hoc columns, but it evaluates 64 interpreted array folds per row; for
+    * corpus-scale signatures use [[simhashSignatures]] (codegen'd).
+    */
+  def simhash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Corpus-scale SimHash: explode tokens, then ONE hash aggregation with
+    * 64 codegen'd bit-count sums per doc (bit i set iff ones > n/2 —
+    * identical to the ±1 vote rule). The shuffle key is the doc id and the
+    * shuffled rows are (id, hash64) longs — this is the shape that holds
+    * at 100 TB, unlike 64 interpreted lambda folds per row.
+    * Docs with no tokens get signature 0 (restored via left join).
+    * Output: (id, sig).
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ids  = df.select(col(idCol).as("id"))
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val sums = (0 until 64).map(i => sum(shiftright(col("h"), i).bitwiseAND(1L)).as(s"c$i"))
+    val agg = toks.groupBy("id").agg(count(lit(1)).as("n"), sums: _*)
+    val bits = (0 until 64).map(i =>
+      when(col(s"c$i") * 2 > col("n"), shiftleft(lit(1L), i)).otherwise(0L))
+    val sigs = agg.select(col("id"), bits.reduce(_.bitwiseOR(_)).as("sig"))
+    ids.join(sigs, Seq("id"), "left").withColumn("sig", coalesce(col("sig"), lit(0L)))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs, blocked by 16-bit sub-bands (4 bands): docs
+    * within Hamming distance 3 must share at least one of 4 bands —
+    * standard pigeonhole blocking, shuffle on short band keys only.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val sigd = simhashSignatures(df, idCol, textCol)
+    val banded = sigd.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
+    val l = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"), col("band_bits"))
+    val r = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"), col("band_bits"))
+    l.join(r, Seq("band", "band_bits")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

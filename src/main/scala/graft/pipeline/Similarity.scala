@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane-LSH bucketed variant as the scale path (bucket join
+  * instead of cross join — the 100 TB shape).
+  * All vector math is Catalyst `zip_with`/`aggregate` (codegen'd); floats
+  * are cast to double BEFORE arithmetic so results are deterministic and
+  * engine-portable.
+  */
+object Similarity {
+
+  /** Ordered-fold dot product of two array<float/double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors of each query vector against the corpus.
+    * The query side is expected to be small (it is broadcast); the corpus
+    * streams — cost O(|Q|·|corpus|·dim) but NO shuffle of the corpus, and
+    * the per-query top-k runs through a window on the (small) result.
+    * Output: (query_id, vec_id, cos_sim, rank).
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes: component j of
+    * plane p = centered hash of (p, j). Fixed seed → reproducible runs
+    * (required by the no-Math.random discipline of distributed jobs).
+    */
+  private def planeComponent(p: Int, j: Column): Column =
+    (pmod(xxhash64(lit(p), j), lit(2000003L)).cast("double") - 1000001.0) / 1000001.0
+
+  /** Sign-LSH bucket id: `numPlanes` random hyperplanes → one bit each.
+    * Vectors in the same bucket are cosine-close with high probability.
+    */
+  def lshBucket(vec: Column, numPlanes: Int = 12): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, j) => x.cast("double") * planeComponent(p, j)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed ANN: join queries to corpus on bucket id (equi-join —
+    * shuffle on the short bucket key, not a cross join), then exact cosine
+    * + top-k within candidates. Recall < 1 by construction; raise
+    * `numPlanes` ↓bucket size, or probe multiple tables for recall.
+    * Output: (query_id, vec_id, cos_sim, rank).
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      numPlanes: Int = 12): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("bucket", lshBucket(col("__qv"), numPlanes))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
+      .withColumn("bucket", lshBucket(col("__cv"), numPlanes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, stopword-based language scoring, and
+  * document fingerprinting. All pure Catalyst expressions (codegen'd, no
+  * UDFs) so they run inside whole-stage codegen over 100 TB of documents.
+  */
+object TextAnalysis {
+
+  /** Word tokens: runs of alphanumerics — a deterministic, BPE-ish-free
+    * tokenizer that both Spark and any ANSI engine can reproduce.
+    */
+  def tokens(text: Column): Column = regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Tiny per-language stopword lists for n-gram-heuristic language ID.
+    * Chosen to be discriminative across the fixture's five languages.
+    */
+  val StopwordsByLang: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "que", "las", "una"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai"))
+
+  /** Count of words among `textWords` equal to any of `words` (multiset
+    * count, not distinct — `array_intersect` would dedupe).
+    */
+  def stopwordHits(textWords: Column, words: Seq[String]): Column =
+    words.map(s => size(filter(textWords, w => w === lit(s)))).reduce(_ + _)
+
+  /** Per-language stopword-hit scores — the argmax is the language guess.
+    * Emitted as one column per language so downstream (and the SQL oracle)
+    * stays deterministic without tie-break subtleties.
+    */
+  def langScores(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = split(lower(col(textCol)), " ")
+    StopwordsByLang.toSeq.sortBy(_._1).foldLeft(df.withColumn("__w", words)) {
+      case (d, (lang, stops)) =>
+        val hits = stops.map(s => size(filter(col("__w"), w => w === lit(s)))).reduce(_ + _)
+        d.withColumn(s"score_$lang", hits)
+    }.drop("__w")
+  }
+
+  /** Quality heuristics (length / word-shape / stopword ratios) — the
+    * usual cheap pre-filters before expensive dedup/training.
+    */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val en   = StopwordsByLang("en")
+    val stopHits = en.map(s => size(filter(split(lower(col(textCol)), " "), w => w === lit(s)))).reduce(_ + _)
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_chars_m", length(col(textCol)))
+      .withColumn("avg_token_len",
+        when(nTok > 0, aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
+          .otherwise(lit(null)))
+      .withColumn("stopword_ratio",
+        when(nTok > 0, stopHits.cast("double") / nTok).otherwise(lit(null)))
+  }
+
+  /** Rolling-hash document fingerprint: polynomial hash of the token
+    * stream (base 31, mod 2^31-1) — order-sensitive,
+    * whitespace-insensitive. A deterministic Catalyst-only fold whose
+    * intermediate values stay < 2^36, so ANSI-mode Long arithmetic never
+    * overflows.
+    */
+  def fingerprint(text: Column): Column = {
+    val p = lit(2147483647L) // 2^31 - 1 (Mersenne prime)
+    aggregate(
+      tokens(text),
+      lit(1299709L),
+      (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), p), p))
+  }
+}

@@ -1,0 +1,340 @@
+package graft.store
+
+import graft.ts.{Combine, Grid, Resample}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parquet-backed chunked time-series store — the Spark re-expression of
+  * the reference's `TimeseriesChunkStore`
+  * (hostore/models/chunk_timeserie_store.py:180-899).
+  *
+  * Layout: ONE long-form parquet table per store, schema
+  * `(businessKeys..., ts, value, is_deleted, updated_at)` partitioned by
+  * `chunk_index` (year or year*12+month-1 in the store tz). What the
+  * reference does with per-row lz4 blobs + a covering index, Parquet gives
+  * natively: chunk pruning = partition pruning on `chunk_index`
+  * (reference `_filter_interval` :855-861), key lookups = row-group
+  * min/max skipping (we sort within partitions by the business keys at
+  * write), compression = column encodings. Timestamps are stored (not
+  * elided like the reference's start_ts+freq rebuild) but delta-encode to
+  * almost nothing at fixed frequency.
+  *
+  * Series are persisted SPARSE (null points dropped); density is
+  * reconstructed on read via the calendar grid. Observable behavior is
+  * identical to the reference's dense padding because reads default to
+  * bounds-NaN trimming (chunk_timeserie_store.py:884-885) — see
+  * SURVEY.md §7.4(3).
+  *
+  * Tombstones: a soft-deleted series keeps one row per previously-occupied
+  * chunk with `is_deleted=true, ts/value = null` and a fresh `updated_at`
+  * (reference ChunkQuerySet.delete :30-52, EMPTY_DATA :27) so incremental
+  * sync can propagate deletions.
+  *
+  * Concurrency: single-writer per store (the reference's row-lock upsert
+  * is replaced by staged-write + dynamic partition overwrite; documented
+  * non-goal, SURVEY.md §4).
+  */
+class ChunkStore(
+    val spark: SparkSession,
+    val path: String,
+    val keySchema: StructType,
+    val config: StoreConfig = StoreConfig()) {
+
+  import ChunkStore._
+
+  val keys: Seq[String] = keySchema.fields.map(_.name).toSeq
+
+  private def chunkIndexCol(ts: Column): Column = config.chunkAxis match {
+    case YearAxis      => Grid.chunkIndexYearly(ts, config.tz)
+    case YearMonthAxis => Grid.chunkIndexMonthly(ts, config.tz)
+  }
+
+  /** Full long-form schema, keys first. */
+  def schema: StructType = StructType(
+    keySchema.fields.toSeq ++ Seq(
+      StructField("chunk_index", IntegerType),
+      StructField("ts", TimestampNTZType),
+      StructField("value", DoubleType),
+      StructField("is_deleted", BooleanType, nullable = false),
+      StructField("updated_at", TimestampNTZType)))
+
+  /** Current store content; empty frame with the right schema when the
+    * store has never been written.
+    */
+  def load(): DataFrame =
+    if (new java.io.File(path).exists())
+      spark.read.schema(schema).parquet(path)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def attrFilter(attrs: Map[String, Any]): Column =
+    attrs.map { case (k, v) => col(k) === lit(v) }.reduceOption(_ && _).getOrElse(lit(true))
+
+  private def requireAllKeys(attrs: Map[String, Any]): Unit = {
+    val missing = keys.filterNot(attrs.contains)
+    require(missing.isEmpty, s"all business keys must be specified; missing: ${missing.mkString(",")}")
+    val unknown = attrs.keys.filterNot(keys.contains)
+    require(unknown.isEmpty, s"unknown attrs: ${unknown.mkString(",")}")
+  }
+
+  /** Normalize an input series frame: (ts, value) → cast, drop null
+    * points (reference `_normalize_serie`/`_normalize_index`,
+    * chunk_timeserie_store.py:699-743). Returns None when the series is
+    * empty or all-null — such writes are skipped (":720-722").
+    */
+  private def normalize(series: DataFrame): Option[DataFrame] = {
+    val s = series
+      .select(col("ts").cast(TimestampNTZType).as("ts"), col("value").cast(DoubleType).as("value"))
+      .filter(col("value").isNotNull && !isnan(col("value")) && col("ts").isNotNull)
+    if (s.isEmpty) None else Some(s)
+  }
+
+  def exists(attrs: Map[String, Any]): Boolean =
+    !load().filter(attrFilter(attrs) && !col("is_deleted")).isEmpty
+
+  /** Write one series under `attrs`. Mirrors `set_ts`
+    * (chunk_timeserie_store.py:309-373): plain insert refuses duplicates
+    * and is forbidden when sync is enabled; `update` merges
+    * new.combine_first(existing) per chunk; `replace` hard-replaces
+    * overlapped chunks and tombstones the series' other chunks.
+    * Returns false when the series was skipped (empty/all-null).
+    */
+  def setTs(
+      attrs: Map[String, Any],
+      series: DataFrame,
+      update: Boolean = false,
+      replace: Boolean = false,
+      now: java.time.LocalDateTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)): Boolean = {
+    require(!(update && replace), "update and replace are mutually exclusive")
+    requireAllKeys(attrs)
+    if (config.syncEnabled && !update && !replace)
+      throw new IllegalStateException("plain insert is forbidden on a sync-enabled store; use update or replace")
+    normalize(series) match {
+      case None => false
+      case Some(s) =>
+        val withKeys = attachAttrs(s, attrs)
+        if (!update && !replace && exists(attrs))
+          throw new IllegalStateException(s"series already exists for $attrs (IntegrityError parity)")
+        if (update) upsertChunks(attrs, withKeys, now)
+        else if (replace) replaceChunks(attrs, withKeys, now)
+        else appendRows(finishRows(withKeys, now))
+        true
+    }
+  }
+
+  /** Bulk insert of many series (reference `set_many_ts`,
+    * chunk_timeserie_store.py:418-455): insert-only, forbidden when sync
+    * is enabled, duplicates refused. `many` carries the full long form
+    * (businessKeys..., ts, value) already unioned — one write job.
+    */
+  def setManyTs(
+      many: DataFrame,
+      now: java.time.LocalDateTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)): Unit = {
+    if (config.syncEnabled)
+      throw new IllegalStateException("set_many_ts is forbidden on a sync-enabled store")
+    val s = many
+      .withColumn("ts", col("ts").cast(TimestampNTZType))
+      .withColumn("value", col("value").cast(DoubleType))
+      .filter(col("value").isNotNull && !isnan(col("value")) && col("ts").isNotNull)
+    val dup = s.select(keys.map(col): _*).distinct()
+      .join(load().filter(!col("is_deleted")).select(keys.map(col): _*).distinct(), keys, "left_semi")
+    if (!dup.isEmpty)
+      throw new IllegalStateException("set_many_ts: some series already exist (IntegrityError parity)")
+    appendRows(finishRows(s, now))
+  }
+
+  /** Read one series (reference `get_ts`,
+    * chunk_timeserie_store.py:375-416): all keys required, tombstones
+    * excluded, chunk-range pruning from the requested interval, inclusive
+    * time slice, leading/trailing-null trim. Returns the long-form
+    * (ts, value) frame ordered by ts.
+    */
+  def getTs(
+      attrs: Map[String, Any],
+      start: Option[java.time.ZonedDateTime] = None,
+      end: Option[java.time.ZonedDateTime] = None): DataFrame = {
+    requireAllKeys(attrs)
+    var df = load().filter(attrFilter(attrs) && !col("is_deleted") && col("ts").isNotNull)
+    // Partition pruning: literal chunk_index bounds, like _filter_interval.
+    def chunkOf(z: java.time.ZonedDateTime): Int = config.chunkAxis match {
+      case YearAxis      => Grid.chunkRangeYearly(z, z, config.tz)._1
+      case YearMonthAxis => Grid.chunkRangeMonthly(z, z, config.tz)._1
+    }
+    start.foreach(z => df = df.filter(col("chunk_index") >= chunkOf(z) && col("ts") >= lit(toNtz(z))))
+    end.foreach(z => df = df.filter(col("chunk_index") <= chunkOf(z) && col("ts") <= lit(toNtz(z))))
+    df.select(col("ts"), col("value")).orderBy("ts")
+  }
+
+  /** Streaming grouped read (reference `yield_many_ts`,
+    * chunk_timeserie_store.py:457-517): partial key filters allowed,
+    * tombstones out, ordered by (keys..., ts). Long form needs no
+    * reassembly; Spark's sort-based shuffle plays the reference's
+    * buffered iterator.
+    */
+  def yieldManyTs(filters: Map[String, Any] = Map.empty): DataFrame = {
+    load().filter(attrFilter(filters) && !col("is_deleted") && col("ts").isNotNull)
+      .select((keys.map(col) :+ col("ts") :+ col("value")): _*)
+      .orderBy((keys.map(col) :+ col("ts")): _*)
+  }
+
+  /** Latest non-null timestamp across matching series, None when empty
+    * (reference `get_max_horodate`, chunk_timeserie_store.py:519-539).
+    * Restricts to the max chunk first — partition pruning makes the scan
+    * touch one partition, like the reference's max-chunk shortcut.
+    */
+  def maxHorodate(filters: Map[String, Any] = Map.empty): Option[java.time.LocalDateTime] = {
+    val live = load().filter(attrFilter(filters) && !col("is_deleted") && col("value").isNotNull)
+    val maxChunk = live.agg(max("chunk_index")).head()
+    if (maxChunk.isNullAt(0)) None
+    else {
+      val r = live.filter(col("chunk_index") === maxChunk.getInt(0)).agg(max("ts")).head()
+      if (r.isNullAt(0)) None else Some(r.getAs[java.time.LocalDateTime](0))
+    }
+  }
+
+  /** Max `updated_at` under filters; empty → 2000-01-01 in store tz
+    * (reference `last_updated_at`, chunk_timeserie_store.py:288-307).
+    */
+  def lastUpdatedAt(filters: Map[String, Any] = Map.empty): java.time.LocalDateTime = {
+    val r = load().filter(attrFilter(filters)).agg(max("updated_at")).head()
+    if (r.isNullAt(0))
+      java.time.ZonedDateTime.of(2000, 1, 1, 0, 0, 0, 0, java.time.ZoneId.of(config.tz))
+        .withZoneSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime
+    else r.getAs[java.time.LocalDateTime](0)
+  }
+
+  def maxChunkIndex(): Option[Int] = {
+    val r = load().filter(!col("is_deleted")).agg(max("chunk_index")).head()
+    if (r.isNullAt(0)) None else Some(r.getInt(0))
+  }
+
+  /** Soft delete matching series (reference ChunkQuerySet.delete with
+    * keep_tracking — chunk_timeserie_store.py:30-52): every live chunk of
+    * a matched series collapses to one tombstone row with fresh
+    * `updated_at`. Hard delete (keepTracking=false) physically removes
+    * rows and is refused when sync is enabled.
+    */
+  def delete(
+      filters: Map[String, Any],
+      keepTracking: Boolean = true,
+      now: java.time.LocalDateTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)): Unit = {
+    if (!keepTracking && config.syncEnabled)
+      throw new IllegalStateException("hard delete is forbidden on a sync-enabled store")
+    val cur = load()
+    val hit = attrFilter(filters)
+    val affected = cur.filter(hit).select("chunk_index").distinct().collect().map(_.getInt(0))
+    if (affected.isEmpty) return
+    val kept = cur.filter(col("chunk_index").isin(affected.toSeq: _*)).filter(!hit)
+    val content =
+      if (!keepTracking) kept
+      else {
+        val tombs = cur.filter(hit)
+          .select((keys.map(col) :+ col("chunk_index")): _*).distinct()
+          .withColumn("ts", lit(null).cast(TimestampNTZType))
+          .withColumn("value", lit(null).cast(DoubleType))
+          .withColumn("is_deleted", lit(true))
+          .withColumn("updated_at", lit(java.sql.Timestamp.valueOf(now)).cast(TimestampNTZType))
+        kept.unionByName(tombs.select(schema.fieldNames.map(col): _*))
+      }
+    overwritePartitions(content, affected.toSeq)
+  }
+
+  // ---- write-path internals -------------------------------------------
+
+  private def attachAttrs(s: DataFrame, attrs: Map[String, Any]): DataFrame =
+    keys.foldLeft(s)((d, k) => d.withColumn(k, lit(attrs(k)).cast(keySchema(k).dataType)))
+
+  /** Add chunk_index / is_deleted / updated_at and order columns. */
+  private def finishRows(s: DataFrame, now: java.time.LocalDateTime): DataFrame =
+    s.withColumn("chunk_index", chunkIndexCol(col("ts")))
+      .withColumn("is_deleted", lit(false))
+      .withColumn("updated_at", lit(java.sql.Timestamp.valueOf(now)).cast(TimestampNTZType))
+      .select(schema.fieldNames.map(col): _*)
+
+  private def appendRows(rows: DataFrame): Unit =
+    rows
+      .repartition(col("chunk_index"))
+      .sortWithinPartitions((keys.map(col) :+ col("ts")): _*) // row-group skipping on keys
+      .write.mode(SaveMode.Append).partitionBy("chunk_index").parquet(path)
+
+  /** `update`: per overlapped chunk, new.combine_first(existing) for this
+    * series; other series in the partition are rewritten verbatim
+    * (reference `_update_chunk_with_existing`,
+    * chunk_timeserie_store.py:782-813 — txn → staged overwrite).
+    */
+  private def upsertChunks(attrs: Map[String, Any], withKeys: DataFrame, now: java.time.LocalDateTime): Unit = {
+    val newRows  = finishRows(withKeys, now)
+    val affected = newRows.select("chunk_index").distinct().collect().map(_.getInt(0)).toSeq
+    val cur      = load().filter(col("chunk_index").isin(affected: _*))
+    val mine     = cur.filter(attrFilter(attrs) && !col("is_deleted") && col("ts").isNotNull)
+    val merged = Combine.combineFirst(
+        Seq(newRows.select((keys.map(col) :+ col("ts") :+ col("value")): _*),
+            mine.select((keys.map(col) :+ col("ts") :+ col("value")): _*)),
+        keys)
+    val mergedRows = finishRows(merged, now)
+    val others     = cur.filter(!attrFilter(attrs))
+    overwritePartitions(others.unionByName(mergedRows), affected)
+  }
+
+  /** `replace`: overlapped chunks get exactly the new data; the series'
+    * other live chunks become tombstones (reference set_ts replace path,
+    * chunk_timeserie_store.py:357-370).
+    */
+  private def replaceChunks(attrs: Map[String, Any], withKeys: DataFrame, now: java.time.LocalDateTime): Unit = {
+    val newRows    = finishRows(withKeys, now)
+    val overlapped = newRows.select("chunk_index").distinct().collect().map(_.getInt(0)).toSeq
+    val cur        = load()
+    val myOther    = cur.filter(attrFilter(attrs) && !col("chunk_index").isin(overlapped: _*))
+      .select("chunk_index").distinct().collect().map(_.getInt(0)).toSeq
+    val affected   = (overlapped ++ myOther).distinct
+    val scope      = cur.filter(col("chunk_index").isin(affected: _*))
+    val others     = scope.filter(!attrFilter(attrs))
+    val tombs = scope.filter(attrFilter(attrs) && col("chunk_index").isin(myOther: _*))
+      .select((keys.map(col) :+ col("chunk_index")): _*).distinct()
+      .withColumn("ts", lit(null).cast(TimestampNTZType))
+      .withColumn("value", lit(null).cast(DoubleType))
+      .withColumn("is_deleted", lit(true))
+      .withColumn("updated_at", lit(java.sql.Timestamp.valueOf(now)).cast(TimestampNTZType))
+      .select(schema.fieldNames.map(col): _*)
+    overwritePartitions(others.unionByName(newRows).unionByName(tombs), affected)
+  }
+
+  /** Staged rewrite of a set of chunk partitions: write the new content to
+    * a hidden staging dir (invisible to parquet readers), read it back,
+    * dynamic-partition-overwrite the store, drop staging. This is the
+    * Parquet stand-in for the reference's DB transaction (SURVEY.md §7.4
+    * (4)); without staging Spark refuses to overwrite a path it is reading.
+    */
+  private[graft] def overwriteChunkPartitions(content: DataFrame, partitions: Seq[Int]): Unit =
+    overwritePartitions(content, partitions)
+
+  private def overwritePartitions(content: DataFrame, partitions: Seq[Int]): Unit = {
+    if (partitions.isEmpty) return
+    // Sibling staging dir (outside the store root): dynamic overwrite only
+    // touches matching chunk_index partitions, but keeping staging out of
+    // the tree avoids reader/lister interference entirely.
+    val staging = s"${path}__staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      content
+        .repartition(col("chunk_index"))
+        .sortWithinPartitions((keys.map(col) :+ col("ts")): _*)
+        .write.mode(SaveMode.Overwrite).partitionBy("chunk_index").parquet(staging)
+      spark.read.schema(schema).parquet(staging)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("chunk_index")
+        .parquet(path)
+    } finally deleteRecursively(new java.io.File(staging))
+  }
+}
+
+object ChunkStore {
+  private[store] def toNtz(z: java.time.ZonedDateTime): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(z.withZoneSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime)
+
+  private[store] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+}

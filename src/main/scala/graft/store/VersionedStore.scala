@@ -1,0 +1,134 @@
+package graft.store
+
+import graft.ts.{Combine, Resample}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Versioned whole-series store — the Spark re-expression of the
+  * reference's `Store` model (hostore/models/hostore.py:23-432): series
+  * keyed by (prm, client_id) with integer write versions, reads that fold
+  * versions newest-first with `combine_first`, optional per-version delay
+  * slicing, and gap analytics on the combined result.
+  *
+  * Layout: long-form parquet `(prm, client_id, version, ts, value,
+  * created_at)` — no chunking (the reference stores one feather blob per
+  * row). Version-combine is one window + one aggregation (§2.3 J2).
+  */
+class VersionedStore(val spark: SparkSession, val path: String) {
+
+  def schema: StructType = StructType(Seq(
+    StructField("prm", StringType),
+    StructField("client_id", IntegerType),
+    StructField("version", IntegerType),
+    StructField("ts", TimestampNTZType),
+    StructField("value", DoubleType),
+    StructField("created_at", TimestampNTZType)))
+
+  def load(): DataFrame =
+    if (new java.io.File(path).exists()) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Row count under filters (reference `Store.count`, hostore.py:39-43) —
+    * counts distinct (prm, version) pairs, the analogue of blob rows.
+    */
+  def count(clientId: Int, prms: Option[Seq[String]] = None): Long = {
+    var df = load().filter(col("client_id") === clientId)
+    prms.foreach(ps => df = df.filter(col("prm").isin(ps: _*)))
+    df.select("prm", "version").distinct().count()
+  }
+
+  /** Write a series (reference `set_lc`, hostore.py:321-370):
+    * versioning=false upserts version 0 (delete + rewrite); versioning=true
+    * appends with `max(version)+1` scoped to the prm/client.
+    * All-null series are skipped. Returns false when skipped.
+    */
+  def setLc(
+      prm: String,
+      clientId: Int,
+      series: DataFrame,
+      versioning: Boolean = false,
+      now: java.time.LocalDateTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)): Boolean = {
+    val s = series
+      .select(col("ts").cast(TimestampNTZType).as("ts"), col("value").cast(DoubleType).as("value"))
+      .filter(col("value").isNotNull && !isnan(col("value")))
+    if (s.isEmpty) return false
+    val version: Int =
+      if (!versioning) 0
+      else {
+        val r = load().filter(col("prm") === prm && col("client_id") === clientId)
+          .agg(max("version")).head()
+        if (r.isNullAt(0)) 0 else r.getInt(0) + 1
+      }
+    val rows = s
+      .withColumn("prm", lit(prm))
+      .withColumn("client_id", lit(clientId))
+      .withColumn("version", lit(version))
+      .withColumn("created_at", lit(java.sql.Timestamp.valueOf(now)).cast(TimestampNTZType))
+      .select(schema.fieldNames.map(col): _*)
+    if (!versioning && exists(prm, clientId)) {
+      // upsert: rewrite everything for this (prm, client) at version 0.
+      // Staging lives OUTSIDE the store root: a full overwrite clears the
+      // target directory, which would delete an in-path staging mid-read.
+      val staging = s"${path}__staging_${java.util.UUID.randomUUID().toString.take(8)}"
+      try {
+        load().filter(!(col("prm") === prm && col("client_id") === clientId))
+          .unionByName(rows)
+          .write.mode(SaveMode.Overwrite).parquet(staging)
+        spark.read.schema(schema).parquet(staging)
+          .write.mode(SaveMode.Overwrite).parquet(path)
+      } finally ChunkStore.deleteRecursively(new java.io.File(staging))
+    } else rows.write.mode(SaveMode.Append).parquet(path)
+    true
+  }
+
+  def exists(prm: String, clientId: Int): Boolean =
+    !load().filter(col("prm") === prm && col("client_id") === clientId).isEmpty
+
+  /** Version-combined read (reference `get_lc`, hostore.py:225-268):
+    * versions fold newest-first with combine_first; each version may first
+    * be delay-sliced (`slice_with_delay`, applied per version before the
+    * fold — hostore.py:262-263).
+    */
+  def getLc(prm: String, clientId: Int, delaySecs: Option[Long] = None): DataFrame = {
+    var df = load().filter(col("prm") === prm && col("client_id") === clientId)
+    delaySecs.foreach(d => df = Resample.sliceWithDelay(df, Seq("prm", "client_id", "version"), d))
+    Combine.combineVersions(df, Seq("prm", "client_id"), "version")
+      .orderBy("ts")
+  }
+
+  /** Multi-series combined read (reference `get_many_lc`,
+    * hostore.py:270-317) — one job for all prms, not a loop.
+    */
+  def getManyLc(prms: Seq[String], clientId: Int, delaySecs: Option[Long] = None): DataFrame = {
+    var df = load().filter(col("client_id") === clientId && col("prm").isin(prms: _*))
+    delaySecs.foreach(d => df = Resample.sliceWithDelay(df, Seq("prm", "client_id", "version"), d))
+    Combine.combineVersions(df, Seq("prm", "client_id"), "version")
+  }
+
+  /** Requested prms with no stored data — the left-anti side of
+    * `find_groups` (hostore.py:120-124).
+    */
+  def absentPrms(prms: Seq[String], clientId: Int): DataFrame = {
+    import spark.implicits._
+    prms.toDF("prm").join(
+      load().filter(col("client_id") === clientId).select("prm").distinct(),
+      Seq("prm"), "left_anti")
+  }
+
+  /** Delete by prms / version / client (reference `clear`/`clear_all`,
+    * hostore.py:396-432).
+    */
+  def clear(clientId: Int, prms: Option[Seq[String]] = None, version: Option[Int] = None): Unit = {
+    var hit: Column = col("client_id") === clientId
+    prms.foreach(ps => hit = hit && col("prm").isin(ps: _*))
+    version.foreach(v => hit = hit && col("version") === v)
+    val staging = s"${path}__staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      load().filter(!hit).write.mode(SaveMode.Overwrite).parquet(staging)
+      spark.read.schema(schema).parquet(staging)
+        .write.mode(SaveMode.Overwrite).parquet(path)
+    } finally ChunkStore.deleteRecursively(new java.io.File(staging))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.sync
+
+import graft.store.ChunkStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, DoubleType}
+
+/** Incremental store↔store replication — the batch re-expression of the
+  * reference's pull-based sync (hostore/utils/ts_sync.py:60-296 +
+  * chunk_timeserie_store.py:545-695). The HTTP transport is out of scope
+  * (SURVEY.md §2.1 S8); the dataflow it feeds — updates listing, chunk
+  * export, atomic chunk import, tombstone propagation, resumable pull — is
+  * re-expressed as deterministic batch jobs between two Parquet store
+  * roots.
+  */
+object Sync {
+
+  /** Chunk-level change listing (reference `updates_queryset` /
+    * `list_updates`, chunk_timeserie_store.py:545-607): one row per
+    * (businessKeys..., chunk_index) with `updated_at >= since` (GTE — the
+    * boundary row re-fetches, which is what makes pull idempotent and
+    * crash-resumable), ordered `(updated_at, keys, chunk_index)` for
+    * deterministic pagination, metadata only (no payload — Catalyst's
+    * column pruning keeps `ts`/`value` out of the scan).
+    */
+  def updates(
+      store: ChunkStore,
+      since: java.time.LocalDateTime,
+      filters: Map[String, Any] = Map.empty): DataFrame = {
+    val keys = store.keys
+    val base = filters.foldLeft(store.load()) { case (d, (k, v)) => d.filter(col(k) === lit(v)) }
+    base
+      .groupBy((keys.map(col) :+ col("chunk_index")): _*)
+      .agg(
+        max(col("updated_at")).as("updated_at"),
+        max(when(col("is_deleted"), 1).otherwise(0)).cast("boolean").as("is_deleted"))
+      .filter(col("updated_at") >= lit(java.sql.Timestamp.valueOf(since)).cast(TimestampNTZType))
+      .orderBy((col("updated_at") +: keys.map(col) :+ col("chunk_index")): _*)
+  }
+
+  /** Payload fetch for a spec set (reference `export_chunks`,
+    * chunk_timeserie_store.py:609-631): semi-join the spec list
+    * (businessKeys..., chunk_index) against the store, return full rows.
+    * The spec side is small (one sync page) → broadcast semi-join, no
+    * shuffle of the store.
+    */
+  def exportChunks(store: ChunkStore, specs: DataFrame): DataFrame = {
+    val joinCols = store.keys :+ "chunk_index"
+    store.load().join(broadcast(specs.select(joinCols.map(col): _*).distinct()), joinCols, "left_semi")
+  }
+
+  /** Atomic batch upsert of full chunk rows into `store` (reference
+    * `import_chunks`, chunk_timeserie_store.py:633-695): rows match on
+    * (businessKeys..., chunk_index); matched series-chunks are fully
+    * replaced (data AND metadata incl. `updated_at`, so the client mirrors
+    * the server's clock — ts_sync semantics), unmatched inserted. A batch
+    * with a null/missing chunk_index is rejected BEFORE any write — the
+    * whole batch rolls back, like the reference's transaction
+    * (tests/test_import_chunks.py:31-51).
+    */
+  def importChunks(store: ChunkStore, batch: DataFrame): Unit = {
+    val keys = store.keys
+    if (batch.isEmpty) return
+    val badRows = batch.filter(col("chunk_index").isNull)
+    if (!badRows.isEmpty)
+      throw new IllegalArgumentException("import_chunks: chunk_index missing — whole batch rejected")
+    val affected = batch.select("chunk_index").distinct().collect().map(_.getInt(0)).toSeq
+    val cur      = store.load().filter(col("chunk_index").isin(affected: _*))
+    val joinCols = keys :+ "chunk_index"
+    val untouched = cur.join(broadcast(batch.select(joinCols.map(col): _*).distinct()), joinCols, "left_anti")
+    store.overwriteChunkPartitions(
+      untouched.unionByName(batch.select(store.schema.fieldNames.map(col): _*)), affected)
+  }
+
+  /** Full pull (reference `TimeseriesChunkStoreSyncClient.pull`,
+    * ts_sync.py:204-261): since = client's local high-water mark;
+    * page through the server's updates; apply tombstones locally (the
+    * tombstone row itself is imported, carrying the SERVER's updated_at —
+    * so a re-pull does not re-fetch it); import live chunks in batches.
+    * Page-at-a-time import keeps the crash-resume property: pages already
+    * imported persist, and the `>= since` overlap re-fetches at most the
+    * boundary row.
+    * Returns the number of chunk specs applied.
+    */
+  def pull(
+      client: ChunkStore,
+      server: ChunkStore,
+      filters: Map[String, Any] = Map.empty,
+      pageSize: Int = 200): Long = {
+    require(client.config.syncEnabled && server.config.syncEnabled,
+      "sync requires ALLOW_CLIENT_SERVER_SYNC on both stores")
+    val keys  = client.keys
+    val since = client.lastUpdatedAt(filters)
+    var applied = 0L
+    var offsetN = 0
+    var done = false
+    while (!done) {
+      val page = updates(server, since, filters).offset(offsetN).limit(pageSize).cache()
+      val n = page.count()
+      if (n == 0) done = true
+      else {
+        // Both live chunks and tombstones transfer as full row sets: a
+        // tombstone chunk's rows ARE its tombstone row, so one import path
+        // covers both (reference splits them only because of the two-step
+        // HTTP protocol).
+        val payload = exportChunks(server, page)
+        importChunks(client, payload)
+        applied += n
+        offsetN += pageSize
+        if (n < pageSize) done = true
+      }
+      page.unpersist()
+    }
+    applied
+  }
+}

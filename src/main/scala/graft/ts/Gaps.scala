@@ -1,0 +1,79 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap / hole analytics — the reference's analytical core:
+  * `find_constant_sequences` (hostore/utils/timeseries.py:75-102),
+  * `check_ts_completeness` (:11-65), `find_holes` (hostore.py:162-216).
+  *
+  * All three lower to the classic gaps-and-islands window pattern:
+  * a null-safe change flag, a running island id, then one aggregation per
+  * island. Two shuffles total (window partition + groupBy on the same
+  * keys — Catalyst reuses the exchange), regardless of series length.
+  */
+object Gaps {
+
+  /** Contiguous runs of equal value per key, NaN/null-aware
+    * (`equalp` utils/timeseries.py:68-72 → Spark's null-safe `<=>`,
+    * which also treats NaN = NaN as true). Output:
+    * (keys..., run_start, run_end, value, run_len).
+    */
+  def constantIslands(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = (col(tsCol) +: tieBreak.map(col))
+    val w   = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val flagged = df
+      .withColumn("__chg", when(col(valueCol) <=> lag(col(valueCol), 1).over(w), 0L).otherwise(1L))
+      .withColumn("__grp", sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy((keys.map(col) :+ col("__grp")): _*)
+      .agg(
+        min(col(tsCol)).as("run_start"),
+        max(col(tsCol)).as("run_end"),
+        first(col(valueCol)).as(valueCol),
+        count(lit(1)).as("run_len"))
+      .drop("__grp")
+  }
+
+  /** Missing-data holes per key over a dense grid
+    * (`check_ts_completeness`, utils/timeseries.py:11-65): reindex
+    * [start, end] at `freqSecs`, find null runs, widen each hole by
+    * `marginSecs` on both sides (the reference's `freq_margin`).
+    * Keys absent from `df` entirely yield ONE hole spanning the whole
+    * range — pass them via `requestedKeys` (reference `find_holes` yields
+    * the full range for absent prms, hostore.py:194-200).
+    * Output: (keys..., hole_start, hole_end).
+    */
+  def holes(
+      df: DataFrame,
+      keys: Seq[String],
+      start: java.time.LocalDateTime,
+      end: java.time.LocalDateTime,
+      freqSecs: Long,
+      marginSecs: Long = 0L,
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      requestedKeys: Option[DataFrame] = None): DataFrame = {
+    val spark = df.sparkSession
+    val grid  = Grid.spine(spark, start, end, freqSecs, inclusiveRight = true, tsCol)
+    val keyDf = requestedKeys.getOrElse(df.select(keys.map(col): _*).distinct())
+    val dense = keyDf.crossJoin(broadcast(grid))
+      .join(df.select((keys.map(col) :+ col(tsCol) :+ col(valueCol)): _*), keys :+ tsCol, "left")
+    val runs = constantIslands(
+      dense.withColumn("__missing", col(valueCol).isNull), keys, tsCol, "__missing")
+    val lo = lit(java.sql.Timestamp.valueOf(start)).cast("timestamp_ntz")
+    val hi = lit(java.sql.Timestamp.valueOf(end)).cast("timestamp_ntz")
+    val sec = expr("make_dt_interval(0, 0, 0, 1)")
+    runs.filter(col("__missing"))
+      .select(
+        (keys.map(col) :+
+          greatest(col("run_start") - sec * marginSecs, lo).as("hole_start") :+
+          least(col("run_end") + sec * marginSecs, hi).as("hole_end")): _*)
+  }
+}

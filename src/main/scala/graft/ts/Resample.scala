@@ -1,0 +1,110 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slicing / trimming / normalization / resampling over long-form series —
+  * the reference's pandas-level series ops: `slice_ts`
+  * (utils/timeseries.py:269-272), bounds-NaN trim
+  * (chunk_timeserie_store.py:884-885), `slice_with_delay`
+  * (utils/utils.py:11-15), `ts_normalize` (utils/timeseries.py:263-266),
+  * `pd_min_freq` (:249-260), `upsample_using_reference_serie` (:166-225).
+  *
+  * Everything is windows + projections: no custom expressions needed, all
+  * codegen'd, and every window partitions by the series key so the work
+  * distributes across series.
+  */
+object Resample {
+
+  /** `serie.loc[start:end]` — inclusive both ends (reference
+    * `_finish_serie`); `halfOpen=true` gives `slice_ts`'s [start, end).
+    */
+  def sliceTs(df: DataFrame, tsCol: String, start: Column, end: Column, halfOpen: Boolean = false): DataFrame = {
+    val upper = if (halfOpen) col(tsCol) < end else col(tsCol) <= end
+    df.filter(col(tsCol) >= start && upper)
+  }
+
+  /** Drop leading/trailing null values per key — keep rows between the
+    * first and last non-null timestamp (reference
+    * `first_valid_index:last_valid_index`). Interior nulls survive.
+    */
+  def trimBounds(df: DataFrame, keys: Seq[String], tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    val validTs = when(col(valueCol).isNotNull, col(tsCol))
+    df.withColumn("__lo", min(validTs).over(w))
+      .withColumn("__hi", max(validTs).over(w))
+      .filter(col(tsCol) >= col("__lo") && col(tsCol) <= col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
+  /** Cut the first `delaySecs` of each key's series, measured from its own
+    * first timestamp (reference `slice_with_delay`, applied per version
+    * before combining — hostore.py:262-263).
+    */
+  def sliceWithDelay(df: DataFrame, keys: Seq[String], delaySecs: Long, tsCol: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    val sec = expr("make_dt_interval(0, 0, 0, 1)")
+    df.withColumn("__min_ts", min(col(tsCol)).over(w))
+      .filter(col(tsCol) >= col("__min_ts") + sec * delaySecs)
+      .drop("__min_ts")
+  }
+
+  /** Min-max normalize per key (reference `ts_normalize`): (v-min)/(max-min);
+    * constant series → null (pandas yields 0/0 = NaN; we surface SQL null).
+    */
+  def normalize(df: DataFrame, keys: Seq[String], valueCol: String = "value", outCol: String = "value_norm"): DataFrame = {
+    val w  = Window.partitionBy(keys.map(col): _*)
+    val lo = min(col(valueCol)).over(w)
+    val hi = max(col(valueCol)).over(w)
+    df.withColumn(outCol, when(hi > lo, (col(valueCol) - lo) / (hi - lo)).otherwise(lit(null)))
+  }
+
+  /** Minimum step between consecutive timestamps per key, in exact
+    * microseconds (reference `pd_min_freq` — frequency inference).
+    * Integer epoch-micros arithmetic: exact, engine-portable (no
+    * floating-point or boundary-crossing `date_diff` semantics).
+    * Output: (keys..., min_step_us).
+    */
+  def minFreq(df: DataFrame, keys: Seq[String], tsCol: String = "ts"): DataFrame = {
+    val w  = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val us = unix_micros(col(tsCol).cast("timestamp")) // NTZ→TS is identity under UTC session tz
+    df.withColumn("__step", us - lag(us, 1).over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("__step")).as("min_step_us"))
+  }
+
+  /** Forward-fill `valueCol` per key along time — the as-of alignment
+    * primitive underlying the reference's upsample (`ffill`,
+    * utils/timeseries.py:196). `last(_, ignoreNulls)` over an unbounded
+    * preceding window is Spark's native ffill.
+    */
+  def ffill(df: DataFrame, keys: Seq[String], tsCol: String = "ts", valueCol: String = "value", outCol: String = "value_ffill"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Distribute a coarse series over a fine grid proportionally to a
+    * reference profile (reference `upsample_using_reference_serie`,
+    * utils/timeseries.py:166-225):
+    *   - `df` carries per-key fine-grained rows with a coarse-period id
+    *     column (`periodCol`), the forward-filled coarse value (`featCol`)
+    *     and the fine reference profile (`refCol`);
+    *   - output = feat * ref / mean(ref over period); zero-mean periods
+    *     copy feat flat (the reference's mean==0 branch).
+    */
+  def upsampleWithProfile(
+      df: DataFrame,
+      keys: Seq[String],
+      periodCol: String,
+      featCol: String,
+      refCol: String,
+      outCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy((keys.map(col) :+ col(periodCol)): _*)
+    val meanRef = avg(col(refCol)).over(w)
+    df.withColumn(outCol,
+      when(meanRef === 0.0 || meanRef.isNull, col(featCol))
+        .otherwise(col(featCol) * col(refCol) / meanRef))
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+/** Driver-contract smoke: entry() returns rows on sf0.001, and every
+  * declared query has either an oracle twin or is explicitly rows-only.
+  */
+class EntrySpec extends SparkSpec {
+  test("entry returns rows on sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys ⊆ queries keys; rows-only set is the known one") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
+    val rowsOnly = q.diff(o)
+    assert(rowsOnly === Set("q_minhash_lsh", "q_simhash_pairs", "q_fingerprint", "q_lsh_topk"),
+      s"unexpected rows-only queries: $rowsOnly")
+  }
+
+  test("simhash column form and corpus form agree") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "the quick brown fox")).toDF("doc_id", "text")
+    val colForm = docs.select(col("doc_id").as("id"), graft.pipeline.Dedup.simhash(col("text")).as("sig"))
+    val dfForm = graft.pipeline.Dedup.simhashSignatures(docs, "doc_id", "text")
+    assert(colForm.orderBy("id").collect().map(_.getLong(1)).toSeq ===
+      dfForm.orderBy("id").collect().map(_.getLong(1)).toSeq)
+  }
+}

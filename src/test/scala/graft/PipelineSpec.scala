@@ -1,0 +1,128 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en"),
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),  // exact dup of 0
+    (2L, "the quick brown fox jumps over the sleepy dog", "en"), // near dup of 0
+    (3L, "completely different content about spark engines and parquet files", "en"),
+    (4L, "short", "en"))
+    .toDF("doc_id", "text", "lang")
+
+  test("exact dedup groups and drop list") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(groups.count() === 4)
+    assert(groups.filter(col("n_docs") === 2).select("keep_id").head().getLong(0) === 0L)
+    val drop = Dedup.exactDropList(docs, "doc_id", "text").collect()
+    assert(drop.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("shingles: distinct n-grams; short docs → empty array (no descending sequence)") {
+    val sh = docs.select(Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(0).contains("the quick brown"))
+    assert(sh(4).isEmpty) // "short" has < 3 words — must NOT produce garbage
+  }
+
+  test("ngram Jaccard finds near-dups, not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // exact dup → jaccard 1.0
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash LSH recalls exact dups with sig_sim 1.0") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, bands = 8, rowsPerBand = 4)
+      .collect()
+    val exact = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(exact.isDefined && exact.get.getDouble(2) === 1.0)
+  }
+
+  test("simhash: identical text → distance 0; near-dup pairs surface") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig")).collect()
+    assert(sigs(0).getLong(1) === sigs(1).getLong(1))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),  // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k: nearest neighbor is the close vector") {
+    val out = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, k = 2)
+      .orderBy("rank").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(1) === 1L) // rank-1 neighbor of 0 is 1
+    assert(out(0).getDouble(2) > 0.99)
+  }
+
+  test("lsh bucket: identical vectors share a bucket; topk self-consistent") {
+    val out = Similarity.lshTopK(vecs.filter(col("vec_id") === 0), vecs, k = 2, numPlanes = 4)
+      .collect()
+    // vector 1 is near-parallel to 0 → same half-space for almost any plane set
+    assert(out.exists(r => r.getLong(1) === 1L))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token count / quality metrics") {
+    val df = Seq((1L, "the cat and the hat is on 42 mats")).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityScore(df).head()
+    assert(q.getAs[Int]("n_tokens") === 9)
+    assert(q.getAs[Double]("stopword_ratio") > 0.3) // the, and, the, is
+  }
+
+  test("lang scores discriminate en vs fr stopwords") {
+    val df = Seq(
+      (1L, "the king and the queen of france is here"),
+      (2L, "le roi et la reine des les francais des le"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.langScores(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("score_en") > out(0).getAs[Int]("score_fr"))
+    assert(out(1).getAs[Int]("score_fr") > out(1).getAs[Int]("score_en"))
+  }
+
+  test("fingerprint: order-sensitive, whitespace-insensitive, stable") {
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha  beta   gamma"),
+      (3L, "gamma beta alpha")).toDF("doc_id", "text")
+    val fp = df.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fp(0) === fp(1)) // extra whitespace ignored (token stream equal)
+    assert(fp(0) !== fp(2)) // order matters
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("synthetic media plumbing: schema, deterministic payload, features") {
+    val ids = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    val media = Multimodal.syntheticMedia(ids, "doc_id")
+    assert(media.columns.toSeq === Multimodal.mediaSchema.fieldNames.toSeq)
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.length === 4)
+    assert(feats.forall(_.n_bytes === 32)) // sha256 payload stub
+    assert(feats.forall(_.feature.length === 8))
+    assert(feats(0).kind === "image" && feats(1).kind === "audio" && feats(2).kind === "video")
+    // determinism: same id → same features on re-run
+    val again = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(again(0).byte_mean === feats(0).byte_mean)
+  }
+}

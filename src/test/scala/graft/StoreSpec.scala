@@ -1,0 +1,286 @@
+package graft
+
+import graft.store._
+import graft.sync.Sync
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ChunkStore / VersionedStore / Sync behavior matrix — the Scala analogue
+  * of the reference's scenario-matrix tests
+  * (hostore/tests/test_chunk_timeserie_store.py:73-401,
+  * test_chunk_timeserie_sync.py:79-261, tests_basics.py).
+  */
+class ChunkStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keySchema = StructType(Seq(
+    StructField("version", IntegerType), StructField("kind", StringType)))
+
+  private def hourly(start: String, hours: Int, f: Int => Option[Double]): DataFrame = {
+    val t0 = java.time.LocalDateTime.parse(start)
+    (0 until hours).map(i => (t0.plusHours(i), f(i))).toDF("ts", "value")
+  }
+
+  private def newStore(tz: String = "Europe/Paris", axis: ChunkAxis = YearMonthAxis,
+      sync: Boolean = false): ChunkStore =
+    new ChunkStore(spark, tmpDir("chunk"), keySchema,
+      StoreConfig(freq = "1h", tz = tz, chunkAxis = axis, syncEnabled = sync))
+
+  private val attrs = Map[String, Any]("version" -> 0, "kind" -> "k1")
+  private val now0  = ldt("2024-06-01T00:00")
+
+  // matrix: chunk axis × tz (reference test_chunk_timeserie_store.py:326-364)
+  for (axis <- Seq(YearAxis, YearMonthAxis); tz <- Seq("Europe/Paris", "UTC")) {
+    test(s"roundtrip $axis/$tz: write spanning chunk boundary, read back") {
+      val st = newStore(tz, axis)
+      val s = hourly("2024-01-30T00:00", 24 * 5, i => Some(i.toDouble)) // spans Jan→Feb
+      assert(st.setTs(attrs, s, now = now0))
+      val back = st.getTs(attrs).collect()
+      assert(back.length === 24 * 5)
+      assert(back.head.getDouble(1) === 0.0 && back.last.getDouble(1) === (24 * 5 - 1).toDouble)
+      if (axis == YearMonthAxis) assert(st.maxChunkIndex().get === 2024 * 12 + 2 - 1)
+    }
+  }
+
+  test("all-null series is skipped on write") {
+    val st = newStore()
+    assert(!st.setTs(attrs, hourly("2024-01-01T00:00", 5, _ => None), now = now0))
+    assert(!st.exists(attrs))
+  }
+
+  test("partial attrs raise; unknown attrs raise; update+replace raise") {
+    val st = newStore()
+    val s = hourly("2024-01-01T00:00", 3, i => Some(i.toDouble))
+    assertThrows[IllegalArgumentException](st.setTs(Map("version" -> 0), s))
+    assertThrows[IllegalArgumentException](st.setTs(attrs + ("bogus" -> 1), s))
+    assertThrows[IllegalArgumentException](st.setTs(attrs, s, update = true, replace = true))
+  }
+
+  test("plain insert over existing raises (IntegrityError parity)") {
+    val st = newStore()
+    val s = hourly("2024-01-01T00:00", 3, i => Some(i.toDouble))
+    st.setTs(attrs, s, now = now0)
+    assertThrows[IllegalStateException](st.setTs(attrs, s, now = now0))
+  }
+
+  test("update merges new.combine_first(existing) per chunk") {
+    val st = newStore(tz = "UTC")
+    st.setTs(attrs, hourly("2024-01-01T00:00", 5, i => Some(1.0)), now = now0)
+    // overwrite hours 2-3 with 9.0; combine_first → new wins where present
+    st.setTs(attrs, hourly("2024-01-01T02:00", 2, _ => Some(9.0)), update = true,
+      now = now0.plusHours(1))
+    val back = st.getTs(attrs).collect().map(_.getDouble(1)).toSeq
+    assert(back === Seq(1.0, 1.0, 9.0, 9.0, 1.0))
+  }
+
+  test("replace hard-replaces overlapped chunks, tombstones the rest") {
+    val st = newStore(tz = "UTC", axis = YearMonthAxis)
+    st.setTs(attrs, hourly("2024-01-01T00:00", 24, i => Some(1.0)), now = now0)  // Jan
+    st.setTs(attrs, hourly("2024-02-01T00:00", 24, i => Some(2.0)), update = true, now = now0) // Feb
+    // replace with March-only data → Jan+Feb tombstoned
+    st.setTs(attrs, hourly("2024-03-01T00:00", 24, i => Some(3.0)), replace = true,
+      now = now0.plusHours(2))
+    val back = st.getTs(attrs).collect()
+    assert(back.length === 24 && back.forall(_.getDouble(1) === 3.0))
+    // tombstones visible to sync metadata with fresh updated_at
+    val upd = Sync.updates(st, now0.plusHours(1))
+    assert(upd.filter(col("is_deleted")).count() === 2)
+  }
+
+  test("second series in same chunk partition is preserved on update") {
+    val st = newStore(tz = "UTC")
+    val attrs2 = Map[String, Any]("version" -> 0, "kind" -> "k2")
+    st.setTs(attrs, hourly("2024-01-01T00:00", 3, i => Some(1.0)), now = now0)
+    st.setTs(attrs2, hourly("2024-01-01T00:00", 3, i => Some(5.0)), now = now0)
+    st.setTs(attrs, hourly("2024-01-01T00:00", 3, i => Some(2.0)), update = true, now = now0)
+    assert(st.getTs(attrs2).collect().map(_.getDouble(1)).toSeq === Seq(5.0, 5.0, 5.0))
+    assert(st.getTs(attrs).collect().map(_.getDouble(1)).toSeq === Seq(2.0, 2.0, 2.0))
+  }
+
+  test("getTs slices inclusive and prunes by chunk range") {
+    val st = newStore(tz = "UTC")
+    st.setTs(attrs, hourly("2024-01-01T00:00", 24 * 60, i => Some(i.toDouble)), now = now0)
+    val z = java.time.ZoneOffset.UTC
+    val out = st.getTs(attrs,
+      start = Some(java.time.ZonedDateTime.of(2024, 2, 1, 0, 0, 0, 0, z)),
+      end = Some(java.time.ZonedDateTime.of(2024, 2, 2, 0, 0, 0, 0, z))).collect()
+    assert(out.length === 25) // inclusive both ends
+    assert(out.head.getAs[java.time.LocalDateTime]("ts") === ldt("2024-02-01T00:00"))
+  }
+
+  test("bounds-trim on read: leading/trailing nulls dropped, interior kept") {
+    val st = newStore(tz = "UTC")
+    // write sparse: values only at hours 2..5 with a hole at 3 (persisted sparse)
+    val s = hourly("2024-01-01T00:00", 8,
+      i => if (i >= 2 && i <= 5 && i != 3) Some(i.toDouble) else None)
+    st.setTs(attrs, s, now = now0)
+    val back = st.getTs(attrs).collect()
+    assert(back.head.getAs[java.time.LocalDateTime]("ts") === ldt("2024-01-01T02:00"))
+    assert(back.last.getAs[java.time.LocalDateTime]("ts") === ldt("2024-01-01T05:00"))
+  }
+
+  test("maxHorodate / lastUpdatedAt semantics") {
+    val st = newStore(tz = "UTC")
+    assert(st.maxHorodate() === None)
+    // empty store default: 2000-01-01 in store tz (UTC here)
+    assert(st.lastUpdatedAt() === ldt("2000-01-01T00:00"))
+    st.setTs(attrs, hourly("2024-01-01T00:00", 10, i => Some(i.toDouble)), now = now0)
+    assert(st.maxHorodate().get === ldt("2024-01-01T09:00"))
+    assert(st.lastUpdatedAt() === now0)
+  }
+
+  test("soft delete tombstones; hard delete forbidden when sync enabled") {
+    val st = newStore(tz = "UTC")
+    st.setTs(attrs, hourly("2024-01-01T00:00", 5, i => Some(1.0)), now = now0)
+    st.delete(Map("kind" -> "k1"), keepTracking = true, now = now0.plusHours(1))
+    assert(st.getTs(attrs).collect().isEmpty)
+    assert(st.load().filter(col("is_deleted")).count() === 1)
+    val sst = newStore(tz = "UTC", sync = true)
+    assertThrows[IllegalStateException](sst.delete(Map("kind" -> "x"), keepTracking = false))
+  }
+
+  test("setManyTs bulk-inserts many series in one job; duplicates refused") {
+    val st = newStore(tz = "UTC")
+    val many = Seq(
+      (0, "a", "2024-01-01T00:00", 1.0), (0, "a", "2024-01-01T01:00", 2.0),
+      (0, "b", "2024-01-01T00:00", 3.0))
+      .map { case (v, k, t, x) => (v, k, java.time.LocalDateTime.parse(t), x) }
+      .toDF("version", "kind", "ts", "value")
+    st.setManyTs(many, now = now0)
+    assert(st.yieldManyTs().count() === 3)
+    assertThrows[IllegalStateException](st.setManyTs(many, now = now0))
+  }
+
+  test("yieldManyTs: partial filters, ordered stream") {
+    val st = newStore(tz = "UTC")
+    st.setTs(Map("version" -> 0, "kind" -> "a"), hourly("2024-01-01T00:00", 3, i => Some(1.0)), now = now0)
+    st.setTs(Map("version" -> 0, "kind" -> "b"), hourly("2024-01-01T00:00", 3, i => Some(2.0)), now = now0)
+    val all = st.yieldManyTs(Map("version" -> 0)).collect()
+    assert(all.length === 6)
+    assert(all.map(_.getString(1)).toSeq === Seq("a", "a", "a", "b", "b", "b"))
+  }
+}
+
+class VersionedStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series(start: String, n: Int, v: Double): DataFrame = {
+    val t0 = java.time.LocalDateTime.parse(start)
+    (0 until n).map(i => (t0.plusHours(i), v)).toDF("ts", "value")
+  }
+
+  test("versioned writes increment; combined read: newest wins, older fills") {
+    val st = new VersionedStore(spark, tmpDir("vstore"))
+    st.setLc("prm1", 1, series("2024-01-01T00:00", 5, 1.0), versioning = true)
+    st.setLc("prm1", 1, series("2024-01-01T03:00", 5, 2.0), versioning = true)
+    val out = st.getLc("prm1", 1).collect()
+    assert(out.length === 8)
+    assert(out.map(_.getAs[Double]("value")).toSeq === Seq(1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 2.0, 2.0))
+    assert(st.count(1) === 2)
+  }
+
+  test("delay slice cuts each version's start before combining") {
+    val st = new VersionedStore(spark, tmpDir("vstore"))
+    // reference tests_slice_with_delay.py: v0 from Jan 1 (value 1), v1 from Jan 2 (value 2)
+    st.setLc("p", 1, series("2024-01-01T00:00", 48, 1.0), versioning = true)
+    st.setLc("p", 1, series("2024-01-02T00:00", 24, 2.0), versioning = true)
+    val out = st.getLc("p", 1, delaySecs = Some(6 * 3600L)).collect()
+    // v1 covers Jan2 06:00+, v0 covers Jan1 06:00..Jan2 23:00 at priority 2
+    assert(out.head.getAs[java.time.LocalDateTime]("ts") === ldt("2024-01-01T06:00"))
+    val atJan2 = out.filter(_.getAs[java.time.LocalDateTime]("ts") == ldt("2024-01-02T06:00"))
+    assert(atJan2.head.getAs[Double]("value") === 2.0)
+    val atJan2Early = out.filter(_.getAs[java.time.LocalDateTime]("ts") == ldt("2024-01-02T03:00"))
+    assert(atJan2Early.head.getAs[Double]("value") === 1.0) // v1's first 6h cut → v0 fills
+  }
+
+  test("non-versioned upsert rewrites; clear by version") {
+    val st = new VersionedStore(spark, tmpDir("vstore"))
+    st.setLc("p", 1, series("2024-01-01T00:00", 3, 1.0))
+    st.setLc("p", 1, series("2024-01-01T00:00", 3, 9.0)) // upsert replaces
+    assert(st.getLc("p", 1).collect().map(_.getAs[Double]("value")).toSeq === Seq(9.0, 9.0, 9.0))
+    st.clear(1, prms = Some(Seq("p")))
+    assert(st.getLc("p", 1).collect().isEmpty)
+  }
+
+  test("absentPrms = requested minus stored (anti-join)") {
+    val st = new VersionedStore(spark, tmpDir("vstore"))
+    st.setLc("p1", 1, series("2024-01-01T00:00", 2, 1.0))
+    assert(st.absentPrms(Seq("p1", "p2"), 1).collect().map(_.getString(0)).toSeq === Seq("p2"))
+  }
+
+  test("all-null series skipped") {
+    val st = new VersionedStore(spark, tmpDir("vstore"))
+    val nulls = Seq((java.time.LocalDateTime.parse("2024-01-01T00:00"), Option.empty[Double]))
+      .toDF("ts", "value")
+    assert(!st.setLc("p", 1, nulls))
+  }
+}
+
+class SyncSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keySchema = StructType(Seq(
+    StructField("version", IntegerType), StructField("kind", StringType)))
+
+  private def syncStore(): ChunkStore =
+    new ChunkStore(spark, tmpDir("sync"), keySchema,
+      StoreConfig(freq = "1h", tz = "UTC", chunkAxis = YearMonthAxis, syncEnabled = true))
+
+  private def hourly(start: String, hours: Int, v: Double): DataFrame = {
+    val t0 = java.time.LocalDateTime.parse(start)
+    (0 until hours).map(i => (t0.plusHours(i), v)).toDF("ts", "value")
+  }
+
+  private val a1 = Map[String, Any]("version" -> 0, "kind" -> "a")
+  private val a2 = Map[String, Any]("version" -> 0, "kind" -> "b")
+  private val t0 = ldt("2024-06-01T00:00")
+
+  test("full pull mirrors server; incremental pull only moves fresh chunks; tombstones propagate") {
+    val server = syncStore(); val client = syncStore()
+    server.setTs(a1, hourly("2024-01-15T00:00", 24 * 40, 1.0), update = true, now = t0) // Jan+Feb
+    server.setTs(a2, hourly("2024-01-01T00:00", 24, 2.0), update = true, now = t0)
+    // initial pull: a1 spans Jan 15 + 40d → Jan+Feb chunks; a2 → Jan chunk
+    val n1 = Sync.pull(client, server, pageSize = 2)
+    assert(n1 === 3)
+    assert(client.yieldManyTs().count() === server.yieldManyTs().count())
+    // idempotent re-pull: gte semantics re-list the boundary rows, content unchanged
+    val n2 = Sync.pull(client, server)
+    assert(n2 === 3)
+    assert(client.yieldManyTs().count() === server.yieldManyTs().count())
+    // server-side update of one chunk → pull moves just it (plus boundary)
+    server.setTs(a2, hourly("2024-01-01T00:00", 24, 9.0), update = true, now = t0.plusHours(5))
+    Sync.pull(client, server)
+    assert(client.getTs(a2).collect().map(_.getDouble(1)).forall(_ === 9.0))
+    // tombstone propagation
+    server.delete(Map("kind" -> "a"), keepTracking = true, now = t0.plusHours(6))
+    Sync.pull(client, server)
+    assert(client.getTs(a1).collect().isEmpty)
+    assert(client.load().filter(col("is_deleted")).count() === 2)
+  }
+
+  test("updates listing is gte-since, ordered, metadata-shaped") {
+    val server = syncStore()
+    server.setTs(a1, hourly("2024-01-01T00:00", 24, 1.0), update = true, now = t0)
+    server.setTs(a2, hourly("2024-01-01T00:00", 24, 1.0), update = true, now = t0.plusHours(1))
+    assert(Sync.updates(server, t0).count() === 2)              // gte includes boundary
+    assert(Sync.updates(server, t0.plusHours(1)).count() === 1)
+    val cols = Sync.updates(server, t0).columns.toSeq
+    assert(cols === Seq("version", "kind", "chunk_index", "updated_at", "is_deleted"))
+  }
+
+  test("import_chunks validates before any write (atomic batch)") {
+    val client = syncStore()
+    val batch = Seq((0, "a", null.asInstanceOf[Integer], ldt("2024-01-01T00:00"), 1.0, false, t0))
+      .toDF("version", "kind", "chunk_index", "ts", "value", "is_deleted", "updated_at")
+    assertThrows[IllegalArgumentException](Sync.importChunks(client, batch))
+    assert(client.load().count() === 0) // nothing written
+  }
+
+  test("plain insert / set_many / hard delete forbidden on sync-enabled store") {
+    val st = syncStore()
+    assertThrows[IllegalStateException](st.setTs(a1, hourly("2024-01-01T00:00", 3, 1.0), now = t0))
+    assertThrows[IllegalStateException](
+      st.setManyTs(Seq((0, "a", ldt("2024-01-01T00:00"), 1.0)).toDF("version", "kind", "ts", "value")))
+  }
+}

@@ -1,0 +1,212 @@
+package graft
+
+import graft.ts._
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the ts/ primitives, mirroring the reference's pandas
+  * oracles (SURVEY.md §5): combine_first fold laws, islands fixtures,
+  * interval algebra cases (hostore/utils/range/tests.py:8-95), grid/DST
+  * boundary behavior.
+  */
+class GridSpec extends SparkSpec {
+  test("spine inclusive/exclusive counts") {
+    assert(Grid.spine(spark, ldt("2024-01-01T00:00"), ldt("2024-01-02T00:00"), 3600L).count() === 25)
+    assert(Grid.spine(spark, ldt("2024-01-01T00:00"), ldt("2024-01-02T00:00"), 3600L, inclusiveRight = false).count() === 24)
+    assert(Grid.spine(spark, ldt("2024-01-01T00:00"), ldt("2024-01-01T00:00"), 3600L).count() === 1)
+  }
+
+  test("freqSeconds parses pandas-style offsets") {
+    assert(Grid.freqSeconds("1h") === 3600L)
+    assert(Grid.freqSeconds("15min") === 900L)
+    assert(Grid.freqSeconds("D") === 86400L)
+    assertThrows[IllegalArgumentException](Grid.freqSeconds("2fortnights"))
+  }
+
+  test("monthly chunk index respects store tz across DST") {
+    import spark.implicits._
+    // 2024-03-31 23:30 UTC is 2024-04-01 01:30 in Europe/Paris (DST):
+    // chunk must be April in Paris, March in UTC.
+    val df = Seq(java.time.LocalDateTime.parse("2024-03-31T23:30")).toDF("ts")
+    val paris = df.select(Grid.chunkIndexMonthly(col("ts"), "Europe/Paris")).head().getInt(0)
+    val utc   = df.select(Grid.chunkIndexMonthly(col("ts"), "UTC")).head().getInt(0)
+    assert(paris === 2024 * 12 + 4 - 1)
+    assert(utc === 2024 * 12 + 3 - 1)
+  }
+
+  test("reindex pads missing grid slots with null") {
+    import spark.implicits._
+    val df = Seq(("a", java.time.LocalDateTime.parse("2024-01-01T01:00"), 1.0))
+      .toDF("k", "ts", "value")
+    val dense = Grid.reindex(df, Seq("k"), ldt("2024-01-01T00:00"), ldt("2024-01-01T03:00"), 3600L)
+    assert(dense.count() === 4)
+    assert(dense.filter(col("value").isNull).count() === 3)
+  }
+}
+
+class CombineSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def series(rows: Seq[(String, String, java.lang.Double)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (k, t, v) => (k, java.time.LocalDateTime.parse(t), Option(v).map(_.toDouble)) }
+      .toDF("k", "ts", "value")
+  }
+
+  test("combine_first: first non-null by list order wins (pandas parity)") {
+    val s1 = series(Seq(("a", "2024-01-01T00:00", null), ("a", "2024-01-01T01:00", 1.0)))
+    val s2 = series(Seq(("a", "2024-01-01T00:00", 10.0), ("a", "2024-01-01T01:00", 20.0),
+      ("a", "2024-01-01T02:00", 30.0)))
+    val out = Combine.combineFirst(Seq(s1, s2), Seq("k")).orderBy("ts").collect()
+    assert(out.map(r => Option(r.get(2))).toSeq === Seq(Some(10.0), Some(1.0), Some(30.0)))
+  }
+
+  test("combine_first folds left over 3+ inputs") {
+    val s1 = series(Seq(("a", "2024-01-01T00:00", null)))
+    val s2 = series(Seq(("a", "2024-01-01T00:00", null)))
+    val s3 = series(Seq(("a", "2024-01-01T00:00", 7.0)))
+    val out = Combine.combineFirst(Seq(s1, s2, s3), Seq("k")).collect()
+    assert(out.head.getDouble(2) === 7.0)
+    // all-null at a ts → null survives
+    val allNull = Combine.combineFirst(Seq(s1, s2), Seq("k")).collect()
+    assert(allNull.head.isNullAt(2))
+  }
+
+  test("combineVersions: highest version wins, lower fills holes") {
+    import spark.implicits._
+    val df = Seq(
+      ("p", 0, "2024-01-01T00:00", Some(1.0)), ("p", 0, "2024-01-01T01:00", Some(2.0)),
+      ("p", 1, "2024-01-01T01:00", Some(99.0)), ("p", 1, "2024-01-01T02:00", None: Option[Double]))
+      .map { case (k, v, t, x) => (k, v, java.time.LocalDateTime.parse(t), x) }
+      .toDF("prm", "version", "ts", "value")
+    val out = Combine.combineVersions(df, Seq("prm"), "version").orderBy("ts").collect()
+    assert(out.map(r => Option(r.get(2))).toSeq === Seq(Some(1.0), Some(99.0), None))
+  }
+}
+
+class GapsSpec extends SparkSpec {
+  test("constantIslands finds runs incl. null runs (equalp semantics)") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "2024-01-01T00:00", Some(1.0)), ("a", "2024-01-01T01:00", Some(1.0)),
+      ("a", "2024-01-01T02:00", None: Option[Double]), ("a", "2024-01-01T03:00", None: Option[Double]),
+      ("a", "2024-01-01T04:00", Some(1.0)))
+      .map { case (k, t, v) => (k, java.time.LocalDateTime.parse(t), v) }
+      .toDF("k", "ts", "value")
+    val runs = Gaps.constantIslands(df, Seq("k")).orderBy("run_start").collect()
+    assert(runs.length === 3)
+    assert(runs.map(_.getLong(4)).toSeq === Seq(2L, 2L, 1L)) // run_len
+  }
+
+  test("holes: missing grid slots + absent keys → full range") {
+    import spark.implicits._
+    val df = Seq(("a", "2024-01-01T00:00", 1.0), ("a", "2024-01-03T00:00", 1.0))
+      .map { case (k, t, v) => (k, java.time.LocalDateTime.parse(t), v) }
+      .toDF("k", "ts", "value")
+    val requested = Seq("a", "b").toDF("k")
+    val holes = Gaps.holes(df, Seq("k"), ldt("2024-01-01T00:00"), ldt("2024-01-04T00:00"),
+      86400L, requestedKeys = Some(requested)).orderBy("k", "hole_start").collect()
+    // a: holes at 01-02 and 01-04; b: whole range
+    val aHoles = holes.filter(_.getString(0) == "a")
+    val bHoles = holes.filter(_.getString(0) == "b")
+    assert(aHoles.length === 2 && bHoles.length === 1)
+    assert(bHoles.head.getAs[java.time.LocalDateTime]("hole_start") === ldt("2024-01-01T00:00"))
+    assert(bHoles.head.getAs[java.time.LocalDateTime]("hole_end") === ldt("2024-01-04T00:00"))
+  }
+
+  test("holes margin widens but clamps to bounds") {
+    import spark.implicits._
+    val df = Seq(("a", "2024-01-02T00:00", 1.0))
+      .map { case (k, t, v) => (k, java.time.LocalDateTime.parse(t), v) }
+      .toDF("k", "ts", "value")
+    val holes = Gaps.holes(df, Seq("k"), ldt("2024-01-01T00:00"), ldt("2024-01-03T00:00"),
+      86400L, marginSecs = 3600L).orderBy("hole_start").collect()
+    assert(holes.length === 2)
+    assert(holes(0).getAs[java.time.LocalDateTime]("hole_start") === ldt("2024-01-01T00:00")) // clamped
+    assert(holes(0).getAs[java.time.LocalDateTime]("hole_end") === ldt("2024-01-01T01:00"))   // widened
+  }
+}
+
+class IntervalsSpec extends SparkSpec {
+  import Intervals.Range
+
+  test("Range algebra: overlap/intersection/includes") {
+    assert(Range(0, 10).overlaps(Range(5, 15)))
+    assert(!Range(0, 10).overlaps(Range(11, 15)))
+    assert(Range(0, 10).intersection(Range(5, 15)) === Some(Range(5, 10)))
+    assert(Range(0, 10).intersection(Range(20, 30)) === None)
+    assert(Range(0, 10).includes(Range(2, 8)))
+    assert(Range(0, 10).contains(10))
+  }
+
+  test("Range.combine merges overlapping, keeps disjoint") {
+    val merged = Range.combine(Seq(Range(5, 10), Range(0, 6), Range(20, 30), Range(29, 35)))
+    assert(merged === Seq(Range(0, 10), Range(20, 35)))
+  }
+
+  test("Range.missing returns complement within bounds") {
+    val gaps = Range.missing(Seq(Range(2, 4), Range(6, 8)), 0, 10)
+    assert(gaps === Seq(Range(0, 2), Range(4, 6), Range(8, 10)))
+    assert(Range.missing(Nil, 0, 5) === Seq(Range(0, 5)))
+  }
+
+  test("unionIntervals merges in-DataFrame per key") {
+    import spark.implicits._
+    val df = Seq(("a", 0L, 6L), ("a", 5L, 10L), ("a", 20L, 30L), ("b", 1L, 2L))
+      .toDF("k", "start", "end")
+    val out = Intervals.unionIntervals(df, Seq("k")).orderBy("k", "merged_start").collect()
+    assert(out.length === 3)
+    assert(out(0).getLong(1) === 0L && out(0).getLong(2) === 10L && out(0).getLong(3) === 2L)
+  }
+}
+
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df3 = Seq(
+    ("a", "2024-01-01T00:00", None: Option[Double]),
+    ("a", "2024-01-01T01:00", Some(5.0)),
+    ("a", "2024-01-01T02:00", None: Option[Double]),
+    ("a", "2024-01-01T03:00", Some(9.0)),
+    ("a", "2024-01-01T04:00", None: Option[Double]))
+    .map { case (k, t, v) => (k, java.time.LocalDateTime.parse(t), v) }
+    .toDF("k", "ts", "value")
+
+  test("trimBounds drops leading/trailing nulls, keeps interior") {
+    val out = Resample.trimBounds(df3, Seq("k")).orderBy("ts").collect()
+    assert(out.length === 3)
+    assert(out(1).isNullAt(2))
+  }
+
+  test("sliceWithDelay cuts from each key's own start") {
+    val out = Resample.sliceWithDelay(df3, Seq("k"), 2 * 3600L).orderBy("ts").collect()
+    assert(out.length === 3) // 02:00, 03:00, 04:00
+  }
+
+  test("normalize: minmax per key; constant → null") {
+    val out = Resample.normalize(df3, Seq("k")).orderBy("ts").collect()
+    assert(out(1).getDouble(3) === 0.0 && out(3).getDouble(3) === 1.0)
+    val const = Seq(("a", java.time.LocalDateTime.parse("2024-01-01T00:00"), 5.0)).toDF("k", "ts", "value")
+    assert(Resample.normalize(const, Seq("k")).collect().head.isNullAt(3))
+  }
+
+  test("ffill carries last non-null forward") {
+    val out = Resample.ffill(df3, Seq("k")).orderBy("ts").collect()
+    assert(out.map(r => Option(r.get(3))).toSeq === Seq(None, Some(5.0), Some(5.0), Some(9.0), Some(9.0)))
+  }
+
+  test("minFreq: exact min step in µs") {
+    val out = Resample.minFreq(df3, Seq("k")).collect()
+    assert(out.head.getLong(1) === 3600L * 1000000L)
+  }
+
+  test("upsampleWithProfile: ratio to period mean; zero-mean → flat copy") {
+    val df = Seq(
+      ("a", "d1", 10.0, 1.0), ("a", "d1", 10.0, 3.0),
+      ("a", "d2", 8.0, 0.0), ("a", "d2", 8.0, 0.0))
+      .toDF("k", "day", "feat", "ref")
+    val out = Resample.upsampleWithProfile(df, Seq("k"), "day", "feat", "ref")
+      .orderBy("day", "ref").collect()
+    // d1: mean=2 → 10*1/2=5, 10*3/2=15 ; d2: mean=0 → flat 8
+    assert(out.map(_.getDouble(4)).toSeq === Seq(5.0, 15.0, 8.0, 8.0))
+  }
+}

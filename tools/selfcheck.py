@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate: run each oracle SQL
+from verify-out/oracle_sql.json in DuckDB over the same parquet tables, and
+compare to the Spark result parquet (columns sorted by name, rows sorted,
+values hashed with float rounding tolerance).
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+import duckdb
+import pandas as pd
+import numpy as np
+import glob
+import os
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64").round(9)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        else:
+            try:
+                df[c] = df[c].astype("int64")
+            except (TypeError, ValueError, OverflowError):
+                df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        qdir = f"{out_dir}/{name}"
+        if not os.path.isdir(qdir):
+            continue
+        files = glob.glob(f"{qdir}/*.parquet")
+        got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
+        if name not in oracle:
+            print(f"[rows-only] {name}: {len(got)} rows")
+            continue
+        try:
+            want = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"[FAIL] {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        g, w = norm(got.copy()), norm(want.copy())
+        if list(g.columns) != list(w.columns):
+            print(f"[FAIL] {name}: columns {list(g.columns)} != {list(w.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(w):
+            print(f"[FAIL] {name}: rows {len(g)} != {len(w)}")
+            n_fail += 1
+            continue
+        ok = True
+        for c in g.columns:
+            if pd.api.types.is_float_dtype(g[c]):
+                a, b = g[c].to_numpy(), w[c].to_numpy()
+                eq = (np.isclose(a, b, rtol=1e-9, atol=1e-9) | (pd.isna(a) & pd.isna(b)))
+                if not eq.all():
+                    i = int(np.argmin(eq))
+                    print(f"[FAIL] {name}: col {c} differs at row {i}: {a[i]} != {b[i]}")
+                    ok = False
+                    break
+            else:
+                if not g[c].equals(w[c]):
+                    diff = g[c] != w[c]
+                    i = int(diff.idxmax())
+                    print(f"[FAIL] {name}: col {c} differs at row {i}: {g[c][i]!r} != {w[c][i]!r}")
+                    ok = False
+                    break
+        if ok:
+            print(f"[pass] {name}: {len(g)} rows")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
