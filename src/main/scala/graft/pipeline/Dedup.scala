@@ -63,11 +63,20 @@ object Dedup {
       (col(idCol).as("id") +: blockCols.map(col)) :+ shingles(col(textCol), n).as("sh"): _*)
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
+    // Cache the exploded shingle table: both join branches read it, and
+    // shingling (split+transform+distinct) is the expensive part. At
+    // lakehouse scale substitute a checkpoint/staging write.
     val ex = sh.select(
       (col("id") +: col("n_sh") +: blockCols.map(col)) :+ explode(col("sh")).as("shingle"): _*)
-    val a = ex.select((col("id").as("id_a") +: col("n_sh").as("na") +: blockCols.map(c => col(c).as(s"__ba_$c"))) :+ xxhash64(col("shingle")).as("ha"): _*)
-    val b = ex.select((col("id").as("id_b") +: col("n_sh").as("nb") +: blockCols.map(c => col(c).as(s"__bb_$c"))) :+ xxhash64(col("shingle")).as("hb"): _*)
-    val shared = a.join(b, col("ha") === col("hb") && col("id_a") < col("id_b") &&
+      .withColumn("h", xxhash64(col("shingle"))).drop("shingle")
+      .cache()
+    val a = ex.select((col("id").as("id_a") +: col("n_sh").as("na") +: blockCols.map(c => col(c).as(s"__ba_$c"))) :+ col("h").as("ha"): _*)
+    val b = ex.select((col("id").as("id_b") +: col("n_sh").as("nb") +: blockCols.map(c => col(c).as(s"__bb_$c"))) :+ col("h").as("hb"): _*)
+    // Size-ratio prune inside the join: J(A,B) >= t implies
+    // min(|A|,|B|) >= t * max(|A|,|B|), so mismatched-size pairs can be
+    // dropped before the per-pair aggregation ever sees them.
+    val sizeOk = least(col("na"), col("nb")) >= greatest(col("na"), col("nb")) * minJaccard
+    val shared = a.join(b, col("ha") === col("hb") && col("id_a") < col("id_b") && sizeOk &&
         blockCols.map(c => col(s"__ba_$c") === col(s"__bb_$c")).foldLeft(lit(true))(_ && _))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("n_shared"))
@@ -167,7 +176,8 @@ object Dedup {
     * standard pigeonhole blocking, shuffle on short band keys only.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val sigd = simhashSignatures(df, idCol, textCol)
+    // cached: both sides of the band self-join read the signatures
+    val sigd = simhashSignatures(df, idCol, textCol).cache()
     val banded = sigd.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))

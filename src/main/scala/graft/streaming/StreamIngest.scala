@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured Streaming ingest — the beyond-parity extension (SURVEY.md
+  * §2.9/§7: the reference's sync is batch pull; a streaming ingest is the
+  * natural Spark-native growth path). Micro-batch streams of long-form
+  * series rows `(key, ts, value)` flow through the same operator
+  * vocabulary as the batch engine: null-drop normalization, watermarked
+  * windowed aggregation, streaming dedup, and keyed running state via
+  * `mapGroupsWithState`.
+  */
+object StreamIngest {
+
+  /** Normalize an incoming stream like the batch write path does
+    * (chunk_timeserie_store.py:699-724 semantics): drop null/NaN points.
+    */
+  def normalize(stream: DataFrame, tsCol: String = "ts", valueCol: String = "value"): DataFrame =
+    stream.filter(col(valueCol).isNotNull && !isnan(col(valueCol)) && col(tsCol).isNotNull)
+
+  /** Watermarked tumbling-window stats per key — the streaming analogue of
+    * the per-chunk aggregates. Late data beyond `watermarkDelay` is
+    * dropped deterministically.
+    */
+  def windowedStats(
+      stream: DataFrame,
+      keys: Seq[String],
+      windowDuration: String,
+      watermarkDelay: String = "10 minutes",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame =
+    normalize(stream, tsCol, valueCol)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy((window(col(tsCol), windowDuration) +: keys.map(col)): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol)).as("sum_value"),
+        avg(col(valueCol)).as("avg_value"),
+        max(col(tsCol)).as("max_horodate"))
+
+  /** Streaming exact dedup on (keys..., ts) with bounded state: duplicates
+    * arriving within the watermark horizon are dropped — the streaming
+    * face of the store's uniqueness constraint.
+    */
+  def dedupStream(
+      stream: DataFrame,
+      keys: Seq[String],
+      watermarkDelay: String = "10 minutes",
+      tsCol: String = "ts"): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(keys :+ tsCol)
+
+  // TimestampType (not NTZ): Spark's event-time machinery (watermarks)
+  // only accepts TIMESTAMP event-time columns.
+  final case class Point(key: String, ts: java.sql.Timestamp, value: Double)
+  final case class KeyState(n: Long, sum: Double, maxTs: java.sql.Timestamp)
+  final case class KeySummary(key: String, n: Long, sum: Double, maxTs: java.sql.Timestamp)
+
+  /** Keyed running aggregate with explicit state (`mapGroupsWithState`) —
+    * the custom-state primitive for operators the built-in windows can't
+    * express (e.g. the reference's last-non-NaN horodate, maintained
+    * incrementally per series).
+    */
+  def runningSummary(points: Dataset[Point]): Dataset[KeySummary] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.key)
+      .mapGroupsWithState[KeyState, KeySummary](GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[KeyState]) =>
+          val prev = state.getOption.getOrElse(
+            KeyState(0L, 0.0, java.sql.Timestamp.valueOf("1900-01-01 00:00:00")))
+          val next = rows.foldLeft(prev) { (s, p) =>
+            KeyState(s.n + 1, s.sum + p.value, if (p.ts.after(s.maxTs)) p.ts else s.maxTs)
+          }
+          state.update(next)
+          KeySummary(key, next.n, next.sum, next.maxTs)
+      }
+  }
+
+  /** Drive a streaming frame from a (finite) source synchronously into an
+    * in-memory table — the local smoke harness (`processAllAvailable`).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Complete()): StreamingQuery = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.streaming.StreamIngest
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeSource(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("stream-src").toString + "/data"
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    def ts(i: Int) = java.sql.Timestamp.valueOf(t0.plusMinutes(i.toLong))
+    val rows = (0 until 120).map(i => ("k" + (i % 2), ts(i),
+      if (i % 10 == 0) None else Some(i.toDouble))) :+
+      (("k1", ts(5), Some(99.0))) // true duplicate of (k1, minute 5)
+    rows.toDF("key", "ts", "value").write.parquet(dir)
+    dir
+  }
+
+  // TimestampType, not NTZ — watermarks require TIMESTAMP event time.
+  private val srcSchema = StructType(Seq(
+    StructField("key", StringType), StructField("ts", TimestampType),
+    StructField("value", DoubleType)))
+
+  test("windowed stats over a parquet-backed stream (watermark + tumbling window)") {
+    val dir = writeSource()
+    val stream = spark.readStream.schema(srcSchema).parquet(dir)
+    val agg = StreamIngest.windowedStats(stream, Seq("key"), "1 hour")
+    val q = StreamIngest.runToMemory(agg, "win_stats")
+    try {
+      val out = spark.table("win_stats").orderBy("key", "window.start").collect()
+      assert(out.length === 4) // 2 keys × 2 hours
+      // k0 hour 0: even minutes 0..58 → 30 rows, minus nulls at 0,10,..,50 → 24
+      val k0h0 = out.head
+      assert(k0h0.getAs[Long]("n") === 24)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops same-(key,ts) duplicates within the watermark") {
+    val dir = writeSource()
+    val stream = spark.readStream.schema(srcSchema).parquet(dir)
+    val dd = StreamIngest.dedupStream(stream, Seq("key"))
+    val q = StreamIngest.runToMemory(dd, "dedup_out", OutputMode.Append())
+    try {
+      val n = spark.table("dedup_out").count()
+      assert(n === 120) // 121 rows in, 1 duplicate (key,ts) dropped
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running summary matches batch aggregate") {
+    val dir = writeSource()
+    val stream = spark.readStream.schema(srcSchema).parquet(dir)
+    val pts = StreamIngest.normalize(stream).as[StreamIngest.Point]
+    val q = StreamIngest.runToMemory(
+      StreamIngest.runningSummary(pts).toDF(), "running", OutputMode.Update())
+    try {
+      // last update per key == full-batch aggregate
+      val batch = spark.read.schema(srcSchema).parquet(dir)
+        .filter(col("value").isNotNull)
+        .groupBy("key").agg(count(lit(1)).as("n"), sum("value").as("sum"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val streamed = spark.table("running").orderBy(col("n").desc).collect()
+        .groupBy(_.getString(0)).map { case (k, rows) => k -> rows.head }
+      streamed.foreach { case (k, row) =>
+        assert(row.getLong(1) === batch(k)._1, s"count mismatch for $k")
+        assert(math.abs(row.getDouble(2) - batch(k)._2) < 1e-9, s"sum mismatch for $k")
+      }
+    } finally q.stop()
+  }
+}
