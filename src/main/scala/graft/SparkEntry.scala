@@ -171,6 +171,26 @@ object SparkEntry {
         .orderBy("o_custkey", "merged_start")
     }),
 
+    // G4 — find_groups: cluster keys by identical missing-range lists
+    "q_find_groups" -> ((s, d) => {
+      val ev = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("ts"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      Gaps.findGroups(ev, "user_id",
+          java.time.LocalDateTime.parse("2024-01-01T00:00"),
+          java.time.LocalDateTime.parse("2024-01-15T00:00"), 86400L,
+          requestedKeys = Some(s.range(30).toDF("user_id")))
+        .orderBy("missing_sig")
+    }),
+
+    // dedup — embedding-cosine near-dup pairs (blocked by label)
+    "q_embed_dedup" -> ((s, d) => {
+      Dedup.embeddingCosinePairs(table(s, d, "embeddings"), "vec_id", "embedding",
+          blockCols = Seq("label"), minCos = 0.35)
+        .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // P4 — bounds-NaN trim (keep [first, last] non-null per key)
     "q_trim_bounds" -> ((s, d) => {
       val ev = events(s, d).select(col("user_id"), col("event_id"), col("ts"),
@@ -530,6 +550,54 @@ object SparkEntry {
            FROM g)
          SELECT o_custkey, min(s) AS merged_start, max(e) AS merged_end, count(*) AS n_merged
          FROM h GROUP BY o_custkey, isl ORDER BY o_custkey, merged_start""",
+
+    "q_find_groups" ->
+      """WITH spine AS (
+           SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-15', INTERVAL 1 DAY)) AS ts),
+         users AS (SELECT range AS user_id FROM range(30)),
+         vals AS (
+           SELECT user_id, date_trunc('day', ts) AS ts, CAST(count(*) AS DOUBLE) AS v
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         dense AS (
+           SELECT u.user_id, s.ts, v.v
+           FROM users u CROSS JOIN spine s
+           LEFT JOIN vals v ON v.user_id = u.user_id AND v.ts = s.ts),
+         f AS (
+           SELECT *, CASE WHEN (v IS NULL) IS NOT DISTINCT FROM
+                               lag(v IS NULL) OVER (PARTITION BY user_id ORDER BY ts)
+                          THEN 0 ELSE 1 END AS chg
+           FROM dense),
+         g AS (
+           SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+           FROM f),
+         holes AS (
+           SELECT user_id, min(ts) AS hole_start, max(ts) AS hole_end
+           FROM g WHERE v IS NULL GROUP BY user_id, grp),
+         sigs AS (
+           SELECT u.user_id,
+                  coalesce(string_agg(CAST(h.hole_start AS VARCHAR) || '~' || CAST(h.hole_end AS VARCHAR),
+                                      ';' ORDER BY h.hole_start), '') AS missing_sig
+           FROM users u LEFT JOIN holes h USING (user_id) GROUP BY u.user_id)
+         SELECT missing_sig,
+                string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id) AS member_keys,
+                count(*) AS n_keys
+         FROM sigs GROUP BY 1 ORDER BY 1""",
+
+    "q_embed_dedup" ->
+      """WITH a AS (SELECT vec_id AS id_a, embedding AS va, label FROM embeddings),
+         b AS (SELECT vec_id AS id_b, embedding AS vb, label FROM embeddings),
+         p AS (
+           SELECT id_a, id_b,
+             list_sum(list_transform(range(1, len(va) + 1),
+               i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(va) + 1),
+                  i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(vb) + 1),
+                  i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))))) AS cos
+           FROM a JOIN b USING (label) WHERE id_a < id_b)
+         SELECT id_a, id_b, round(cos, 6) AS cos_sim
+         FROM p WHERE cos >= 0.35 ORDER BY id_a, id_b""",
 
     "q_trim_bounds" ->
       """WITH e AS (

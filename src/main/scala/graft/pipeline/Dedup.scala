@@ -171,6 +171,28 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Embedding-cosine near-dup pairs within `blockCols` blocks: exact
+    * cosine over a blocked self-join (block = cluster/label/bucket —
+    * at corpus scale feed this the LSH bucket id from
+    * [[graft.pipeline.Similarity.lshBucket]] instead of a label column so
+    * the join never goes quadratic).
+    * Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim >= minCos.
+    */
+  def embeddingCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCols: Seq[String],
+      minCos: Double = 0.9): DataFrame = {
+    import graft.pipeline.Similarity.cosine
+    val a = df.select((col(idCol).as("id_a") +: col(vecCol).as("__va") +: blockCols.map(col)): _*)
+    val b = df.select((col(idCol).as("id_b") +: col(vecCol).as("__vb") +: blockCols.map(col)): _*)
+    a.join(b, blockCols).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("__va"), col("__vb")))
+      .filter(col("cos_sim") >= minCos)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
   /** SimHash near-dup pairs, blocked by 16-bit sub-bands (4 bands): docs
     * within Hamming distance 3 must share at least one of 4 bands —
     * standard pigeonhole blocking, shuffle on short band keys only.

@@ -76,4 +76,37 @@ object Gaps {
           greatest(col("run_start") - sec * marginSecs, lo).as("hole_start") :+
           least(col("run_end") + sec * marginSecs, hi).as("hole_end")): _*)
   }
+
+  /** Cluster keys by their missing ranges (reference `find_groups`,
+    * hostore.py:45-160): keys whose hole lists are identical land in one
+    * group. The group signature is the sorted, stringified hole list —
+    * a short shuffle key, so grouping a million series costs one
+    * aggregation on it, never a comparison of series payloads.
+    * Output: (missing_sig, member_keys, n_keys); keys with full coverage
+    * group under the empty signature.
+    */
+  def findGroups(
+      df: DataFrame,
+      key: String,
+      start: java.time.LocalDateTime,
+      end: java.time.LocalDateTime,
+      freqSecs: Long,
+      marginSecs: Long = 0L,
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      requestedKeys: Option[DataFrame] = None): DataFrame = {
+    val hs = holes(df, Seq(key), start, end, freqSecs, marginSecs, tsCol, valueCol, requestedKeys)
+    val keyDf = requestedKeys.getOrElse(df.select(col(key)).distinct())
+    val sigs = keyDf
+      .join(hs, Seq(key), "left")
+      .groupBy(col(key))
+      .agg(concat_ws(";",
+        sort_array(collect_list(concat(
+          col("hole_start").cast("string"), lit("~"), col("hole_end").cast("string"))))).as("missing_sig"))
+    sigs.groupBy(col("missing_sig"))
+      .agg(
+        concat_ws(",",
+          transform(sort_array(collect_list(col(key))), k => k.cast("string"))).as("member_keys"),
+        count(lit(1)).as("n_keys"))
+  }
 }

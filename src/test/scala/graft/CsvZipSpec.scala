@@ -1,0 +1,36 @@
+package graft
+
+import graft.export.CsvZip
+import java.util.zip.ZipFile
+import scala.jdk.CollectionConverters._
+
+class CsvZipSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zip export: one csv per series + manifest, ;-sep, 8-dp floats") {
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    val df = Seq(
+      ("a", t0, 1.5), ("a", t0.plusHours(1), 2.25),
+      ("b", t0, 3.0))
+      .toDF("kind", "ts", "value")
+    val out = java.nio.file.Files.createTempDirectory("csvzip").toString + "/export.zip"
+    val manifest = CsvZip.export(df, Seq("kind"), out)
+    assert(manifest.length === 2)
+    val zf = new ZipFile(out)
+    try {
+      val names = zf.entries().asScala.map(_.getName).toSet
+      assert(names === Set("export_serie_0.csv", "export_serie_1.csv", "content_summary.csv"))
+      val bodies = zf.entries().asScala.map { e =>
+        e.getName -> new String(zf.getInputStream(e).readAllBytes(), "UTF-8")
+      }.toMap
+      // series are collected per key; find the "a" one via the manifest
+      val aIdx = manifest.find(_._2("kind") == "a").get._1
+      val aBody = bodies(s"export_serie_$aIdx.csv")
+      assert(aBody.startsWith("ts;value\n"))
+      assert(aBody.contains(";1.50000000\n") && aBody.contains(";2.25000000\n"))
+      val summary = bodies("content_summary.csv")
+      assert(summary.startsWith("serie;kind;n_points\n"))
+      assert(summary.contains(s"export_serie_$aIdx;a;2\n"))
+    } finally zf.close()
+  }
+}
