@@ -59,6 +59,48 @@ object Multimodal {
     out
   }
 
+  final case class Thumbnail(media_id: Long, width: Int, height: Int, pixels: Array[Byte])
+  final case class FrameSample(media_id: Long, frame_idx: Int, offset_ms: Long, frame: Array[Byte])
+
+  /** ==== STUB ==== Resize: a real build decodes + bilinear-resizes; the
+    * fake tiles the payload bytes into a w×h buffer so output schema,
+    * sizing math and the per-partition batching are real.
+    */
+  def resize(media: DataFrame, w: Int, h: Int): Dataset[Thumbnail] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val out = new Array[Byte](w * h)
+          var i = 0
+          while (i < out.length) { out(i) = payload(i % math.max(payload.length, 1)); i += 1 }
+          Thumbnail(id, w, h, out)
+        }
+      }
+  }
+
+  /** ==== STUB ==== Frame sampling for video rows: emits `n` evenly-spaced
+    * frames per media item (1 row in → n rows out — the flatMap shape a
+    * real demuxer needs); frame bytes are a deterministic slice of the
+    * payload.
+    */
+  def sampleFrames(media: DataFrame, n: Int): Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select("media_id", "payload", "duration_ms").as[(Long, Array[Byte], Long)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload, durMs) =>
+          (0 until n).map { f =>
+            val off = if (n == 1) 0L else durMs * f / (n - 1)
+            val start = if (payload.isEmpty) 0 else (f * payload.length / math.max(n, 1)) % payload.length
+            FrameSample(id, f, off, payload.slice(start, math.min(start + 8, payload.length)))
+          }
+        }
+      }
+  }
+
   /** Feature extraction over media rows: one `mapPartitions` pass — codec
     * init happens once per partition, rows stream through (the Scala
     * equivalent of a batched `mapInPandas` UDF). Input must have

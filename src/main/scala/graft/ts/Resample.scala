@@ -25,6 +25,23 @@ object Resample {
     df.filter(col(tsCol) >= start && upper)
   }
 
+  /** Split a series at `at`: rows strictly before, and rows at/after,
+    * optionally clamped to [lo, hi] bounds first (reference `split_ts`,
+    * utils/timeseries.py:105-133). Two filters over one scan each —
+    * Catalyst pushes both to the source.
+    */
+  def splitTs(
+      df: DataFrame,
+      at: Column,
+      tsCol: String = "ts",
+      lo: Option[Column] = None,
+      hi: Option[Column] = None): (DataFrame, DataFrame) = {
+    var base = df
+    lo.foreach(b => base = base.filter(col(tsCol) >= b))
+    hi.foreach(b => base = base.filter(col(tsCol) <= b))
+    (base.filter(col(tsCol) < at), base.filter(col(tsCol) >= at))
+  }
+
   /** Drop leading/trailing null values per key — keep rows between the
     * first and last non-null timestamp (reference
     * `first_valid_index:last_valid_index`). Interior nulls survive.

@@ -125,4 +125,16 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     assert(again(0).byte_mean === feats(0).byte_mean)
   }
+
+  test("resize + frame-sample stubs: shapes and flatMap fan-out") {
+    val ids = (0L until 9L).toDF("doc_id")
+    val media = Multimodal.syntheticMedia(ids, "doc_id")
+    val thumbs = Multimodal.resize(media, 8, 4).collect()
+    assert(thumbs.length === 9 && thumbs.forall(t => t.pixels.length === 32))
+    val frames = Multimodal.sampleFrames(media, 3).collect()
+    // kinds cycle image/audio/video by id % 3 → 3 videos × 3 frames
+    assert(frames.length === 9)
+    assert(frames.map(_.frame_idx).distinct.sorted.toSeq === Seq(0, 1, 2))
+    assert(frames.forall(f => f.offset_ms >= 0 && f.offset_ms <= 1000))
+  }
 }

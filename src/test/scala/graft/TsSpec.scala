@@ -199,6 +199,16 @@ class ResampleSpec extends SparkSpec {
     assert(out.head.getLong(1) === 3600L * 1000000L)
   }
 
+  test("splitTs: strict-before / at-after halves, optional bounds") {
+    val (before, after) = Resample.splitTs(df3,
+      at = org.apache.spark.sql.functions.lit(java.sql.Timestamp.valueOf("2024-01-01 02:00:00")).cast("timestamp_ntz"))
+    assert(before.count() === 2 && after.count() === 3)
+    val (b2, a2) = Resample.splitTs(df3,
+      at = org.apache.spark.sql.functions.lit(java.sql.Timestamp.valueOf("2024-01-01 02:00:00")).cast("timestamp_ntz"),
+      lo = Some(org.apache.spark.sql.functions.lit(java.sql.Timestamp.valueOf("2024-01-01 01:00:00")).cast("timestamp_ntz")))
+    assert(b2.count() === 1 && a2.count() === 3)
+  }
+
   test("upsampleWithProfile: ratio to period mean; zero-mean → flat copy") {
     val df = Seq(
       ("a", "d1", 10.0, 1.0), ("a", "d1", 10.0, 3.0),
