@@ -184,15 +184,16 @@ object Dedup {
       vecCol: String,
       blockCols: Seq[String],
       minCos: Double = 0.9): DataFrame = {
-    import graft.pipeline.Similarity.{dotPre, withUnitPrep}
-    // Cast + norm once per vector (cached — both join sides read it), so
-    // the quadratic pair stage only computes dot products.
-    val prep = withUnitPrep(df.select((col(idCol).as("id") +: col(vecCol).as("__v0") +: blockCols.map(col)): _*),
-      "__v0", "__v").drop("__v0").cache()
-    val a = prep.select((col("id").as("id_a") +: col("__v").as("__va") +: col("__v_norm").as("__na") +: blockCols.map(col)): _*)
-    val b = prep.select((col("id").as("id_b") +: col("__v").as("__vb") +: col("__v_norm").as("__nb") +: blockCols.map(col)): _*)
+    import graft.pipeline.Similarity.dot
+    // Norm once per vector (cached — both join sides read it), so the
+    // quadratic pair stage only computes the codegen'd dot product.
+    val prep = df.select((col(idCol).as("id") +: col(vecCol).as("__v") +: blockCols.map(col)): _*)
+      .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
+      .cache()
+    val a = prep.select((col("id").as("id_a") +: col("__v").as("__va") +: col("__n").as("__na") +: blockCols.map(col)): _*)
+    val b = prep.select((col("id").as("id_b") +: col("__v").as("__vb") +: col("__n").as("__nb") +: blockCols.map(col)): _*)
     a.join(b, blockCols).filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", dotPre(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .withColumn("cos_sim", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cos_sim") >= minCos)
       .select("id_a", "id_b", "cos_sim")
   }

@@ -14,33 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Ordered-fold dot product of two array<float/double> columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Native codegen'd dot product (graft.functions.DotProduct) — widens
+    * to double per element, sums left-to-right; bit-identical to the
+    * portable `CAST(..)*CAST(..)` fold.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dot_product(a, b)
+
+  /** Interpreted HOF formulation — kept as the portability cross-check
+    * the tests compare the native expression against.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
-
-  /** Pre-normalize a vector column: one pass per ROW (not per pair) that
-    * casts to double and attaches the L2 norm. Higher-order array
-    * functions are interpreted (not codegen'd), so hoisting the cast +
-    * norm out of an N×M pair join removes two-thirds of the interpreted
-    * work — the pair side then only computes the dot product.
-    * Adds columns `<out>` (array<double>) and `<out>_norm`.
-    */
-  def withUnitPrep(df: org.apache.spark.sql.DataFrame, vecCol: String, out: String): org.apache.spark.sql.DataFrame = {
-    val d = df.withColumn(out, transform(col(vecCol), x => x.cast("double")))
-    d.withColumn(s"${out}_norm",
-      sqrt(aggregate(col(out), lit(0.0), (acc, x) => acc + x * x)))
-  }
-
-  /** Dot product of two pre-cast array<double> columns (no per-element
-    * casts in the pair loop).
-    */
-  def dotPre(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Exact top-k cosine neighbors of each query vector against the corpus.
     * The query side is expected to be small (it is broadcast); the corpus
@@ -54,13 +43,14 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       k: Int = 5): DataFrame = {
-    val q = withUnitPrep(queries.select(col(idCol).as("query_id"), col(vecCol).as("__v0")), "__v0", "__qv")
-      .select("query_id", "__qv", "__qv_norm")
-    val c = withUnitPrep(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__v0")), "__v0", "__cv")
-      .select("vec_id", "__cv", "__cv_norm")
+    // norms hoisted out of the pair join: one pass per vector, not per pair
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", dotPre(col("__qv"), col("__cv")) / (col("__qv_norm") * col("__cv_norm")))
+      .withColumn("cos_sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -101,17 +91,15 @@ object Similarity {
       vecCol: String = "embedding",
       k: Int = 5,
       numPlanes: Int = 12): DataFrame = {
-    val q = withUnitPrep(
-        queries.select(col(idCol).as("query_id"), col(vecCol).as("__v0"))
-          .withColumn("bucket", lshBucket(col("__v0"), numPlanes)), "__v0", "__qv")
-      .select("query_id", "bucket", "__qv", "__qv_norm")
-    val c = withUnitPrep(
-        corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__v0"))
-          .withColumn("bucket", lshBucket(col("__v0"), numPlanes)), "__v0", "__cv")
-      .select("vec_id", "bucket", "__cv", "__cv_norm")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("bucket", lshBucket(col("__qv"), numPlanes))
+      .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
+      .withColumn("bucket", lshBucket(col("__cv"), numPlanes))
+      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", dotPre(col("__qv"), col("__cv")) / (col("__qv_norm") * col("__cv_norm")))
+      .withColumn("cos_sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))

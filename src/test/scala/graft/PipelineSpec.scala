@@ -53,6 +53,34 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class VectorExprSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("native dot_product == interpreted HOF fold (bit-identical)") {
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("id", "v")
+    val a = vecs.select(col("id"), col("v").as("va"))
+    val b = vecs.select((col("id") + 1).as("id"), col("v").as("vb"))
+    val both = a.join(b, "id")
+      .select(
+        graft.pipeline.Similarity.dot(col("va"), col("vb")).as("native"),
+        graft.pipeline.Similarity.dotHof(col("va"), col("vb")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1))) // exact, not approx
+  }
+
+  test("dot_product registers for SQL and handles double arrays + length mismatch") {
+    graft.functions.VectorExpressions.register(spark)
+    val r = spark.sql("SELECT dot_product(array(1.0D, 2.0D, 3.0D), array(2.0D, 3.0D)) AS d").head()
+    assert(r.getDouble(0) === 1.0 * 2 + 2.0 * 3) // min-length semantics
+    val n = spark.sql("SELECT dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS d").head()
+    assert(n.isNullAt(0))
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
