@@ -310,6 +310,31 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // analytics extension — grouping sets (ROLLUP) over the fact table
+    "q_rollup" -> ((s, d) => {
+      lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // analytics extension — sessionization: gaps > 30 min split sessions
+    // (training-data event segmentation; islands over time deltas)
+    "q_sessionize" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .withColumn("__new", when(col("__prev").isNull ||
+          unix_micros(col("ts").cast("timestamp")) - unix_micros(col("__prev").cast("timestamp")) > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("__new")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // analytics tier — TPC-H-style pricing summary (bench headliner)
     "q_pricing_summary" -> ((s, d) => {
       lineitem(s, d).filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
@@ -708,6 +733,31 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
          FROM events WHERE event_id % 7 <> 0
          GROUP BY 1 ORDER BY 1""",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts, value, event_id,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN prev IS NULL
+                            OR epoch_us(ts) - epoch_us(prev) > 1800 * 1000000 THEN 1 ELSE 0 END AS nw
+           FROM g),
+         h AS (
+           SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM f)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM h GROUP BY 1, 2 ORDER BY user_id, session_start""",
 
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
