@@ -160,10 +160,22 @@ object Dedup {
     val toks = df.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(lower(col(textCol)))).as("t"))
       .withColumn("h", xxhash64(col("t")))
-    val sums = (0 until 64).map(i => sum(shiftright(col("h"), i).bitwiseAND(1L)).as(s"c$i"))
-    val agg = toks.groupBy("id").agg(count(lit(1)).as("n"), sums: _*)
-    val bits = (0 until 64).map(i =>
-      when(col(s"c$i") * 2 > col("n"), shiftleft(lit(1L), i)).otherwise(0L))
+    // 64 bit-counters packed 4-per-long in 16-bit lanes: 17 aggregate
+    // buffers instead of 65, which keeps the hash aggregate inside
+    // whole-stage codegen (default wholeStage.maxNumFields). Lane counts
+    // are exact for documents under 65,536 tokens (16-bit lanes).
+    val packedSums = (0 until 16).map { g =>
+      val term = (0 until 4).map { j =>
+        shiftleft(shiftright(col("h"), 4 * g + j).bitwiseAND(1L), 16 * j)
+      }.reduce(_ + _)
+      sum(term).as(s"p$g")
+    }
+    val agg = toks.groupBy("id").agg(count(lit(1)).as("n"), packedSums: _*)
+    val bits = (0 until 64).map { i =>
+      val g = i / 4; val j = i % 4
+      val c = shiftright(col(s"p$g"), 16 * j).bitwiseAND(0xFFFFL)
+      when(c * 2 > col("n"), shiftleft(lit(1L), i)).otherwise(0L)
+    }
     val sigs = agg.select(col("id"), bits.reduce(_.bitwiseOR(_)).as("sig"))
     ids.join(sigs, Seq("id"), "left").withColumn("sig", coalesce(col("sig"), lit(0L)))
   }

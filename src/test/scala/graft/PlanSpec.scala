@@ -1,0 +1,62 @@
+package graft
+
+import graft.store._
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.types._
+
+/** Plan-shape regression guards: the efficiency properties PLANS.md
+  * documents must stay true — filters pushed to parquet, dimensions
+  * broadcast, chunk partitions pruned. A refactor that silently turns a
+  * broadcast join into a sort-merge join or loses partition pruning fails
+  * here, not in a 100 TB production run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q_scan_filter: literal predicates reach the parquet scan") {
+    val p = plan("q_scan_filter")
+    assert(p.contains("PushedFilters"), p.take(500))
+    assert(p.contains("EqualTo(user_id,7)"))
+  }
+
+  test("q_revenue_join: all dimension joins broadcast, none sort-merge") {
+    val p = plan("q_revenue_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_grid_reindex: calendar spine is broadcast against values") {
+    val p = plan("q_grid_reindex")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"))
+  }
+
+  test("ChunkStore.getTs prunes chunk partitions and pushes ts bounds") {
+    import spark.implicits._
+    val st = new ChunkStore(spark, tmpDir("planstore"),
+      StructType(Seq(StructField("kind", StringType))),
+      StoreConfig(freq = "1h", tz = "UTC", chunkAxis = YearMonthAxis))
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    st.setTs(Map("kind" -> "k"),
+      (0 until 24 * 90).map(i => (t0.plusHours(i.toLong), 1.0)).toDF("ts", "value"), now = t0)
+    val z = java.time.ZoneOffset.UTC
+    val read = st.getTs(Map("kind" -> "k"),
+      start = Some(java.time.ZonedDateTime.of(2024, 2, 1, 0, 0, 0, 0, z)),
+      end = Some(java.time.ZonedDateTime.of(2024, 2, 10, 0, 0, 0, 0, z)))
+    val p = read.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") && p.contains("chunk_index"), p.take(800))
+    assert(p.contains("GreaterThanOrEqual(ts") || p.contains("ts#"), p.take(800))
+  }
+
+  test("combineFirst plan: single aggregate, no window exchange") {
+    import spark.implicits._
+    val f1 = Seq(("a", java.time.LocalDateTime.parse("2024-01-01T00:00"), Some(1.0))).toDF("k", "ts", "value")
+    val f2 = Seq(("a", java.time.LocalDateTime.parse("2024-01-01T00:00"), Some(2.0))).toDF("k", "ts", "value")
+    val p = graft.ts.Combine.combineFirst(Seq(f1, f2), Seq("k"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"), "ordered coalesce must not need a window")
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r.findAllIn(p).nonEmpty)
+  }
+}
