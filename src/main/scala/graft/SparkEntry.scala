@@ -417,6 +417,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // text analysis — TF-IDF top terms per document
+    "q_tfidf" -> ((s, d) => {
+      TextAnalysis.tfIdfTop(table(s, d, "documents"), "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("term"),
+          round(col("tfidf"), 6).as("tfidf"), col("rank").cast("long").as("rank"))
+        .orderBy("doc_id", "rank")
+    }),
+
+    // rolling features — trailing moving average per key (training-data
+    // windowed feature extraction)
+    "q_moving_avg" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, 0)
+      events(s, d)
+        .withColumn("ma5", round(avg(col("value")).over(w), 4))
+        .select("user_id", "event_id", "ts", "ma5")
+        .orderBy("user_id", "event_id")
+    }),
+
     // similarity — exact brute-force cosine top-k (ANN baseline)
     "q_cosine_topk" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
@@ -845,6 +865,28 @@ object SparkEntry {
                      + len(list_filter(string_split(lower(text), ' '), w -> w = 'is')) AS DOUBLE)
                   / len(regexp_extract_all(text, '[A-Za-z0-9]+')) END, 4) AS stopword_ratio
          FROM documents ORDER BY doc_id""",
+
+    "q_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         s AS (
+           SELECT doc_id, term, tf * ln((n_docs + 1.0) / (df + 1.0)) AS tfidf
+           FROM tf JOIN idf USING (term) CROSS JOIN n),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+           FROM s)
+         SELECT doc_id, term, round(tfidf, 6) AS tfidf, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    "q_moving_avg" ->
+      """SELECT user_id, event_id, ts,
+                round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS ma5
+         FROM events ORDER BY user_id, event_id""",
 
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

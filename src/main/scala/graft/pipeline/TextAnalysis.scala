@@ -63,6 +63,27 @@ object TextAnalysis {
         when(nTok > 0, stopHits.cast("double") / nTok).otherwise(lit(null)))
   }
 
+  /** TF-IDF top-k terms per document: tf = term count in doc, idf =
+    * ln((N+1)/(df+1)). Three aggregations (doc-term, term, corpus count —
+    * the last broadcast as a 1-row frame) + one per-doc top-k window.
+    * The shuffles carry (doc, term) pairs, never documents.
+    * Output: (id, term, tfidf, rank).
+    */
+  def tfIdfTop(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf  = tok.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val idf = tok.groupBy("term").agg(countDistinct(col("id")).as("df"))
+    val n   = df.select(count(lit(1)).as("n_docs"))
+    val s = tf.join(idf, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+    val w = Window.partitionBy(col("id")).orderBy(col("tfidf").desc, col("term"))
+    s.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id", "term", "tfidf", "rank")
+  }
+
   /** Rolling-hash document fingerprint: polynomial hash of the token
     * stream (base 31, mod 2^31-1) — order-sensitive,
     * whitespace-insensitive. A deterministic Catalyst-only fold whose
