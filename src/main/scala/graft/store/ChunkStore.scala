@@ -59,6 +59,16 @@ class ChunkStore(
       StructField("is_deleted", BooleanType, nullable = false),
       StructField("updated_at", TimestampNTZType)))
 
+  /** Register this store as a SQL view: live rows only (tombstones
+    * filtered), long-form schema — after this, `spark.sql("SELECT ... FROM
+    * <name>")` works against the store with partition pruning intact,
+    * which is the migration path for SQL-first users of the reference.
+    */
+  def createOrReplaceView(name: String): Unit =
+    load().filter(!col("is_deleted") && col("ts").isNotNull)
+      .drop("is_deleted")
+      .createOrReplaceTempView(name)
+
   /** Current store content; empty frame with the right schema when the
     * store has never been written.
     */

@@ -152,6 +152,18 @@ class ChunkStoreSpec extends SparkSpec {
     assertThrows[IllegalStateException](st.setManyTs(many, now = now0))
   }
 
+  test("SQL view over the store: live rows, pruning-friendly schema") {
+    val st = newStore(tz = "UTC")
+    st.setTs(attrs, hourly("2024-01-01T00:00", 5, i => Some(i.toDouble)), now = now0)
+    st.delete(Map("kind" -> "nope"), now = now0) // no-op delete keeps view clean
+    st.createOrReplaceView("lc_store")
+    val out = spark.sql(
+      "SELECT kind, count(*) AS n, round(sum(value), 2) AS s FROM lc_store GROUP BY 1").head()
+    assert(out.getString(0) === "k1" && out.getLong(1) === 5L && out.getDouble(2) === 10.0)
+    val cols = spark.table("lc_store").columns.toSeq
+    assert(cols.contains("chunk_index") && !cols.contains("is_deleted"))
+  }
+
   test("yieldManyTs: partial filters, ordered stream") {
     val st = newStore(tz = "UTC")
     st.setTs(Map("version" -> 0, "kind" -> "a"), hourly("2024-01-01T00:00", 3, i => Some(1.0)), now = now0)
