@@ -455,32 +455,35 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
-    // ---- rows-only checks (not ANSI-SQL-expressible: xxhash64-based) ----
-
-    // dedup — MinHash+LSH candidate pairs
+    // dedup — MinHash+LSH candidate pairs (portable md5-based hashing:
+    // the DuckDB oracle reproduces the full signature pipeline)
     "q_minhash_lsh" -> ((s, d) => {
       Dedup.minhashLshPairs(table(s, d, "documents"), "doc_id", "text",
           n = 3, bands = 8, rowsPerBand = 4, minSim = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("sig_sim"), 6).as("sig_sim"))
         .orderBy("id_a", "id_b")
     }),
 
-    // dedup — SimHash near-dup pairs
+    // dedup — SimHash near-dup pairs (60-bit portable signatures)
     "q_simhash_pairs" -> ((s, d) => {
       Dedup.simhashPairs(table(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
     }),
 
-    // text analysis — rolling-hash fingerprints
+    // text analysis — rolling-hash fingerprints (portable token hash)
     "q_fingerprint" -> ((s, d) => {
       table(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
 
-    // similarity — LSH-bucketed ANN (scale path)
+    // similarity — LSH-bucketed ANN (scale path; literal plane matrix)
     "q_lsh_topk" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5, numPlanes = 8)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos_sim"), 6).as("cos_sim"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     })
   )
@@ -914,6 +917,114 @@ object SparkEntry {
                   i -> (strpos('0123456789abcdef', substr(h, 2*i-1, 1)) - 1) * 16.0
                      + (strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1))) / 32.0, 4) AS byte_mean
          FROM (SELECT doc_id, lower(sha256(CAST(doc_id AS VARCHAR))) AS h FROM documents)
-         ORDER BY media_id"""
+         ORDER BY media_id""",
+
+    // ---- portable-hash pipelines: the oracle reproduces the md5-based
+    // hashing (graft.functions.PortableHash) end-to-end in SQL ----
+
+    "q_minhash_lsh" -> {
+      import graft.functions.PortableHash.{P, permConsts, sqlHashMod}
+      val consts = permConsts(32)
+      val minCols = consts.zipWithIndex.map { case ((a, b), i) =>
+        s"min((b*$a + $b) % $P) AS h$i" }.mkString(",\n                  ")
+      val sigList = (0 until 32).map(i => s"h$i").mkString("[", ", ", "]")
+      val bandRows = (0 until 8).map { bb =>
+        s"SELECT doc_id, sig, $bb AS band, md5(array_to_string(sig[${bb * 4 + 1}:${bb * 4 + 4}], ',')) AS bh FROM sig"
+      }.mkString("\n           UNION ALL ")
+      s"""WITH d AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, len(string_split(lower(text), ' ')) - 1),
+                    i -> array_to_string((string_split(lower(text), ' '))[i:i+2], ' '))) AS sh
+           FROM documents),
+         ex AS (SELECT doc_id, unnest(sh) AS shingle FROM d WHERE len(sh) > 0),
+         hx AS (SELECT doc_id, ${sqlHashMod("shingle")} AS b FROM ex),
+         mh AS (SELECT doc_id,
+                  $minCols
+                FROM hx GROUP BY doc_id),
+         sig AS (SELECT doc_id, $sigList AS sig FROM mh),
+         bands AS (
+           $bandRows),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+           FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         sims AS (
+           SELECT id_a, id_b,
+                  CAST(list_sum(list_transform(range(1, 33),
+                    i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS sig_sim
+           FROM cand)
+         SELECT id_a, id_b, round(sig_sim, 6) AS sig_sim
+         FROM sims WHERE sig_sim >= 0.5 ORDER BY id_a, id_b"""
+    },
+
+    "q_simhash_pairs" -> {
+      import graft.functions.PortableHash.sqlHash60
+      val bandRows = (0 until 4).map { bb =>
+        s"SELECT id, sig, $bb AS band, (sig >> ${bb * 15}) & 32767 AS bb FROM sigs"
+      }.mkString("\n           UNION ALL ")
+      s"""WITH tok AS (
+           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+           FROM documents),
+         hx AS (SELECT doc_id, ${sqlHash60("t")} AS h FROM tok),
+         bits AS (
+           SELECT doc_id, CAST(r.i AS INTEGER) AS i,
+                  sum((h >> CAST(r.i AS INTEGER)) & 1) AS ones, count(*) AS n
+           FROM hx CROSS JOIN range(60) r(i) GROUP BY 1, 2),
+         sig0 AS (
+           SELECT doc_id, CAST(sum(CASE WHEN ones*2 > n THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
+           FROM bits GROUP BY 1),
+         sigs AS (
+           SELECT d.doc_id AS id, coalesce(s.sig, 0) AS sig
+           FROM documents d LEFT JOIN sig0 s USING (doc_id)),
+         bands AS (
+           $bandRows),
+         cand AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
+           FROM bands a JOIN bands b ON a.band = b.band AND a.bb = b.bb AND a.id < b.id)
+         SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b"""
+    },
+
+    "q_fingerprint" -> {
+      import graft.functions.PortableHash.{P, sqlHashMod}
+      s"""SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(1299709 AS BIGINT),
+                    list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                      t -> ${sqlHashMod("t")})),
+                  (acc, x) -> (acc * 31 + x) % $P) AS fp
+         FROM documents ORDER BY doc_id"""
+    },
+
+    "q_lsh_topk" -> {
+      import graft.functions.PortableHash.planeInts
+      val pls = planeInts(8, 64)
+      def proj(p: Int): String = {
+        val karr = pls(p).mkString("[", ", ", "]")
+        s"list_sum(list_transform(range(1, len(v) + 1), i -> CAST(v[i] AS DOUBLE) * (CAST(($karr)[i] AS DOUBLE) / 1000001.0)))"
+      }
+      val bucketExpr = (0 until 8).map { p =>
+        s"CASE WHEN ${proj(p)} >= 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString("(", "\n                + ", ")")
+      s"""WITH cb AS (
+           SELECT vec_id, embedding AS v,
+                  CAST($bucketExpr AS BIGINT) AS bucket
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM cb WHERE vec_id < 10),
+         s AS (
+           SELECT query_id, c.vec_id,
+             list_sum(list_transform(range(1, len(qv) + 1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(c.v) + 1),
+                  i -> CAST(c.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))))) AS cos
+           FROM cb c JOIN q USING (bucket) WHERE c.vec_id <> query_id),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           FROM s)
+         SELECT query_id, vec_id, round(cos, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+    }
   )
 }

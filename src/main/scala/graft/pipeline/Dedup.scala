@@ -86,13 +86,19 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature: `numHashes` permutations simulated as
-    * `xxhash64(shingle, seed_i)` minima — the standard broadcast-free
-    * construction; one pass over exploded shingles, one groupBy per doc.
+  /** MinHash signature: `numHashes` permutations as the universal-hash
+    * family `(a_i*h + b_i) mod P` over ONE portable 60-bit base hash per
+    * shingle (graft.functions.PortableHash — one md5 per shingle row, not
+    * one per permutation); one pass over exploded shingles, one groupBy
+    * per doc. Engine-portable: the DuckDB oracle reproduces it exactly.
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String, n: Int = 3, numHashes: Int = 32): DataFrame = {
+    import graft.functions.PortableHash
     val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+      .withColumn("__b", PortableHash.hashMod(col("shingle")))
+    val consts = PortableHash.permConsts(numHashes)
+    val mins = consts.zipWithIndex.map { case ((a, b), i) =>
+      min(PortableHash.perm(col("__b"), a, b)).as(s"h$i") }
     ex.groupBy(col("id")).agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -113,10 +119,14 @@ object Dedup {
       minSim: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sig = minhashSignature(df, idCol, textCol, n, numHashes).cache()
+    // Band key: md5 of the comma-joined band slice — a short portable
+    // shuffle key (the reference hash for the same band bytes in any
+    // engine), cheaper to shuffle than the slice itself.
     val banded = sig.select(
       col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+        b => md5(concat_ws(",",
+          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val l = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"), col("band_hash"))
     val r = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"), col("band_hash"))
@@ -130,16 +140,23 @@ object Dedup {
       .select("id_a", "id_b", "sig_sim")
   }
 
-  /** 64-bit SimHash over token xxhash64s: per bit, sum of ±1 votes from
-    * each token's hash bit; near-dups = small Hamming distance. Pure
+  /** SimHash width: 60 bits — the portable md5-based hash yields 60
+    * uniform bits (graft.functions.PortableHash.hash60), and 60 divides
+    * evenly into 4 bands of 15 for pigeonhole blocking.
+    */
+  val SimhashBits = 60
+
+  /** 60-bit SimHash over portable token hashes: per bit, sum of ±1 votes
+    * from each token's hash bit; near-dups = small Hamming distance. Pure
     * Catalyst bit arithmetic. NOTE: single-expression form — fine for ad
-    * hoc columns, but it evaluates 64 interpreted array folds per row; for
+    * hoc columns, but it evaluates 60 interpreted array folds per row; for
     * corpus-scale signatures use [[simhashSignatures]] (codegen'd).
     */
   def simhash(text: Column): Column = {
+    import graft.functions.PortableHash
     val toks = TextAnalysis.tokens(lower(text))
-    val hashes = transform(toks, t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
+    val hashes = transform(toks, t => PortableHash.hash60(t))
+    val bits = (0 until SimhashBits).map { i =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(vote > 0, shiftleft(lit(1L), i)).otherwise(0L)
@@ -148,30 +165,31 @@ object Dedup {
   }
 
   /** Corpus-scale SimHash: explode tokens, then ONE hash aggregation with
-    * 64 codegen'd bit-count sums per doc (bit i set iff ones > n/2 —
+    * 60 codegen'd bit-count sums per doc (bit i set iff ones > n/2 —
     * identical to the ±1 vote rule). The shuffle key is the doc id and the
-    * shuffled rows are (id, hash64) longs — this is the shape that holds
-    * at 100 TB, unlike 64 interpreted lambda folds per row.
+    * shuffled rows are (id, hash60) longs — this is the shape that holds
+    * at 100 TB, unlike 60 interpreted lambda folds per row.
     * Docs with no tokens get signature 0 (restored via left join).
     * Output: (id, sig).
     */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.PortableHash
     val ids  = df.select(col(idCol).as("id"))
     val toks = df.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(lower(col(textCol)))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    // 64 bit-counters packed 4-per-long in 16-bit lanes: 17 aggregate
-    // buffers instead of 65, which keeps the hash aggregate inside
+      .withColumn("h", PortableHash.hash60(col("t")))
+    // 60 bit-counters packed 4-per-long in 16-bit lanes: 16 aggregate
+    // buffers instead of 61, which keeps the hash aggregate inside
     // whole-stage codegen (default wholeStage.maxNumFields). Lane counts
     // are exact for documents under 65,536 tokens (16-bit lanes).
-    val packedSums = (0 until 16).map { g =>
+    val packedSums = (0 until SimhashBits / 4).map { g =>
       val term = (0 until 4).map { j =>
         shiftleft(shiftright(col("h"), 4 * g + j).bitwiseAND(1L), 16 * j)
       }.reduce(_ + _)
       sum(term).as(s"p$g")
     }
     val agg = toks.groupBy("id").agg(count(lit(1)).as("n"), packedSums: _*)
-    val bits = (0 until 64).map { i =>
+    val bits = (0 until SimhashBits).map { i =>
       val g = i / 4; val j = i % 4
       val c = shiftright(col(s"p$g"), 16 * j).bitwiseAND(0xFFFFL)
       when(c * 2 > col("n"), shiftleft(lit(1L), i)).otherwise(0L)
@@ -210,7 +228,7 @@ object Dedup {
       .select("id_a", "id_b", "cos_sim")
   }
 
-  /** SimHash near-dup pairs, blocked by 16-bit sub-bands (4 bands): docs
+  /** SimHash near-dup pairs, blocked by 15-bit sub-bands (4 bands): docs
     * within Hamming distance 3 must share at least one of 4 bands —
     * standard pigeonhole blocking, shuffle on short band keys only.
     */
@@ -219,7 +237,7 @@ object Dedup {
     val sigd = simhashSignatures(df, idCol, textCol).cache()
     val banded = sigd.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+        shiftright(col("sig"), b * 15).bitwiseAND(0x7FFFL)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
     val l = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"), col("band_bits"))
     val r = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"), col("band_bits"))

@@ -58,20 +58,26 @@ object Similarity {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
-  /** Deterministic pseudo-random unit-ish hyperplanes: component j of
-    * plane p = centered hash of (p, j). Fixed seed → reproducible runs
-    * (required by the no-Math.random discipline of distributed jobs).
+  /** Max vector dimensionality the literal hyperplane matrix covers.
+    * Raise if a corpus carries wider embeddings (the matrix is a literal;
+    * unused tail components are free).
     */
-  private def planeComponent(p: Int, j: Column): Column =
-    (pmod(xxhash64(lit(p), j), lit(2000003L)).cast("double") - 1000001.0) / 1000001.0
+  val MaxDim = 256
 
-  /** Sign-LSH bucket id: `numPlanes` random hyperplanes → one bit each.
-    * Vectors in the same bucket are cosine-close with high probability.
+  /** Sign-LSH bucket id: `numPlanes` deterministic hyperplanes → one bit
+    * each. Vectors in the same bucket are cosine-close with high
+    * probability. The plane matrix is generated Scala-side from md5
+    * (graft.functions.PortableHash.planes) and embedded as ARRAY LITERALS
+    * in the plan — zero per-row hashing, reproducible runs (the
+    * no-Math.random discipline of distributed jobs), and the DuckDB
+    * oracle embeds the exact same literals.
     */
   def lshBucket(vec: Column, numPlanes: Int = 12): Column = {
+    val planes = graft.functions.PortableHash.planes(numPlanes, MaxDim)
     val bits = (0 until numPlanes).map { p =>
+      val w = slice(lit(planes(p)), 1, size(vec))
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, j) => x.cast("double") * planeComponent(p, j)),
+        zip_with(vec, w, (x, c) => x.cast("double") * c),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }

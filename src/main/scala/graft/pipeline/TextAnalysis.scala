@@ -89,13 +89,16 @@ object TextAnalysis {
     * stream (base 31, mod 2^31-1) — order-sensitive,
     * whitespace-insensitive. A deterministic Catalyst-only fold whose
     * intermediate values stay < 2^36, so ANSI-mode Long arithmetic never
-    * overflows.
+    * overflows. Token hash is the portable md5-based hash
+    * (graft.functions.PortableHash), so the DuckDB oracle reproduces the
+    * fingerprint bit-for-bit via list_reduce.
     */
   def fingerprint(text: Column): Column = {
-    val p = lit(2147483647L) // 2^31 - 1 (Mersenne prime)
+    import graft.functions.PortableHash
+    val p = lit(PortableHash.P) // 2^31 - 1 (Mersenne prime)
     aggregate(
       tokens(text),
       lit(1299709L),
-      (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), p), p))
+      (acc, t) => pmod(acc * 31L + PortableHash.hashMod(t), p))
   }
 }

@@ -330,11 +330,22 @@ class ChunkStore(
         .repartition(col("chunk_index"))
         .sortWithinPartitions((keys.map(col) :+ col("ts")): _*)
         .write.mode(SaveMode.Overwrite).partitionBy("chunk_index").parquet(staging)
-      spark.read.schema(schema).parquet(staging)
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("chunk_index")
-        .parquet(path)
+      // Dynamic overwrite only rewrites partitions PRESENT in the new
+      // content. An affected partition whose rows all vanished (hard delete
+      // of everything in the chunk) writes zero rows — remove its directory
+      // explicitly, or the stale files stay visible forever.
+      val present: Set[Int] = Option(new java.io.File(staging).listFiles()).toSeq.flatten
+        .collect { case f if f.getName.startsWith("chunk_index=") =>
+          f.getName.stripPrefix("chunk_index=").toInt }.toSet
+      partitions.filterNot(present).foreach { p =>
+        deleteRecursively(new java.io.File(path, s"chunk_index=$p"))
+      }
+      if (present.nonEmpty)
+        spark.read.schema(schema).parquet(staging)
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("chunk_index")
+          .parquet(path)
     } finally deleteRecursively(new java.io.File(staging))
   }
 }

