@@ -75,7 +75,7 @@ object Similarity {
   def lshBucket(vec: Column, numPlanes: Int = 12): Column = {
     val planes = graft.functions.PortableHash.planes(numPlanes, MaxDim)
     val bits = (0 until numPlanes).map { p =>
-      val w = slice(lit(planes(p)), 1, size(vec))
+      val w = slice(lit(planes(p)), lit(1), size(vec))
       val proj = aggregate(
         zip_with(vec, w, (x, c) => x.cast("double") * c),
         lit(0.0), (acc, x) => acc + x)

@@ -13,7 +13,7 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
     val rowsOnly = q.diff(o)
-    assert(rowsOnly === Set("q_minhash_lsh", "q_simhash_pairs", "q_fingerprint", "q_lsh_topk"),
+    assert(rowsOnly === Set.empty[String],
       s"unexpected rows-only queries: $rowsOnly")
   }
 
