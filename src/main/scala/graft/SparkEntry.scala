@@ -126,6 +126,21 @@ object SparkEntry {
         .orderBy("l_orderkey", "ts")
     }),
 
+    // J2 knobs — get_lc(order_by=('version',), custom_filters={'version__gte': 2}):
+    // ascending fold order (oldest entry wins) over a lookup-filtered scan
+    // (hostore.py:218-268; Lookups.compileOne("version__gte", 2)).
+    "q_version_select" -> ((s, d) => {
+      val li = lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_linenumber").as("version"),
+        col("l_shipdate").as("ts"),
+        when(col("l_tax") > 0.06, lit(null)).otherwise(col("l_extendedprice")).as("value"))
+      val uniq = li.filter(graft.store.Lookups.compileOne("version__gte", 2))
+        .groupBy("l_orderkey", "version", "ts").agg(max(col("value")).as("value"))
+      Combine.combineOrdered(uniq, Seq("l_orderkey"), Seq(col("version").asc), "ts", "value")
+        .orderBy("l_orderkey", "ts")
+    }),
+
     // J3 — update merge: new.combine_first(existing)
     "q_update_merge" -> ((s, d) => {
       val li = lineitem(s, d)
@@ -534,6 +549,15 @@ object SparkEntry {
                 arg_max(val, l_linenumber) FILTER (WHERE val IS NOT NULL) AS value
          FROM uniq GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "q_version_select" ->
+      """WITH uniq AS (
+           SELECT l_orderkey, l_linenumber, l_shipdate AS ts,
+                  max(CASE WHEN l_tax > 0.06 THEN NULL ELSE l_extendedprice END) AS val
+           FROM lineitem WHERE l_linenumber >= 2 GROUP BY 1, 2, 3)
+         SELECT l_orderkey, ts,
+                arg_min(val, l_linenumber) FILTER (WHERE val IS NOT NULL) AS value
+         FROM uniq GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q_update_merge" ->
       """WITH newd AS (
            SELECT l_orderkey, l_linenumber, l_shipdate AS ts, max(l_quantity*2) AS v, 0 AS p
@@ -735,9 +759,23 @@ object SparkEntry {
            FROM users u CROSS JOIN spine s
            LEFT JOIN ref ON ref.ts = s.ts
            LEFT JOIN feat ON feat.user_id = u.user_id AND feat.day = date_trunc('day', s.ts)),
-         m AS (SELECT *, avg(ref) OVER (PARTITION BY user_id, day) AS mr FROM dense)
+         g AS (
+           SELECT user_id, day, sum(ref) AS sum_ref, count(ref) AS cnt_ref,
+                  arg_min(ref, ts) AS first_ref, min(ts) AS min_ts
+           FROM dense GROUP BY 1, 2),
+         g2 AS (
+           SELECT *, lead(first_ref) OVER (PARTITION BY user_id ORDER BY min_ts) AS next_ref
+           FROM g),
+         m AS (
+           SELECT d.*,
+                  CASE WHEN g2.cnt_ref + CASE WHEN g2.next_ref IS NOT NULL THEN 1 ELSE 0 END = 0
+                       THEN NULL
+                       ELSE (coalesce(g2.sum_ref, 0) + coalesce(g2.next_ref, 0)) /
+                            (g2.cnt_ref + CASE WHEN g2.next_ref IS NOT NULL THEN 1 ELSE 0 END)
+                  END AS mr
+           FROM dense d JOIN g2 ON g2.user_id = d.user_id AND g2.day = d.day)
          SELECT user_id, ts,
-                round(CASE WHEN mr = 0 OR mr IS NULL THEN feat ELSE feat*ref/mr END, 4) AS value_up
+                round(CASE WHEN mr = 0 THEN feat ELSE feat*ref/mr END, 4) AS value_up
          FROM m ORDER BY user_id, ts""",
 
     "q_sync_updates" ->

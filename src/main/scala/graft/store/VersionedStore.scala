@@ -86,26 +86,68 @@ class VersionedStore(val spark: SparkSession, val path: String) {
   def exists(prm: String, clientId: Int): Boolean =
     !load().filter(col("prm") === prm && col("client_id") === clientId).isEmpty
 
-  /** Version-combined read (reference `get_lc`, hostore.py:225-268):
-    * versions fold newest-first with combine_first; each version may first
-    * be delay-sliced (`slice_with_delay`, applied per version before the
-    * fold — hostore.py:262-263).
+  /** Version-combined read (reference `get_lc`, hostore.py:218-268) with
+    * the full option surface:
+    *  - `version=Some(n)` → only that version (hostore.py:241-242);
+    *  - `combinedVersions=false` → entries returned uncombined, version
+    *    column retained (hostore.py:259 guard);
+    *  - `customFilters` → extra ORM-style filters incl. `__`-lookups
+    *    (hostore.py:240 `**custom_filters`);
+    *  - `combinedBy` / `orderBy` → grouping and fold order of the
+    *    combine_first (hostore.py:219-220; `-col` = descending, Django
+    *    order_by syntax); queryset order IS the fold order (:258-267);
+    *  - `delaySecs` → per-version `slice_with_delay` before the fold
+    *    (hostore.py:262-263).
     */
-  def getLc(prm: String, clientId: Int, delaySecs: Option[Long] = None): DataFrame = {
-    var df = load().filter(col("prm") === prm && col("client_id") === clientId)
-    delaySecs.foreach(d => df = Resample.sliceWithDelay(df, Seq("prm", "client_id", "version"), d))
-    Combine.combineVersions(df, Seq("prm", "client_id"), "version")
+  def getLc(
+      prm: String,
+      clientId: Int,
+      delaySecs: Option[Long] = None,
+      combinedVersions: Boolean = true,
+      version: Option[Int] = None,
+      customFilters: Map[String, Any] = Map.empty,
+      combinedBy: Seq[String] = Seq("prm", "client_id"),
+      orderBy: Seq[String] = Seq("-version")): DataFrame =
+    read(col("prm") === prm && col("client_id") === clientId,
+      delaySecs, combinedVersions, version, customFilters, combinedBy, orderBy)
       .orderBy("ts")
-  }
 
   /** Multi-series combined read (reference `get_many_lc`,
-    * hostore.py:270-317) — one job for all prms, not a loop.
+    * hostore.py:270-317) — one job for all prms, not a loop. Same option
+    * surface as `getLc` minus `version=` (the reference omits it too).
     */
-  def getManyLc(prms: Seq[String], clientId: Int, delaySecs: Option[Long] = None): DataFrame = {
-    var df = load().filter(col("client_id") === clientId && col("prm").isin(prms: _*))
+  def getManyLc(
+      prms: Seq[String],
+      clientId: Int,
+      delaySecs: Option[Long] = None,
+      combinedVersions: Boolean = true,
+      customFilters: Map[String, Any] = Map.empty,
+      combinedBy: Seq[String] = Seq("prm", "client_id"),
+      orderBy: Seq[String] = Seq("-version")): DataFrame =
+    read(col("client_id") === clientId && col("prm").isin(prms: _*),
+      delaySecs, combinedVersions, None, customFilters, combinedBy, orderBy)
+
+  private def read(
+      base: Column,
+      delaySecs: Option[Long],
+      combinedVersions: Boolean,
+      version: Option[Int],
+      customFilters: Map[String, Any],
+      combinedBy: Seq[String],
+      orderBy: Seq[String]): DataFrame = {
+    var df = load().filter(base)
+    version.foreach(v => df = df.filter(col("version") === v))
+    Lookups.compile(customFilters).foreach(c => df = df.filter(c))
     delaySecs.foreach(d => df = Resample.sliceWithDelay(df, Seq("prm", "client_id", "version"), d))
-    Combine.combineVersions(df, Seq("prm", "client_id"), "version")
+    if (!combinedVersions)
+      df.select("prm", "client_id", "version", "ts", "value")
+    else
+      Combine.combineOrdered(df, combinedBy, orderCols(orderBy))
   }
+
+  /** Django `order_by` tokens → sort columns (`"-version"` = descending). */
+  private def orderCols(orderBy: Seq[String]): Seq[Column] =
+    orderBy.map(o => if (o.startsWith("-")) col(o.drop(1)).desc else col(o).asc)
 
   /** Requested prms with no stored data — the left-anti side of
     * `find_groups` (hostore.py:120-124).

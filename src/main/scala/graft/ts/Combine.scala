@@ -64,8 +64,23 @@ object Combine {
       combinedBy: Seq[String],
       versionCol: String,
       tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame =
+    combineOrdered(df, combinedBy, Seq(col(versionCol).desc), tsCol, valueCol)
+
+  /** Generalized version-combine: fold order given by arbitrary entry-level
+    * sort columns — the reference's `order_by=('-version',)` knob on
+    * `get_lc` (hostore.py:240,258-267: queryset order IS the combine_first
+    * fold order). The order columns must be constant within an entry (a
+    * stored blob row), e.g. version / created_at — same granularity the
+    * reference orders at.
+    */
+  def combineOrdered(
+      df: DataFrame,
+      combinedBy: Seq[String],
+      order: Seq[Column],
+      tsCol: String = "ts",
       valueCol: String = "value"): DataFrame = {
-    val w = Window.partitionBy(combinedBy.map(col): _*).orderBy(col(versionCol).desc)
+    val w = Window.partitionBy(combinedBy.map(col): _*).orderBy(order: _*)
     val prio = df.withColumn("__prio", dense_rank().over(w).cast("long"))
     prio.groupBy((combinedBy.map(col) :+ col(tsCol)): _*)
       .agg(firstNonNullByPriority(col(valueCol), col("__prio")).as(valueCol))

@@ -109,7 +109,20 @@ object Resample {
     *     column (`periodCol`), the forward-filled coarse value (`featCol`)
     *     and the fine reference profile (`refCol`);
     *   - output = feat * ref / mean(ref over period); zero-mean periods
-    *     copy feat flat (the reference's mean==0 branch).
+    *     copy feat flat (the reference's mean==0 branch);
+    *   - `addLast` (reference hardcodes True, utils/timeseries.py:180,
+    *     :190-206): each period's ref-mean ALSO includes the NEXT period's
+    *     first fine point. The appended row's own output is overwritten by
+    *     its home period's pass (later `ds_out[...]` assignment wins,
+    *     :215), so only the mean is affected — which is exactly what we
+    *     compute. A NaN mean (empty/all-null ref incl. appended point)
+    *     passes pandas' `ref_mean != 0` and yields NaN output → SQL null,
+    *     NOT the flat-copy branch.
+    *
+    * Shape at scale: one partial aggregation to per-period stats (tiny —
+    * one row per coarse period per key), a lead() window over those stats,
+    * and an equi-join back on (keys, period) that AQE broadcasts when the
+    * period table is small. No window over the fine rows at all.
     */
   def upsampleWithProfile(
       df: DataFrame,
@@ -117,11 +130,35 @@ object Resample {
       periodCol: String,
       featCol: String,
       refCol: String,
-      outCol: String = "value"): DataFrame = {
-    val w = Window.partitionBy((keys.map(col) :+ col(periodCol)): _*)
-    val meanRef = avg(col(refCol)).over(w)
-    df.withColumn(outCol,
-      when(meanRef === 0.0 || meanRef.isNull, col(featCol))
-        .otherwise(col(featCol) * col(refCol) / meanRef))
+      outCol: String = "value",
+      tsCol: String = "ts",
+      addLast: Boolean = true): DataFrame = {
+    if (!addLast) {
+      val w = Window.partitionBy((keys.map(col) :+ col(periodCol)): _*)
+      val meanRef = avg(col(refCol)).over(w)
+      return df.withColumn(outCol,
+        when(meanRef === 0.0 || meanRef.isNull, col(featCol))
+          .otherwise(col(featCol) * col(refCol) / meanRef))
+    }
+    val grpKeys = keys.map(col) :+ col(periodCol)
+    // per-period stats; first_ref via min-struct = ref at the period's
+    // earliest fine timestamp (pandas df_next.iloc[0])
+    val groups = df.groupBy(grpKeys: _*).agg(
+      sum(col(refCol)).as("__sum_ref"),
+      count(col(refCol)).as("__cnt_ref"),
+      min(struct(col(tsCol), col(refCol).as("__r"))).getField("__r").as("__first_ref"),
+      min(col(tsCol)).as("__min_ts"))
+    val wk = Window.partitionBy(keys.map(col): _*).orderBy(col("__min_ts"))
+    val withNext = groups.withColumn("__next_ref", lead(col("__first_ref"), 1).over(wk))
+    val denom = col("__cnt_ref") + when(col("__next_ref").isNotNull, lit(1L)).otherwise(lit(0L))
+    val mr = when(denom === 0, lit(null))
+      .otherwise((coalesce(col("__sum_ref"), lit(0.0)) + coalesce(col("__next_ref"), lit(0.0))) / denom)
+    val means = withNext.withColumn("__mr", mr)
+      .select((grpKeys :+ col("__mr")): _*)
+    df.join(means, keys :+ periodCol, "left")
+      .withColumn(outCol,
+        when(col("__mr") === 0.0, col(featCol))
+          .otherwise(col(featCol) * col(refCol) / col("__mr")))
+      .drop("__mr")
   }
 }

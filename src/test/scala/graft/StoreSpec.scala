@@ -250,6 +250,35 @@ class VersionedStoreSpec extends SparkSpec {
       .toDF("ts", "value")
     assert(!st.setLc("p", 1, nulls))
   }
+
+  // Reference get_lc option surface (hostore.py:218-268): version=,
+  // combined_versions=False, custom_filters, order_by.
+  test("get_lc knobs: version select / uncombined / custom filters / fold order") {
+    val st = new VersionedStore(spark, tmpDir("vstore"))
+    st.setLc("p", 1, series("2024-01-01T00:00", 3, 1.0), versioning = true) // v0: 00-02h
+    st.setLc("p", 1, series("2024-01-01T01:00", 3, 2.0), versioning = true) // v1: 01-03h
+
+    // version=N returns only that version's points
+    val v0 = st.getLc("p", 1, version = Some(0)).collect()
+    assert(v0.map(_.getAs[Double]("value")).toSeq === Seq(1.0, 1.0, 1.0))
+
+    // combined_versions=False keeps entries apart, version column retained
+    val raw = st.getLc("p", 1, combinedVersions = false)
+    assert(raw.columns.contains("version"))
+    assert(raw.count() === 6)
+
+    // default (-version): newest wins → 00h:1, 01h:2, 02h:2, 03h:2
+    assert(st.getLc("p", 1).collect().map(_.getAs[Double]("value")).toSeq
+      === Seq(1.0, 2.0, 2.0, 2.0))
+
+    // order_by=('version',): oldest wins → 00h:1, 01h:1, 02h:1, 03h:2
+    assert(st.getLc("p", 1, orderBy = Seq("version")).collect()
+      .map(_.getAs[Double]("value")).toSeq === Seq(1.0, 1.0, 1.0, 2.0))
+
+    // custom_filters with a Django __-lookup
+    val hi = st.getLc("p", 1, customFilters = Map("version__gte" -> 1)).collect()
+    assert(hi.map(_.getAs[Double]("value")).toSeq === Seq(2.0, 2.0, 2.0))
+  }
 }
 
 class SyncSpec extends SparkSpec {

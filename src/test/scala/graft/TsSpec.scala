@@ -209,14 +209,33 @@ class ResampleSpec extends SparkSpec {
     assert(b2.count() === 1 && a2.count() === 3)
   }
 
-  test("upsampleWithProfile: ratio to period mean; zero-mean → flat copy") {
+  test("upsampleWithProfile: ratio to period mean; zero-mean → flat copy (addLast=false)") {
     val df = Seq(
-      ("a", "d1", 10.0, 1.0), ("a", "d1", 10.0, 3.0),
-      ("a", "d2", 8.0, 0.0), ("a", "d2", 8.0, 0.0))
-      .toDF("k", "day", "feat", "ref")
-    val out = Resample.upsampleWithProfile(df, Seq("k"), "day", "feat", "ref")
-      .orderBy("day", "ref").collect()
+      ("a", "d1", 1, 10.0, 1.0), ("a", "d1", 2, 10.0, 3.0),
+      ("a", "d2", 3, 8.0, 0.0), ("a", "d2", 4, 8.0, 0.0))
+      .toDF("k", "day", "hour", "feat", "ref")
+      .withColumn("ts", expr("timestamp_ntz '2024-01-01 00:00:00' + make_dt_interval(0, hour)"))
+    val out = Resample.upsampleWithProfile(df, Seq("k"), "day", "feat", "ref", addLast = false)
+      .orderBy("ts").collect()
     // d1: mean=2 → 10*1/2=5, 10*3/2=15 ; d2: mean=0 → flat 8
-    assert(out.map(_.getDouble(4)).toSeq === Seq(5.0, 15.0, 8.0, 8.0))
+    assert(out.map(_.getAs[Double]("value")).toSeq === Seq(5.0, 15.0, 8.0, 8.0))
+  }
+
+  // Reference add_last (utils/timeseries.py:180,190-206): each period's
+  // ref-mean also includes the NEXT period's first fine point; the appended
+  // point's own output still comes from its home period (later ds_out
+  // assignment wins). Hand-computed across the d1/d2 boundary:
+  //   d1 refs (1, 3) + d2's first ref 2 → mean = 6/3 = 2
+  //   d2 refs (2, 6) + nothing (last)  → mean = 8/2 = 4
+  test("upsampleWithProfile addLast: next period's first point joins the mean") {
+    val df = Seq(
+      ("a", "d1", 1, 10.0, 1.0), ("a", "d1", 2, 10.0, 3.0),
+      ("a", "d2", 3, 8.0, 2.0), ("a", "d2", 4, 8.0, 6.0))
+      .toDF("k", "day", "hour", "feat", "ref")
+      .withColumn("ts", expr("timestamp_ntz '2024-01-01 00:00:00' + make_dt_interval(0, hour)"))
+    val out = Resample.upsampleWithProfile(df, Seq("k"), "day", "feat", "ref")
+      .orderBy("ts").collect()
+    // d1: 10*1/2=5, 10*3/2=15 ; d2: 8*2/4=4, 8*6/4=12
+    assert(out.map(_.getAs[Double]("value")).toSeq === Seq(5.0, 15.0, 4.0, 12.0))
   }
 }
