@@ -198,7 +198,9 @@ object SparkEntry {
         .orderBy("missing_sig")
     }),
 
-    // dedup — embedding-cosine near-dup pairs (blocked by label)
+    // dedup — embedding-cosine near-dup pairs. Explicit label block keeps
+    // the oracle SQL-expressible; the no-block DEFAULT is sign-LSH
+    // bucketing (scale path, DedupSpec-covered).
     "q_embed_dedup" -> ((s, d) => {
       Dedup.embeddingCosinePairs(table(s, d, "embeddings"), "vec_id", "embedding",
           blockCols = Seq("label"), minCos = 0.35)
@@ -401,7 +403,9 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // dedup — n-gram Jaccard near-dup pairs (blocked by lang)
+    // dedup — n-gram Jaccard near-dup pairs. Explicit lang block keeps the
+    // oracle SQL-expressible; the no-block DEFAULT routes through MinHash
+    // LSH banding (scale path, DedupSpec-covered).
     "q_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardPairs(table(s, d, "documents"), "doc_id", "text",
           n = 3, minJaccard = 0.5, blockCols = Seq("lang"))

@@ -45,11 +45,18 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** N-gram Jaccard near-dup pairs within `blockCols` blocks (blocking
-    * bounds the candidate set; at 100 TB you never all-pairs the corpus).
+  /** N-gram Jaccard near-dup pairs (blocking bounds the candidate set; at
+    * 100 TB you never all-pairs the corpus).
     * Exact Jaccard on distinct shingle sets via an explode + self-join on
     * shingle — the join key is the shingle hash, so the shuffle carries
     * (shingle_hash, doc_id) pairs, not documents.
+    *
+    * Blocking: with `blockCols` given, pairs form only within equal block
+    * values (caller must pick a key with bounded block size). With NO
+    * `blockCols` — the default — candidates come from MinHash LSH bands
+    * ([[ngramJaccardPairsLsh]]): scale-safe on an unlabeled corpus, where
+    * the old behavior (and a lang/label block at 100 TB — one language IS
+    * the corpus) would go quadratic.
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= minJaccard.
     */
   def ngramJaccardPairs(
@@ -59,6 +66,8 @@ object Dedup {
       n: Int = 3,
       minJaccard: Double = 0.5,
       blockCols: Seq[String] = Nil): DataFrame = {
+    if (blockCols.isEmpty)
+      return ngramJaccardPairsLsh(df, idCol, textCol, n, minJaccard)
     val sh = df.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+ shingles(col(textCol), n).as("sh"): _*)
       .withColumn("n_sh", size(col("sh")))
@@ -84,6 +93,56 @@ object Dedup {
       .withColumn("jaccard", col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard over MinHash-LSH candidate pairs — the
+    * unlabeled-corpus (no block key) path. Candidates = docs sharing at
+    * least one signature band (standard banding; with the default 8×4
+    * geometry a true Jaccard 0.5 pair is recalled w.p. ~1-(1-0.5^4)^8 ≈
+    * 0.42 per band math — raise `bands` for higher recall). The exact
+    * verification joins candidate ids back to per-doc shingle-hash sets,
+    * so the quadratic stage is bounded by bucket collisions, never the
+    * corpus.
+    */
+  def ngramJaccardPairsLsh(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.5,
+      bands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    import graft.functions.PortableHash
+    val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+      .withColumn("__b", PortableHash.hashMod(col("shingle")))
+      .cache()
+    // per-doc shingle-hash set (docs are bounded; the SET is, too)
+    val sets = ex.groupBy("id").agg(collect_set(col("__b")).as("hs"))
+      .withColumn("n_sh", size(col("hs")))
+    // minhash signature from the same base hashes, banded to candidates
+    val numHashes = bands * rowsPerBand
+    val consts = PortableHash.permConsts(numHashes)
+    val mins = consts.zipWithIndex.map { case ((a, b), i) =>
+      min(PortableHash.perm(col("__b"), a, b)).as(s"h$i") }
+    val sig = ex.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws(",",
+          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val cand = banded.select(col("id").as("id_a"), col("band"), col("band_hash"))
+      .join(banded.select(col("id").as("id_b"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val verified = cand
+      .join(sets.select(col("id").as("id_a"), col("hs").as("__ha"), col("n_sh").as("na")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("hs").as("__hb"), col("n_sh").as("nb")), Seq("id_b"))
+      .filter(least(col("na"), col("nb")) >= greatest(col("na"), col("nb")) * minJaccard)
+      .withColumn("__inter", size(array_intersect(col("__ha"), col("__hb"))).cast("double"))
+      .withColumn("jaccard", col("__inter") / (col("na") + col("nb") - col("__inter")))
+    verified.filter(col("jaccard") >= minJaccard).select("id_a", "id_b", "jaccard")
   }
 
   /** MinHash signature: `numHashes` permutations as the universal-hash
@@ -201,20 +260,28 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Embedding-cosine near-dup pairs within `blockCols` blocks: exact
-    * cosine over a blocked self-join (block = cluster/label/bucket —
-    * at corpus scale feed this the LSH bucket id from
-    * [[graft.pipeline.Similarity.lshBucket]] instead of a label column so
-    * the join never goes quadratic).
+  /** Embedding-cosine near-dup pairs: exact cosine over a blocked
+    * self-join. With `blockCols` given, the block is the caller's
+    * (cluster id, shard, ...). With NO `blockCols` — the default — the
+    * block is the sign-LSH bucket ([[graft.pipeline.Similarity.lshBucket]]):
+    * near-parallel vectors collide, and the join never goes quadratic the
+    * way a label/language block does at corpus scale (one label ≈ the
+    * whole corpus).
     * Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim >= minCos.
     */
   def embeddingCosinePairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      blockCols: Seq[String],
-      minCos: Double = 0.9): DataFrame = {
+      blockCols: Seq[String] = Nil,
+      minCos: Double = 0.9,
+      lshPlanes: Int = 8): DataFrame = {
     import graft.pipeline.Similarity.dot
+    if (blockCols.isEmpty) {
+      val bucketed = df.withColumn("__lsh_block",
+        graft.pipeline.Similarity.lshBucket(col(vecCol), lshPlanes))
+      return embeddingCosinePairs(bucketed, idCol, vecCol, Seq("__lsh_block"), minCos, lshPlanes)
+    }
     // Norm once per vector (cached — both join sides read it), so the
     // quadratic pair stage only computes the codegen'd dot product.
     val prep = df.select((col(idCol).as("id") +: col(vecCol).as("__v") +: blockCols.map(col)): _*)

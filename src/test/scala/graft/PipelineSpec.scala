@@ -29,12 +29,44 @@ class DedupSpec extends SparkSpec {
     assert(sh(4).isEmpty) // "short" has < 3 words — must NOT produce garbage
   }
 
-  test("ngram Jaccard finds near-dups, not unrelated docs") {
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.3)
+  test("ngram Jaccard finds near-dups, not unrelated docs (explicit block)") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.3,
+        blockCols = Seq("lang"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L))) // exact dup → jaccard 1.0
     assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  // No block key → the default routes through MinHash-LSH banding
+  // (scale-safe on an unlabeled corpus). 16 bands × 2 rows: a 0.55-Jaccard
+  // pair survives banding w.p. ~1-(1-0.55²)^16 ≈ 0.997 — and the hash
+  // family is deterministic, so this is a pinned outcome, not a flake.
+  test("ngram Jaccard on an unlabeled corpus: LSH banding recalls dups, exact scores") {
+    val pairs = Dedup.ngramJaccardPairsLsh(docs, "doc_id", "text", n = 3, minJaccard = 0.3,
+        bands = 16, rowsPerBand = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) === 1.0)                       // exact dup, exact score
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(math.abs(pairs((0L, 2L)) - 5.0 / 9.0) < 1e-9)  // true Jaccard, not sig estimate
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+    // default entry point (no blockCols) must at minimum recall exact dups
+    val deflt = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(deflt.contains((0L, 1L)))
+  }
+
+  test("embedding cosine pairs on unlabeled vectors: LSH-bucket default blocks") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f, 0.0f, 0.0f)), // near-parallel to 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)))  // antipodal
+      .toDF("doc_id", "vec")
+    val pairs = Dedup.embeddingCosinePairs(vecs, "doc_id", "vec", minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sign-LSH: near-parallel vectors share every plane sign → same bucket
+    assert(pairs === Set((0L, 1L)))
   }
 
   test("minhash LSH recalls exact dups with sig_sim 1.0") {
