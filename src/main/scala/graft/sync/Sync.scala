@@ -91,26 +91,38 @@ object Sync {
       "sync requires ALLOW_CLIENT_SERVER_SYNC on both stores")
     val keys  = client.keys
     val since = client.lastUpdatedAt(filters)
-    var applied = 0L
-    var offsetN = 0
-    var done = false
-    while (!done) {
-      val page = updates(server, since, filters).offset(offsetN).limit(pageSize).cache()
-      val n = page.count()
-      if (n == 0) done = true
-      else {
+    // Stage the listing ONCE: the full-store aggregation behind `updates`
+    // runs a single time and materializes (localCheckpoint cuts the
+    // lineage, so page slices re-read the materialized blocks, never the
+    // store). A precomputed global row number replaces offset/limit — each
+    // page is a filter on the staged frame, no re-sort either. The staged
+    // frame is chunk METADATA (no payload): one row per (keys, chunk), so
+    // the single-partition row_number window is trivially small even when
+    // the store is not.
+    val ordCols = col("updated_at") +: keys.map(col) :+ col("chunk_index")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(ordCols: _*)
+    val staged = updates(server, since, filters)
+      .withColumn("__rn", row_number().over(w).cast("long") - 1)
+      .localCheckpoint()
+    try {
+      val total = staged.count()
+      var applied = 0L
+      var offsetN = 0L
+      while (offsetN < total) {
         // Both live chunks and tombstones transfer as full row sets: a
         // tombstone chunk's rows ARE its tombstone row, so one import path
         // covers both (reference splits them only because of the two-step
-        // HTTP protocol).
+        // HTTP protocol). Page-at-a-time import keeps crash-resume: pages
+        // already imported persist; `>= since` re-fetches the boundary row.
+        val page = staged
+          .filter(col("__rn") >= offsetN && col("__rn") < offsetN + pageSize)
+          .drop("__rn")
         val payload = exportChunks(server, page)
         importChunks(client, payload)
-        applied += n
+        applied += math.min(pageSize, total - offsetN)
         offsetN += pageSize
-        if (n < pageSize) done = true
       }
-      page.unpersist()
-    }
-    applied
+      applied
+    } finally staged.unpersist(blocking = false)
   }
 }

@@ -347,4 +347,39 @@ class SyncSpec extends SparkSpec {
     assertThrows[IllegalStateException](
       st.setManyTs(Seq((0, "a", ldt("2024-01-01T00:00"), 1.0)).toDF("version", "kind", "ts", "value")))
   }
+
+  // The updates listing (a full-server-store aggregation) must run ONCE per
+  // pull, not once per page — pages slice the staged (localCheckpoint'ed)
+  // frame. Counted by executed-plan signature: only the listing aggregates
+  // max(updated_at) over the server path (exportChunks' distinct has no
+  // max; client-side aggregations scan the client path).
+  test("pull stages the updates listing once (no per-page re-aggregation)") {
+    val server = syncStore(); val client = syncStore()
+    server.setTs(a1, hourly("2024-01-15T00:00", 24 * 40, 1.0), update = true, now = t0) // Jan+Feb
+    server.setTs(a2, hourly("2024-01-01T00:00", 24, 2.0), update = true, now = t0)
+    val serverPath = server.path
+    val listingAggs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        val plan = qe.executedPlan.toString
+        if (plan.contains("max(updated_at") && plan.contains(serverPath))
+          listingAggs.incrementAndGet()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      assert(Sync.pull(client, server, pageSize = 1) === 3) // 3 chunks → 3 pages
+      // the listener bus is async — wait for quiescence
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1
+      while (System.nanoTime() < deadline && listingAggs.get() != last) {
+        last = listingAggs.get(); Thread.sleep(500)
+      }
+      assert(listingAggs.get() === 1)
+      assert(client.yieldManyTs().count() === server.yieldManyTs().count())
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
