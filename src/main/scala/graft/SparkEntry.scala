@@ -76,6 +76,20 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // P1 — Django __-lookup filter compilation (in/gte/lt) on the scan
+    // path (chunk_timeserie_store.py:889-899; graft.store.Lookups): the
+    // compiled predicates stay pushdown-eligible literals.
+    "q_lookup_filter" -> ((s, d) => {
+      events(s, d)
+        .filter(graft.store.Lookups.compile(Map(
+          "user_id__in" -> Seq(1, 5, 9, 23),
+          "ts__gte" -> java.time.LocalDateTime.parse("2024-01-10T00:00"),
+          "value__lt" -> 50.0)).get)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("user_id")
+    }),
+
     // P2/F7 — chunk_index derivation + range pruning (year*12+month-1)
     "q_chunk_prune" -> ((s, d) => {
       val ci = Grid.chunkIndexMonthly(col("ts"), "UTC")
@@ -515,6 +529,12 @@ object SparkEntry {
          WHERE user_id = 7 AND event_type = 'view'
            AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
          ORDER BY event_id""",
+
+    "q_lookup_filter" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM events
+         WHERE user_id IN (1, 5, 9, 23) AND ts >= TIMESTAMP '2024-01-10' AND value < 50.0
+         GROUP BY 1 ORDER BY 1""",
 
     "q_chunk_prune" ->
       """SELECT CAST(year(ts)*12 + month(ts) - 1 AS INTEGER) AS chunk_index,

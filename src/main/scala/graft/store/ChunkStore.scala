@@ -183,7 +183,14 @@ class ChunkStore(
     * buffered iterator.
     */
   def yieldManyTs(filters: Map[String, Any] = Map.empty): DataFrame = {
-    load().filter(attrFilter(filters) && !col("is_deleted") && col("ts").isNotNull)
+    // Django `__`-lookups accepted (gte/lte/gt/lt/in/isnull): the reference
+    // strips lookup suffixes before validating names (`_check_attrs`,
+    // chunk_timeserie_store.py:889-899) and forwards the raw dict to
+    // objects.filter(**filters).
+    val unknown = Lookups.baseFields(filters).filterNot(keys.contains)
+    require(unknown.isEmpty, s"Unknown attribute(s) ${unknown.mkString(",")}")
+    val cond = Lookups.compile(filters).getOrElse(lit(true))
+    load().filter(cond && !col("is_deleted") && col("ts").isNotNull)
       .select((keys.map(col) :+ col("ts") :+ col("value")): _*)
       .orderBy((keys.map(col) :+ col("ts")): _*)
   }

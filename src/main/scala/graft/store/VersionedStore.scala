@@ -13,10 +13,15 @@ import org.apache.spark.sql.types._
   * slicing, and gap analytics on the combined result.
   *
   * Layout: long-form parquet `(prm, client_id, version, ts, value,
-  * created_at)` — no chunking (the reference stores one feather blob per
-  * row). Version-combine is one window + one aggregation (§2.3 J2).
+  * created_at)` hash-partitioned on `bucket = murmur3(prm) mod numBuckets`.
+  * The bucket column is what keeps single-series writes O(bucket), not
+  * O(store): upsert/clear stage and dynamic-overwrite only the affected
+  * bucket directories (the same staged-overwrite protocol as ChunkStore),
+  * and single-prm reads prune to one bucket at the file listing. The
+  * bucket is computed driver-side (every write path receives the prm as a
+  * Scala value), so no hash-expression parity with Catalyst is needed.
   */
-class VersionedStore(val spark: SparkSession, val path: String) {
+class VersionedStore(val spark: SparkSession, val path: String, val numBuckets: Int = 32) {
 
   def schema: StructType = StructType(Seq(
     StructField("prm", StringType),
@@ -24,25 +29,36 @@ class VersionedStore(val spark: SparkSession, val path: String) {
     StructField("version", IntegerType),
     StructField("ts", TimestampNTZType),
     StructField("value", DoubleType),
-    StructField("created_at", TimestampNTZType)))
+    StructField("created_at", TimestampNTZType),
+    StructField("bucket", IntegerType)))
+
+  private[graft] def bucketOf(prm: String): Int =
+    Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(prm), numBuckets)
 
   def load(): DataFrame =
     if (new java.io.File(path).exists()) spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Single-prm scan pruned to the prm's bucket partition. */
+  private def loadPrm(prm: String): DataFrame =
+    load().filter(col("bucket") === bucketOf(prm) && col("prm") === prm)
 
   /** Row count under filters (reference `Store.count`, hostore.py:39-43) —
     * counts distinct (prm, version) pairs, the analogue of blob rows.
     */
   def count(clientId: Int, prms: Option[Seq[String]] = None): Long = {
     var df = load().filter(col("client_id") === clientId)
-    prms.foreach(ps => df = df.filter(col("prm").isin(ps: _*)))
+    prms.foreach { ps =>
+      df = df.filter(col("bucket").isin(ps.map(bucketOf).distinct: _*) && col("prm").isin(ps: _*))
+    }
     df.select("prm", "version").distinct().count()
   }
 
   /** Write a series (reference `set_lc`, hostore.py:321-370):
-    * versioning=false upserts version 0 (delete + rewrite); versioning=true
-    * appends with `max(version)+1` scoped to the prm/client.
-    * All-null series are skipped. Returns false when skipped.
+    * versioning=false upserts version 0 (delete + rewrite of the prm's
+    * bucket only); versioning=true appends with `max(version)+1` scoped to
+    * the prm/client. All-null series are skipped. Returns false when
+    * skipped.
     */
   def setLc(
       prm: String,
@@ -52,39 +68,37 @@ class VersionedStore(val spark: SparkSession, val path: String) {
       now: java.time.LocalDateTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)): Boolean = {
     val s = series
       .select(col("ts").cast(TimestampNTZType).as("ts"), col("value").cast(DoubleType).as("value"))
-      .filter(col("value").isNotNull && !isnan(col("value")))
+      .filter(col("ts").isNotNull && col("value").isNotNull && !isnan(col("value")))
     if (s.isEmpty) return false
     val version: Int =
       if (!versioning) 0
       else {
-        val r = load().filter(col("prm") === prm && col("client_id") === clientId)
+        val r = loadPrm(prm).filter(col("client_id") === clientId)
           .agg(max("version")).head()
         if (r.isNullAt(0)) 0 else r.getInt(0) + 1
       }
+    val b = bucketOf(prm)
     val rows = s
       .withColumn("prm", lit(prm))
       .withColumn("client_id", lit(clientId))
       .withColumn("version", lit(version))
       .withColumn("created_at", lit(java.sql.Timestamp.valueOf(now)).cast(TimestampNTZType))
+      .withColumn("bucket", lit(b))
       .select(schema.fieldNames.map(col): _*)
     if (!versioning && exists(prm, clientId)) {
-      // upsert: rewrite everything for this (prm, client) at version 0.
-      // Staging lives OUTSIDE the store root: a full overwrite clears the
-      // target directory, which would delete an in-path staging mid-read.
-      val staging = s"${path}__staging_${java.util.UUID.randomUUID().toString.take(8)}"
-      try {
-        load().filter(!(col("prm") === prm && col("client_id") === clientId))
-          .unionByName(rows)
-          .write.mode(SaveMode.Overwrite).parquet(staging)
-        spark.read.schema(schema).parquet(staging)
-          .write.mode(SaveMode.Overwrite).parquet(path)
-      } finally ChunkStore.deleteRecursively(new java.io.File(staging))
-    } else rows.write.mode(SaveMode.Append).parquet(path)
+      // upsert: rewrite ONLY this prm's bucket partition — everything in
+      // the bucket minus this (prm, client), plus the new rows.
+      val content = load()
+        .filter(col("bucket") === b)
+        .filter(!(col("prm") === prm && col("client_id") === clientId))
+        .unionByName(rows)
+      overwriteBuckets(content, Seq(b))
+    } else rows.write.mode(SaveMode.Append).partitionBy("bucket").parquet(path)
     true
   }
 
   def exists(prm: String, clientId: Int): Boolean =
-    !load().filter(col("prm") === prm && col("client_id") === clientId).isEmpty
+    !loadPrm(prm).filter(col("client_id") === clientId).isEmpty
 
   /** Version-combined read (reference `get_lc`, hostore.py:218-268) with
     * the full option surface:
@@ -108,7 +122,7 @@ class VersionedStore(val spark: SparkSession, val path: String) {
       customFilters: Map[String, Any] = Map.empty,
       combinedBy: Seq[String] = Seq("prm", "client_id"),
       orderBy: Seq[String] = Seq("-version")): DataFrame =
-    read(col("prm") === prm && col("client_id") === clientId,
+    read(col("bucket") === bucketOf(prm) && col("prm") === prm && col("client_id") === clientId,
       delaySecs, combinedVersions, version, customFilters, combinedBy, orderBy)
       .orderBy("ts")
 
@@ -124,7 +138,8 @@ class VersionedStore(val spark: SparkSession, val path: String) {
       customFilters: Map[String, Any] = Map.empty,
       combinedBy: Seq[String] = Seq("prm", "client_id"),
       orderBy: Seq[String] = Seq("-version")): DataFrame =
-    read(col("client_id") === clientId && col("prm").isin(prms: _*),
+    read(col("bucket").isin(prms.map(bucketOf).distinct: _*) &&
+        col("client_id") === clientId && col("prm").isin(prms: _*),
       delaySecs, combinedVersions, None, customFilters, combinedBy, orderBy)
 
   private def read(
@@ -160,17 +175,47 @@ class VersionedStore(val spark: SparkSession, val path: String) {
   }
 
   /** Delete by prms / version / client (reference `clear`/`clear_all`,
-    * hostore.py:396-432).
+    * hostore.py:396-432). With a prm list only the prms' bucket partitions
+    * are rewritten; a store-wide clear (no prms) rewrites every bucket.
     */
   def clear(clientId: Int, prms: Option[Seq[String]] = None, version: Option[Int] = None): Unit = {
     var hit: Column = col("client_id") === clientId
     prms.foreach(ps => hit = hit && col("prm").isin(ps: _*))
     version.foreach(v => hit = hit && col("version") === v)
+    val affected: Seq[Int] = prms match {
+      case Some(ps) => ps.map(bucketOf).distinct
+      case None =>
+        load().select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    }
+    if (affected.isEmpty) return
+    val content = load().filter(col("bucket").isin(affected: _*)).filter(!hit)
+    overwriteBuckets(content, affected)
+  }
+
+  /** Staged rewrite of a set of bucket partitions (same protocol as
+    * ChunkStore.overwritePartitions): write content to a sibling staging
+    * dir, dynamic-partition-overwrite the store from it, explicitly drain
+    * buckets whose rows all vanished, drop staging.
+    */
+  private def overwriteBuckets(content: DataFrame, buckets: Seq[Int]): Unit = {
+    if (buckets.isEmpty) return
     val staging = s"${path}__staging_${java.util.UUID.randomUUID().toString.take(8)}"
     try {
-      load().filter(!hit).write.mode(SaveMode.Overwrite).parquet(staging)
-      spark.read.schema(schema).parquet(staging)
-        .write.mode(SaveMode.Overwrite).parquet(path)
+      content
+        .repartition(col("bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging)
+      val present: Set[Int] = Option(new java.io.File(staging).listFiles()).toSeq.flatten
+        .collect { case f if f.getName.startsWith("bucket=") =>
+          f.getName.stripPrefix("bucket=").toInt }.toSet
+      buckets.filterNot(present).foreach { b =>
+        ChunkStore.deleteRecursively(new java.io.File(path, s"bucket=$b"))
+      }
+      if (present.nonEmpty)
+        spark.read.schema(schema).parquet(staging)
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket")
+          .parquet(path)
     } finally ChunkStore.deleteRecursively(new java.io.File(staging))
   }
 }

@@ -195,6 +195,21 @@ class ChunkStoreSpec extends SparkSpec {
     assert(all.length === 6)
     assert(all.map(_.getString(1)).toSeq === Seq("a", "a", "a", "b", "b", "b"))
   }
+
+  // Django __-lookup matrix on yield_many_ts filters (reference
+  // `_check_attrs` strips suffixes, chunk_timeserie_store.py:889-899).
+  test("yieldManyTs: __-lookup filters (gte/lt/in); unknown base field raises") {
+    val st = newStore(tz = "UTC")
+    for ((v, k, value) <- Seq((0, "a", 1.0), (1, "b", 2.0), (2, "c", 3.0)))
+      st.setTs(Map("version" -> v, "kind" -> k), hourly("2024-01-01T00:00", 2, _ => Some(value)), now = now0)
+    assert(st.yieldManyTs(Map("version__gte" -> 1)).select("kind").distinct().count() === 2)
+    assert(st.yieldManyTs(Map("version__lt" -> 1)).select("kind").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("a"))
+    assert(st.yieldManyTs(Map("kind__in" -> Seq("a", "c"))).select("kind").distinct().count() === 2)
+    assert(st.yieldManyTs(Map("version__gte" -> 1, "kind__in" -> Seq("b"))).count() === 2)
+    val e = intercept[IllegalArgumentException](st.yieldManyTs(Map("nope__gte" -> 1)))
+    assert(e.getMessage.contains("nope"))
+  }
 }
 
 class VersionedStoreSpec extends SparkSpec {
@@ -249,6 +264,30 @@ class VersionedStoreSpec extends SparkSpec {
     val nulls = Seq((java.time.LocalDateTime.parse("2024-01-01T00:00"), Option.empty[Double]))
       .toDF("ts", "value")
     assert(!st.setLc("p", 1, nulls))
+  }
+
+  // Bucket-partitioned writes: a single-series upsert rewrites only the
+  // prm's own bucket partition — the other bucket's files are bit-for-bit
+  // untouched (no whole-store rewrite).
+  test("single-series upsert rewrites only the prm's bucket partition") {
+    val dir = tmpDir("vstore")
+    val st = new VersionedStore(spark, dir, numBuckets = 8)
+    val pa = "p1"
+    val pb = (2 to 100).map("p" + _).find(p => st.bucketOf(p) != st.bucketOf(pa)).get
+    st.setLc(pa, 1, series("2024-01-01T00:00", 3, 1.0))
+    st.setLc(pb, 1, series("2024-01-01T00:00", 3, 2.0))
+    def pbFiles = new java.io.File(dir, s"bucket=${st.bucketOf(pb)}")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+    val before = pbFiles
+    st.setLc(pa, 1, series("2024-01-01T00:00", 3, 9.0)) // upsert → rewrite pa's bucket only
+    assert(pbFiles === before)
+    assert(st.getLc(pa, 1).collect().map(_.getAs[Double]("value")).toSeq === Seq(9.0, 9.0, 9.0))
+    assert(st.getLc(pb, 1).collect().map(_.getAs[Double]("value")).toSeq === Seq(2.0, 2.0, 2.0))
+    // clear by prm list also stays inside the bucket
+    st.clear(1, prms = Some(Seq(pa)))
+    assert(pbFiles === before)
+    assert(st.getLc(pa, 1).collect().isEmpty)
   }
 
   // Reference get_lc option surface (hostore.py:218-268): version=,
