@@ -14,6 +14,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
@@ -43,6 +44,8 @@ object Bench {
     val floorBefore = floorMs()
 
     var failed = List.empty[String]
+    var flaky  = List.empty[String] // succeeded at least once but not every rep
+    var repOk  = Map.empty[String, Int]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (0 until reps).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -53,16 +56,25 @@ object Bench {
             None
         }
       }
+      repOk += name -> times.length
       if (times.isEmpty) { failed ::= name; name -> -1.0 }
-      else name -> times.min
+      else {
+        // an intermittent failure must surface, not dissolve into the min
+        if (times.length < reps) flaky ::= name
+        name -> times.min
+      }
     }
     val floorAfter = floorMs()
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val oks = repOk.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"floor_ms_before":$floorBefore,"floor_ms_after":$floorAfter,"n_failed":${failed.length}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_ok":$oks,"sf":"$sfDir","reps":$reps,"floor_ms_before":$floorBefore,"floor_ms_after":$floorAfter,"n_failed":${failed.length},"n_flaky":${flaky.length}}""")
     spark.stop()
+    if (flaky.nonEmpty)
+      System.err.println(s"[bench] ${flaky.length} queries passed only some reps: ${flaky.reverse.mkString(", ")}")
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.length} queries FAILED: ${failed.reverse.mkString(", ")}")
       sys.exit(1)

@@ -26,9 +26,14 @@ object SparkEntry {
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Naive-UTC literal timestamp (TIMESTAMP_NTZ). */
+  /** Naive literal timestamp (TIMESTAMP_NTZ). Built from LocalDateTime —
+    * Catalyst maps it straight to a TIMESTAMP_NTZ literal with no
+    * epoch/instant hop, so the wall time survives ANY JVM default tz
+    * (java.sql.Timestamp.valueOf + cast would shift when JVM tz ≠ session
+    * tz).
+    */
   private def ts(s: String): Column =
-    lit(java.sql.Timestamp.valueOf(s.replace("T", " "))).cast("timestamp_ntz")
+    lit(java.time.LocalDateTime.parse(s.replace(" ", "T")))
 
   private def ntz(c: Column): Column = c.cast("timestamp_ntz")
 
@@ -1060,7 +1065,11 @@ object SparkEntry {
 
     "q_lsh_topk" -> {
       import graft.functions.PortableHash.planeInts
-      val pls = planeInts(8, 64)
+      // Same plane width as the Spark side (Similarity.MaxDim, sliced to
+      // the vector length by list_transform's range) — a narrower
+      // hardcoded width would silently truncate the projection for
+      // wider-than-64-dim embeddings and diverge from Spark.
+      val pls = planeInts(8, graft.pipeline.Similarity.MaxDim)
       def proj(p: Int): String = {
         val karr = pls(p).mkString("[", ", ", "]")
         s"list_sum(list_transform(range(1, len(v) + 1), i -> CAST(v[i] AS DOUBLE) * (CAST(($karr)[i] AS DOUBLE) / 1000001.0)))"

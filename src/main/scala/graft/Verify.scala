@@ -5,6 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // Literals are JVM-tz-proof (LocalDateTime-based), but pin UTC anyway
+    // so any stray instant math in a dependency can't shift on a non-UTC
+    // host.
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -19,6 +19,8 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
   */
 object CsvZip {
 
+  private val CsvTsFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
   /** Export `df` (keys..., ts, value) as the reference's zip layout.
     * Returns the manifest rows (serie index, key values, n points).
     */
@@ -42,7 +44,13 @@ object CsvZip {
         val header = s"$tsCol;$valueCol\n"
         zos.write(header.getBytes("UTF-8"))
         pts.foreach { p =>
-          val t = p.get(0)
+          // pandas to_csv datetime format (admin_actions.py exports via
+          // pandas): "yyyy-MM-dd HH:mm:ss", not LocalDateTime.toString's
+          // ISO "yyyy-MM-ddTHH:mm"
+          val t = p.get(0) match {
+            case l: java.time.LocalDateTime => l.format(CsvTsFmt)
+            case other                      => String.valueOf(other)
+          }
           val v = p.get(1) match {
             case null      => ""
             case d: Double => f"$d%.8f"

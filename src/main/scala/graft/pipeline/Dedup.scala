@@ -72,13 +72,14 @@ object Dedup {
       (col(idCol).as("id") +: blockCols.map(col)) :+ shingles(col(textCol), n).as("sh"): _*)
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
-    // Cache the exploded shingle table: both join branches read it, and
-    // shingling (split+transform+distinct) is the expensive part. At
-    // lakehouse scale substitute a checkpoint/staging write.
+    // Materialize the exploded shingle table once (localCheckpoint, not
+    // cache: no CacheManager pin, blocks are GC-reclaimed with the frame —
+    // a long-lived session never leaks them): both join branches read it,
+    // and shingling (split+transform+distinct) is the expensive part.
     val ex = sh.select(
       (col("id") +: col("n_sh") +: blockCols.map(col)) :+ explode(col("sh")).as("shingle"): _*)
       .withColumn("h", xxhash64(col("shingle"))).drop("shingle")
-      .cache()
+      .localCheckpoint()
     val a = ex.select((col("id").as("id_a") +: col("n_sh").as("na") +: blockCols.map(c => col(c).as(s"__ba_$c"))) :+ col("h").as("ha"): _*)
     val b = ex.select((col("id").as("id_b") +: col("n_sh").as("nb") +: blockCols.map(c => col(c).as(s"__bb_$c"))) :+ col("h").as("hb"): _*)
     // Size-ratio prune inside the join: J(A,B) >= t implies
@@ -115,7 +116,7 @@ object Dedup {
     import graft.functions.PortableHash
     val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
       .withColumn("__b", PortableHash.hashMod(col("shingle")))
-      .cache()
+      .localCheckpoint() // shared by sets+sig; GC-reclaimed, no cache pin
     // per-doc shingle-hash set (docs are bounded; the SET is, too)
     val sets = ex.groupBy("id").agg(collect_set(col("__b")).as("hs"))
       .withColumn("n_sh", size(col("hs")))
@@ -177,7 +178,8 @@ object Dedup {
       rowsPerBand: Int = 4,
       minSim: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = minhashSignature(df, idCol, textCol, n, numHashes).cache()
+    val sig = minhashSignature(df, idCol, textCol, n, numHashes)
+      .localCheckpoint() // both band-join sides read it; GC-reclaimed, no cache pin
     // Band key: md5 of the comma-joined band slice — a short portable
     // shuffle key (the reference hash for the same band bytes in any
     // engine), cheaper to shuffle than the slice itself.
@@ -282,11 +284,11 @@ object Dedup {
         graft.pipeline.Similarity.lshBucket(col(vecCol), lshPlanes))
       return embeddingCosinePairs(bucketed, idCol, vecCol, Seq("__lsh_block"), minCos, lshPlanes)
     }
-    // Norm once per vector (cached — both join sides read it), so the
-    // quadratic pair stage only computes the codegen'd dot product.
+    // Norm once per vector (materialized — both join sides read it), so
+    // the quadratic pair stage only computes the codegen'd dot product.
     val prep = df.select((col(idCol).as("id") +: col(vecCol).as("__v") +: blockCols.map(col)): _*)
       .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
-      .cache()
+      .localCheckpoint() // GC-reclaimed, no cache pin
     val a = prep.select((col("id").as("id_a") +: col("__v").as("__va") +: col("__n").as("__na") +: blockCols.map(col)): _*)
     val b = prep.select((col("id").as("id_b") +: col("__v").as("__vb") +: col("__n").as("__nb") +: blockCols.map(col)): _*)
     a.join(b, blockCols).filter(col("id_a") < col("id_b"))
@@ -301,7 +303,8 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     // cached: both sides of the band self-join read the signatures
-    val sigd = simhashSignatures(df, idCol, textCol).cache()
+    val sigd = simhashSignatures(df, idCol, textCol)
+      .localCheckpoint() // both band-join sides read it; GC-reclaimed, no cache pin
     val banded = sigd.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 15).bitwiseAND(0x7FFFL)): _*)))

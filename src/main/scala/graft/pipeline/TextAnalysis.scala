@@ -73,7 +73,9 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val tok = df.select(col(idCol).as("id"),
       explode(tokens(lower(col(textCol)))).as("term"))
-      .cache() // tf and df branches both read the exploded tokens
+      // tf and df branches both read the exploded tokens; localCheckpoint
+      // (not cache) so a long-lived session GC-reclaims the blocks
+      .localCheckpoint()
     val tf  = tok.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val idf = tok.groupBy("term").agg(countDistinct(col("id")).as("df"))
     val n   = df.select(count(lit(1)).as("n_docs"))

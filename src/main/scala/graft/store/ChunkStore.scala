@@ -251,7 +251,7 @@ class ChunkStore(
           .withColumn("ts", lit(null).cast(TimestampNTZType))
           .withColumn("value", lit(null).cast(DoubleType))
           .withColumn("is_deleted", lit(true))
-          .withColumn("updated_at", lit(java.sql.Timestamp.valueOf(now)).cast(TimestampNTZType))
+          .withColumn("updated_at", lit(now))
         kept.unionByName(tombs.select(schema.fieldNames.map(col): _*))
       }
     overwritePartitions(content, affected.toSeq)
@@ -266,7 +266,7 @@ class ChunkStore(
   private def finishRows(s: DataFrame, now: java.time.LocalDateTime): DataFrame =
     s.withColumn("chunk_index", chunkIndexCol(col("ts")))
       .withColumn("is_deleted", lit(false))
-      .withColumn("updated_at", lit(java.sql.Timestamp.valueOf(now)).cast(TimestampNTZType))
+      .withColumn("updated_at", lit(now))
       .select(schema.fieldNames.map(col): _*)
 
   private def appendRows(rows: DataFrame): Unit =
@@ -312,7 +312,7 @@ class ChunkStore(
       .withColumn("ts", lit(null).cast(TimestampNTZType))
       .withColumn("value", lit(null).cast(DoubleType))
       .withColumn("is_deleted", lit(true))
-      .withColumn("updated_at", lit(java.sql.Timestamp.valueOf(now)).cast(TimestampNTZType))
+      .withColumn("updated_at", lit(now))
       .select(schema.fieldNames.map(col): _*)
     overwritePartitions(others.unionByName(newRows).unionByName(tombs), affected)
   }
@@ -358,8 +358,12 @@ class ChunkStore(
 }
 
 object ChunkStore {
-  private[store] def toNtz(z: java.time.ZonedDateTime): java.sql.Timestamp =
-    java.sql.Timestamp.valueOf(z.withZoneSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime)
+  /** Engine-UTC wall time of an instant, as LocalDateTime — `lit(...)` of
+    * it is a TIMESTAMP_NTZ literal with no JVM-default-tz dependence (a
+    * java.sql.Timestamp would re-interpret the wall time in JVM tz).
+    */
+  private[store] def toNtz(z: java.time.ZonedDateTime): java.time.LocalDateTime =
+    z.withZoneSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime
 
   private[store] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

@@ -82,7 +82,7 @@ class VersionedStore(val spark: SparkSession, val path: String, val numBuckets: 
       .withColumn("prm", lit(prm))
       .withColumn("client_id", lit(clientId))
       .withColumn("version", lit(version))
-      .withColumn("created_at", lit(java.sql.Timestamp.valueOf(now)).cast(TimestampNTZType))
+      .withColumn("created_at", lit(now)) // LocalDateTime → NTZ literal, JVM-tz-proof
       .withColumn("bucket", lit(b))
       .select(schema.fieldNames.map(col): _*)
     if (!versioning && exists(prm, clientId)) {

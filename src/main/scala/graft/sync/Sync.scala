@@ -34,7 +34,7 @@ object Sync {
       .agg(
         max(col("updated_at")).as("updated_at"),
         max(when(col("is_deleted"), 1).otherwise(0)).cast("boolean").as("is_deleted"))
-      .filter(col("updated_at") >= lit(java.sql.Timestamp.valueOf(since)).cast(TimestampNTZType))
+      .filter(col("updated_at") >= lit(since)) // LocalDateTime → NTZ literal, JVM-tz-proof
       .orderBy((col("updated_at") +: keys.map(col) :+ col("chunk_index")): _*)
   }
 

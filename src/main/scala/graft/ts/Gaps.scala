@@ -67,8 +67,8 @@ object Gaps {
       .join(df.select((keys.map(col) :+ col(tsCol) :+ col(valueCol)): _*), keys :+ tsCol, "left")
     val runs = constantIslands(
       dense.withColumn("__missing", col(valueCol).isNull), keys, tsCol, "__missing")
-    val lo = lit(java.sql.Timestamp.valueOf(start)).cast("timestamp_ntz")
-    val hi = lit(java.sql.Timestamp.valueOf(end)).cast("timestamp_ntz")
+    val lo = lit(start) // LocalDateTime → TIMESTAMP_NTZ literal, JVM-tz-proof
+    val hi = lit(end)
     val sec = expr("make_dt_interval(0, 0, 0, 1)")
     runs.filter(col("__missing"))
       .select(

@@ -59,7 +59,7 @@ object Grid {
                else n0 + (if (inclusiveRight) 1L else if (span % freqSecs == 0) 0L else 1L)
     spark.range(math.max(n, 0L))
       .select(
-        (lit(java.sql.Timestamp.valueOf(start)).cast("timestamp_ntz")
+        (lit(start) // LocalDateTime → TIMESTAMP_NTZ literal, JVM-tz-proof
           + expr("make_dt_interval(0, 0, 0, 1)") * (col("id") * freqSecs)).as(tsCol))
   }
 

@@ -28,6 +28,9 @@ class CsvZipSpec extends SparkSpec {
       val aBody = bodies(s"export_serie_$aIdx.csv")
       assert(aBody.startsWith("ts;value\n"))
       assert(aBody.contains(";1.50000000\n") && aBody.contains(";2.25000000\n"))
+      // pandas to_csv datetime format, not LocalDateTime.toString
+      assert(aBody.contains("2024-01-01 00:00:00;1.50000000\n"))
+      assert(aBody.contains("2024-01-01 01:00:00;2.25000000\n"))
       val summary = bodies("content_summary.csv")
       assert(summary.startsWith("serie;kind;n_points\n"))
       assert(summary.contains(s"export_serie_$aIdx;a;2\n"))

@@ -15,6 +15,25 @@ class GridSpec extends SparkSpec {
     assert(Grid.spine(spark, ldt("2024-01-01T00:00"), ldt("2024-01-01T00:00"), 3600L).count() === 1)
   }
 
+  // NTZ literals must carry the exact wall time regardless of the JVM
+  // default timezone (ADVICE r1: java.sql.Timestamp.valueOf-built literals
+  // shifted when JVM tz ≠ session tz; LocalDateTime literals cannot).
+  test("NTZ literals are JVM-default-tz independent") {
+    val saved = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("Asia/Tokyo"))
+      val sp = Grid.spine(spark, ldt("2024-01-01T00:00"), ldt("2024-01-01T02:00"), 3600L)
+        .collect().map(_.getAs[java.time.LocalDateTime]("ts"))
+      assert(sp.head === ldt("2024-01-01T00:00"))
+      assert(sp.last === ldt("2024-01-01T02:00"))
+      val hit = Grid.spine(spark, ldt("2024-01-01T00:00"), ldt("2024-01-01T05:00"), 3600L)
+        .filter(org.apache.spark.sql.functions.col("ts") >=
+          org.apache.spark.sql.functions.lit(ldt("2024-01-01T03:00")))
+        .count()
+      assert(hit === 3)
+    } finally java.util.TimeZone.setDefault(saved)
+  }
+
   test("freqSeconds parses pandas-style offsets") {
     assert(Grid.freqSeconds("1h") === 3600L)
     assert(Grid.freqSeconds("15min") === 900L)
