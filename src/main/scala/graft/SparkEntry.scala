@@ -195,6 +195,21 @@ object SparkEntry {
         .orderBy("user_id", "hole_start")
     }),
 
+    // G3/G5 — holes with min_delta threading: boundary gaps shorter than
+    // min_delta drop (difference_missing semantics); interior islands and
+    // all-missing keys survive unconditionally.
+    "q_holes_mindelta" -> ((s, d) => {
+      val ev = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("ts"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      Gaps.holes(ev, Seq("user_id"),
+          java.time.LocalDateTime.parse("2024-01-01T00:00"),
+          java.time.LocalDateTime.parse("2024-01-30T00:00"), 86400L,
+          requestedKeys = Some(s.range(20).toDF("user_id")),
+          minDeltaSecs = 3 * 86400L)
+        .orderBy("user_id", "hole_start")
+    }),
+
     // G5 — interval union (sweep-line as windows)
     "q_interval_union" -> ((s, d) => {
       val iv = orders(s, d).select(
@@ -636,6 +651,35 @@ object SparkEntry {
            FROM f)
          SELECT user_id, min(ts) AS hole_start, max(ts) AS hole_end
          FROM g WHERE v IS NULL GROUP BY user_id, grp ORDER BY user_id, hole_start""",
+
+    "q_holes_mindelta" ->
+      """WITH spine AS (
+           SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS ts),
+         users AS (SELECT range AS user_id FROM range(20)),
+         vals AS (
+           SELECT user_id, date_trunc('day', ts) AS ts, CAST(count(*) AS DOUBLE) AS v
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         dense AS (
+           SELECT u.user_id, s.ts, v.v
+           FROM users u CROSS JOIN spine s
+           LEFT JOIN vals v ON v.user_id = u.user_id AND v.ts = s.ts),
+         f AS (
+           SELECT *, CASE WHEN (v IS NULL) IS NOT DISTINCT FROM
+                               lag(v IS NULL) OVER (PARTITION BY user_id ORDER BY ts)
+                          THEN 0 ELSE 1 END AS chg
+           FROM dense),
+         g AS (
+           SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+           FROM f),
+         h AS (
+           SELECT user_id, min(ts) AS hole_start, max(ts) AS hole_end
+           FROM g WHERE v IS NULL GROUP BY user_id, grp)
+         SELECT user_id, hole_start, hole_end FROM h
+         WHERE (hole_start = TIMESTAMP '2024-01-01' AND hole_end = TIMESTAMP '2024-01-30')
+            OR (hole_start <> TIMESTAMP '2024-01-01' AND hole_end <> TIMESTAMP '2024-01-30')
+            OR (date_diff('second', hole_start, hole_end) + 86400 >= 259200)
+         ORDER BY user_id, hole_start""",
 
     "q_interval_union" ->
       """WITH iv AS (

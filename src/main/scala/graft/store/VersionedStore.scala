@@ -164,6 +164,68 @@ class VersionedStore(val spark: SparkSession, val path: String, val numBuckets: 
   private def orderCols(orderBy: Seq[String]): Seq[Column] =
     orderBy.map(o => if (o.startsWith("-")) col(o.drop(1)).desc else col(o).asc)
 
+  /** Reference `find_groups` (hostore.py:45-160): cluster prms by their
+    * missing ranges within [start, end] and ALSO return the combined data,
+    * like the reference's `(groups, data)` pair. Per prm, missing =
+    *  - the full range when the prm is absent or has no live point in the
+    *    slice (such prms are dropped from the returned data —
+    *    `keys_to_pop`, hostore.py:139-158);
+    *  - boundary complement gaps of its available range, kept only when
+    *    >= `minDelta` (reference `dra.difference_missing(drr,
+    *    min_delta=freq)`, :146-147; default minDelta = freq);
+    *  - interior gaps between consecutive live points (the sparse-long-form
+    *    equivalent of the reference's null islands over the stored dense
+    *    index, :150-156);
+    * all merged per prm (`Range.combine` → window interval-union), then
+    * prms grouped per merged range. Returns
+    * (groups: (hole_start, hole_end, member_keys, n_keys),
+    *  data: the sliced version-combined long form minus popped prms).
+    */
+  def findGroups(
+      prms: Seq[String],
+      clientId: Int,
+      start: java.time.LocalDateTime,
+      end: java.time.LocalDateTime,
+      freqSecs: Long,
+      minDeltaSecs: Option[Long] = None,
+      combinedBy: Seq[String] = Seq("prm", "client_id"),
+      orderBy: Seq[String] = Seq("-version")): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val minDelta = minDeltaSecs.getOrElse(freqSecs)
+    val lo  = lit(start)
+    val hi  = lit(end)
+    val sec = expr("make_dt_interval(0, 0, 0, 1)")
+    def secsDiff(a: Column, b: Column): Column =
+      (unix_micros(b.cast("timestamp")) - unix_micros(a.cast("timestamp"))) / 1000000L
+    val sliced = getManyLc(prms, clientId, combinedBy = combinedBy, orderBy = orderBy)
+      .filter(col("ts") >= lo && col("ts") <= hi)
+    val live = sliced.filter(col("value").isNotNull)
+    val avail = live.groupBy("prm").agg(min("ts").as("dra_sd"), max("ts").as("dra_ed"))
+    // absent prms + prms with no live point in range → full range
+    val empties = prms.toDF("prm").join(avail, Seq("prm"), "left_anti")
+      .select(col("prm"), lo.as("start"), hi.as("end"))
+    val leading = avail.filter(secsDiff(lo, col("dra_sd")) >= minDelta)
+      .select(col("prm"), lo.as("start"), col("dra_sd").as("end"))
+    val trailing = avail.filter(secsDiff(col("dra_ed"), hi) >= minDelta)
+      .select(col("prm"), col("dra_ed").as("start"), hi.as("end"))
+    // interior: a gap of >= 2 steps between consecutive live points means
+    // the slots in between are missing — [prev + freq, ts - freq]
+    val wk = org.apache.spark.sql.expressions.Window.partitionBy(col("prm")).orderBy(col("ts"))
+    val interior = live
+      .withColumn("__prev", lag(col("ts"), 1).over(wk))
+      .filter(col("__prev").isNotNull && secsDiff(col("__prev"), col("ts")) >= 2 * freqSecs)
+      .select(col("prm"),
+        (col("__prev") + sec * freqSecs).as("start"),
+        (col("ts") - sec * freqSecs).as("end"))
+    val missing = empties.unionByName(leading).unionByName(trailing).unionByName(interior)
+    val groups = graft.ts.Intervals.unionIntervals(missing, Seq("prm"), "start", "end")
+      .groupBy(col("merged_start").as("hole_start"), col("merged_end").as("hole_end"))
+      .agg(sort_array(collect_list(col("prm"))).as("member_keys"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n_keys"))
+    val data = sliced.join(avail.select("prm"), Seq("prm"), "left_semi")
+    (groups, data)
+  }
+
   /** Requested prms with no stored data — the left-anti side of
     * `find_groups` (hostore.py:120-124).
     */

@@ -59,7 +59,8 @@ object Gaps {
       marginSecs: Long = 0L,
       tsCol: String = "ts",
       valueCol: String = "value",
-      requestedKeys: Option[DataFrame] = None): DataFrame = {
+      requestedKeys: Option[DataFrame] = None,
+      minDeltaSecs: Long = 0L): DataFrame = {
     val spark = df.sparkSession
     val grid  = Grid.spine(spark, start, end, freqSecs, inclusiveRight = true, tsCol)
     val keyDf = requestedKeys.getOrElse(df.select(keys.map(col): _*).distinct())
@@ -70,11 +71,51 @@ object Gaps {
     val lo = lit(start) // LocalDateTime → TIMESTAMP_NTZ literal, JVM-tz-proof
     val hi = lit(end)
     val sec = expr("make_dt_interval(0, 0, 0, 1)")
-    runs.filter(col("__missing"))
+    var missing = runs.filter(col("__missing"))
+    if (minDeltaSecs > 0L) {
+      // min_delta mirrors `difference_missing` (utils/range/range.py:57-79;
+      // threaded from find_groups, hostore.py:146-147): it prunes only the
+      // BOUNDARY complement gaps; interior null islands are appended
+      // unconditionally (:150-156) and an all-missing key keeps the full
+      // range (:139-141). A grid run of length L seconds corresponds to a
+      // reference gap of L + freq (the reference measures to the first /
+      // last DATA point, one step beyond the missing grid slots).
+      val lenSecs = (unix_micros(col("run_end").cast("timestamp")) -
+                     unix_micros(col("run_start").cast("timestamp"))) / 1000000L
+      val wholeRange = col("run_start") === lo && col("run_end") === hi
+      val boundary   = col("run_start") === lo || col("run_end") === hi
+      missing = missing.filter(wholeRange || !boundary || (lenSecs + freqSecs >= minDeltaSecs))
+    }
+    missing
       .select(
         (keys.map(col) :+
           greatest(col("run_start") - sec * marginSecs, lo).as("hole_start") :+
           least(col("run_end") + sec * marginSecs, hi).as("hole_end")): _*)
+  }
+
+  /** Multi-column completeness check — the reference's DataFrame input to
+    * `check_ts_completeness` (`ds.sum(axis=1)`, utils/timeseries.py:54):
+    * value columns are row-summed with pandas skipna semantics (null
+    * contributes 0, an all-null row sums to 0.0 and is therefore NOT a
+    * hole — only grid slots with no row at all are), then the single-
+    * column holes path runs.
+    */
+  def holesMulti(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCols: Seq[String],
+      start: java.time.LocalDateTime,
+      end: java.time.LocalDateTime,
+      freqSecs: Long,
+      marginSecs: Long = 0L,
+      tsCol: String = "ts",
+      requestedKeys: Option[DataFrame] = None,
+      minDeltaSecs: Long = 0L): DataFrame = {
+    require(valueCols.nonEmpty, "holesMulti needs at least one value column")
+    val summed = df.withColumn("__vsum",
+      valueCols.map(c => coalesce(col(c), lit(0.0))).reduce(_ + _))
+    holes(summed, keys, start, end, freqSecs, marginSecs, tsCol, "__vsum",
+      requestedKeys, minDeltaSecs)
   }
 
   /** Cluster keys by their missing ranges (reference `find_groups`,

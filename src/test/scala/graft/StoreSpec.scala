@@ -290,6 +290,47 @@ class VersionedStoreSpec extends SparkSpec {
     assert(st.getLc(pa, 1).collect().isEmpty)
   }
 
+  // Reference find_groups (hostore.py:45-160): groups by merged missing
+  // ranges + combined data return with empty prms popped.
+  test("findGroups: boundary min_delta, interior gaps, absent/empty prms, data return") {
+    val st = new VersionedStore(spark, tmpDir("vstore"))
+    // range [00:00, 10:00] hourly, minDelta default = freq = 3600
+    // p1: live 01:00..09:00 but missing 04:00-05:00 (interior gap);
+    //     leading gap [00:00, 01:00] = 1h >= minDelta → kept;
+    //     trailing gap [09:00, 10:00] kept.
+    val p1pts = (Seq(1, 2, 3, 6, 7, 8, 9)).map(h =>
+      (java.time.LocalDateTime.parse("2024-01-01T00:00").plusHours(h), 1.0))
+    st.setLc("p1", 1, p1pts.toDF("ts", "value"))
+    // p2: full coverage 00:00..10:00 → no missing ranges at all
+    st.setLc("p2", 1, series("2024-01-01T00:00", 11, 2.0))
+    // p3: data entirely OUTSIDE the range → popped from data, full range
+    st.setLc("p3", 1, series("2025-06-01T00:00", 3, 3.0))
+    val (groups, data) = st.findGroups(Seq("p1", "p2", "p3", "p4"), 1,
+      java.time.LocalDateTime.parse("2024-01-01T00:00"),
+      java.time.LocalDateTime.parse("2024-01-01T10:00"), 3600L)
+    val g = groups.collect().map(r => (
+      r.getAs[java.time.LocalDateTime]("hole_start"),
+      r.getAs[java.time.LocalDateTime]("hole_end"),
+      r.getAs[scala.collection.Seq[String]]("member_keys").toSeq)).toSet
+    def t(s: String) = java.time.LocalDateTime.parse(s)
+    assert(g === Set(
+      (t("2024-01-01T00:00"), t("2024-01-01T10:00"), Seq("p3", "p4")), // absent/empty
+      (t("2024-01-01T00:00"), t("2024-01-01T01:00"), Seq("p1")),       // leading
+      (t("2024-01-01T04:00"), t("2024-01-01T05:00"), Seq("p1")),       // interior
+      (t("2024-01-01T09:00"), t("2024-01-01T10:00"), Seq("p1"))))      // trailing
+    // data: p3 (empty in range) and p4 (absent) popped
+    assert(data.select("prm").distinct().collect().map(_.getString(0)).toSet === Set("p1", "p2"))
+    // minDelta above the boundary gap length suppresses leading/trailing
+    val (g2, _) = st.findGroups(Seq("p1"), 1,
+      java.time.LocalDateTime.parse("2024-01-01T00:00"),
+      java.time.LocalDateTime.parse("2024-01-01T10:00"), 3600L,
+      minDeltaSecs = Some(2 * 3600L))
+    val holes2 = g2.collect().map(r => (
+      r.getAs[java.time.LocalDateTime]("hole_start"),
+      r.getAs[java.time.LocalDateTime]("hole_end"))).toSet
+    assert(holes2 === Set((t("2024-01-01T04:00"), t("2024-01-01T05:00"))))
+  }
+
   // Reference get_lc option surface (hostore.py:218-268): version=,
   // combined_versions=False, custom_filters, order_by.
   test("get_lc knobs: version select / uncombined / custom filters / fold order") {

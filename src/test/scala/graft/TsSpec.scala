@@ -143,6 +143,49 @@ class GapsSpec extends SparkSpec {
     assert(holes(0).getAs[java.time.LocalDateTime]("hole_start") === ldt("2024-01-01T00:00")) // clamped
     assert(holes(0).getAs[java.time.LocalDateTime]("hole_end") === ldt("2024-01-01T01:00"))   // widened
   }
+
+  // Reference check_ts_completeness DataFrame input (utils/timeseries.py:54):
+  // row-sum with pandas skipna — an existing all-null row sums to 0.0 and
+  // is NOT a hole; only slots with no row at all are.
+  test("holesMulti: row-summed columns; all-null row is not a hole") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "2024-01-01T00:00", Some(1.0), Some(2.0)),
+      ("a", "2024-01-02T00:00", None, Some(5.0)),             // partial null → present
+      ("a", "2024-01-03T00:00", None, Option.empty[Double]))  // ALL null → still present (sum=0.0)
+      .map { case (k, t, a, b) => (k, java.time.LocalDateTime.parse(t), a, b) }
+      .toDF("k", "ts", "va", "vb")
+    // grid 01-01..01-05 daily: only 01-04 and 01-05 have no row → one hole
+    val hs = Gaps.holesMulti(df, Seq("k"), Seq("va", "vb"),
+      ldt("2024-01-01T00:00"), ldt("2024-01-05T00:00"), 86400L).collect()
+    assert(hs.length === 1)
+    assert(hs(0).getAs[java.time.LocalDateTime]("hole_start") === ldt("2024-01-04T00:00"))
+    assert(hs(0).getAs[java.time.LocalDateTime]("hole_end") === ldt("2024-01-05T00:00"))
+  }
+
+  // holes minDelta: boundary gaps below min_delta drop; interior + whole-
+  // range keys survive (difference_missing threading, hostore.py:146-147).
+  test("holes minDelta prunes short boundary gaps only") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1), ("a", 2), ("a", 3), ("a", 6), ("a", 7), ("a", 8), ("a", 9))
+      .map { case (k, d) => (k, ldt("2024-01-01T00:00").plusDays(d), 1.0) }
+      .toDF("k", "ts", "value")
+    val req = Seq("a", "b").toDF("k")
+    // daily grid over [0, 10]: a has leading hole d0 (1 slot), interior
+    // d4-d5, trailing d10 (1 slot); b is fully missing.
+    val hs = Gaps.holes(df, Seq("k"), ldt("2024-01-01T00:00"),
+        ldt("2024-01-11T00:00"), 86400L, requestedKeys = Some(req),
+        minDeltaSecs = 3 * 86400L) // boundary gap must be >= 3 days
+      .collect().map(r => (r.getString(0),
+        r.getAs[java.time.LocalDateTime]("hole_start"),
+        r.getAs[java.time.LocalDateTime]("hole_end"))).toSet
+    // a's 1-slot boundary holes = reference gap of 2 days < 3 → dropped;
+    // interior d4-d5 kept; b's whole range kept.
+    assert(hs === Set(
+      ("a", ldt("2024-01-05T00:00"), ldt("2024-01-06T00:00")),
+      ("b", ldt("2024-01-01T00:00"), ldt("2024-01-11T00:00"))))
+  }
 }
 
 class IntervalsSpec extends SparkSpec {
