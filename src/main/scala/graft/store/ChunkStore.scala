@@ -81,6 +81,14 @@ class ChunkStore(
   private def attrFilter(attrs: Map[String, Any]): Column =
     attrs.map { case (k, v) => col(k) === lit(v) }.reduceOption(_ && _).getOrElse(lit(true))
 
+  /** Partition pruning: literal chunk_index bound for an instant, like the
+    * reference's `_filter_interval` (chunk_timeserie_store.py:855-861).
+    */
+  private def chunkOf(z: java.time.ZonedDateTime): Int = config.chunkAxis match {
+    case YearAxis      => Grid.chunkRangeYearly(z, z, config.tz)._1
+    case YearMonthAxis => Grid.chunkRangeMonthly(z, z, config.tz)._1
+  }
+
   private def requireAllKeys(attrs: Map[String, Any]): Unit = {
     val missing = keys.filterNot(attrs.contains)
     require(missing.isEmpty, s"all business keys must be specified; missing: ${missing.mkString(",")}")
@@ -166,11 +174,6 @@ class ChunkStore(
       end: Option[java.time.ZonedDateTime] = None): DataFrame = {
     requireAllKeys(attrs)
     var df = load().filter(attrFilter(attrs) && !col("is_deleted") && col("ts").isNotNull)
-    // Partition pruning: literal chunk_index bounds, like _filter_interval.
-    def chunkOf(z: java.time.ZonedDateTime): Int = config.chunkAxis match {
-      case YearAxis      => Grid.chunkRangeYearly(z, z, config.tz)._1
-      case YearMonthAxis => Grid.chunkRangeMonthly(z, z, config.tz)._1
-    }
     start.foreach(z => df = df.filter(col("chunk_index") >= chunkOf(z) && col("ts") >= lit(toNtz(z))))
     end.foreach(z => df = df.filter(col("chunk_index") <= chunkOf(z) && col("ts") <= lit(toNtz(z))))
     df.select(col("ts"), col("value")).orderBy("ts")
@@ -178,11 +181,14 @@ class ChunkStore(
 
   /** Streaming grouped read (reference `yield_many_ts`,
     * chunk_timeserie_store.py:457-517): partial key filters allowed,
-    * tombstones out, ordered by (keys..., ts). Long form needs no
-    * reassembly; Spark's sort-based shuffle plays the reference's
-    * buffered iterator.
+    * tombstones out, optional [start, end] slice with chunk pruning,
+    * ordered by (keys..., ts). Long form needs no reassembly; Spark's
+    * sort-based shuffle plays the reference's buffered iterator.
     */
-  def yieldManyTs(filters: Map[String, Any] = Map.empty): DataFrame = {
+  def yieldManyTs(
+      filters: Map[String, Any] = Map.empty,
+      start: Option[java.time.ZonedDateTime] = None,
+      end: Option[java.time.ZonedDateTime] = None): DataFrame = {
     // Django `__`-lookups accepted (gte/lte/gt/lt/in/isnull): the reference
     // strips lookup suffixes before validating names (`_check_attrs`,
     // chunk_timeserie_store.py:889-899) and forwards the raw dict to
@@ -190,9 +196,48 @@ class ChunkStore(
     val unknown = Lookups.baseFields(filters).filterNot(keys.contains)
     require(unknown.isEmpty, s"Unknown attribute(s) ${unknown.mkString(",")}")
     val cond = Lookups.compile(filters).getOrElse(lit(true))
-    load().filter(cond && !col("is_deleted") && col("ts").isNotNull)
-      .select((keys.map(col) :+ col("ts") :+ col("value")): _*)
+    var df = load().filter(cond && !col("is_deleted") && col("ts").isNotNull)
+    start.foreach(z => df = df.filter(col("chunk_index") >= chunkOf(z) && col("ts") >= lit(ChunkStore.toNtz(z))))
+    end.foreach(z => df = df.filter(col("chunk_index") <= chunkOf(z) && col("ts") <= lit(ChunkStore.toNtz(z))))
+    df.select((keys.map(col) :+ col("ts") :+ col("value")): _*)
       .orderBy((keys.map(col) :+ col("ts")): _*)
+  }
+
+  /** Keyed multi-series read in ONE job: `getTs` semantics for a list of
+    * full-key specs, via a broadcast semi-join of the spec list against
+    * the store — never a per-series loop of jobs (the reference loops
+    * `get_ts` client-side; at scale one scan must serve all series).
+    * Output: (keys..., ts, value) ordered by (keys..., ts).
+    */
+  def getManyTs(
+      attrsList: Seq[Map[String, Any]],
+      start: Option[java.time.ZonedDateTime] = None,
+      end: Option[java.time.ZonedDateTime] = None): DataFrame = {
+    attrsList.foreach(requireAllKeys)
+    val specSchema = StructType(keys.map(k => keySchema(keySchema.fieldIndex(k))))
+    val specRows = attrsList.map(a => org.apache.spark.sql.Row.fromSeq(keys.map(a(_))))
+    val specDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(specRows, 1), specSchema)
+    var df = load().filter(!col("is_deleted") && col("ts").isNotNull)
+      .join(broadcast(specDf), keys, "left_semi")
+    start.foreach(z => df = df.filter(col("chunk_index") >= chunkOf(z) && col("ts") >= lit(ChunkStore.toNtz(z))))
+    end.foreach(z => df = df.filter(col("chunk_index") <= chunkOf(z) && col("ts") <= lit(ChunkStore.toNtz(z))))
+    df.select((keys.map(col) :+ col("ts") :+ col("value")): _*)
+      .orderBy((keys.map(col) :+ col("ts")): _*)
+  }
+
+  /** Small-file compaction: rewrite the given (default: all) chunk
+    * partitions through the staged-overwrite protocol — each partition
+    * comes out as a single sorted file instead of one file per historical
+    * append/update. Returns the number of partitions compacted. Run it as
+    * maintenance after many incremental writes; readers see the same rows.
+    */
+  def compact(partitions: Option[Seq[Int]] = None): Int = {
+    val parts = partitions.getOrElse(
+      load().select("chunk_index").distinct().collect().map(_.getInt(0)).toSeq)
+    if (parts.isEmpty) return 0
+    overwritePartitions(load().filter(col("chunk_index").isin(parts: _*)), parts)
+    parts.length
   }
 
   /** Latest non-null timestamp across matching series, None when empty

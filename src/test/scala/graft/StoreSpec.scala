@@ -196,6 +196,41 @@ class ChunkStoreSpec extends SparkSpec {
     assert(all.map(_.getString(1)).toSeq === Seq("a", "a", "a", "b", "b", "b"))
   }
 
+  test("getManyTs: one broadcast-semi-join job serves a spec list, sliced") {
+    val st = newStore(tz = "UTC")
+    for (k <- Seq("a", "b", "c"))
+      st.setTs(Map("version" -> 0, "kind" -> k), hourly("2024-01-01T00:00", 24, i => Some(i.toDouble)), now = now0)
+    val specs = Seq(
+      Map[String, Any]("version" -> 0, "kind" -> "a"),
+      Map[String, Any]("version" -> 0, "kind" -> "c"))
+    val z = java.time.ZonedDateTime.of(2024, 1, 1, 6, 0, 0, 0, java.time.ZoneOffset.UTC)
+    val out = st.getManyTs(specs, start = Some(z)).collect()
+    assert(out.map(_.getString(1)).toSet === Set("a", "c"))
+    assert(out.length === 2 * 18) // hours 06..23 for each of the 2 series
+    // partial attrs in a spec raise, like getTs
+    assertThrows[IllegalArgumentException](st.getManyTs(Seq(Map[String, Any]("version" -> 0))))
+  }
+
+  test("compact: many incremental writes collapse to one file per chunk partition") {
+    val dir = tmpDir("chunk")
+    val st = new ChunkStore(spark, dir, keySchema,
+      StoreConfig(freq = "1h", tz = "UTC", chunkAxis = YearMonthAxis))
+    // 4 plain inserts (appends) into the same Jan-2024 chunk → several
+    // parquet files accumulate in the partition dir
+    for (i <- 0 until 4)
+      st.setTs(Map("version" -> 0, "kind" -> s"k$i"),
+        hourly("2024-01-01T00:00", 6, j => Some(j.toDouble)), now = now0.plusHours(i))
+    val chunkDir = new java.io.File(dir).listFiles()
+      .find(_.getName.startsWith("chunk_index=")).get
+    def nFiles = chunkDir.listFiles().count(_.getName.endsWith(".parquet"))
+    val before = nFiles
+    assert(before > 1)
+    val rowsBefore = st.yieldManyTs().count()
+    assert(st.compact() === 1)
+    assert(nFiles === 1)
+    assert(st.yieldManyTs().count() === rowsBefore) // readers see the same rows
+  }
+
   // Django __-lookup matrix on yield_many_ts filters (reference
   // `_check_attrs` strips suffixes, chunk_timeserie_store.py:889-899).
   test("yieldManyTs: __-lookup filters (gte/lt/in); unknown base field raises") {
