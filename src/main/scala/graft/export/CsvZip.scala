@@ -71,4 +71,45 @@ object CsvZip {
     } finally zos.close()
     manifest.toList
   }
+
+  /** Scale-path export: per-key CSV files written by the EXECUTORS
+    * (`partitionBy(keys)`), plus a manifest job — nothing is ever
+    * collected to the driver, so this is the form to point at a big
+    * store (the zip form above is admin-parity for small selections;
+    * a zip file is a single-writer sink by construction).
+    *
+    * Layout: `outDir/<k1>=<v1>/.../part-*.csv` with `;` separator and
+    * the reference's 8-dp float / pandas timestamp formats, and
+    * `outDir/content_summary/` as a one-file CSV of
+    * (keys..., n_points) per series.
+    */
+  def exportDistributed(
+      df: DataFrame,
+      keys: Seq[String],
+      outDir: String,
+      tsCol: String = "ts",
+      valueCol: String = "value"): Unit = {
+    val body = df.select(
+      keys.map(col) :+
+        date_format(col(tsCol), "yyyy-MM-dd HH:mm:ss").as(tsCol) :+
+        format_number(col(valueCol).cast("double"), 8).as(valueCol): _*)
+      // format_number inserts thousands separators — strip to plain 8-dp
+      .withColumn(valueCol, regexp_replace(col(valueCol), ",", ""))
+    body
+      .repartition(keys.map(col): _*)
+      .sortWithinPartitions((keys.map(col) :+ col(tsCol)): _*)
+      .write.mode("overwrite")
+      .option("sep", ";")
+      .option("header", "true")
+      .partitionBy(keys: _*)
+      .csv(s"$outDir/series")
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_points"))
+      .orderBy(keys.map(col): _*)
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("sep", ";")
+      .option("header", "true")
+      .csv(s"$outDir/content_summary")
+  }
 }

@@ -36,4 +36,24 @@ class CsvZipSpec extends SparkSpec {
       assert(summary.contains(s"export_serie_$aIdx;a;2\n"))
     } finally zf.close()
   }
+
+  test("distributed export: executor-written per-key csv dirs + manifest, no driver collect") {
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    val df = Seq(
+      ("a", t0, 1.5), ("a", t0.plusHours(1), 2.25),
+      ("b", t0, 3.0))
+      .toDF("kind", "ts", "value")
+    val out = java.nio.file.Files.createTempDirectory("csvdist").toString
+    CsvZip.exportDistributed(df, Seq("kind"), out)
+    val aDir = new java.io.File(s"$out/series/kind=a")
+    assert(aDir.isDirectory)
+    val aBody = aDir.listFiles().filter(_.getName.endsWith(".csv"))
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).mkString
+    assert(aBody.contains("2024-01-01 00:00:00;1.50000000"))
+    assert(aBody.contains("2024-01-01 01:00:00;2.25000000"))
+    val manifest = new java.io.File(s"$out/content_summary").listFiles()
+      .filter(_.getName.endsWith(".csv"))
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).mkString
+    assert(manifest.contains("a;2") && manifest.contains("b;1"))
+  }
 }
