@@ -21,12 +21,22 @@ import org.apache.spark.sql.types._
   * bucket is computed driver-side (every write path receives the prm as a
   * Scala value), so no hash-expression parity with Catalyst is needed.
   */
-class VersionedStore(val spark: SparkSession, val path: String, val numBuckets: Int = 32) {
+class VersionedStore(
+    val spark: SparkSession,
+    val path: String,
+    val numBuckets: Int = 32,
+    val extraSchema: StructType = StructType(Nil)) {
+
+  /** User-declared extra business attributes (the reference's subclass
+    * fields, set via `attributes_to_set` — hostore.py:326,354-366).
+    */
+  def extraKeys: Seq[String] = extraSchema.fieldNames.toSeq
 
   def schema: StructType = StructType(Seq(
     StructField("prm", StringType),
     StructField("client_id", IntegerType),
-    StructField("version", IntegerType),
+    StructField("version", IntegerType)) ++
+    extraSchema.fields ++ Seq(
     StructField("ts", TimestampNTZType),
     StructField("value", DoubleType),
     StructField("created_at", TimestampNTZType),
@@ -55,17 +65,27 @@ class VersionedStore(val spark: SparkSession, val path: String, val numBuckets: 
   }
 
   /** Write a series (reference `set_lc`, hostore.py:321-370):
-    * versioning=false upserts version 0 (delete + rewrite of the prm's
-    * bucket only); versioning=true appends with `max(version)+1` scoped to
-    * the prm/client. All-null series are skipped. Returns false when
-    * skipped.
+    *  - versioning=false upserts — `update_or_create` matched on
+    *    (client_id, prm, **attributes_to_set) (:354), re-expressed as a
+    *    rewrite of the prm's bucket partition only;
+    *  - versioning=true appends with `max(version)+1` scoped to
+    *    (client_id, prm) plus the `versioningBy` subset of
+    *    `attributesToSet` (:356-363; 'prm' is mandatory in versionning_by);
+    *  - `attributesToSet` fills the store's declared `extraSchema` columns
+    *    (the reference's subclass business fields).
+    * All-null series are skipped. Returns false when skipped.
     */
   def setLc(
       prm: String,
       clientId: Int,
       series: DataFrame,
       versioning: Boolean = false,
-      now: java.time.LocalDateTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)): Boolean = {
+      now: java.time.LocalDateTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC),
+      versioningBy: Seq[String] = Seq("prm"),
+      attributesToSet: Map[String, Any] = Map.empty): Boolean = {
+    require(versioningBy.contains("prm"), "'prm' is mandatory in versioningBy (hostore.py:356)")
+    val unknown = attributesToSet.keySet.filterNot(extraKeys.contains)
+    require(unknown.isEmpty, s"attributesToSet not in extraSchema: ${unknown.mkString(",")}")
     val s = series
       .select(col("ts").cast(TimestampNTZType).as("ts"), col("value").cast(DoubleType).as("value"))
       .filter(col("ts").isNotNull && col("value").isNotNull && !isnan(col("value")))
@@ -73,32 +93,47 @@ class VersionedStore(val spark: SparkSession, val path: String, val numBuckets: 
     val version: Int =
       if (!versioning) 0
       else {
-        val r = loadPrm(prm).filter(col("client_id") === clientId)
-          .agg(max("version")).head()
+        // _filters = prm + (attributes_to_set ∩ versionning_by)
+        val scoped = attributesToSet.filter { case (k, _) => versioningBy.contains(k) }
+        var vf = loadPrm(prm).filter(col("client_id") === clientId)
+        scoped.foreach { case (k, v) => vf = vf.filter(col(k) === lit(v)) }
+        val r = vf.agg(max("version")).head()
         if (r.isNullAt(0)) 0 else r.getInt(0) + 1
       }
     val b = bucketOf(prm)
-    val rows = s
+    val withExtras = extraKeys.foldLeft(s) { (d, k) =>
+      d.withColumn(k,
+        attributesToSet.get(k).map(v => lit(v)).getOrElse(lit(null))
+          .cast(extraSchema(k).dataType))
+    }
+    val rows = withExtras
       .withColumn("prm", lit(prm))
       .withColumn("client_id", lit(clientId))
       .withColumn("version", lit(version))
       .withColumn("created_at", lit(now)) // LocalDateTime → NTZ literal, JVM-tz-proof
       .withColumn("bucket", lit(b))
       .select(schema.fieldNames.map(col): _*)
-    if (!versioning && exists(prm, clientId)) {
+    if (!versioning && exists(prm, clientId, attributesToSet)) {
       // upsert: rewrite ONLY this prm's bucket partition — everything in
-      // the bucket minus this (prm, client), plus the new rows.
+      // the bucket minus the update_or_create match, plus the new rows.
+      val matchCond = attributesToSet.foldLeft(
+        col("prm") === prm && col("client_id") === clientId) {
+        case (c, (k, v)) => c && col(k) === lit(v)
+      }
       val content = load()
         .filter(col("bucket") === b)
-        .filter(!(col("prm") === prm && col("client_id") === clientId))
+        .filter(!matchCond)
         .unionByName(rows)
       overwriteBuckets(content, Seq(b))
     } else rows.write.mode(SaveMode.Append).partitionBy("bucket").parquet(path)
     true
   }
 
-  def exists(prm: String, clientId: Int): Boolean =
-    !loadPrm(prm).filter(col("client_id") === clientId).isEmpty
+  def exists(prm: String, clientId: Int, attributesToSet: Map[String, Any] = Map.empty): Boolean = {
+    var df = loadPrm(prm).filter(col("client_id") === clientId)
+    attributesToSet.foreach { case (k, v) => df = df.filter(col(k) === lit(v)) }
+    !df.isEmpty
+  }
 
   /** Version-combined read (reference `get_lc`, hostore.py:218-268) with
     * the full option surface:
@@ -155,7 +190,7 @@ class VersionedStore(val spark: SparkSession, val path: String, val numBuckets: 
     Lookups.compile(customFilters).foreach(c => df = df.filter(c))
     delaySecs.foreach(d => df = Resample.sliceWithDelay(df, Seq("prm", "client_id", "version"), d))
     if (!combinedVersions)
-      df.select("prm", "client_id", "version", "ts", "value")
+      df.select((Seq("prm", "client_id", "version") ++ extraKeys ++ Seq("ts", "value")).map(col): _*)
     else
       Combine.combineOrdered(df, combinedBy, orderCols(orderBy))
   }

@@ -325,6 +325,41 @@ class VersionedStoreSpec extends SparkSpec {
     assert(st.getLc(pa, 1).collect().isEmpty)
   }
 
+  // Reference set_lc versionning_by + attributes_to_set (hostore.py:321-366):
+  // extra subclass fields fill declared columns; version counters scope to
+  // prm + the versionning_by subset; upsert matches update_or_create keys.
+  test("setLc versioningBy + attributesToSet: scoped versions, attr-matched upsert") {
+    val extra = StructType(Seq(StructField("kind", StringType)))
+    val st = new VersionedStore(spark, tmpDir("vstore"), extraSchema = extra)
+    def put(kind: String, v: Double) = st.setLc("p", 1, series("2024-01-01T00:00", 2, v),
+      versioning = true, versioningBy = Seq("prm", "kind"),
+      attributesToSet = Map("kind" -> kind))
+    put("a", 1.0); put("a", 2.0) // kind=a versions 0, 1
+    put("b", 9.0)                // kind=b starts at its own version 0
+    val raw = st.getLc("p", 1, combinedVersions = false)
+    assert(raw.columns.contains("kind"))
+    val perKind = raw.select("kind", "version").distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(perKind === Set(("a", 0), ("a", 1), ("b", 0)))
+    // combined per (prm, kind): kind=a newest (2.0) wins, kind=b is 9.0
+    val comb = st.getLc("p", 1, combinedBy = Seq("prm", "kind"))
+    assert(comb.filter(col("kind") === "a").collect().map(_.getAs[Double]("value")).toSeq
+      === Seq(2.0, 2.0))
+    // non-versioned upsert matches on (prm, client, kind): only kind=a replaced
+    st.setLc("p", 1, series("2024-01-01T00:00", 2, 7.0), attributesToSet = Map("kind" -> "a"))
+    val after = st.getLc("p", 1, combinedBy = Seq("prm", "kind"))
+    assert(after.filter(col("kind") === "a").collect().map(_.getAs[Double]("value")).toSeq
+      === Seq(7.0, 7.0))
+    assert(after.filter(col("kind") === "b").collect().map(_.getAs[Double]("value")).toSeq
+      === Seq(9.0, 9.0))
+    // unknown attribute refused; versioningBy must include prm
+    assertThrows[IllegalArgumentException](
+      st.setLc("p", 1, series("2024-01-01T00:00", 1, 1.0), attributesToSet = Map("nope" -> 1)))
+    assertThrows[IllegalArgumentException](
+      st.setLc("p", 1, series("2024-01-01T00:00", 1, 1.0), versioning = true,
+        versioningBy = Seq("kind")))
+  }
+
   // Reference find_groups (hostore.py:45-160): groups by merged missing
   // ranges + combined data return with empty prms popped.
   test("findGroups: boundary min_delta, interior gaps, absent/empty prms, data return") {
