@@ -45,36 +45,49 @@ object Resample {
   /** Drop leading/trailing null values per key — keep rows between the
     * first and last non-null timestamp (reference
     * `first_valid_index:last_valid_index`). Interior nulls survive.
+    *
+    * Shape at scale: per-key bounds via ONE partial-aggregating groupBy
+    * (distributed across the series' partitions), joined back — AQE
+    * broadcasts the tiny bounds side, so the fact rows are never
+    * shuffled, sorted, or buffered. The previous whole-partition window
+    * put each key's ENTIRE series in one task — a single hot series of
+    * 100M points would pin one reducer.
     */
   def trimBounds(df: DataFrame, keys: Seq[String], tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
     val validTs = when(col(valueCol).isNotNull, col(tsCol))
-    df.withColumn("__lo", min(validTs).over(w))
-      .withColumn("__hi", max(validTs).over(w))
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(min(validTs).as("__lo"), max(validTs).as("__hi"))
+    df.join(bounds, keys)
       .filter(col(tsCol) >= col("__lo") && col(tsCol) <= col("__hi"))
       .drop("__lo", "__hi")
   }
 
   /** Cut the first `delaySecs` of each key's series, measured from its own
     * first timestamp (reference `slice_with_delay`, applied per version
-    * before combining — hostore.py:262-263).
+    * before combining — hostore.py:262-263). Same agg+join shape as
+    * [[trimBounds]] — no whole-series window.
     */
   def sliceWithDelay(df: DataFrame, keys: Seq[String], delaySecs: Long, tsCol: String = "ts"): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
     val sec = expr("make_dt_interval(0, 0, 0, 1)")
-    df.withColumn("__min_ts", min(col(tsCol)).over(w))
+    val bounds = df.groupBy(keys.map(col): _*).agg(min(col(tsCol)).as("__min_ts"))
+    df.join(bounds, keys)
       .filter(col(tsCol) >= col("__min_ts") + sec * delaySecs)
       .drop("__min_ts")
   }
 
   /** Min-max normalize per key (reference `ts_normalize`): (v-min)/(max-min);
     * constant series → null (pandas yields 0/0 = NaN; we surface SQL null).
+    * Same agg+join shape as [[trimBounds]] — no whole-series window.
     */
   def normalize(df: DataFrame, keys: Seq[String], valueCol: String = "value", outCol: String = "value_norm"): DataFrame = {
-    val w  = Window.partitionBy(keys.map(col): _*)
-    val lo = min(col(valueCol)).over(w)
-    val hi = max(col(valueCol)).over(w)
-    df.withColumn(outCol, when(hi > lo, (col(valueCol) - lo) / (hi - lo)).otherwise(lit(null)))
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(min(col(valueCol)).as("__nlo"), max(col(valueCol)).as("__nhi"))
+    df.join(bounds, keys)
+      .withColumn(outCol,
+        when(col("__nhi") > col("__nlo"),
+          (col(valueCol) - col("__nlo")) / (col("__nhi") - col("__nlo")))
+          .otherwise(lit(null)))
+      .drop("__nlo", "__nhi")
   }
 
   /** Minimum step between consecutive timestamps per key, in exact

@@ -50,6 +50,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(ts") || p.contains("ts#"), p.take(800))
   }
 
+  // trim/normalize/delay must not put a whole series in one window task:
+  // per-key bounds come from a partial-aggregating groupBy joined back
+  // (AQE broadcasts the tiny bounds side at runtime).
+  test("trimBounds/normalize plans: agg+join, no whole-series window") {
+    for (q <- Seq("q_trim_bounds", "q_normalize", "q_delay_slice")) {
+      val p = plan(q)
+      assert(!p.contains("RunningWindowFunction") &&
+        "\\bWindow\\b".r.findFirstIn(p).isEmpty,
+        s"$q: per-key bounds must be an aggregate, not a window\n" + p.take(600))
+    }
+  }
+
   test("combineFirst plan: single aggregate, no window exchange") {
     import spark.implicits._
     val f1 = Seq(("a", java.time.LocalDateTime.parse("2024-01-01T00:00"), Some(1.0))).toDF("k", "ts", "value")
