@@ -498,6 +498,40 @@ class SyncSpec extends SparkSpec {
       st.setManyTs(Seq((0, "a", ldt("2024-01-01T00:00"), 1.0)).toDF("version", "kind", "ts", "value")))
   }
 
+  // Crash-resume (reference test_chunk_timeserie_sync.py:223-261): pages
+  // already imported persist; a fresh pull starts from the local
+  // high-water mark and completes the mirror (gte re-fetches at most the
+  // boundary row).
+  test("crash between pages: partial import + fresh pull = full mirror") {
+    val server = syncStore(); val client = syncStore()
+    // three chunks with DISTINCT updated_at so resume has a real watermark
+    server.setTs(a1, hourly("2024-01-01T00:00", 24, 1.0), update = true, now = t0)
+    server.setTs(a2, hourly("2024-02-01T00:00", 24, 2.0), update = true, now = t0.plusHours(1))
+    server.setTs(Map("version" -> 0, "kind" -> "c"),
+      hourly("2024-03-01T00:00", 24, 3.0), update = true, now = t0.plusHours(2))
+    // simulate a crash after one page: import only the first listed chunk
+    val firstPage = Sync.updates(server, client.lastUpdatedAt()).limit(1)
+    Sync.importChunks(client, Sync.exportChunks(server, firstPage))
+    assert(client.load().select("kind", "chunk_index").distinct().count() === 1)
+    // resume: fresh pull completes the mirror; the already-imported chunk
+    // is at the since-boundary so at most it re-transfers (idempotent)
+    Sync.pull(client, server, pageSize = 1)
+    assert(client.yieldManyTs().count() === server.yieldManyTs().count())
+    assert(client.yieldManyTs().except(server.yieldManyTs()).isEmpty)
+  }
+
+  test("page size never changes the outcome (1 / 2 / 200 parity)") {
+    val server = syncStore()
+    server.setTs(a1, hourly("2024-01-15T00:00", 24 * 40, 1.0), update = true, now = t0) // 2 chunks
+    server.setTs(a2, hourly("2024-01-01T00:00", 24, 2.0), update = true, now = t0)
+    for (ps <- Seq(1, 2, 200)) {
+      val client = syncStore()
+      assert(Sync.pull(client, server, pageSize = ps) === 3)
+      assert(client.yieldManyTs().count() === server.yieldManyTs().count())
+      assert(client.yieldManyTs().except(server.yieldManyTs()).isEmpty)
+    }
+  }
+
   // The updates listing (a full-server-store aggregation) must run ONCE per
   // pull, not once per page — pages slice the staged (localCheckpoint'ed)
   // frame. Counted by executed-plan signature: only the listing aggregates
