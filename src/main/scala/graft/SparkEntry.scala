@@ -531,6 +531,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // similarity — IVF-flat ANN (deterministic md5-sampled centroids,
+    // nprobe cells per query)
+    "q_ivf_topk" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5, nlist = 16, nprobe = 2)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos_sim"), 6).as("cos_sim"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // similarity — LSH-bucketed ANN (scale path; literal plane matrix)
     "q_lsh_topk" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
@@ -1106,6 +1116,49 @@ object SparkEntry {
                   (acc, x) -> (acc * 31 + x) % $P) AS fp
          FROM documents ORDER BY doc_id"""
     },
+
+    "q_ivf_topk" ->
+      """WITH dotv AS (
+           SELECT vec_id, embedding AS v,
+                  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+           FROM embeddings),
+         cents AS (
+           SELECT CAST(vec_id AS VARCHAR) AS cid, v AS cent, n AS cn0
+           FROM dotv WHERE n > 0
+           ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+         cscore AS (
+           SELECT d.vec_id, c.cid AS cell,
+                  row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                    list_sum(list_transform(range(1, len(d.v) + 1),
+                      i -> CAST(d.v[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))) / (d.n * c.cn0) DESC,
+                    c.cid) AS r
+           FROM dotv d CROSS JOIN cents c),
+         cassign AS (SELECT vec_id, cell FROM cscore WHERE r = 1),
+         qscore AS (
+           SELECT d.vec_id AS query_id, c.cid AS cell,
+                  row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                    list_sum(list_transform(range(1, len(d.v) + 1),
+                      i -> CAST(d.v[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE))) / (d.n * c.cn0) DESC,
+                    c.cid) AS r
+           FROM dotv d CROSS JOIN cents c WHERE d.vec_id < 10),
+         qcells AS (SELECT query_id, cell FROM qscore WHERE r <= 2),
+         cand AS (
+           SELECT q.query_id, ca.vec_id
+           FROM qcells q JOIN cassign ca ON ca.cell = q.cell
+           WHERE ca.vec_id <> q.query_id),
+         scored AS (
+           SELECT cand.query_id, cand.vec_id,
+                  list_sum(list_transform(range(1, len(qd.v) + 1),
+                    i -> CAST(qd.v[i] AS DOUBLE) * CAST(cd.v[i] AS DOUBLE))) / (qd.n * cd.n) AS cos
+           FROM cand
+           JOIN dotv qd ON qd.vec_id = cand.query_id
+           JOIN dotv cd ON cd.vec_id = cand.vec_id),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           FROM scored)
+         SELECT query_id, vec_id, round(cos, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "q_lsh_topk" -> {
       import graft.functions.PortableHash.planeInts

@@ -84,6 +84,64 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** IVF-flat ANN (the inverted-file index shape): the corpus is coarse-
+    * quantized into `nlist` centroid cells; each query searches only its
+    * `nprobe` nearest cells with exact cosine. Centroids are a
+    * DETERMINISTIC sample of corpus vectors (md5-ordered ids — no
+    * iterative k-means, no Math.random; re-runs build the identical
+    * index), broadcast everywhere they're used.
+    *
+    * Plan shape at 100 TB: centroid table is tiny (nlist rows) →
+    * broadcast; cell assignment is one narrow pass over the corpus
+    * (broadcast nested loop vs nlist rows + one max_by aggregation); the
+    * probe is an equi-join on cell id — the corpus never cross-joins the
+    * queries, and raising nlist shrinks candidate cells linearly.
+    * Output: (query_id, vec_id, cos_sim, rank).
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 2): DataFrame = {
+    val cents = corpus
+      .select(col(idCol).cast("string").as("__cid"), col(vecCol).as("__cent"))
+      .withColumn("__cn0", sqrt(dot(col("__cent"), col("__cent"))))
+      .filter(col("__cn0") > 0)
+      .orderBy(md5(col("__cid")))
+      .limit(nlist)
+    // nearest centroid per corpus vector (cosine): broadcast the centroid
+    // table, score nlist candidates per row, keep the argmax
+    // (cos desc, cid) ordering makes ties deterministic — exact-duplicate
+    // centroid vectors otherwise make the argmax engine-dependent
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cents))
+        .withColumn("__cos_c",
+          dot(col(vec), col("__cent")) / (sqrt(dot(col(vec), col(vec))) * col("__cn0")))
+      val w = Window.partitionBy(col(id)).orderBy(col("__cos_c").desc, col("__cid"))
+      scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= keep)
+        .select(col(id), col(vec), col("__cid").as("__cell"))
+    }
+    val c = assign(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv")), "vec_id", "__cv", 1)
+      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
+    val q = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")), "query_id", "__qv", nprobe)
+      .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
+    val scored = c.join(broadcast(q), Seq("__cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+    // no dedup needed: a corpus vector lives in exactly one cell, so each
+    // (query, vec) pair joins at most once even with nprobe > 1
+  }
+
   /** LSH-bucketed ANN: join queries to corpus on bucket id (equi-join —
     * shuffle on the short bucket key, not a cross join), then exact cosine
     * + top-k within candidates. Recall < 1 by construction; raise

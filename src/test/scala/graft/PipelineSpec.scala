@@ -137,6 +137,24 @@ class SimilaritySpec extends SparkSpec {
     // vector 1 is near-parallel to 0 → same half-space for almost any plane set
     assert(out.exists(r => r.getLong(1) === 1L))
   }
+
+  test("ivf: near-parallel vectors share a cell; recall matches brute force on them") {
+    // clusters around 3 axes; queries are cluster members
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.01f, 0.0f)), (1L, Array(0.98f, 0.02f, 0.0f)), (2L, Array(0.95f, 0.0f, 0.05f)),
+      (3L, Array(0.0f, 1.0f, 0.01f)), (4L, Array(0.02f, 0.97f, 0.0f)),
+      (5L, Array(0.0f, 0.05f, 0.99f)), (6L, Array(0.01f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // nlist = corpus size → every vector is its own centroid; nprobe=2
+    // guarantees the query's own cell is probed → its nearest neighbor
+    // (same cluster, near-parallel) must be recalled at rank 1
+    val ivf = Similarity.ivfTopK(corpus.filter(col("vec_id").isin(0L, 3L, 5L)), corpus,
+        k = 1, nlist = 7, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bf = Similarity.bruteForceTopK(corpus.filter(col("vec_id").isin(0L, 3L, 5L)), corpus, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ivf === bf)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
