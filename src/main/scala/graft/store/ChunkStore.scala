@@ -162,6 +162,36 @@ class ChunkStore(
     appendRows(finishRows(s, now))
   }
 
+  /** Bulk upsert of MANY series in one job — the multi-series form of
+    * `set_ts(update=True)` and the micro-batch sink primitive for
+    * streaming ingest (graft.streaming.StreamIngest.ingestToStore).
+    * `rows` carries (businessKeys..., ts, value); per (keys, ts) new
+    * points win over existing (`combine_first`), series not present in
+    * `rows` are rewritten verbatim, and only the affected chunk
+    * partitions are touched (staged dynamic overwrite).
+    */
+  def upsertManyTs(
+      rows: DataFrame,
+      now: java.time.LocalDateTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)): Unit = {
+    val s = rows
+      .withColumn("ts", col("ts").cast(TimestampNTZType))
+      .withColumn("value", col("value").cast(DoubleType))
+      .filter(col("value").isNotNull && !isnan(col("value")) && col("ts").isNotNull)
+    if (s.isEmpty) return
+    val newRows  = finishRows(s, now)
+    val affected = newRows.select("chunk_index").distinct().collect().map(_.getInt(0)).toSeq
+    val cur      = load().filter(col("chunk_index").isin(affected: _*))
+    val newKeys  = s.select(keys.map(col): _*).distinct()
+    val mine     = cur.join(newKeys, keys, "left_semi")
+      .filter(!col("is_deleted") && col("ts").isNotNull)
+    val others   = cur.join(newKeys, keys, "left_anti")
+    val merged = Combine.combineFirst(
+      Seq(newRows.select((keys.map(col) :+ col("ts") :+ col("value")): _*),
+          mine.select((keys.map(col) :+ col("ts") :+ col("value")): _*)),
+      keys)
+    overwritePartitions(others.unionByName(finishRows(merged, now)), affected)
+  }
+
   /** Read one series (reference `get_ts`,
     * chunk_timeserie_store.py:375-416): all keys required, tombstones
     * excluded, chunk-range pruning from the requested interval, inclusive

@@ -79,6 +79,30 @@ object StreamIngest {
       }
   }
 
+  /** Continuous ingest into a ChunkStore: each micro-batch merges into
+    * the store with multi-series upsert semantics (new points win,
+    * affected chunk partitions rewritten once per batch) via
+    * `ChunkStore.upsertManyTs`. Exactly-once per batch comes from the
+    * checkpoint + the idempotence of combine_first (re-merging the same
+    * batch is a no-op). The stream carries
+    * (businessKeys..., ts TIMESTAMP, value).
+    */
+  def ingestToStore(
+      stream: DataFrame,
+      store: graft.store.ChunkStore,
+      checkpointDir: String,
+      tsCol: String = "ts",
+      valueCol: String = "value"): StreamingQuery =
+    normalize(stream, tsCol, valueCol)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // event-time TIMESTAMP → the store's NTZ wall time
+        store.upsertManyTs(batch.withColumn(tsCol, col(tsCol).cast("timestamp_ntz")))
+      }
+      .start()
+
   /** Drive a streaming frame from a (finite) source synchronously into an
     * in-memory table — the local smoke harness (`processAllAvailable`).
     */

@@ -49,6 +49,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("continuous ingest into a ChunkStore: batches merge, overlap upserts") {
+    val dir = java.nio.file.Files.createTempDirectory("ingest-src").toString + "/data"
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    def ts(i: Int) = java.sql.Timestamp.valueOf(t0.plusHours(i.toLong))
+    // batch 1: hours 0..5 value 1.0
+    (0 until 6).map(i => ("s1", ts(i), 1.0)).toDF("kind", "ts", "value")
+      .write.parquet(dir)
+    val store = new graft.store.ChunkStore(spark, tmpDir("ingest-store"),
+      StructType(Seq(StructField("kind", StringType))),
+      graft.store.StoreConfig(freq = "1h", tz = "UTC", chunkAxis = graft.store.YearMonthAxis))
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("kind", StringType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamIngest.ingestToStore(stream, store, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(store.getTs(Map("kind" -> "s1")).count() === 6)
+      // batch 2 arrives: overlapping hours 3..8 value 2.0 → upsert wins
+      (3 until 9).map(i => ("s1", ts(i), 2.0)).toDF("kind", "ts", "value")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val out = store.getTs(Map("kind" -> "s1")).orderBy("ts").collect()
+      assert(out.length === 9)
+      assert(out.map(_.getDouble(1)).toSeq === Seq(1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running summary matches batch aggregate") {
     val dir = writeSource()
     val stream = spark.readStream.schema(srcSchema).parquet(dir)
