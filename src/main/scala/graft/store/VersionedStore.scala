@@ -199,6 +199,44 @@ class VersionedStore(
   private def orderCols(orderBy: Seq[String]): Seq[Column] =
     orderBy.map(o => if (o.startsWith("-")) col(o.drop(1)).desc else col(o).asc)
 
+  /** Bulk `set_lc` over a map of series (reference `set_many_lc`,
+    * hostore.py:372-394 — a loop over set_lc; same per-series semantics).
+    * Returns per-prm write outcomes (false = skipped all-null).
+    */
+  def setManyLc(
+      series: Map[String, DataFrame],
+      clientId: Int,
+      versioning: Boolean = false,
+      now: java.time.LocalDateTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)): Map[String, Boolean] =
+    series.map { case (prm, df) => prm -> setLc(prm, clientId, df, versioning, now) }
+
+  /** Per-prm missing periods over the version-combined data in [sd, ed]
+    * at `freqSecs` (reference `find_holes`, hostore.py:162-216): absent
+    * prms yield the whole range; holes widen by `marginSecs`
+    * (freq_margin). ONE Spark job for all prms — the reference chunks the
+    * prm list by 50 to bound client memory, which the DataFrame form
+    * doesn't need. Output: (prm, hole_start, hole_end).
+    */
+  def findHoles(
+      clientId: Int,
+      sd: java.time.LocalDateTime,
+      ed: java.time.LocalDateTime,
+      freqSecs: Long,
+      prms: Option[Seq[String]] = None,
+      marginSecs: Long = 0L,
+      customFilters: Map[String, Any] = Map.empty,
+      combinedBy: Seq[String] = Seq("prm", "client_id"),
+      orderBy: Seq[String] = Seq("-version")): DataFrame = {
+    import spark.implicits._
+    val ps = prms.getOrElse(
+      load().filter(col("client_id") === clientId)
+        .select("prm").distinct().collect().map(_.getString(0)).toSeq)
+    val data = getManyLc(ps, clientId, customFilters = customFilters,
+      combinedBy = combinedBy, orderBy = orderBy)
+    graft.ts.Gaps.holes(data.select("prm", "ts", "value"), Seq("prm"),
+      sd, ed, freqSecs, marginSecs, requestedKeys = Some(ps.toDF("prm")))
+  }
+
   /** Reference `find_groups` (hostore.py:45-160): cluster prms by their
     * missing ranges within [start, end] and ALSO return the combined data,
     * like the reference's `(groups, data)` pair. Per prm, missing =

@@ -325,6 +325,27 @@ class VersionedStoreSpec extends SparkSpec {
     assert(st.getLc(pa, 1).collect().isEmpty)
   }
 
+  // Reference set_many_lc + find_holes (hostore.py:372-394, 162-216).
+  test("setManyLc bulk writes; findHoles: per-prm holes, absent prm = whole range") {
+    val st = new VersionedStore(spark, tmpDir("vstore"))
+    val outcomes = st.setManyLc(Map(
+      "p1" -> series("2024-01-01T02:00", 8, 1.0), // covers 02:00-09:00
+      "p2" -> Seq((java.time.LocalDateTime.parse("2024-01-01T00:00"), Option.empty[Double]))
+        .toDF("ts", "value")), 1) // all-null → skipped
+    assert(outcomes === Map("p1" -> true, "p2" -> false))
+    val hs = st.findHoles(1,
+        java.time.LocalDateTime.parse("2024-01-01T00:00"),
+        java.time.LocalDateTime.parse("2024-01-01T09:00"), 3600L,
+        prms = Some(Seq("p1", "p2")))
+      .collect().map(r => (r.getString(0),
+        r.getAs[java.time.LocalDateTime]("hole_start"),
+        r.getAs[java.time.LocalDateTime]("hole_end"))).toSet
+    def t(s: String) = java.time.LocalDateTime.parse(s)
+    assert(hs === Set(
+      ("p1", t("2024-01-01T00:00"), t("2024-01-01T01:00")), // leading missing slots
+      ("p2", t("2024-01-01T00:00"), t("2024-01-01T09:00")))) // absent → whole range
+  }
+
   // Reference set_lc versionning_by + attributes_to_set (hostore.py:321-366):
   // extra subclass fields fill declared columns; version counters scope to
   // prm + the versionning_by subset; upsert matches update_or_create keys.
