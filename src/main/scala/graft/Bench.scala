@@ -5,7 +5,12 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR. Noise discipline (this VM shows 6x wall-clock
   * variance between identical runs): each query runs `SPARK_GRAFT_REPS`
   * times (default 3) and reports the MINIMUM — the min is the least
-  * contention-biased estimator of true cost. Failures are NOT swallowed:
+  * contention-biased estimator of true cost. Reps are INTERLEAVED
+  * round-robin (rep 1 of every query, then rep 2, ...) so a multi-minute
+  * contention burst on the host cannot cover all reps of any one query —
+  * with back-to-back reps, round 3's driver run recorded min-of-3 times
+  * 40x the quiet cost because one burst spanned the whole triple.
+  * Failures are NOT swallowed:
   * a failing query is reported with value -1 in the JSON and the process
   * exits non-zero, so a broken query can never read as a fast pass.
   * A `floor_ms` host-sanity metric (median of 5 trivial 1M-row range
@@ -43,19 +48,25 @@ object Bench {
     }
     val floorBefore = floorMs()
 
-    var failed = List.empty[String]
-    var flaky  = List.empty[String] // succeeded at least once but not every rep
-    var repOk  = Map.empty[String, Int]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (0 until reps).flatMap { _ =>
+    val queries = SparkEntry.queries.toSeq
+    val samples = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+    (0 until reps).foreach { _ =>
+      queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9)
+        try {
+          fn(spark, sfDir).count()
+          samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-            None
         }
       }
+    }
+    var failed = List.empty[String]
+    var flaky  = List.empty[String] // succeeded at least once but not every rep
+    var repOk  = Map.empty[String, Int]
+    val results = queries.map { case (name, _) =>
+      val times = samples(name)
       repOk += name -> times.length
       if (times.isEmpty) { failed ::= name; name -> -1.0 }
       else {
@@ -63,7 +74,7 @@ object Bench {
         if (times.length < reps) flaky ::= name
         name -> times.min
       }
-    }
+    }.toMap
     val floorAfter = floorMs()
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -71,7 +82,14 @@ object Bench {
     val oks = repOk.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_ok":$oks,"sf":"$sfDir","reps":$reps,"floor_ms_before":$floorBefore,"floor_ms_after":$floorAfter,"n_failed":${failed.length},"n_flaky":${flaky.length}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_ok":$oks,"sf":"$sfDir","reps":$reps,"floor_ms_before":$floorBefore,"floor_ms_after":$floorAfter,"n_failed":${failed.length},"n_flaky":${flaky.length}}"""
+    println(line)
+    // Also persist the line: sbt appends its own "[success]" line after our
+    // stdout, which has broken the harness's last-line JSON parse in every
+    // round so far ("parsed": null) — a file copy is parse-proof.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => }
     spark.stop()
     if (flaky.nonEmpty)
       System.err.println(s"[bench] ${flaky.length} queries passed only some reps: ${flaky.reverse.mkString(", ")}")

@@ -27,8 +27,17 @@ object PortableHash {
   /** 2^31 - 1, the Mersenne prime used for all modular arithmetic. */
   val P: Long = 2147483647L
 
-  /** 60-bit portable hash of a string column (codegen'd md5 + conv). */
-  def hash60(c: Column): Column =
+  /** 60-bit portable hash of a string column — native codegen expression
+    * ([[graft.functions.Hash60]]): md5 digest bytes straight to a long,
+    * no 32-char hex string / substring / base-16 conv in the hot loop.
+    */
+  def hash60(c: Column): Column = Hash60.hash60(c)
+
+  /** Composed built-in formulation of [[hash60]] — the portability
+    * cross-check PortableHashSpec pins the native expression against
+    * (this chain is what the DuckDB oracle twin mirrors in SQL).
+    */
+  def hash60Builtin(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Base hash reduced into [0, P): safe factor for modular products. */

@@ -114,8 +114,11 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 4): DataFrame = {
     import graft.functions.PortableHash
+    // hash before materializing: the checkpoint carries (id, long), never
+    // the shingle strings — at corpus scale the string column is the bulk
+    // of the exploded table's bytes and no later stage reads it
     val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
-      .withColumn("__b", PortableHash.hashMod(col("shingle")))
+      .select(col("id"), PortableHash.hashMod(col("shingle")).as("__b"))
       .localCheckpoint() // shared by sets+sig; GC-reclaimed, no cache pin
     // per-doc shingle-hash set (docs are bounded; the SET is, too)
     val sets = ex.groupBy("id").agg(collect_set(col("__b")).as("hs"))
