@@ -156,7 +156,7 @@ object SparkEntry {
         when(col("l_tax") > 0.06, lit(null)).otherwise(col("l_extendedprice")).as("value"))
       val uniq = li.filter(graft.store.Lookups.compileOne("version__gte", 2))
         .groupBy("l_orderkey", "version", "ts").agg(max(col("value")).as("value"))
-      Combine.combineOrdered(uniq, Seq("l_orderkey"), Seq(col("version").asc), "ts", "value")
+      Combine.combineOrdered(uniq, Seq("l_orderkey"), Seq("version" -> true), "ts", "value")
         .orderBy("l_orderkey", "ts")
     }),
 

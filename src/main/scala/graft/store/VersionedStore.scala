@@ -195,9 +195,9 @@ class VersionedStore(
       Combine.combineOrdered(df, combinedBy, orderCols(orderBy))
   }
 
-  /** Django `order_by` tokens → sort columns (`"-version"` = descending). */
-  private def orderCols(orderBy: Seq[String]): Seq[Column] =
-    orderBy.map(o => if (o.startsWith("-")) col(o.drop(1)).desc else col(o).asc)
+  /** Django `order_by` tokens → (column, ascending) (`"-version"` = desc). */
+  private def orderCols(orderBy: Seq[String]): Seq[(String, Boolean)] =
+    orderBy.map(o => if (o.startsWith("-")) (o.drop(1), false) else (o, true))
 
   /** Bulk `set_lc` over a map of series (reference `set_many_lc`,
     * hostore.py:372-394 — a loop over set_lc; same per-series semantics).

@@ -65,23 +65,46 @@ object Combine {
       versionCol: String,
       tsCol: String = "ts",
       valueCol: String = "value"): DataFrame =
-    combineOrdered(df, combinedBy, Seq(col(versionCol).desc), tsCol, valueCol)
+    combineOrdered(df, combinedBy, Seq(versionCol -> false), tsCol, valueCol)
 
-  /** Generalized version-combine: fold order given by arbitrary entry-level
-    * sort columns — the reference's `order_by=('-version',)` knob on
-    * `get_lc` (hostore.py:240,258-267: queryset order IS the combine_first
-    * fold order). The order columns must be constant within an entry (a
-    * stored blob row), e.g. version / created_at — same granularity the
-    * reference orders at.
+  /** Generalized version-combine: fold order given by entry-level order
+    * columns — the reference's `order_by=('-version',)` knob on `get_lc`
+    * (hostore.py:240,258-267: queryset order IS the combine_first fold
+    * order). The order columns must be constant within an entry (a stored
+    * blob row), e.g. version / created_at — same granularity the
+    * reference orders at. `orderKeys` = (column name, ascending).
+    *
+    * Scale shape: the fold priority is NOT a window over the data — a
+    * window partitioned by `combinedBy` alone would sort every row of a
+    * hot series in ONE task (AQE splits skewed joins, never skewed
+    * windows; one 100M-point series = one straggler). Instead the
+    * DISTINCT (group, order) entry tuples — series x versions, tiny
+    * relative to points — are ranked, and the priority joins back on a
+    * null-safe equi-join that AQE can broadcast when small and
+    * skew-split when a series runs hot. The final aggregation keys on
+    * (combinedBy, ts), which hash-distributes a hot series across
+    * reducers by timestamp — no salting needed anywhere in the path.
     */
   def combineOrdered(
       df: DataFrame,
       combinedBy: Seq[String],
-      order: Seq[Column],
+      orderKeys: Seq[(String, Boolean)],
       tsCol: String = "ts",
       valueCol: String = "value"): DataFrame = {
-    val w = Window.partitionBy(combinedBy.map(col): _*).orderBy(order: _*)
-    val prio = df.withColumn("__prio", dense_rank().over(w).cast("long"))
+    val ordNames = orderKeys.map(_._1).filterNot(combinedBy.contains)
+    val sortCols = orderKeys.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
+    val keyNames = combinedBy ++ ordNames
+    // distinct entry tuples: row_number here == dense_rank on the full
+    // frame (tuples tying on every order column are the same tuple)
+    val entries = df.select(keyNames.map(col): _*).distinct()
+    val w = Window.partitionBy(combinedBy.map(col): _*).orderBy(sortCols: _*)
+    // rename the rank side's keys so the self-join is unambiguous
+    val ranked = entries.withColumn("__prio", row_number().over(w).cast("long"))
+      .select(keyNames.map(k => col(k).as(s"__rk_$k")) :+ col("__prio"): _*)
+    // null-safe on every key: entry rows with NULL order values still rank
+    val joinCond = keyNames.map(k => col(k) <=> col(s"__rk_$k")).reduce(_ && _)
+    val prio = df.join(ranked, joinCond)
+      .drop(keyNames.map(k => s"__rk_$k"): _*)
     prio.groupBy((combinedBy.map(col) :+ col(tsCol)): _*)
       .agg(firstNonNullByPriority(col(valueCol), col("__prio")).as(valueCol))
   }

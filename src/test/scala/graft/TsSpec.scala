@@ -100,6 +100,46 @@ class CombineSpec extends SparkSpec {
     val out = Combine.combineVersions(df, Seq("prm"), "version").orderBy("ts").collect()
     assert(out.map(r => Option(r.get(2))).toSeq === Seq(Some(1.0), Some(99.0), None))
   }
+
+  test("combineOrdered: rank-join path keeps dense-rank ties and NULL order values") {
+    import spark.implicits._
+    // two rows share version 1 (a tie must NOT split their priority), and
+    // one entry has a NULL version (must still rank — null-safe join)
+    val df = Seq(
+      ("p", Some(1), "2024-01-01T00:00", Some(10.0)),
+      ("p", Some(1), "2024-01-01T01:00", Some(11.0)),
+      ("p", Some(2), "2024-01-01T01:00", Some(99.0)),
+      ("p", None: Option[Int], "2024-01-01T02:00", Some(7.0)))
+      .map { case (k, v, t, x) => (k, v, java.time.LocalDateTime.parse(t), x) }
+      .toDF("prm", "version", "ts", "value")
+    // asc order, nulls first (Spark default): NULL entry is priority 1 but
+    // only contributes where nothing else has data (02:00)
+    val out = Combine.combineOrdered(df, Seq("prm"), Seq("version" -> true))
+      .orderBy("ts").collect()
+    assert(out.map(_.getDouble(2)).toSeq === Seq(10.0, 11.0, 7.0))
+    // desc: version 2 wins its ts, version-1 rows fill the rest
+    val outD = Combine.combineOrdered(df, Seq("prm"), Seq("version" -> false))
+      .orderBy("ts").collect()
+    assert(outD.map(_.getDouble(2)).toSeq === Seq(10.0, 99.0, 7.0))
+  }
+
+  test("combineOrdered plan: no window over the data frame (only over distinct entries)") {
+    import spark.implicits._
+    val df = Seq(("p", 1, java.time.LocalDateTime.parse("2024-01-01T00:00"), 1.0))
+      .toDF("prm", "version", "ts", "value")
+    val plan = Combine.combineOrdered(df, Seq("prm"), Seq("version" -> false))
+      .queryExecution.optimizedPlan
+    // the Window must rank entry tuples only — its input carrying ts/value
+    // would mean it sorts the raw rows (the hot-series straggler shape)
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(wins.nonEmpty, s"expected a rank window in plan:\n$plan")
+    wins.foreach { w =>
+      val in = w.child.output.map(_.name).toSet
+      assert(!in.contains("ts") && !in.contains("value"),
+        s"window input must be entry tuples, got $in in plan:\n$plan")
+    }
+  }
 }
 
 class GapsSpec extends SparkSpec {
