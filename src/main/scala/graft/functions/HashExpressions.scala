@@ -27,17 +27,25 @@ case class Hash60(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      // binary too: SQL md5(string) carries an implicit string->binary
+      // cast, so the NativeHashRewrite capture can hand us either type
+      case StringType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"hash60 expects string, got $dt")
+        s"hash60 expects string or binary, got $dt")
     }
 
-  override def nullSafeEval(input: Any): Any =
-    java.lang.Long.valueOf(Hash60.hashBytes(input.asInstanceOf[UTF8String].getBytes))
+  override def nullSafeEval(input: Any): Any = java.lang.Long.valueOf(Hash60.hashBytes(
+    input match {
+      case s: UTF8String => s.getBytes
+      case b: Array[Byte] => b
+    }))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.Hash60.hashBytes($c.getBytes());")
+    nullSafeCodeGen(ctx, ev, c => child.dataType match {
+      case StringType => s"${ev.value} = graft.functions.Hash60.hashBytes($c.getBytes());"
+      case _          => s"${ev.value} = graft.functions.Hash60.hashBytes($c);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
