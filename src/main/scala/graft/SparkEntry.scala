@@ -490,6 +490,22 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // timeseries alignment — backward as-of join with tolerance: each
+    // click gets the latest preceding view value within 6h (graft.ts.Asof:
+    // union + one keyed window, no range join)
+    "q_asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("view_value"))
+      graft.ts.Asof.asofJoin(clicks, views, Seq("user_id"), "ts",
+          rightCols = Seq("view_value"), toleranceSecs = Some(6 * 3600L))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("view_value"), 6).as("view_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // similarity — exact brute-force cosine top-k (ANN baseline)
     "q_cosine_topk" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
@@ -1011,6 +1027,23 @@ object SparkEntry {
                 round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS ma5
          FROM events ORDER BY user_id, event_id""",
+
+    // DuckDB has a native ASOF LEFT JOIN; ts is cast to microseconds so
+    // both engines compare the same truncation (Spark reads the NANOS
+    // fixture via `ts div 1000`)
+    "q_asof_join" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         clicks AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'click'),
+         views AS (
+           SELECT user_id, ts, max(value) AS view_value
+           FROM ev WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT c.user_id, c.event_id, c.ts,
+                CASE WHEN v.ts IS NOT NULL AND c.ts <= v.ts + INTERVAL 6 HOUR
+                     THEN round(v.view_value, 6) END AS view_value
+         FROM clicks c ASOF LEFT JOIN views v
+           ON c.user_id = v.user_id AND c.ts >= v.ts
+         ORDER BY c.user_id, c.event_id""",
 
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -187,16 +187,21 @@ object Dedup {
     // shuffle key (the reference hash for the same band bytes in any
     // engine), cheaper to shuffle than the slice itself.
     val banded = sig.select(
-      col("id"), col("sig"),
+      col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws(",",
           transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val l = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"), col("band_hash"))
-    val r = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"), col("band_hash"))
+    // the dup-pair explosion (docs sharing several bands) flows through
+    // the DISTINCT — keep that shuffle narrow (two ids), then join the
+    // signatures back from the checkpointed sig table for verification
+    val l = banded.select(col("id").as("id_a"), col("band"), col("band_hash"))
+    val r = banded.select(col("id").as("id_b"), col("band"), col("band_hash"))
     val cand = l.join(r, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .select("id_a", "id_b").distinct()
     cand
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("sig_sim",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)).cast("double")
           / size(col("sig_a")))

@@ -1,0 +1,76 @@
+package graft.ts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — attach to each left row the nearest right row at or
+  * before (backward) / at or after (forward) its timestamp, per key,
+  * optionally within a tolerance. The canonical timeseries-alignment
+  * operator (pandas `merge_asof`; the reference aligns series onto
+  * reference profiles the same way in `utils/timeseries.py`'s
+  * interpolation/upsample helpers — this generalizes that shape to any
+  * two keyed frames).
+  *
+  * Spark-first plan: NO range join, NO per-row subquery — tag both
+  * sides, union, and run ONE window per key ordered by (ts, side) with a
+  * running `last(ignoreNulls)` over the right payload: a single shuffle
+  * on the key, linear scan per partition. The window partitions by the
+  * series key alone, so a single hot series serializes into one task —
+  * inherent to ordered-alignment semantics (same bound as the reference's
+  * per-series pandas ops); sub-key parallelism would need range
+  * repartitioning with boundary handoff, which the union trick trades
+  * away for zero extra passes.
+  *
+  * Right rows should be unique per (keys, ts) — ties are broken
+  * arbitrarily (pre-aggregate the right side to make them deterministic).
+  * Left/right non-key column names must not clash.
+  */
+object Asof {
+
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String = "ts",
+      rightCols: Seq[String] = Seq("value"),
+      toleranceSecs: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward", s"bad direction $direction")
+    val backward = direction == "backward"
+    val leftExtra = left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    val l2 = left.select(
+      (keys :+ tsCol).map(col) ++ Seq(lit(1).as("__side")) ++ leftExtra.map(col): _*)
+    val r2 = right.select(
+      (keys :+ tsCol).map(col) ++ Seq(
+        lit(0).as("__side"),
+        struct(col(tsCol).as("__rt") +: rightCols.map(col): _*).as("__rp")): _*)
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    // ordering puts right rows at an equal timestamp inside the frame of
+    // a left row at that timestamp (inclusive match on both directions)
+    val w =
+      if (backward)
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(tsCol).asc, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(tsCol).asc, col("__side").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pick =
+      if (backward) last(col("__rp"), ignoreNulls = true).over(w)
+      else first(col("__rp"), ignoreNulls = true).over(w)
+    val m = u.withColumn("__m", pick).filter(col("__side") === 1)
+    val bounded = toleranceSecs match {
+      case Some(s) =>
+        val ok =
+          if (backward) col(tsCol) <= col("__m.__rt") + expr(s"INTERVAL '$s' SECOND")
+          else col("__m.__rt") <= col(tsCol) + expr(s"INTERVAL '$s' SECOND")
+        m.withColumn("__m", when(col("__m").isNotNull && ok, col("__m")))
+      case None => m
+    }
+    bounded.select(
+      (keys :+ tsCol).map(col) ++ leftExtra.map(col)
+        ++ rightCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
+}

@@ -123,6 +123,36 @@ class CombineSpec extends SparkSpec {
     assert(outD.map(_.getDouble(2)).toSeq === Seq(10.0, 99.0, 7.0))
   }
 
+  test("asofJoin backward: nearest preceding incl equal ts, tolerance, no-match null") {
+    import spark.implicits._
+    val left = Seq(("k", "2024-01-01T00:30"), ("k", "2024-01-01T02:00"),
+        ("k", "2024-01-01T09:00"), ("j", "2024-01-01T00:10"))
+      .map { case (k, t) => (k, java.time.LocalDateTime.parse(t)) }.toDF("key", "ts")
+    val right = Seq(("k", "2024-01-01T00:30", 1.0), ("k", "2024-01-01T01:00", 2.0))
+      .map { case (k, t, v) => (k, java.time.LocalDateTime.parse(t), v) }
+      .toDF("key", "ts", "v")
+    val out = Asof.asofJoin(left, right, Seq("key"), "ts", Seq("v"),
+      toleranceSecs = Some(3600L)).orderBy("key", "ts").collect()
+    // j@00:10 -> no right rows for key j -> null
+    // k@00:30 -> equal-ts right row matches (inclusive)
+    // k@02:00 -> 01:00 row within 1h tolerance
+    // k@09:00 -> nearest is 01:00 but 8h away -> nulled by tolerance
+    assert(out.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq ===
+      Seq(None, Some(1.0), Some(2.0), None))
+  }
+
+  test("asofJoin forward: nearest following incl equal ts") {
+    import spark.implicits._
+    val left = Seq(("k", "2024-01-01T00:30"), ("k", "2024-01-01T01:30"))
+      .map { case (k, t) => (k, java.time.LocalDateTime.parse(t)) }.toDF("key", "ts")
+    val right = Seq(("k", "2024-01-01T00:30", 1.0), ("k", "2024-01-01T02:00", 2.0))
+      .map { case (k, t, v) => (k, java.time.LocalDateTime.parse(t), v) }
+      .toDF("key", "ts", "v")
+    val out = Asof.asofJoin(left, right, Seq("key"), "ts", Seq("v"),
+      direction = "forward").orderBy("ts").collect()
+    assert(out.map(_.getDouble(2)).toSeq === Seq(1.0, 2.0))
+  }
+
   test("combineOrdered plan: no window over the data frame (only over distinct entries)") {
     import spark.implicits._
     val df = Seq(("p", 1, java.time.LocalDateTime.parse("2024-01-01T00:00"), 1.0))
