@@ -490,6 +490,23 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // interval alignment — binned range join: purchases attributed to the
+    // 2h attribution window of each view (graft.ts.Intervals.rangeJoin:
+    // interval->bin explode + equi-join, never a nested-loop BETWEEN join)
+    "q_range_join" -> ((s, d) => {
+      val base = events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val views = base.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts_us").as("start_us"), (col("ts_us") + lit(7200000000L)).as("end_us"))
+      graft.ts.Intervals.rangeJoin(purchases, views, Seq("user_id"),
+          "ts_us", "start_us", "end_us", binWidth = 3600000000L)
+        .select(col("user_id"), col("event_id"), col("view_id"))
+        .orderBy("user_id", "event_id", "view_id")
+    }),
+
     // timeseries alignment — backward as-of join with tolerance: each
     // click gets the latest preceding view value within 6h (graft.ts.Asof:
     // union + one keyed window, no range join)
@@ -1027,6 +1044,20 @@ object SparkEntry {
                 round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS ma5
          FROM events ORDER BY user_id, event_id""",
+
+    "q_range_join" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+           FROM events),
+         p AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, event_id AS view_id, ts_us AS start_us,
+                      ts_us + 7200000000 AS end_us
+               FROM ev WHERE event_type = 'view')
+         SELECT p.user_id, p.event_id, v.view_id
+         FROM p JOIN v
+           ON p.user_id = v.user_id AND p.ts_us BETWEEN v.start_us AND v.end_us
+         ORDER BY 1, 2, 3""",
 
     // DuckDB has a native ASOF LEFT JOIN; ts is cast to microseconds so
     // both engines compare the same truncation (Spark reads the NANOS

@@ -82,4 +82,42 @@ object Intervals {
         count(lit(1)).as("n_merged"))
       .drop("__island")
   }
+
+  /** Point-in-interval range join: each point row (keys, ptCol) matched to
+    * every interval row (keys, startCol, endCol) with start <= pt <= end.
+    *
+    * Spark plans a raw BETWEEN join predicate as a broadcast-nested-loop /
+    * cartesian — O(points x intervals) comparisons per key, the classic
+    * 100 TB trap. This is the binned equi-join instead: intervals explode
+    * into the fixed-width bins they cover, points compute their single
+    * bin, and the join runs on (keys, bin) with the exact BETWEEN check as
+    * a post-filter — shuffle keys stay short, AQE can skew-split hot bins,
+    * and cost is O(matches + intervals x avg_bins). `binWidth` trades
+    * interval fan-out against bin selectivity: pick ~ the median interval
+    * length (an interval explodes into len/binWidth + 1 bins; all points
+    * in a bin compare against only that bin's intervals).
+    *
+    * Output: every point column + the interval's (startCol, endCol) — one
+    * row per (point, matching interval); points matching nothing drop
+    * (inner semantics).
+    */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      ptCol: String,
+      startCol: String = "start",
+      endCol: String = "end",
+      binWidth: Long = 3600L): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    // integer `div` (not double /): exact, and monotone — any pt in
+    // [start, end] lands in a bin the interval covers, so the equi-join
+    // never loses a match and the BETWEEN post-filter is exact
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(expr(s"$startCol div $binWidth"), expr(s"$endCol div $binWidth"))))
+    val pts = points.withColumn("__bin", expr(s"$ptCol div $binWidth"))
+    pts.join(binned, keys :+ "__bin")
+      .filter(col(startCol) <= col(ptCol) && col(ptCol) <= col(endCol))
+      .drop("__bin")
+  }
 }

@@ -261,6 +261,26 @@ class GapsSpec extends SparkSpec {
 class IntervalsSpec extends SparkSpec {
   import Intervals.Range
 
+  test("rangeJoin: inclusive bounds, multi-bin intervals, negative axis, no cross join") {
+    import spark.implicits._
+    val pts = Seq(("k", 0L, "p0"), ("k", 10L, "p10"), ("k", 25L, "p25"),
+        ("k", -12L, "pm12"), ("j", 10L, "j10"))
+      .toDF("key", "pt", "pid")
+    val iv = Seq(("k", 0L, 10L, "a"), ("k", 8L, 30L, "b"), ("k", -15L, -11L, "c"))
+      .toDF("key", "start", "end", "iid")
+    val out = Intervals.rangeJoin(pts, iv, Seq("key"), "pt", binWidth = 7L)
+      .select("pid", "iid").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // p0 in a (start-inclusive), p10 in a (end-inclusive) AND b,
+    // p25 in b (interval spans several 7-wide bins), pm12 in c (negatives),
+    // j10 matches nothing (different key)
+    assert(out === Set(("p0", "a"), ("p10", "a"), ("p10", "b"), ("p25", "b"), ("pm12", "c")))
+    // plan sanity: binned equi-join, not a nested-loop cartesian
+    val plan = Intervals.rangeJoin(pts, iv, Seq("key"), "pt", binWidth = 7L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must not plan a nested loop:\n$plan")
+  }
+
   test("Range algebra: overlap/intersection/includes") {
     assert(Range(0, 10).overlaps(Range(5, 15)))
     assert(!Range(0, 10).overlaps(Range(11, 15)))
