@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.ts.{Combine, Gaps, Grid, Intervals, Resample}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -555,6 +555,18 @@ object SparkEntry {
       Dedup.simhashPairs(table(s, d, "documents"), "doc_id", "text", maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // sampling — deterministic stratified sample + stable shard
+    // assignment (portable hash membership: rerun/repartition/engine-
+    // proof, unlike DataFrame.sample)
+    "q_sample_shard" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 0.5), defaultFraction = 0.2)
+      Sampling.shardAssign(sampled, "doc_id", numShards = 8)
+        .select(col("doc_id"), col("lang"), col("shard"))
+        .orderBy("doc_id")
     }),
 
     // text analysis — rolling-hash fingerprints (portable token hash)
@@ -1168,6 +1180,16 @@ object SparkEntry {
            FROM bands a JOIN bands b ON a.band = b.band AND a.bb = b.bb AND a.id < b.id)
          SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b"""
+    },
+
+    "q_sample_shard" -> {
+      import graft.functions.PortableHash.sqlHashMod
+      val score = Sampling.sqlHashScore("doc_id", "sample")
+      s"""SELECT doc_id, lang,
+                (${sqlHashMod("('shard:' || CAST(doc_id AS VARCHAR))")} % 8) AS shard
+         FROM documents
+         WHERE $score < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END
+         ORDER BY doc_id"""
     },
 
     "q_fingerprint" -> {

@@ -79,6 +79,43 @@ object StreamIngest {
       }
   }
 
+  final case class GapAlert(key: String, gapStart: java.sql.Timestamp,
+      gapEnd: java.sql.Timestamp, gapSecs: Long)
+
+  /** Streaming gap monitor — the streaming analogue of the reference's
+    * `find_holes`/`check_ts_completeness` (hostore.py:120-160,
+    * utils/timeseries.py:26-60): per series, emit an alert whenever the
+    * delta between consecutive event-time points exceeds
+    * `expectedEverySecs`. `flatMapGroupsWithState` keeps ONE timestamp
+    * per key (bounded state; no per-point buffering) and emits zero or
+    * more alerts per batch. Points must arrive per-key in event-time
+    * order within a batch (sortWithinPartitions upstream, or accept
+    * batch-granularity ordering, as the tests pin).
+    */
+  def gapMonitor(points: Dataset[Point], expectedEverySecs: Long): Dataset[GapAlert] = {
+    import points.sparkSession.implicits._
+    val maxGapMs = expectedEverySecs * 1000L
+    points
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[java.sql.Timestamp, GapAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[java.sql.Timestamp]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val alerts = scala.collection.mutable.ListBuffer.empty[GapAlert]
+          var last = state.getOption
+          sorted.foreach { p =>
+            last.foreach { prev =>
+              val gapMs = p.ts.getTime - prev.getTime
+              if (gapMs > maxGapMs)
+                alerts += GapAlert(key, prev, p.ts, gapMs / 1000L)
+            }
+            last = Some(p.ts)
+          }
+          last.foreach(state.update)
+          alerts.iterator
+      }
+  }
+
   /** Continuous ingest into a ChunkStore: each micro-batch merges into
     * the store with multi-series upsert semantics (new points win,
     * affected chunk partitions rewritten once per batch) via

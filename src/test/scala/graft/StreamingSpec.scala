@@ -98,4 +98,24 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState gap monitor flags deltas over the expected frequency") {
+    // k0: points every 2 min with one 10-min hole; k1: regular, no holes
+    val dir = java.nio.file.Files.createTempDirectory("gap-src").toString + "/data"
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    def ts(i: Int) = java.sql.Timestamp.valueOf(t0.plusMinutes(i.toLong))
+    val k0 = Seq(0, 2, 4, 14, 16).map(i => ("k0", ts(i), Some(i.toDouble)))
+    val k1 = (0 until 10).map(i => ("k1", ts(2 * i), Some(i.toDouble)))
+    (k0 ++ k1).toDF("key", "ts", "value").write.parquet(dir)
+    val stream = spark.readStream.schema(srcSchema).parquet(dir)
+    val pts = StreamIngest.normalize(stream).as[StreamIngest.Point]
+    val q = StreamIngest.runToMemory(
+      StreamIngest.gapMonitor(pts, expectedEverySecs = 120L).toDF(),
+      "gaps", OutputMode.Append())
+    try {
+      val alerts = spark.table("gaps").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      assert(alerts.toSeq === Seq(("k0", ts(4), ts(14), 600L)))
+    } finally q.stop()
+  }
 }
