@@ -270,6 +270,25 @@ class ChunkStore(
     parts.length
   }
 
+  /** Policy form of [[compact]]: rewrite only the chunk partitions whose
+    * parquet-file count exceeds `maxFilesPerPartition` (append-mode
+    * writes add a file per touched partition; streaming ingest compounds
+    * it batch after batch). File counts come from a cheap directory
+    * listing — no data scan for partitions already compact. Explicit
+    * call, not a write hook: schedule it after bulk loads / on a timer
+    * next to a streaming ingest. Returns the partitions compacted.
+    */
+  def compactIfNeeded(maxFilesPerPartition: Int = 8): Seq[Int] = {
+    require(maxFilesPerPartition >= 1, "maxFilesPerPartition must be >= 1")
+    val parts = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("chunk_index="))
+      .filter(d => Option(d.listFiles()).toSeq.flatten
+        .count(_.getName.endsWith(".parquet")) > maxFilesPerPartition)
+      .map(_.getName.stripPrefix("chunk_index=").toInt)
+    if (parts.nonEmpty) compact(Some(parts))
+    parts
+  }
+
   /** Latest non-null timestamp across matching series, None when empty
     * (reference `get_max_horodate`, chunk_timeserie_store.py:519-539).
     * Restricts to the max chunk first — partition pruning makes the scan

@@ -140,6 +140,25 @@ object StreamIngest {
       }
       .start()
 
+  /** Stream-static enrichment: join a live point stream against a
+    * versioned-store snapshot (e.g. the latest reference profile per
+    * series from `VersionedStore.getManyLc`, aggregated to ONE row per
+    * key — a keyed join against a multi-row snapshot would fan out the
+    * stream). The static side is a plain DataFrame — Spark re-plans it
+    * per micro-batch, so a broadcastable snapshot costs no stream-side
+    * shuffle.
+    * Left join: points with no reference survive with a NULL enrichment
+    * (the monitoring shape — you alert on them, not drop them).
+    */
+  def enrichWithSnapshot(
+      stream: DataFrame,
+      snapshot: DataFrame,
+      keys: Seq[String],
+      enrichCols: Seq[String]): DataFrame = {
+    val snap = snapshot.select((keys ++ enrichCols).map(col): _*)
+    stream.join(snap, keys, "left")
+  }
+
   /** Drive a streaming frame from a (finite) source synchronously into an
     * in-memory table — the local smoke harness (`processAllAvailable`).
     */

@@ -231,6 +231,32 @@ class ChunkStoreSpec extends SparkSpec {
     assert(st.yieldManyTs().count() === rowsBefore) // readers see the same rows
   }
 
+  test("compactIfNeeded: only partitions over the file threshold rewrite") {
+    val dir = tmpDir("chunk")
+    val st = new ChunkStore(spark, dir, keySchema,
+      StoreConfig(freq = "1h", tz = "UTC", chunkAxis = YearMonthAxis))
+    // Jan chunk: 4 appends (many files); Feb chunk: 1 append (compact already)
+    for (i <- 0 until 4)
+      st.setTs(Map("version" -> 0, "kind" -> s"k$i"),
+        hourly("2024-01-01T00:00", 6, j => Some(j.toDouble)), now = now0.plusHours(i))
+    st.setTs(Map("version" -> 0, "kind" -> "feb"),
+      hourly("2024-02-01T00:00", 6, j => Some(j.toDouble)), now = now0)
+    def files(prefix: String) = new java.io.File(dir).listFiles()
+      .find(_.getName == prefix).get.listFiles().count(_.getName.endsWith(".parquet"))
+    val febDir = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("chunk_index=")).map(_.getName).sorted
+    assert(febDir.length === 2)
+    val Seq(jan, feb) = febDir.toSeq
+    val febBefore = files(feb)
+    val rowsBefore = st.yieldManyTs().count()
+    val compacted = st.compactIfNeeded(maxFilesPerPartition = 2)
+    assert(compacted.length === 1) // only the Jan partition crossed the threshold
+    assert(files(jan) === 1)
+    assert(files(feb) === febBefore) // untouched partition keeps its files
+    assert(st.yieldManyTs().count() === rowsBefore)
+    assert(st.compactIfNeeded(maxFilesPerPartition = 2) === Seq.empty) // idempotent
+  }
+
   // Django __-lookup matrix on yield_many_ts filters (reference
   // `_check_attrs` strips suffixes, chunk_timeserie_store.py:889-899).
   test("yieldManyTs: __-lookup filters (gte/lt/in); unknown base field raises") {

@@ -118,4 +118,21 @@ class StreamingSpec extends SparkSpec {
       assert(alerts.toSeq === Seq(("k0", ts(4), ts(14), 600L)))
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins a snapshot; missing keys survive with NULL") {
+    val dir = writeSource() // keys k0/k1
+    val stream = spark.readStream.schema(srcSchema).parquet(dir)
+    val snapshot = Seq(("k0", 100.0)).toDF("key", "ref_level") // k1 absent
+    val enriched = StreamIngest.enrichWithSnapshot(
+      StreamIngest.normalize(stream), snapshot, Seq("key"), Seq("ref_level"))
+    val q = StreamIngest.runToMemory(enriched, "enriched", OutputMode.Append())
+    try {
+      val rows = spark.table("enriched")
+        .groupBy("key").agg(count(lit(1)).as("n"), max("ref_level").as("ref"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), Option(r.get(2)))).toMap
+      assert(rows("k0")._2 === Some(100.0))
+      assert(rows("k1")._2 === None)   // left join keeps unmatched keys
+      assert(rows("k0")._1 > 0 && rows("k1")._1 > 0)
+    } finally q.stop()
+  }
 }
