@@ -79,6 +79,28 @@ object StreamIngest {
       }
   }
 
+  /** Streaming sessionization — the streaming analogue of the batch
+    * `q_sessionize` gap-split segmentation: Spark's native
+    * `session_window` merges events into variable-length sessions closed
+    * after `gap` of event-time silence; the watermark bounds session
+    * state. Output (append mode, emitted once a session can no longer
+    * grow): key, session start/end, event count, value sum.
+    */
+  def sessionStats(
+      stream: DataFrame,
+      keys: Seq[String],
+      gap: String = "30 minutes",
+      watermark: String = "1 hour",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy((session_window(col(tsCol), gap) +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
+      .select((keys.map(col) :+ col("session_window.start").as("session_start")
+        :+ col("session_window.end").as("session_end")
+        :+ col("n_events") :+ col("sum_value")): _*)
+
   final case class GapAlert(key: String, gapStart: java.sql.Timestamp,
       gapEnd: java.sql.Timestamp, gapSecs: Long)
 

@@ -119,6 +119,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window sessionization splits on event-time gaps") {
+    val dir = java.nio.file.Files.createTempDirectory("sess-src").toString + "/data"
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    def ts(i: Int) = java.sql.Timestamp.valueOf(t0.plusMinutes(i.toLong))
+    // k0: two sessions (0-10 contiguous, then a 60-min gap, then 70-75)
+    val rows = Seq(0, 5, 10, 70, 75).map(i => ("k0", ts(i), Some(1.0)))
+    rows.toDF("key", "ts", "value").write.parquet(dir)
+    val stream = spark.readStream.schema(srcSchema).parquet(dir)
+    val q = StreamIngest.runToMemory(
+      StreamIngest.sessionStats(stream, Seq("key"), gap = "30 minutes"),
+      "sessions")
+    try {
+      val sessions = spark.table("sessions").orderBy("session_start").collect()
+        .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+      assert(sessions.length === 2)
+      assert(sessions(0) === ((ts(0), new java.sql.Timestamp(ts(10).getTime + 30 * 60000), 3L, 3.0)))
+      assert(sessions(1)._3 === 2L)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins a snapshot; missing keys survive with NULL") {
     val dir = writeSource() // keys k0/k1
     val stream = spark.readStream.schema(srcSchema).parquet(dir)
