@@ -141,6 +141,43 @@ class CombineSpec extends SparkSpec {
       Seq(None, Some(1.0), Some(2.0), None))
   }
 
+  test("asofJoin matches a driver-side reference fold on random series (both directions)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val base = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    def randPts(nKeys: Int, n: Int): Seq[(String, java.time.LocalDateTime, Double)] =
+      (0 until n).map { _ =>
+        ("k" + rnd.nextInt(nKeys), base.plusMinutes(rnd.nextInt(500).toLong), rnd.nextDouble())
+      }
+    // right side unique per (key, ts) — the operator's documented contract
+    val left = randPts(4, 120)
+    val right = randPts(4, 80).groupBy(p => (p._1, p._2)).map(_._2.head).toSeq
+    val ldf = left.toDF("key", "ts", "lv")
+    val rdf = right.toDF("key", "ts", "v")
+    val tol = 3600L
+    for (dir <- Seq("backward", "forward")) {
+      val got = Asof.asofJoin(ldf, rdf, Seq("key"), "ts", Seq("v"),
+          toleranceSecs = Some(tol), direction = dir)
+        .collect()
+        .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime]("ts"),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .sortBy(t => (t._1, t._2.toString))
+      val byKey = right.groupBy(_._1)
+      val want = left.map { case (k, ts, _) =>
+        val cands = byKey.getOrElse(k, Nil).filter { case (_, rts, _) =>
+          if (dir == "backward") !rts.isAfter(ts) && rts.plusSeconds(tol).compareTo(ts) >= 0
+          else !rts.isBefore(ts) && !rts.isAfter(ts.plusSeconds(tol))
+        }
+        val pick =
+          if (cands.isEmpty) None
+          else if (dir == "backward") Some(cands.maxBy(_._2.toString)._3)
+          else Some(cands.minBy(_._2.toString)._3)
+        (k, ts, pick)
+      }.sortBy(t => (t._1, t._2.toString))
+      assert(got.toSeq === want, s"direction=$dir")
+    }
+  }
+
   test("asofJoin forward: nearest following incl equal ts") {
     import spark.implicits._
     val left = Seq(("k", "2024-01-01T00:30"), ("k", "2024-01-01T01:30"))
