@@ -59,7 +59,9 @@ object Sampling {
     * "shuffle": downstream readers stream shard files in any order and
     * get a deterministic, well-mixed permutation of the corpus.
     */
-  def shardAssign(df: DataFrame, idCol: String, numShards: Int, salt: String = "shard"): DataFrame =
+  def shardAssign(df: DataFrame, idCol: String, numShards: Int, salt: String = "shard"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     df.withColumn("shard",
       pmod(PortableHash.hashMod(concat(lit(s"$salt:"), col(idCol).cast("string"))), lit(numShards.toLong)))
+  }
 }

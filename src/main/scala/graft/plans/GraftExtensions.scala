@@ -6,23 +6,29 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.LongType
 
-/** Optimizer rule: rewrite the engine-portable *builtin* formulations of
-  * the library's hash / vector primitives into their native codegen
-  * expressions (SURVEY.md §2.10 tier (c): a `Rule[LogicalPlan]` wired
-  * through `SparkSessionExtensions`, for semantics the expression API
-  * can't reach — here, users who wrote the portable SQL shapes get the
-  * native hot-loop automatically).
+/** Optimizer rule: rewrite the engine-portable *builtin* formulation of
+  * the library's 60-bit hash into the native codegen expression
+  * (SURVEY.md §2.10 tier (c): a `Rule[LogicalPlan]` wired through
+  * `SparkSessionExtensions` — users who wrote the portable SQL shape get
+  * the native hot loop automatically).
   *
-  * Two patterns, both value-identical by construction (pinned by
-  * PipelineSpec equivalence tests + the DuckDB oracle):
+  * One pattern, value-identical by construction incl. NULL propagation
+  * (pinned by PipelineSpec equivalence tests + the DuckDB oracle):
   *  - `conv(substring(md5(c), 1, 15), 16, 10)::long`  → `Hash60(c)`
   *    (graft.functions.PortableHash.hash60Builtin — the shape the oracle
-  *    SQL mirrors)
-  *  - `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0.0,
-  *    (acc,x) -> acc+x)` → `DotProduct(a, b)`
-  *    (graft.pipeline.Similarity.dotHof — the interpreted HOF fold)
+  *    SQL mirrors; every sub-expression null-propagates per row, exactly
+  *    like the UnaryExpression's nullSafeEval)
+  *
+  * Deliberately NOT rewritten: the HOF dot-product fold
+  * (`aggregate(zip_with(a,b,(x,y)->..*..), 0.0, (acc,x)->acc+x)`).
+  * It is NOT value-identical to [[DotProduct]] on edge inputs — zip_with
+  * pads mismatched lengths with NULL and the fold then returns NULL,
+  * while DotProduct loops to min(length) and returns a number; NULL
+  * elements likewise NULL the fold — so a global rewrite would silently
+  * change user query results. The native expression stays an explicit
+  * opt-in (`dot_product(...)` / `Similarity.dot`).
   */
 object NativeHashRewrite extends Rule[LogicalPlan] {
 
@@ -41,46 +47,10 @@ object NativeHashRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** double-widening of a lambda variable (already-double vars appear
-    * bare; float/other numeric vars appear under a cast to double).
-    */
-  private def asDoubleOf(e: Expression, v: NamedExpression): Boolean = e match {
-    case a: NamedLambdaVariable => a.exprId == v.exprId && a.dataType == DoubleType
-    case Cast(a: NamedLambdaVariable, DoubleType, _, _) => a.exprId == v.exprId
-    case _ => false
-  }
-
-  private def isDotFold(agg: ArrayAggregate): Option[(Expression, Expression)] =
-    agg match {
-      case ArrayAggregate(
-            ZipWith(a, b, LambdaFunction(Multiply(mx, my, _), Seq(x, y), _)),
-            zero,
-            LambdaFunction(Add(accRef, elemRef, _), Seq(acc, elem), _),
-            finish)
-          if isLit(zero, 0.0) &&
-            ((asDoubleOf(mx, x) && asDoubleOf(my, y)) || (asDoubleOf(mx, y) && asDoubleOf(my, x))) &&
-            refIs(accRef, acc) && refIs(elemRef, elem) && identityFinish(finish) =>
-        Some((a, b))
-      case _ => None
-    }
-
-  private def refIs(e: Expression, v: NamedExpression): Boolean = e match {
-    case a: NamedLambdaVariable => a.exprId == v.exprId
-    case _                      => false
-  }
-
-  private def identityFinish(e: Expression): Boolean = e match {
-    case LambdaFunction(body: NamedLambdaVariable, Seq(v: NamedLambdaVariable), _) =>
-      body.exprId == v.exprId
-    case _ => false
-  }
-
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case c @ Cast(inner, LongType, _, _) =>
         isHashChain(inner).map(Hash60(_): Expression).getOrElse(c)
-      case agg: ArrayAggregate =>
-        isDotFold(agg).map { case (a, b) => DotProduct(a, b): Expression }.getOrElse(agg)
     }
 }
 

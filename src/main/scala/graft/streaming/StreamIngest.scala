@@ -93,7 +93,7 @@ object StreamIngest {
       watermark: String = "1 hour",
       tsCol: String = "ts",
       valueCol: String = "value"): DataFrame =
-    stream
+    normalize(stream, tsCol, valueCol) // NaN/null rows out, like the batch write path
       .withWatermark(tsCol, watermark)
       .groupBy((session_window(col(tsCol), gap) +: keys.map(col)): _*)
       .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
@@ -112,7 +112,11 @@ object StreamIngest {
     * per key (bounded state; no per-point buffering) and emits zero or
     * more alerts per batch. Points must arrive per-key in event-time
     * order within a batch (sortWithinPartitions upstream, or accept
-    * batch-granularity ordering, as the tests pin).
+    * batch-granularity ordering, as the tests pin). A point at or before
+    * the high-watermark timestamp already in state (cross-batch late
+    * data) is DROPPED — advancing state monotonically is what keeps a
+    * late arrival from regressing `last` and re-alerting over a span
+    * newer points already covered.
     */
   def gapMonitor(points: Dataset[Point], expectedEverySecs: Long): Dataset[GapAlert] = {
     import points.sparkSession.implicits._
@@ -126,12 +130,14 @@ object StreamIngest {
           val alerts = scala.collection.mutable.ListBuffer.empty[GapAlert]
           var last = state.getOption
           sorted.foreach { p =>
-            last.foreach { prev =>
-              val gapMs = p.ts.getTime - prev.getTime
-              if (gapMs > maxGapMs)
-                alerts += GapAlert(key, prev, p.ts, gapMs / 1000L)
-            }
-            last = Some(p.ts)
+            if (!last.exists(prev => p.ts.getTime <= prev.getTime)) {
+              last.foreach { prev =>
+                val gapMs = p.ts.getTime - prev.getTime
+                if (gapMs > maxGapMs)
+                  alerts += GapAlert(key, prev, p.ts, gapMs / 1000L)
+              }
+              last = Some(p.ts)
+            } // else: late or duplicate point — state only moves forward
           }
           last.foreach(state.update)
           alerts.iterator

@@ -43,15 +43,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).toSeq === expect)
   }
 
-  test("optimizer rewrites the HOF dot fold to native DotProduct (float + double)") {
+  test("optimizer does NOT rewrite the HOF dot fold (NULL semantics differ from DotProduct)") {
     for ((a, b) <- Seq(("af", "bf"), ("ad", "bd"))) {
       val df = spark.read.parquet(pq)
         .select(graft.pipeline.Similarity.dotHof(col(a), col(b)).as("d"), col("s"))
         .orderBy("s").select("d")
-      assert(df.queryExecution.optimizedPlan.exists(
+      assert(!df.queryExecution.optimizedPlan.exists(
         _.expressions.exists(_.exists(_.isInstanceOf[graft.functions.DotProduct]))),
-        s"expected DotProduct in $a/$b plan:\n${df.queryExecution.optimizedPlan}")
+        s"dot fold must stay a HOF in $a/$b plan:\n${df.queryExecution.optimizedPlan}")
       assert(df.collect().map(_.getDouble(0)).toSeq === Seq(11.0, 0.0, 8.0))
     }
+    // the divergence that forbids the rewrite: mismatched lengths → the
+    // HOF fold is NULL (zip_with pads with null), DotProduct is a number
+    val r = spark.sql(
+      """SELECT aggregate(zip_with(array(1.0D), array(1.0D, 2.0D),
+        |  (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) AS d""".stripMargin).head()
+    assert(r.isNullAt(0), "HOF fold over mismatched lengths must stay NULL")
   }
 }

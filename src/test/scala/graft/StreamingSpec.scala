@@ -104,7 +104,9 @@ class StreamingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("gap-src").toString + "/data"
     val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
     def ts(i: Int) = java.sql.Timestamp.valueOf(t0.plusMinutes(i.toLong))
-    val k0 = Seq(0, 2, 4, 14, 16).map(i => ("k0", ts(i), Some(i.toDouble)))
+    // duplicate ts(4) point: the monotonic-state guard must drop it, not
+    // re-alert or stall the watermark timestamp
+    val k0 = Seq(0, 2, 4, 4, 14, 16).map(i => ("k0", ts(i), Some(i.toDouble)))
     val k1 = (0 until 10).map(i => ("k1", ts(2 * i), Some(i.toDouble)))
     (k0 ++ k1).toDF("key", "ts", "value").write.parquet(dir)
     val stream = spark.readStream.schema(srcSchema).parquet(dir)
