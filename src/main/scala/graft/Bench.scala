@@ -66,6 +66,8 @@ object Bench {
     var failed = List.empty[String]
     var flaky  = List.empty[String] // succeeded at least once but not every rep
     var repOk  = Map.empty[String, Int]
+    // keep declaration order (the ordered `queries` Seq) in the JSON so
+    // run-to-run diffs of bench_last.json are stable, not hash-ordered
     val results = queries.map { case (name, _) =>
       val times = samples(name)
       repOk += name -> times.length
@@ -75,14 +77,14 @@ object Bench {
         if (times.length < reps) flaky ::= name
         name -> times.min
       }
-    }.toMap
+    }
     val floorAfter = floorMs()
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val oks = repOk.map { case (k, v) => s"\"" + k + "\":" + v }
+    val oks = queries.map { case (name, _) => s"\"" + name + "\":" + repOk(name) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_ok":$oks,"sf":"$sfDir","reps":$reps,"floor_ms_before":$floorBefore,"floor_ms_after":$floorAfter,"n_failed":${failed.length},"n_flaky":${flaky.length}}"""
     println(line)
     // Also persist the line: sbt appends its own "[success]" line after our

@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Clustering, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.ts.{Combine, Gaps, Grid, Intervals, Resample}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -70,7 +70,10 @@ object SparkEntry {
 
   // ---- the operator inventory -----------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // ListMap: declaration order is the iteration order, so Verify dumps
+  // and Bench JSON keys are stable run-to-run (not hash-ordered)
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(
 
     // S1/P1/P3 — keyed scan + time slice (pushdown-friendly literal filters)
     "q_scan_filter" -> ((s, d) => {
@@ -470,6 +473,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // dedup/hygiene — benchmark decontamination: shingle overlap between
+    // the corpus and a simulated eval set (doc_id % 97 == 0)
+    "q_contamination" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text", n = 3, minShared = 3)
+        .select(col("id").as("doc_id"), col("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // text analysis — repetition ratio (dominant n-gram share; the
+    // boilerplate/spam pre-filter)
+    "q_repetition" -> ((s, d) => {
+      TextAnalysis.repetitionRatio(table(s, d, "documents"), "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_ngrams"), col("top_ngram_count"),
+          round(col("rep_ratio"), 6).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // text analysis — PII redaction (emails + digit runs → typed tokens)
+    "q_redact" -> ((s, d) => {
+      table(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.redact(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // text analysis — per-language length-distribution profile (exact
+    // quantiles for the oracle; approx_percentile is the 100 TB default,
+    // pinned against exact by PipelineSpec)
+    "q_length_quantiles" -> ((s, d) => {
+      TextAnalysis.lengthQuantiles(table(s, d, "documents"), "lang", "n_chars", exact = true)
+        .select(col("lang"),
+          round(col("p25"), 4).as("p25"), round(col("p50"), 4).as("p50"),
+          round(col("p75"), 4).as("p75"), round(col("p95"), 4).as("p95"),
+          col("n_docs"), round(col("mean"), 4).as("mean"))
+        .orderBy("lang")
+    }),
+
     // text analysis — TF-IDF top terms per document
     "q_tfidf" -> ((s, d) => {
       TextAnalysis.tfIdfTop(table(s, d, "documents"), "doc_id", "text", k = 3)
@@ -550,6 +592,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // dedup — near-dup CLUSTERS: minhash pairs → connected components →
+    // one canonical doc per duplicate group (the end-to-end dedup step;
+    // pairs alone under-delete transitive groups)
+    "q_dup_clusters" -> ((s, d) => {
+      Clustering.nearDupClusters(table(s, d, "documents"), "doc_id", "text",
+          n = 3, bands = 8, rowsPerBand = 4, minSim = 0.5)
+        .orderBy("id")
+    }),
+
     // dedup — SimHash near-dup pairs (60-bit portable signatures)
     "q_simhash_pairs" -> ((s, d) => {
       Dedup.simhashPairs(table(s, d, "documents"), "doc_id", "text", maxHamming = 3)
@@ -597,6 +648,45 @@ object SparkEntry {
   )
 
   // ---- DuckDB oracle twins --------------------------------------------
+
+  /** Shared CTE chain (no leading WITH) reproducing the MinHash-LSH
+    * pipeline end-to-end in DuckDB SQL, ending at `sims(id_a, id_b,
+    * sig_sim)` — used by both `q_minhash_lsh` (pairs) and
+    * `q_dup_clusters` (recursive-CTE connected components over the same
+    * pairs).
+    */
+  private lazy val minhashSimsCtes: String = {
+    import graft.functions.PortableHash.{P, permConsts, sqlHashMod}
+    val consts = permConsts(32)
+    val minCols = consts.zipWithIndex.map { case ((a, b), i) =>
+      s"min((b*$a + $b) % $P) AS h$i" }.mkString(",\n                  ")
+    val sigList = (0 until 32).map(i => s"h$i").mkString("[", ", ", "]")
+    val bandRows = (0 until 8).map { bb =>
+      s"SELECT doc_id, sig, $bb AS band, md5(array_to_string(sig[${bb * 4 + 1}:${bb * 4 + 4}], ',')) AS bh FROM sig"
+    }.mkString("\n           UNION ALL ")
+    s"""d AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, len(string_split(lower(text), ' ')) - 1),
+                    i -> array_to_string((string_split(lower(text), ' '))[i:i+2], ' '))) AS sh
+           FROM documents),
+         ex AS (SELECT doc_id, unnest(sh) AS shingle FROM d WHERE len(sh) > 0),
+         hx AS (SELECT doc_id, ${sqlHashMod("shingle")} AS b FROM ex),
+         mh AS (SELECT doc_id,
+                  $minCols
+                FROM hx GROUP BY doc_id),
+         sig AS (SELECT doc_id, $sigList AS sig FROM mh),
+         bands AS (
+           $bandRows),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+           FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         sims AS (
+           SELECT id_a, id_b,
+                  CAST(list_sum(list_transform(range(1, 33),
+                    i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS sig_sim
+           FROM cand)"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_filter" ->
@@ -1018,6 +1108,54 @@ object SparkEntry {
          FROM documents ORDER BY doc_id"""
     },
 
+    "q_contamination" -> {
+      import graft.functions.PortableHash.sqlHashMod
+      s"""WITH d AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, len(string_split(lower(text), ' ')) - 1),
+                    i -> array_to_string((string_split(lower(text), ' '))[i:i+2], ' '))) AS sh
+           FROM documents),
+         ex AS (SELECT doc_id, unnest(sh) AS shingle FROM d WHERE len(sh) > 0),
+         hx AS (SELECT doc_id, ${sqlHashMod("shingle")} AS h FROM ex),
+         ev AS (SELECT DISTINCT h FROM hx WHERE doc_id % 97 = 0),
+         co AS (SELECT doc_id, h FROM hx WHERE doc_id % 97 <> 0)
+         SELECT doc_id, count(*) AS n_shared
+         FROM co JOIN ev USING (h)
+         GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id"""
+    },
+
+    "q_repetition" -> {
+      import graft.functions.PortableHash.sqlHashMod
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(
+                 range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) AS gram
+               FROM w),
+         h AS (SELECT doc_id, ${sqlHashMod("gram")} AS hh FROM g),
+         c AS (SELECT doc_id, hh, count(*) AS c FROM h GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+                CAST(max(c) AS BIGINT) AS top_ngram_count,
+                round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS rep_ratio
+         FROM c GROUP BY doc_id ORDER BY doc_id"""
+    },
+
+    "q_redact" ->
+      """SELECT doc_id,
+                regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '[0-9]+', '<NUM>', 'g') AS redacted
+         FROM documents ORDER BY doc_id""",
+
+    "q_length_quantiles" ->
+      """SELECT lang,
+                round(quantile_cont(n_chars, 0.25), 4) AS p25,
+                round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                round(quantile_cont(n_chars, 0.75), 4) AS p75,
+                round(quantile_cont(n_chars, 0.95), 4) AS p95,
+                count(*) AS n_docs,
+                round(avg(n_chars), 4) AS mean
+         FROM documents GROUP BY lang ORDER BY lang""",
+
     "q_quality" ->
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
@@ -1119,40 +1257,28 @@ object SparkEntry {
     // ---- portable-hash pipelines: the oracle reproduces the md5-based
     // hashing (graft.functions.PortableHash) end-to-end in SQL ----
 
-    "q_minhash_lsh" -> {
-      import graft.functions.PortableHash.{P, permConsts, sqlHashMod}
-      val consts = permConsts(32)
-      val minCols = consts.zipWithIndex.map { case ((a, b), i) =>
-        s"min((b*$a + $b) % $P) AS h$i" }.mkString(",\n                  ")
-      val sigList = (0 until 32).map(i => s"h$i").mkString("[", ", ", "]")
-      val bandRows = (0 until 8).map { bb =>
-        s"SELECT doc_id, sig, $bb AS band, md5(array_to_string(sig[${bb * 4 + 1}:${bb * 4 + 4}], ',')) AS bh FROM sig"
-      }.mkString("\n           UNION ALL ")
-      s"""WITH d AS (
-           SELECT doc_id,
-                  list_distinct(list_transform(
-                    range(1, len(string_split(lower(text), ' ')) - 1),
-                    i -> array_to_string((string_split(lower(text), ' '))[i:i+2], ' '))) AS sh
-           FROM documents),
-         ex AS (SELECT doc_id, unnest(sh) AS shingle FROM d WHERE len(sh) > 0),
-         hx AS (SELECT doc_id, ${sqlHashMod("shingle")} AS b FROM ex),
-         mh AS (SELECT doc_id,
-                  $minCols
-                FROM hx GROUP BY doc_id),
-         sig AS (SELECT doc_id, $sigList AS sig FROM mh),
-         bands AS (
-           $bandRows),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
-           FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         sims AS (
-           SELECT id_a, id_b,
-                  CAST(list_sum(list_transform(range(1, 33),
-                    i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS sig_sim
-           FROM cand)
+    "q_minhash_lsh" ->
+      s"""WITH $minhashSimsCtes
          SELECT id_a, id_b, round(sig_sim, 6) AS sig_sim
-         FROM sims WHERE sig_sim >= 0.5 ORDER BY id_a, id_b"""
-    },
+         FROM sims WHERE sig_sim >= 0.5 ORDER BY id_a, id_b""",
+
+    // connected components over the minhash pairs: transitive closure by
+    // recursive CTE (min reachable label per node = component id)
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashSimsCtes,
+         p AS (SELECT id_a, id_b FROM sims WHERE sig_sim >= 0.5),
+         e AS (SELECT id_a AS a, id_b AS b FROM p
+               UNION ALL SELECT id_b AS a, id_a AS b FROM p),
+         reach(id, lbl) AS (
+           SELECT a, a FROM (SELECT DISTINCT a FROM e)
+           UNION
+           SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id),
+         comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+         SELECT d.doc_id AS id,
+                coalesce(c.component, d.doc_id) AS component,
+                coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         ORDER BY id""",
 
     "q_simhash_pairs" -> {
       import graft.functions.PortableHash.sqlHash60

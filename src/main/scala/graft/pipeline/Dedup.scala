@@ -149,6 +149,43 @@ object Dedup {
     verified.filter(col("jaccard") >= minJaccard).select("id_a", "id_b", "jaccard")
   }
 
+  /** Benchmark decontamination: per-document count of n-gram shingles
+    * shared with an evaluation/benchmark corpus — the standard check that
+    * training data does not contain the test set. Output: (id, n_shared)
+    * for documents sharing at least `minShared` distinct shingles with
+    * any eval document.
+    *
+    * 100 TB plan: the corpus side never shuffles — eval sets are small by
+    * definition, so the distinct eval shingle-hash set is BROADCAST and
+    * the overlap is a map-side join on a long hash (the portable md5 hash,
+    * so the DuckDB oracle reproduces counts exactly); the only shuffle is
+    * the final per-doc count aggregation, keyed by doc id with map-side
+    * partial aggregation.
+    */
+  def contamination(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval: DataFrame,
+      evalTextCol: String,
+      n: Int = 3,
+      minShared: Int = 1): DataFrame = {
+    import graft.functions.PortableHash
+    val evalSh = eval
+      .select(explode(shingles(col(evalTextCol), n)).as("__s"))
+      .select(PortableHash.hashMod(col("__s")).as("__h"))
+      .distinct()
+    val corpusSh = corpus
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("__s"))
+      .select(col("id"), PortableHash.hashMod(col("__s")).as("__h"))
+    // per-doc shingles are distinct (shingles() dedupes), so count(*) is
+    // the distinct-overlap count
+    corpusSh.join(broadcast(evalSh), Seq("__h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** MinHash signature: `numHashes` permutations as the universal-hash
     * family `(a_i*h + b_i) mod P` over ONE portable 60-bit base hash per
     * shingle (graft.functions.PortableHash — one md5 per shingle row, not

@@ -20,17 +20,31 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Salts are embedded verbatim in the DuckDB twin's SQL string literal
+    * ([[sqlHashScore]]); restrict them to characters that cannot break
+    * out of a single-quoted literal so the two engines can never
+    * silently diverge on an exotic salt.
+    */
+  private def checkSalt(salt: String): Unit =
+    require(
+      salt.matches("[A-Za-z0-9_:.\\-]*"),
+      s"salt must match [A-Za-z0-9_:.-]* (it is embedded in oracle SQL), got '$salt'")
+
   /** Membership score in [0, 1): position of the salted id hash on the
     * unit interval. The salt namespaces decisions (the sample keep-set,
     * the shard id, and a train/test split must be independent).
     */
-  def hashScore(id: Column, salt: String): Column =
+  def hashScore(id: Column, salt: String): Column = {
+    checkSalt(salt)
     PortableHash.hashMod(concat(lit(s"$salt:"), id.cast("string")))
       .cast("double") / lit(PortableHash.P.toDouble)
+  }
 
   /** DuckDB twin of [[hashScore]]. */
-  def sqlHashScore(idExpr: String, salt: String): String =
+  def sqlHashScore(idExpr: String, salt: String): String = {
+    checkSalt(salt)
     s"(CAST(${PortableHash.sqlHashMod(s"('$salt:' || CAST($idExpr AS VARCHAR))")} AS DOUBLE) / ${PortableHash.P})"
+  }
 
   /** Keep ~`fraction` of rows, decided per row id — deterministic and
     * repartition-proof.
@@ -61,6 +75,7 @@ object Sampling {
     */
   def shardAssign(df: DataFrame, idCol: String, numShards: Int, salt: String = "shard"): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    checkSalt(salt)
     df.withColumn("shard",
       pmod(PortableHash.hashMod(concat(lit(s"$salt:"), col(idCol).cast("string"))), lit(numShards.toLong)))
   }

@@ -103,4 +103,69 @@ object TextAnalysis {
       lit(1299709L),
       (acc, t) => pmod(acc * 31L + PortableHash.hashMod(t), p))
   }
+
+  /** Repetition detection: per document, the frequency of its most
+    * repeated word n-gram as a fraction of all its n-grams — the standard
+    * cheap filter for boilerplate/spam (near-1 means the doc is one
+    * phrase repeated). Output: (id, n_ngrams, top_ngram_count, rep_ratio).
+    *
+    * Plan: explode NON-distinct shingles (repetition is the signal, so no
+    * dedupe), hash each to a long, and count in ONE hash aggregation keyed
+    * by (id, hash) followed by a per-id max/sum — both partial-aggregable,
+    * shuffle rows are (id, long) pairs. Docs with fewer than `n` words
+    * have no n-grams and are omitted (no ratio to report).
+    */
+  def repetitionRatio(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    import graft.functions.PortableHash
+    val words = split(lower(col(textCol)), " ")
+    val grams = when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", slice(words, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("id"), explode(grams).as("__g"))
+      .select(col("id"), PortableHash.hashMod(col("__g")).as("__h"))
+      .groupBy(col("id"), col("__h")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("id"))
+      .agg(sum(col("__c")).as("n_ngrams"), max(col("__c")).as("top_ngram_count"))
+      .withColumn("rep_ratio", col("top_ngram_count").cast("double") / col("n_ngrams"))
+  }
+
+  /** PII redaction: replace e-mail addresses and digit runs with typed
+    * placeholder tokens — a narrow per-row projection (codegen'd
+    * `regexp_replace`, no shuffle, composes with any scan). The patterns
+    * are deliberately RE2-safe (no backrefs/lookaround) so the same regex
+    * runs in Spark (Java regex) and the DuckDB oracle (RE2) with
+    * identical semantics.
+    */
+  def redact(text: Column): Column = {
+    val email = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(email, "[0-9]+", "<NUM>")
+  }
+
+  /** Corpus length-distribution profile: per-group quantiles of a numeric
+    * column (doc lengths, token counts) — the curation report every
+    * training-data pipeline starts from (length cutoffs are quantile
+    * decisions).
+    *
+    * `exact = false` (the 100 TB default) uses `approx_percentile`
+    * (KLL-style mergeable sketch: bounded memory per group, one pass,
+    * partial-aggregable — the only shape that survives a 100 TB group).
+    * `exact = true` uses `percentile` (linear interpolation, identical to
+    * DuckDB's `quantile_cont`) — it buffers each group's value multiset
+    * in the aggregation buffer, so reserve it for bounded groups and
+    * oracle verification.
+    */
+  def lengthQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+      exact: Boolean = false): DataFrame = {
+    val fn = if (exact) "percentile" else "approx_percentile"
+    val aggs = qs.map { q =>
+      val name = s"p${(q * 100).round}"
+      expr(s"$fn($valueCol, ${q.toString})").as(name)
+    } :+ count(lit(1)).as("n_docs") :+ avg(col(valueCol)).as("mean")
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -109,10 +109,12 @@ object StreamIngest {
     * utils/timeseries.py:26-60): per series, emit an alert whenever the
     * delta between consecutive event-time points exceeds
     * `expectedEverySecs`. `flatMapGroupsWithState` keeps ONE timestamp
-    * per key (bounded state; no per-point buffering) and emits zero or
-    * more alerts per batch. Points must arrive per-key in event-time
-    * order within a batch (sortWithinPartitions upstream, or accept
-    * batch-granularity ordering, as the tests pin). A point at or before
+    * per key of CROSS-batch state and emits zero or more alerts per
+    * batch. Intra-batch ordering is handled internally: each key's batch
+    * rows are materialized and sorted by event time on the executor, so
+    * per-key memory is bounded by the largest single batch for that key
+    * (not by the stream), and no upstream ordering is required. A point
+    * at or before
     * the high-watermark timestamp already in state (cross-batch late
     * data) is DROPPED — advancing state monotonically is what keeps a
     * late arrival from regressing `last` and re-alerting over a span

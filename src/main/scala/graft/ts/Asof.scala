@@ -46,8 +46,13 @@ object Asof {
         lit(0).as("__side"),
         struct(col(tsCol).as("__rt") +: rightCols.map(col): _*).as("__rp")): _*)
     val u = l2.unionByName(r2, allowMissingColumns = true)
-    // ordering puts right rows at an equal timestamp inside the frame of
-    // a left row at that timestamp (inclusive match on both directions)
+    // Ordering puts right rows at an equal timestamp inside the frame of
+    // a left row at that timestamp (inclusive match on both directions).
+    // Both directions scan with a GROWING (unboundedPreceding, currentRow)
+    // frame, which Spark evaluates incrementally in one linear pass; the
+    // forward case flips the sort to ts DESC instead of using a shrinking
+    // (currentRow, unboundedFollowing) frame, which would rescan to the
+    // partition end for every row — O(n^2) per key.
     val w =
       if (backward)
         Window.partitionBy(keys.map(col): _*)
@@ -55,11 +60,9 @@ object Asof {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       else
         Window.partitionBy(keys.map(col): _*)
-          .orderBy(col(tsCol).asc, col("__side").desc)
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val pick =
-      if (backward) last(col("__rp"), ignoreNulls = true).over(w)
-      else first(col("__rp"), ignoreNulls = true).over(w)
+          .orderBy(col(tsCol).desc, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pick = last(col("__rp"), ignoreNulls = true).over(w)
     val m = u.withColumn("__m", pick).filter(col("__side") === 1)
     val bounded = toleranceSecs match {
       case Some(s) =>
