@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Clustering, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Clustering, Curation, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.ts.{Combine, Gaps, Grid, Intervals, Resample}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -644,6 +644,41 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"),
           round(col("cos_sim"), 6).as("cos_sim"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // curation — temperature-scaled source-mixing weights (w ∝ share^α):
+    // how much of each source the training mix should sample
+    "q_mix_weights" -> ((s, d) => {
+      Curation.mixWeights(table(s, d, "documents"), "source", "text", alpha = 0.5)
+        .select(col("source"), col("n_tokens"), col("n_docs"),
+          round(col("share"), 6).as("share"), round(col("weight"), 6).as("weight"))
+        .orderBy("source")
+    }),
+
+    // curation — unigram-LM self-perplexity (statistical quality score;
+    // vocabulary joined, never assumed broadcast-able)
+    "q_perplexity" -> ((s, d) => {
+      TextAnalysis.perplexity(table(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          round(col("avg_nll"), 6).as("avg_nll"), round(col("ppl"), 6).as("ppl"))
+        .orderBy("doc_id")
+    }),
+
+    // curation — per-language length-decile binning (broadcast quantile
+    // cutpoints; never a global ntile, which cannot scale past one
+    // partition)
+    "q_quality_bins" -> ((s, d) => {
+      Curation.quantileBins(table(s, d, "documents"), "lang", "n_chars", k = 10, exact = true)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("bin"))
+        .orderBy("doc_id")
+    }),
+
+    // clustering — deterministic k-means over embeddings (Lloyd's, 2
+    // iterations, md5-seeded init, quantized centroids)
+    "q_kmeans" -> ((s, d) => {
+      Clustering.kmeans(table(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("id").as("vec_id"), col("cluster"), col("dist"))
+        .orderBy("vec_id")
     })
   )
 
@@ -1405,6 +1440,87 @@ object SparkEntry {
            FROM s)
          SELECT query_id, vec_id, round(cos, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
          FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
-    }
+    },
+
+    "q_mix_weights" ->
+      """WITH g AS (
+           SELECT source,
+                  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS n_tokens,
+                  count(*) AS n_docs
+           FROM documents GROUP BY source),
+         s AS (
+           SELECT source, n_tokens, n_docs,
+                  CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share
+           FROM g),
+         r AS (SELECT *, pow(share, 0.5) AS raw FROM s)
+         SELECT source, n_tokens, n_docs, round(share, 6) AS share,
+                round(raw / sum(raw) OVER (), 6) AS weight
+         FROM r ORDER BY source""",
+
+    "q_perplexity" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+           FROM documents),
+         v AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+         n AS (SELECT count(*) AS n FROM tok)
+         SELECT doc_id, count(*) AS n_tokens,
+                round(avg(-ln(CAST(c AS DOUBLE) / n)), 6) AS avg_nll,
+                round(exp(avg(-ln(CAST(c AS DOUBLE) / n))), 6) AS ppl
+         FROM tok JOIN v USING (term) CROSS JOIN n
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_quality_bins" ->
+      """WITH c AS (
+           SELECT lang,
+                  quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+           FROM documents GROUP BY lang)
+         SELECT d.doc_id, d.lang, d.n_chars,
+                CAST(1 + list_sum(list_transform(c.cuts,
+                  t -> CASE WHEN CAST(d.n_chars AS DOUBLE) > t THEN 1 ELSE 0 END)) AS BIGINT) AS bin
+         FROM documents d JOIN c USING (lang)
+         ORDER BY d.doc_id""",
+
+    "q_kmeans" -> kmeansOracleSql(k = 8, iters = 2, dim = 64)
   )
+
+  /** Unrolled Lloyd's-iteration CTE chain for the k-means oracle —
+    * mirrors [[graft.pipeline.Clustering.kmeans]] exactly: md5-ordered
+    * init, squared-euclidean argmin with cluster-id tie-break,
+    * per-dimension means rounded to 6 decimals, empty clusters keeping
+    * their previous centroid.
+    */
+  private def kmeansOracleSql(k: Int, iters: Int, dim: Int): String = {
+    def assign(name: String, cents: String): String =
+      s"""$name AS (
+           SELECT vec_id, v, cl, dist FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS r FROM (
+               SELECT d.vec_id, d.v, c.cl,
+                      list_sum(list_transform(range(1, ${dim + 1}),
+                        i -> (d.v[i] - c.cent[i]) * (d.v[i] - c.cent[i]))) AS dist
+               FROM dv d CROSS JOIN $cents c))
+           WHERE r = 1)"""
+    def update(aName: String, prevC: String, mName: String, cName: String): String = {
+      val meanCols = (1 to dim).map(i => s"round(avg(v[$i]), 6) AS d$i").mkString(", ")
+      val centList = (1 to dim).map(i => s"m.d$i").mkString("[", ", ", "]")
+      s"""$mName AS (SELECT cl, $meanCols FROM $aName GROUP BY cl),
+         $cName AS (
+           SELECT c.cl, CASE WHEN m.cl IS NULL THEN c.cent ELSE $centList END AS cent
+           FROM $prevC c LEFT JOIN $mName m ON m.cl = c.cl)"""
+    }
+    val iterCtes = (0 until iters).map { i =>
+      assign(s"a$i", s"c$i") + ",\n         " + update(s"a$i", s"c$i", s"m$i", s"c${i + 1}")
+    }.mkString(",\n         ")
+    s"""WITH dv AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cl,
+                  v AS cent
+           FROM (SELECT vec_id, v FROM dv
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)),
+         $iterCtes,
+         ${assign("af", s"c$iters")}
+         SELECT vec_id, cl AS cluster, round(dist, 6) AS dist
+         FROM af ORDER BY vec_id"""
+  }
 }

@@ -72,6 +72,84 @@ object Clustering {
     labels
   }
 
+  /** K-means over an embedding column (Lloyd's iterations) — the corpus
+    * partitioner behind data-mixing and diversity sampling (cluster, then
+    * sample per cluster). Deterministic end-to-end so two engines (and
+    * two runs) agree:
+    *
+    *  - init: the `k` vectors with the smallest `md5(id)` hex string —
+    *    a seedless uniform sample, same trick as `Similarity.ivfTopK`;
+    *    cluster ids are 0..k-1 in that md5 order;
+    *  - assignment: squared-euclidean argmin, ties broken by cluster id;
+    *  - update: per-dimension mean, ROUNDED to `quantize` decimals —
+    *    quantization pins the centroids across engines whose partial-sum
+    *    orders differ (error ~1e-13 vs grid 1e-6), so the next
+    *    iteration's distances are computed from bit-identical centroids;
+    *  - a cluster that loses all points keeps its previous centroid.
+    *
+    * Per iteration: one pass over the data — assignment is a broadcast
+    * of k centroid literals into a codegen'd distance expression (no
+    * join, no shuffle), the mean is one hash aggregation keyed by
+    * (cluster, dim) whose partial aggregation reduces each partition to
+    * at most k×dim rows before the shuffle. The k×dim centroid matrix is
+    * collected to the driver between iterations (exactly what Spark
+    * MLlib's KMeans does — it is a few KB and O(iters) round trips, not
+    * a driver bomb). The input is re-scanned once per iteration rather
+    * than checkpointed: at 100 TB a columnar re-scan of (id, vec) beats
+    * materializing the working set.
+    *
+    * Output: (id, cluster, dist) — dist is the squared euclidean
+    * distance to the winning centroid, rounded to `quantize` decimals.
+    */
+  def kmeans(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 8,
+      iters: Int = 2,
+      quantize: Int = 6): DataFrame = {
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got k=$k iters=$iters")
+    val dv = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+
+    // deterministic seedless init: smallest md5(id) — TakeOrdered, no sort
+    var cents: Array[Seq[Double]] = dv
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Double](1))
+
+    // squared euclidean distance to each centroid literal; argmin = first
+    // index achieving the array min (exact double equality on an element
+    // of the array itself, so it is safe)
+    def assigned: DataFrame = {
+      val dists = array(cents.map { c =>
+        aggregate(zip_with(col("v"), typedlit(c), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*)
+      dv.withColumn("__ds", dists)
+        .withColumn("cluster", (array_position(col("__ds"), array_min(col("__ds"))) - 1).cast("long"))
+        .withColumn("dist", array_min(col("__ds")))
+    }
+
+    for (_ <- 0 until iters) {
+      val means = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("__d", "__x")))
+        .groupBy(col("cluster"), col("__d"))
+        .agg(avg(col("__x")).as("__m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cl, rows) =>
+          cl.toInt -> rows.sortBy(_.getInt(1))
+            .map(r => BigDecimal(r.getDouble(2)).setScale(quantize, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            .toSeq
+        }
+      cents = cents.zipWithIndex.map { case (prev, i) => means.getOrElse(i, prev) }
+    }
+
+    assigned.select(col("id"), col("cluster"), round(col("dist"), quantize).as("dist"))
+  }
+
   /** End-to-end near-dup canonicalization: MinHash-LSH candidate pairs
     * ([[Dedup.minhashLshPairs]]) → connected components → every document
     * assigned a cluster id (its own id when it has no near-dup). Output:

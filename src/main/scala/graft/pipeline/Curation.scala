@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: the decisions a training-data pipeline makes
+  * ABOVE single-document scoring — how much of each source/language to
+  * sample (mixing weights) and where the length/quality cutoffs sit
+  * (quantile bins). Both are tiny-output aggregations over arbitrarily
+  * large corpora: the shuffles carry one row per group (or per (group,
+  * doc) for binning), never document bodies.
+  */
+object Curation {
+
+  /** Temperature-scaled sampling weights per corpus group (source,
+    * language, domain): the standard multinomial-mixing formula
+    * `w_g ∝ share_g^alpha` (alpha < 1 upsamples the tail, alpha = 1 is
+    * proportional). Output: one row per group with token totals, doc
+    * counts, raw share, and the normalized sampling weight.
+    *
+    * Plan shape: one hash aggregation (partial-agg'd token sums — the
+    * only full-corpus pass), then the group totals (a handful of rows)
+    * are broadcast for normalization. No window over the whole corpus,
+    * no second scan.
+    */
+  def mixWeights(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String = "text",
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    // one row per group — materialize so the totals / normalization
+    // branches below reuse it instead of re-scanning the corpus
+    val perGroup = df
+      .groupBy(col(groupCol).as("grp"))
+      .agg(
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        count(lit(1)).as("n_docs"))
+      .localCheckpoint()
+    val totals = perGroup.agg(
+      sum(col("n_tokens")).as("__tot_tokens"))
+    val shared = perGroup.crossJoin(broadcast(totals))
+      .withColumn("share", col("n_tokens").cast("double") / col("__tot_tokens"))
+      .withColumn("__raw", pow(col("share"), lit(alpha)))
+    val norm = shared.agg(sum(col("__raw")).as("__z"))
+    shared.crossJoin(broadcast(norm))
+      .withColumn("weight", col("__raw") / col("__z"))
+      .select(col("grp").as(groupCol), col("n_tokens"), col("n_docs"),
+        col("share"), col("weight"))
+  }
+
+  /** Per-group quantile binning: assign each row the bucket its value
+    * falls into between the group's `k`-quantile cutpoints (bin 1 =
+    * below the first cutpoint, bin k = above the last). The cutpoints
+    * are computed ONCE per group and broadcast back — never a global
+    * `ntile`, whose single total-order window cannot scale past one
+    * partition. Ties sit below the cutpoint in both engines (`value >
+    * threshold` strictly), so binning is deterministic.
+    *
+    * `exact = true` uses `percentile` (matches DuckDB `quantile_cont`
+    * for oracle verification); the 100 TB default is
+    * `approx_percentile`'s mergeable sketch.
+    */
+  def quantileBins(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 10,
+      exact: Boolean = false): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val fn = if (exact) "percentile" else "approx_percentile"
+    val qs = (1 until k).map(i => i.toDouble / k)
+    val cuts = df.groupBy(col(groupCol))
+      .agg(expr(s"$fn($valueCol, array(${qs.mkString(", ")}))").as("__cuts"))
+    df.join(broadcast(cuts), Seq(groupCol))
+      .withColumn("bin",
+        (lit(1) + size(filter(col("__cuts"), t => col(valueCol).cast("double") > t)))
+          .cast("long"))
+      .drop("__cuts")
+  }
+}

@@ -142,6 +142,35 @@ object TextAnalysis {
     regexp_replace(email, "[0-9]+", "<NUM>")
   }
 
+  /** Unigram language-model self-scoring: each document's mean negative
+    * log-likelihood (and perplexity) under the corpus's own unigram
+    * distribution — the cheap statistical-quality filter (very high
+    * perplexity = token soup / OCR noise; very low = boilerplate) used
+    * before any neural scorer exists.
+    *
+    * Plan: one token explode feeds both the vocabulary counts and the
+    * per-document join (localCheckpoint, GC-reclaimed); the logprob join
+    * shuffles (doc, term) pairs on the term key — the vocabulary is NOT
+    * assumed broadcast-able (at 100 TB it isn't); the corpus total is a
+    * 1-row broadcast. Documents with zero tokens have no distribution to
+    * score and are omitted.
+    *
+    * Output: (id, n_tokens, avg_nll, ppl = exp(avg_nll)).
+    */
+  def perplexity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+      .localCheckpoint()
+    val vocab = tok.groupBy("term").agg(count(lit(1)).as("__c"))
+    val total = tok.agg(count(lit(1)).as("__n"))
+    tok.join(vocab, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("__nll", -log(col("__c").cast("double") / col("__n")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), avg(col("__nll")).as("avg_nll"))
+      .withColumn("ppl", exp(col("avg_nll")))
+  }
+
   /** Corpus length-distribution profile: per-group quantiles of a numeric
     * column (doc lengths, token counts) — the curation report every
     * training-data pipeline starts from (length cutoffs are quantile
