@@ -512,6 +512,14 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // text analysis — token counts under the three budget tokenizations
+    // (whitespace chunks, alphanumeric words, BPE-ish pre-tokens)
+    "q_token_counts" -> ((s, d) => {
+      TextAnalysis.tokenCounts(table(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_ws"), col("n_alnum"), col("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
     // text analysis — TF-IDF top terms per document
     "q_tfidf" -> ((s, d) => {
       TextAnalysis.tfIdfTop(table(s, d, "documents"), "doc_id", "text", k = 3)
@@ -599,6 +607,15 @@ object SparkEntry {
       Clustering.nearDupClusters(table(s, d, "documents"), "doc_id", "text",
           n = 3, bands = 8, rowsPerBand = 4, minSim = 0.5)
         .orderBy("id")
+    }),
+
+    // dedup — substring-level duplication: maximal spans of duplicated
+    // 5-token windows (finds the boilerplate paragraph INSIDE otherwise
+    // unique documents; windowed approximation of suffix-array dedup)
+    "q_dup_spans" -> ((s, d) => {
+      Dedup.duplicateSpans(table(s, d, "documents"), "doc_id", "text", w = 5)
+        .select(col("id").as("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+        .orderBy("doc_id", "span_start")
     }),
 
     // dedup — SimHash near-dup pairs (60-bit portable signatures)
@@ -1480,7 +1497,44 @@ object SparkEntry {
          FROM documents d JOIN c USING (lang)
          ORDER BY d.doc_id""",
 
-    "q_kmeans" -> kmeansOracleSql(k = 8, iters = 2, dim = 64)
+    "q_kmeans" -> kmeansOracleSql(k = 8, iters = 2, dim = 64),
+
+    "q_token_counts" -> {
+      val bpe = graft.pipeline.TextAnalysis.BpePretokenPattern.replace("'", "''")
+      s"""SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_ws,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_alnum,
+                CAST(len(regexp_extract_all(text, '$bpe')) AS BIGINT) AS n_bpe
+         FROM documents ORDER BY doc_id"""
+    },
+
+    "q_dup_spans" -> {
+      import graft.functions.PortableHash.sqlHashMod
+      val w = 5
+      s"""WITH t AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+           FROM documents),
+         px AS (
+           SELECT doc_id, ws, unnest(range(1, len(ws) - $w + 2)) AS pos FROM t),
+         win AS (
+           SELECT doc_id, pos,
+                  ${sqlHashMod(s"array_to_string(ws[pos:pos+${w - 1}], ' ')")} AS h
+           FROM px),
+         dup AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+         dw AS (SELECT doc_id, pos FROM win JOIN dup USING (h)),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos <= max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + $w
+                       THEN 0 ELSE 1 END AS brk
+           FROM dw),
+         g AS (SELECT doc_id, pos,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+               FROM isl)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + ${w - 1} AS span_end,
+                CAST(count(*) AS BIGINT) AS n_windows
+         FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start"""
+    }
   )
 
   /** Unrolled Lloyd's-iteration CTE chain for the k-means oracle —

@@ -35,15 +35,18 @@ object Dedup {
     * Guarded: Spark's `sequence(1, k)` DESCENDS when k < 1, so short
     * documents must short-circuit to an empty array.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val words = split(lower(text), " ")
-    when(size(words) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(words) - (n - 1)),
-          i => concat_ws(" ", slice(words, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int): Column =
+    // the split is BOUND as a lambda variable (evaluated once per row);
+    // referencing it directly inside the window lambda would let
+    // CollapseProject inline the split into every slice — a ~tokens×
+    // re-evaluation blowup (CSE never reaches inside lambda bodies)
+    flatten(transform(array(split(lower(text), " ")), ws =>
+      when(size(ws) >= n,
+        array_distinct(
+          transform(
+            sequence(lit(1), size(ws) - (n - 1)),
+            i => concat_ws(" ", slice(ws, i, lit(n))))))
+        .otherwise(array().cast("array<string>"))))
 
   /** N-gram Jaccard near-dup pairs (blocking bounds the candidate set; at
     * 100 TB you never all-pairs the corpus).
@@ -340,6 +343,71 @@ object Dedup {
       .withColumn("cos_sim", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cos_sim") >= minCos)
       .select("id_a", "id_b", "cos_sim")
+  }
+
+  /** Substring-level duplication spans — the windowed approximation of
+    * suffix-array dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL'22: exact substring matching at
+    * ~50-token granularity): hash every `w`-token window, keep windows
+    * whose hash occurs at least `minCount` times in the whole corpus
+    * (cross- OR within-document), and merge each document's overlapping
+    * /abutting duplicated windows into maximal token spans. Unlike
+    * document-level dedup (MinHash/SimHash), this finds the boilerplate
+    * paragraph INSIDE otherwise-unique documents — what a pipeline cuts
+    * out rather than drops.
+    *
+    * Plan: window hashing is a per-row projection + posexplode; the
+    * duplicated-hash filter is one count aggregation + semi-join keyed
+    * on the 60-bit hash (shuffle carries (hash, id, pos) — never text);
+    * span merging is a per-document window (islands over running max of
+    * span end), bounded by document length, not corpus size.
+    *
+    * Output: (id, span_start, span_end, n_windows) — 1-based token
+    * positions, inclusive; `n_windows` = duplicated windows merged into
+    * the span.
+    */
+  def duplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 5,
+      minCount: Long = 2): DataFrame = {
+    import graft.functions.PortableHash
+    import org.apache.spark.sql.expressions.Window
+    val words = TextAnalysis.tokens(lower(col(textCol)))
+    // Bind the token array ONCE per row as a lambda variable: referencing
+    // `words` directly inside the per-window lambda lets CollapseProject
+    // inline the regexp_extract_all into EVERY window's slice — a
+    // ~tokens× evaluation blowup (measured 4x wall on q_dup_spans).
+    // `transform(array(words), ws => ...)` evaluates the tokenizer once
+    // and every window reads the bound variable. Inner guard like
+    // shingles(): sequence(1, k) DESCENDS for k < 1.
+    val winHashes = flatten(transform(array(words), ws =>
+      when(size(ws) >= w,
+        transform(sequence(lit(1), size(ws) - (w - 1)),
+          i => PortableHash.hashMod(concat_ws(" ", slice(ws, i, lit(w))))))
+        .otherwise(array().cast("array<long>"))))
+    val wins = df
+      .select(col(idCol).as("id"), posexplode(winHashes).as(Seq("__p0", "__h")))
+      .select(col("id"), (col("__p0") + 1).cast("long").as("pos"), col("__h"))
+      .localCheckpoint() // count branch + semi-join branch both read it
+    val dup = wins.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select("__h")
+    val dw = wins.join(dup, "__h").select("id", "pos")
+    // islands: a window extends the current span iff pos <= prevEnd + 1,
+    // where prevEnd = max(pos)+w-1 over preceding rows (w is constant)
+    val ord = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val prevMax = max(col("pos")).over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val grp = sum(col("__brk")).over(ord)
+    dw.withColumn("__brk",
+        when(col("pos") <= prevMax + (w - 1) + 1, lit(0)).otherwise(lit(1)))
+      .withColumn("__g", grp)
+      .groupBy(col("id"), col("__g"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (w - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("id", "span_start", "span_end", "n_windows")
   }
 
   /** SimHash near-dup pairs, blocked by 15-bit sub-bands (4 bands): docs

@@ -117,11 +117,13 @@ object TextAnalysis {
     */
   def repetitionRatio(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     import graft.functions.PortableHash
-    val words = split(lower(col(textCol)), " ")
-    val grams = when(size(words) >= n,
-      transform(sequence(lit(1), size(words) - (n - 1)),
-        i => concat_ws(" ", slice(words, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    // bind-once lambda variable — see Dedup.shingles: an unbound `words`
+    // reference inside the window lambda re-evaluates the split per gram
+    val grams = flatten(transform(array(split(lower(col(textCol)), " ")), ws =>
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))))
     df.select(col(idCol).as("id"), explode(grams).as("__g"))
       .select(col("id"), PortableHash.hashMod(col("__g")).as("__h"))
       .groupBy(col("id"), col("__h")).agg(count(lit(1)).as("__c"))
@@ -141,6 +143,27 @@ object TextAnalysis {
     val email = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
     regexp_replace(email, "[0-9]+", "<NUM>")
   }
+
+  /** GPT-2-style pre-tokenization pattern: contractions, space-attached
+    * letter runs, digit runs, punctuation runs, residual spaces. The
+    * lookahead the original uses for trailing whitespace is dropped and
+    * the classes are ASCII so the same pattern is RE2-safe and
+    * byte-identical between Spark (Java regex) and any RE2 engine —
+    * token COUNTS from this pattern approximate BPE token counts well
+    * enough for length filtering and mixing-weight budgets.
+    */
+  val BpePretokenPattern: String =
+    "'[sdmt]|'ll|'ve|'re| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  /** Per-document token counts under the three tokenizations a pipeline
+    * actually budgets with: whitespace chunks, alphanumeric words, and
+    * the BPE-ish pre-token pattern. One codegen'd projection, no shuffle.
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      size(regexp_extract_all(col(textCol), lit("[^ ]+"), lit(0))).cast("long").as("n_ws"),
+      tokenCount(col(textCol)).cast("long").as("n_alnum"),
+      size(regexp_extract_all(col(textCol), lit(BpePretokenPattern), lit(0))).cast("long").as("n_bpe"))
 
   /** Unigram language-model self-scoring: each document's mean negative
     * log-likelihood (and perplexity) under the corpus's own unigram

@@ -71,4 +71,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "ordered coalesce must not need a window")
     assert("HashAggregate|SortAggregate|ObjectHashAggregate".r.findAllIn(p).nonEmpty)
   }
+
+  test("q_quality_bins: cutpoints broadcast back, never a sort-merge join or global window") {
+    val p = plan("q_quality_bins")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"))
+  }
+
+  test("kmeans assignment plan: centroid literals folded in — no join, no window") {
+    val p = plan("q_kmeans")
+    assert(!p.contains("Join"), "assignment must be a projection over literals\n" + p.take(600))
+    assert("\\bWindow\\b".r.findFirstIn(p).isEmpty)
+  }
 }
