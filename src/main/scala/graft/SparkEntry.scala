@@ -663,6 +663,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // similarity — IVF with a TRAINED coarse quantizer (k-means codebook
+    // instead of a raw sample; balanced cells → better recall per probe)
+    "q_ivf_kmeans" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.ivfTopKTrained(emb.filter(col("vec_id") < 10), emb,
+          k = 5, nlist = 8, nprobe = 2, iters = 2)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos_sim"), 6).as("cos_sim"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // curation — temperature-scaled source-mixing weights (w ∝ share^α):
     // how much of each source the training mix should sample
     "q_mix_weights" -> ((s, d) => {
@@ -1499,6 +1510,8 @@ object SparkEntry {
 
     "q_kmeans" -> kmeansOracleSql(k = 8, iters = 2, dim = 64),
 
+    "q_ivf_kmeans" -> ivfKmeansOracleSql(k = 5, nlist = 8, nprobe = 2, iters = 2, dim = 64),
+
     "q_token_counts" -> {
       val bpe = graft.pipeline.TextAnalysis.BpePretokenPattern.replace("'", "''")
       s"""SELECT doc_id,
@@ -1537,22 +1550,29 @@ object SparkEntry {
     }
   )
 
-  /** Unrolled Lloyd's-iteration CTE chain for the k-means oracle —
-    * mirrors [[graft.pipeline.Clustering.kmeans]] exactly: md5-ordered
+  /** Nearest-centroid assignment CTE (squared euclidean, (dist, cl)
+    * tie-break): `keep = 1` is k-means/corpus cell assignment, `keep > 1`
+    * is the IVF probe ranking; `where` filters the assigned side.
+    */
+  private def kmeansAssign(
+      name: String, cents: String, dim: Int, keep: Int = 1, where: String = ""): String =
+    s"""$name AS (
+         SELECT vec_id, v, cl, dist FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS r FROM (
+             SELECT d.vec_id, d.v, c.cl,
+                    list_sum(list_transform(range(1, ${dim + 1}),
+                      i -> (d.v[i] - c.cent[i]) * (d.v[i] - c.cent[i]))) AS dist
+             FROM dv d CROSS JOIN $cents c$where))
+         WHERE r <= $keep)"""
+
+  /** Unrolled Lloyd's-iteration CTE chain (no leading WITH) — mirrors
+    * [[graft.pipeline.Clustering.kmeansCentroids]] exactly: md5-ordered
     * init, squared-euclidean argmin with cluster-id tie-break,
     * per-dimension means rounded to 6 decimals, empty clusters keeping
-    * their previous centroid.
+    * their previous centroid. Ends at centroid table `c<iters>(cl, cent)`
+    * — shared by the `q_kmeans` and `q_ivf_kmeans` oracles.
     */
-  private def kmeansOracleSql(k: Int, iters: Int, dim: Int): String = {
-    def assign(name: String, cents: String): String =
-      s"""$name AS (
-           SELECT vec_id, v, cl, dist FROM (
-             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS r FROM (
-               SELECT d.vec_id, d.v, c.cl,
-                      list_sum(list_transform(range(1, ${dim + 1}),
-                        i -> (d.v[i] - c.cent[i]) * (d.v[i] - c.cent[i]))) AS dist
-               FROM dv d CROSS JOIN $cents c))
-           WHERE r = 1)"""
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
     def update(aName: String, prevC: String, mName: String, cName: String): String = {
       val meanCols = (1 to dim).map(i => s"round(avg(v[$i]), 6) AS d$i").mkString(", ")
       val centList = (1 to dim).map(i => s"m.d$i").mkString("[", ", ", "]")
@@ -1562,9 +1582,10 @@ object SparkEntry {
            FROM $prevC c LEFT JOIN $mName m ON m.cl = c.cl)"""
     }
     val iterCtes = (0 until iters).map { i =>
-      assign(s"a$i", s"c$i") + ",\n         " + update(s"a$i", s"c$i", s"m$i", s"c${i + 1}")
+      kmeansAssign(s"a$i", s"c$i", dim) + ",\n         " +
+        update(s"a$i", s"c$i", s"m$i", s"c${i + 1}")
     }.mkString(",\n         ")
-    s"""WITH dv AS (
+    s"""dv AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
          c0 AS (
@@ -1572,9 +1593,38 @@ object SparkEntry {
                   v AS cent
            FROM (SELECT vec_id, v FROM dv
                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)),
-         $iterCtes,
-         ${assign("af", s"c$iters")}
+         $iterCtes"""
+  }
+
+  private def kmeansOracleSql(k: Int, iters: Int, dim: Int): String =
+    s"""WITH ${kmeansCtes(k, iters, dim)},
+         ${kmeansAssign("af", s"c$iters", dim)}
          SELECT vec_id, cl AS cluster, round(dist, 6) AS dist
          FROM af ORDER BY vec_id"""
+
+  /** Trained-IVF oracle: k-means codebook CTEs + corpus cell assignment
+    * + nprobe query cells + exact cosine inside probed cells — mirrors
+    * [[graft.pipeline.Similarity.ivfTopKTrained]].
+    */
+  private def ivfKmeansOracleSql(
+      k: Int, nlist: Int, nprobe: Int, iters: Int, dim: Int): String = {
+    def norm(v: String) =
+      s"sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> $v[i] * $v[i])))"
+    s"""WITH ${kmeansCtes(nlist, iters, dim)},
+         ${kmeansAssign("ca", s"c$iters", dim)},
+         cn AS (SELECT vec_id, v, cl AS cell, ${norm("v")} AS n FROM ca),
+         ${kmeansAssign("qa", s"c$iters", dim, keep = nprobe, where = " WHERE d.vec_id < 10")},
+         qn AS (SELECT vec_id AS query_id, v AS qv, cl AS cell, ${norm("v")} AS qn FROM qa),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+                  list_sum(list_transform(range(1, ${dim + 1}),
+                    i -> q.qv[i] * c.v[i])) / (q.qn * c.n) AS cos
+           FROM cn c JOIN qn q USING (cell)
+           WHERE c.vec_id <> q.query_id),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           FROM scored)
+         SELECT query_id, vec_id, round(cos, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= $k ORDER BY query_id, rank"""
   }
 }

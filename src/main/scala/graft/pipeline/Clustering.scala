@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster resolution: turn near-dup PAIRS (from any of the
@@ -72,6 +72,59 @@ object Clustering {
     labels
   }
 
+  /** Squared-euclidean distances from a (double-cast) vector column to
+    * each centroid literal — one array element per centroid, codegen'd,
+    * no join. Shared by [[kmeans]] and the trained-IVF probe path
+    * ([[Similarity.ivfTopKTrained]]).
+    */
+  def centroidDists(vec: Column, cents: Array[Seq[Double]]): Column =
+    array(cents.map { c =>
+      aggregate(zip_with(vec, typedlit(c), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+
+  /** Train the k-means codebook and return it driver-side (k×dim doubles
+    * — the MLlib pattern). Deterministic: md5-ordered init, quantized
+    * means; see [[kmeans]] for the full invariants.
+    */
+  def kmeansCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      quantize: Int = 6): Array[Seq[Double]] = {
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got k=$k iters=$iters")
+    val dv = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+
+    // deterministic seedless init: smallest md5(id) — TakeOrdered, no sort
+    var cents: Array[Seq[Double]] = dv
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Double](1))
+
+    for (_ <- 0 until iters) {
+      val assigned = dv.withColumn("__ds", centroidDists(col("v"), cents))
+        .withColumn("cluster",
+          (array_position(col("__ds"), array_min(col("__ds"))) - 1).cast("long"))
+      val means = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("__d", "__x")))
+        .groupBy(col("cluster"), col("__d"))
+        .agg(avg(col("__x")).as("__m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cl, rows) =>
+          cl.toInt -> rows.sortBy(_.getInt(1))
+            .map(r => BigDecimal(r.getDouble(2)).setScale(quantize, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            .toSeq
+        }
+      cents = cents.zipWithIndex.map { case (prev, i) => means.getOrElse(i, prev) }
+    }
+    cents
+  }
+
   /** K-means over an embedding column (Lloyd's iterations) — the corpus
     * partitioner behind data-mixing and diversity sampling (cluster, then
     * sample per cluster). Deterministic end-to-end so two engines (and
@@ -100,6 +153,9 @@ object Clustering {
     *
     * Output: (id, cluster, dist) — dist is the squared euclidean
     * distance to the winning centroid, rounded to `quantize` decimals.
+    * Split as [[kmeansCentroids]] (training, returns the codebook) +
+    * final assignment here, so the codebook is reusable (trained IVF:
+    * [[Similarity.ivfTopKTrained]]).
     */
   def kmeans(
       df: DataFrame,
@@ -108,46 +164,16 @@ object Clustering {
       k: Int = 8,
       iters: Int = 2,
       quantize: Int = 6): DataFrame = {
-    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got k=$k iters=$iters")
-    val dv = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-
-    // deterministic seedless init: smallest md5(id) — TakeOrdered, no sort
-    var cents: Array[Seq[Double]] = dv
-      .orderBy(md5(col("id").cast("string")), col("id"))
-      .limit(k)
-      .collect()
-      .map(_.getSeq[Double](1))
-
-    // squared euclidean distance to each centroid literal; argmin = first
-    // index achieving the array min (exact double equality on an element
-    // of the array itself, so it is safe)
-    def assigned: DataFrame = {
-      val dists = array(cents.map { c =>
-        aggregate(zip_with(col("v"), typedlit(c), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x)
-      }: _*)
-      dv.withColumn("__ds", dists)
-        .withColumn("cluster", (array_position(col("__ds"), array_min(col("__ds"))) - 1).cast("long"))
-        .withColumn("dist", array_min(col("__ds")))
-    }
-
-    for (_ <- 0 until iters) {
-      val means = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("__d", "__x")))
-        .groupBy(col("cluster"), col("__d"))
-        .agg(avg(col("__x")).as("__m"))
-        .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cl, rows) =>
-          cl.toInt -> rows.sortBy(_.getInt(1))
-            .map(r => BigDecimal(r.getDouble(2)).setScale(quantize, BigDecimal.RoundingMode.HALF_UP).toDouble)
-            .toSeq
-        }
-      cents = cents.zipWithIndex.map { case (prev, i) => means.getOrElse(i, prev) }
-    }
-
-    assigned.select(col("id"), col("cluster"), round(col("dist"), quantize).as("dist"))
+    val cents = kmeansCentroids(df, idCol, vecCol, k, iters, quantize)
+    // argmin = first index achieving the array min (exact double equality
+    // on an element of the array itself, so it is safe)
+    df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("__ds", centroidDists(col("v"), cents))
+      .withColumn("cluster",
+        (array_position(col("__ds"), array_min(col("__ds"))) - 1).cast("long"))
+      .withColumn("dist", round(array_min(col("__ds")), quantize))
+      .select("id", "cluster", "dist")
   }
 
   /** End-to-end near-dup canonicalization: MinHash-LSH candidate pairs

@@ -142,6 +142,61 @@ object Similarity {
     // (query, vec) pair joins at most once even with nprobe > 1
   }
 
+  /** IVF-flat ANN with a TRAINED coarse quantizer: cells come from the
+    * deterministic k-means codebook ([[Clustering.kmeansCentroids]])
+    * instead of a raw sample — better-balanced cells, so recall per
+    * probed cell is higher and the worst cell (the skew bound on a
+    * probe) is smaller. Assignment matches training: squared-euclidean
+    * argmin against the k centroid LITERALS folded into one codegen'd
+    * expression — no centroid join at all; the probe stage keeps
+    * `nprobe` nearest cells per query (sorted (dist, cell) structs,
+    * sliced, exploded) and candidates come from an equi-join on the
+    * cell id, exactly like [[ivfTopK]].
+    * Output: (query_id, vec_id, cos_sim, rank).
+    */
+  def ivfTopKTrained(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      nlist: Int = 8,
+      nprobe: Int = 2,
+      iters: Int = 2): DataFrame = {
+    import graft.pipeline.Clustering
+    val cents = Clustering.kmeansCentroids(corpus, idCol, vecCol, nlist, iters)
+    def withDists(df: DataFrame, vec: String): DataFrame =
+      df.withColumn("__v", transform(col(vec), x => x.cast("double")))
+        .withColumn("__ds", Clustering.centroidDists(col("__v"), cents))
+    val c = withDists(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv")), "__cv")
+      .withColumn("__cell", (array_position(col("__ds"), array_min(col("__ds"))) - 1).cast("long"))
+      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
+      .select("vec_id", "__cv", "__cell", "__cn")
+    // nprobe nearest cells: array_sort on (dist, idx) structs is the
+    // same (dist asc, cell asc) order the oracle's row_number uses.
+    // __ds is BOUND as a lambda variable — referencing it directly inside
+    // the per-cell lambda would inline the whole distance-array
+    // construction into every element_at (see Dedup.shingles)
+    val probes = slice(
+      array_sort(flatten(transform(array(col("__ds")), ds =>
+        transform(sequence(lit(0), lit(cents.length - 1)),
+          i => struct(element_at(ds, i + 1).as("d"), i.cast("long").as("cell")))))),
+      1, nprobe)
+    val q = withDists(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")), "__qv")
+      .withColumn("__probe", explode(probes))
+      .withColumn("__cell", col("__probe.cell"))
+      .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
+      .select("query_id", "__qv", "__cell", "__qn")
+    val scored = c.join(broadcast(q), Seq("__cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
   /** LSH-bucketed ANN: join queries to corpus on bucket id (equi-join —
     * shuffle on the short bucket key, not a cross join), then exact cosine
     * + top-k within candidates. Recall < 1 by construction; raise
