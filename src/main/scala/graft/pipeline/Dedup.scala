@@ -366,29 +366,34 @@ object Dedup {
     * positions, inclusive; `n_windows` = duplicated windows merged into
     * the span.
     */
+  /** Portable hash of every `w`-token window of `text` (array, one
+    * element per 1-based window position). The token array is bound ONCE
+    * per row as a lambda variable: referencing it directly inside the
+    * per-window lambda lets CollapseProject inline the
+    * regexp_extract_all into EVERY window's slice — a ~tokens×
+    * evaluation blowup (measured 4x wall on q_dup_spans). Inner guard
+    * like shingles(): sequence(1, k) DESCENDS for k < 1. Shared by
+    * [[duplicateSpans]] and the streaming
+    * [[graft.streaming.StreamIngest.dupWindowMonitor]].
+    */
+  def windowHashes(text: Column, w: Int): Column = {
+    import graft.functions.PortableHash
+    flatten(transform(array(TextAnalysis.tokens(lower(text))), ws =>
+      when(size(ws) >= w,
+        transform(sequence(lit(1), size(ws) - (w - 1)),
+          i => PortableHash.hashMod(concat_ws(" ", slice(ws, i, lit(w))))))
+        .otherwise(array().cast("array<long>"))))
+  }
+
   def duplicateSpans(
       df: DataFrame,
       idCol: String,
       textCol: String,
       w: Int = 5,
       minCount: Long = 2): DataFrame = {
-    import graft.functions.PortableHash
     import org.apache.spark.sql.expressions.Window
-    val words = TextAnalysis.tokens(lower(col(textCol)))
-    // Bind the token array ONCE per row as a lambda variable: referencing
-    // `words` directly inside the per-window lambda lets CollapseProject
-    // inline the regexp_extract_all into EVERY window's slice — a
-    // ~tokens× evaluation blowup (measured 4x wall on q_dup_spans).
-    // `transform(array(words), ws => ...)` evaluates the tokenizer once
-    // and every window reads the bound variable. Inner guard like
-    // shingles(): sequence(1, k) DESCENDS for k < 1.
-    val winHashes = flatten(transform(array(words), ws =>
-      when(size(ws) >= w,
-        transform(sequence(lit(1), size(ws) - (w - 1)),
-          i => PortableHash.hashMod(concat_ws(" ", slice(ws, i, lit(w))))))
-        .otherwise(array().cast("array<long>"))))
     val wins = df
-      .select(col(idCol).as("id"), posexplode(winHashes).as(Seq("__p0", "__h")))
+      .select(col(idCol).as("id"), posexplode(windowHashes(col(textCol), w)).as(Seq("__p0", "__h")))
       .select(col("id"), (col("__p0") + 1).cast("long").as("pos"), col("__h"))
       .localCheckpoint() // count branch + semi-join branch both read it
     val dup = wins.groupBy("__h").agg(count(lit(1)).as("__c"))

@@ -170,6 +170,67 @@ object StreamIngest {
       }
       .start()
 
+  final case class WinOcc(winHash: Long, docId: Long, pos: Long, ts: java.sql.Timestamp)
+  final case class DupWindowAlert(winHash: Long, docId: Long, pos: Long, nSeen: Long)
+
+  /** Streaming substring-duplication monitor — the streaming face of
+    * [[graft.pipeline.Dedup.duplicateSpans]]: documents arrive as a
+    * stream, every `w`-token window is hashed (same portable hash as the
+    * batch operator), and an alert is emitted for each window occurrence
+    * beyond the first — i.e. the moment ingested content starts
+    * repeating the stream's history (boilerplate detection at ingest
+    * time, before anything lands in the corpus).
+    *
+    * State: ONE occurrence counter per distinct window hash
+    * (`flatMapGroupsWithState`), expired by an EVENT-TIME TTL: a key's
+    * state times out once the watermark passes its last occurrence by
+    * `stateTtlMs` — so the state store is bounded by the retention
+    * horizon's distinct-window count, never the stream's full history,
+    * and a window that falls quiet is forgotten (its next occurrence
+    * counts as fresh). Within a batch, a key's occurrences are processed
+    * in (ts, docId, pos) order, so alert numbering is deterministic.
+    */
+  def dupWindowMonitor(
+      docs: DataFrame,
+      w: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes",
+      stateTtlMs: Long = 3600L * 1000): Dataset[DupWindowAlert] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).cast("long").as("docId"), col(tsCol).as("ts"),
+        posexplode(graft.pipeline.Dedup.windowHashes(col(textCol), w)).as(Seq("__p0", "winHash")))
+      .select(col("winHash"), col("docId"), (col("__p0") + 1).cast("long").as("pos"), col("ts"))
+      .as[WinOcc]
+      .groupByKey(_.winHash)
+      .flatMapGroupsWithState[Long, DupWindowAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (hash, rows, state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var n = state.getOption.getOrElse(0L)
+            val rs = rows.toSeq.sortBy(r => (r.ts.getTime, r.docId, r.pos))
+            val alerts = rs.flatMap { r =>
+              n += 1
+              if (n >= 2) Some(DupWindowAlert(hash, r.docId, r.pos, n)) else None
+            }
+            state.update(n)
+            // expire when the watermark passes this key's LAST occurrence
+            // by the TTL — anchoring on the watermark instead (which is 0
+            // until the first batch completes) would expire every
+            // first-batch key the moment the watermark advances
+            state.setTimeoutTimestamp(
+              math.max(rs.last.ts.getTime + stateTtlMs, state.getCurrentWatermarkMs() + 1))
+            alerts.iterator
+          }
+      }
+  }
+
   /** Stream-static enrichment: join a live point stream against a
     * versioned-store snapshot (e.g. the latest reference profile per
     * series from `VersionedStore.getManyLc`, aggregated to ONE row per

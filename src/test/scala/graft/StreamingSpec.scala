@@ -141,6 +141,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dupWindowMonitor: repeated content alerts from the second occurrence on") {
+    val dir = java.nio.file.Files.createTempDirectory("dupwin-src").toString + "/data"
+    val phrase = "alpha beta gamma delta epsilon zeta" // 6 tokens, w=5 -> 2 windows
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    def ts(i: Int) = java.sql.Timestamp.valueOf(t0.plusMinutes(i.toLong))
+    // batch 1: the phrase once + an unrelated doc -> no alerts
+    Seq((1L, ts(0), phrase), (2L, ts(1), "totally different words in here ok"))
+      .toDF("doc_id", "ts", "text").write.parquet(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val alerts = StreamIngest.dupWindowMonitor(
+      spark.readStream.schema(schema).parquet(dir), w = 5)
+    val q = StreamIngest.runToMemory(alerts.toDF(), "dupwin", OutputMode.Append())
+    try {
+      assert(spark.table("dupwin").count() === 0) // first occurrences are silent
+      // batch 2: doc 3 repeats the phrase -> both its windows alert with nSeen=2
+      Seq((3L, ts(2), phrase)).toDF("doc_id", "ts", "text")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table("dupwin").orderBy("pos")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq === Seq((3L, 1L, 2L), (3L, 2L, 2L)))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins a snapshot; missing keys survive with NULL") {
     val dir = writeSource() // keys k0/k1
     val stream = spark.readStream.schema(srcSchema).parquet(dir)
