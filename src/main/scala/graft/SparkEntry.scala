@@ -674,6 +674,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // curation — cluster-balanced diversity sample (kmeans cells +
+    // deterministic per-cluster hash-rate membership; no top-N window)
+    "q_diversity_sample" -> ((s, d) => {
+      Curation.diversitySample(table(s, d, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 2, perCluster = 16)
+        .select(col("id").as("vec_id"), col("cluster"), col("keep"))
+        .orderBy("vec_id")
+    }),
+
     // curation — temperature-scaled source-mixing weights (w ∝ share^α):
     // how much of each source the training mix should sample
     "q_mix_weights" -> ((s, d) => {
@@ -1511,6 +1520,17 @@ object SparkEntry {
     "q_kmeans" -> kmeansOracleSql(k = 8, iters = 2, dim = 64),
 
     "q_ivf_kmeans" -> ivfKmeansOracleSql(k = 5, nlist = 8, nprobe = 2, iters = 2, dim = 64),
+
+    "q_diversity_sample" -> {
+      val score = graft.pipeline.Sampling.sqlHashScore("vec_id", "diversity")
+      s"""WITH ${kmeansCtes(8, 2, 64)},
+         ${kmeansAssign("af", "c2", 64)},
+         sz AS (SELECT cl, count(*) AS n FROM af GROUP BY cl)
+         SELECT af.vec_id, af.cl AS cluster,
+                ($score < least(1.0, 16.0 / sz.n)) AS keep
+         FROM af JOIN sz ON sz.cl = af.cl
+         ORDER BY af.vec_id"""
+    },
 
     "q_token_counts" -> {
       val bpe = graft.pipeline.TextAnalysis.BpePretokenPattern.replace("'", "''")

@@ -49,6 +49,42 @@ object Curation {
         col("share"), col("weight"))
   }
 
+  /** Cluster-balanced diversity sampling: k-means the embedding corpus
+    * ([[Clustering.kmeans]]), then keep ≈`perCluster` members of EACH
+    * cluster — the downsampling that preserves the corpus's mode
+    * coverage instead of letting the dominant cluster swamp the sample.
+    *
+    * Membership is decided by the deterministic hash score
+    * ([[Sampling.hashScore]]) against a per-cluster rate
+    * `min(1, perCluster / |cluster|)` — never a per-cluster top-N
+    * window, which would sort a corpus-sized hot cluster in one task
+    * (AQE splits joins and aggregations, never windows). Clusters at or
+    * under `perCluster` members are kept whole (rate 1, and scores are
+    * strictly below 1). The kept count per cluster is binomial around
+    * `perCluster`, which is what a 100 TB sampler can afford; exactness
+    * is what it cannot.
+    *
+    * Output: (id, cluster, keep) for every input row — filter `keep` for
+    * the sample, keep the full frame for audit.
+    */
+  def diversitySample(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 8,
+      iters: Int = 2,
+      perCluster: Int = 16,
+      salt: String = "diversity"): DataFrame = {
+    require(perCluster >= 1, s"perCluster must be >= 1, got $perCluster")
+    val assigned = Clustering.kmeans(df, idCol, vecCol, k, iters)
+    val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("__n"))
+    assigned.join(broadcast(sizes), "cluster")
+      .withColumn("keep",
+        Sampling.hashScore(col("id"), salt) <
+          least(lit(1.0), lit(perCluster.toDouble) / col("__n")))
+      .select("id", "cluster", "keep")
+  }
+
   /** Per-group quantile binning: assign each row the bucket its value
     * falls into between the group's `k`-quantile cutpoints (bin 1 =
     * below the first cutpoint, bin k = above the last). The cutpoints
