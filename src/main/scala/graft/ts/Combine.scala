@@ -77,13 +77,15 @@ object Combine {
     * Scale shape: the fold priority is NOT a window over the data — a
     * window partitioned by `combinedBy` alone would sort every row of a
     * hot series in ONE task (AQE splits skewed joins, never skewed
-    * windows; one 100M-point series = one straggler). Instead the
-    * DISTINCT (group, order) entry tuples — series x versions, tiny
-    * relative to points — are ranked, and the priority joins back on a
-    * null-safe equi-join that AQE can broadcast when small and
-    * skew-split when a series runs hot. The final aggregation keys on
-    * (combinedBy, ts), which hash-distributes a hot series across
-    * reducers by timestamp — no salting needed anywhere in the path.
+    * windows; one 100M-point series = one straggler). When every order
+    * key shares one direction (all reference call sites), the priority
+    * is a min_by/max_by struct key — ONE aggregation, nothing else.
+    * Mixed directions rank the DISTINCT (group, order) entry tuples —
+    * series x versions, tiny relative to points — and join the rank
+    * back on a null-safe equi-join that AQE can broadcast when small
+    * and skew-split when a series runs hot. Either way the final
+    * aggregation keys on (combinedBy, ts), which hash-distributes a hot
+    * series across reducers by timestamp — no salting needed anywhere.
     */
   def combineOrdered(
       df: DataFrame,
@@ -91,22 +93,53 @@ object Combine {
       orderKeys: Seq[(String, Boolean)],
       tsCol: String = "ts",
       valueCol: String = "value"): DataFrame = {
-    val ordNames = orderKeys.map(_._1).filterNot(combinedBy.contains)
-    val sortCols = orderKeys.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
-    val keyNames = combinedBy ++ ordNames
-    // distinct entry tuples: row_number here == dense_rank on the full
-    // frame (tuples tying on every order column are the same tuple)
-    val entries = df.select(keyNames.map(col): _*).distinct()
-    val w = Window.partitionBy(combinedBy.map(col): _*).orderBy(sortCols: _*)
-    // rename the rank side's keys so the self-join is unambiguous
-    val ranked = entries.withColumn("__prio", row_number().over(w).cast("long"))
-      .select(keyNames.map(k => col(k).as(s"__rk_$k")) :+ col("__prio"): _*)
-    // null-safe on every key: entry rows with NULL order values still rank
-    val joinCond = keyNames.map(k => col(k) <=> col(s"__rk_$k")).reduce(_ && _)
-    val prio = df.join(ranked, joinCond)
-      .drop(keyNames.map(k => s"__rk_$k"): _*)
-    prio.groupBy((combinedBy.map(col) :+ col(tsCol)): _*)
-      .agg(firstNonNullByPriority(col(valueCol), col("__prio")).as(valueCol))
+    val sameDirection = orderKeys.nonEmpty && orderKeys.map(_._2).distinct.size == 1
+    if (sameDirection) {
+      // FAST PATH (all order keys the same direction — every reference
+      // call site: `version DESC`, `-version`, `created_at ASC`): the
+      // fold priority needs no rank at all. min_by/max_by over a STRUCT
+      // of (value-null marker, per-key null marker, key...) picks the
+      // first non-null value in the requested entry order directly —
+      // ONE aggregation, one shuffle on the output key, no distinct
+      // pass, no join. Struct comparison is field-wise, so the markers
+      // reproduce the window's null placement exactly: ascending ranks
+      // NULLS FIRST (a null order key is the strongest entry), and
+      // descending ranks NULLS LAST — `isNotNull` encodes both (min
+      // prefers 0 = null; max prefers 1 = non-null); the value marker
+      // leads so a null value always loses to any non-null one, and an
+      // all-null group still yields null. Equal full order tuples tie
+      // exactly like equal `__prio` ranks in the general path.
+      val asc = orderKeys.head._2
+      val v = col(valueCol)
+      val fields =
+        (if (asc) v.isNull.cast("int") else v.isNotNull.cast("int")) +:
+          orderKeys.flatMap { case (c, _) =>
+            Seq(col(c).isNotNull.cast("int"), col(c)) }
+      val prio = struct(fields: _*)
+      val pick = if (asc) min_by(v, prio) else max_by(v, prio)
+      df.groupBy((combinedBy.map(col) :+ col(tsCol)): _*)
+        .agg(pick.as(valueCol))
+    } else {
+      // GENERAL PATH (mixed asc/desc order keys): rank the DISTINCT
+      // entry tuples and join the rank back (never a data-wide window —
+      // AQE can split a skewed join, it can never split a window).
+      val ordNames = orderKeys.map(_._1).filterNot(combinedBy.contains)
+      val sortCols = orderKeys.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
+      val keyNames = combinedBy ++ ordNames
+      // distinct entry tuples: row_number here == dense_rank on the full
+      // frame (tuples tying on every order column are the same tuple)
+      val entries = df.select(keyNames.map(col): _*).distinct()
+      val w = Window.partitionBy(combinedBy.map(col): _*).orderBy(sortCols: _*)
+      // rename the rank side's keys so the self-join is unambiguous
+      val ranked = entries.withColumn("__prio", row_number().over(w).cast("long"))
+        .select(keyNames.map(k => col(k).as(s"__rk_$k")) :+ col("__prio"): _*)
+      // null-safe on every key: entry rows with NULL order values still rank
+      val joinCond = keyNames.map(k => col(k) <=> col(s"__rk_$k")).reduce(_ && _)
+      val prio = df.join(ranked, joinCond)
+        .drop(keyNames.map(k => s"__rk_$k"): _*)
+      prio.groupBy((combinedBy.map(col) :+ col(tsCol)): _*)
+        .agg(firstNonNullByPriority(col(valueCol), col("__prio")).as(valueCol))
+    }
   }
 
   /** Update merge (reference `new.combine_first(existing)` —

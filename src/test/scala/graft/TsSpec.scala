@@ -190,21 +190,33 @@ class CombineSpec extends SparkSpec {
     assert(out.map(_.getDouble(2)).toSeq === Seq(1.0, 2.0))
   }
 
-  test("combineOrdered plan: no window over the data frame (only over distinct entries)") {
+  test("combineOrdered plan: same-direction keys need no window at all; mixed keys rank entries only") {
     import spark.implicits._
-    val df = Seq(("p", 1, java.time.LocalDateTime.parse("2024-01-01T00:00"), 1.0))
-      .toDF("prm", "version", "ts", "value")
-    val plan = Combine.combineOrdered(df, Seq("prm"), Seq("version" -> false))
+    val df = Seq(("p", 1, 2, java.time.LocalDateTime.parse("2024-01-01T00:00"), 1.0))
+      .toDF("prm", "version", "rev", "ts", "value")
+    // fast path: the fold priority is a min_by/max_by struct — one
+    // aggregation, no window, no join anywhere in the plan
+    val fast = Combine.combineOrdered(df, Seq("prm"), Seq("version" -> false))
       .queryExecution.optimizedPlan
-    // the Window must rank entry tuples only — its input carrying ts/value
-    // would mean it sorts the raw rows (the hot-series straggler shape)
-    val wins = plan.collect {
+    assert(fast.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isEmpty,
+      s"fast path must not window:\n$fast")
+    assert(fast.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.isEmpty,
+      s"fast path must not join:\n$fast")
+    // mixed-direction keys: the Window must rank entry tuples only — its
+    // input carrying ts/value would mean it sorts the raw rows (the
+    // hot-series straggler shape)
+    val mixed = Combine.combineOrdered(df, Seq("prm"),
+        Seq("version" -> false, "rev" -> true))
+      .queryExecution.optimizedPlan
+    val wins = mixed.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
-    assert(wins.nonEmpty, s"expected a rank window in plan:\n$plan")
+    assert(wins.nonEmpty, s"expected a rank window in plan:\n$mixed")
     wins.foreach { w =>
       val in = w.child.output.map(_.name).toSet
       assert(!in.contains("ts") && !in.contains("value"),
-        s"window input must be entry tuples, got $in in plan:\n$plan")
+        s"window input must be entry tuples, got $in in plan:\n$mixed")
     }
   }
 }
