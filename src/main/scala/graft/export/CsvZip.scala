@@ -23,16 +23,31 @@ object CsvZip {
 
   /** Export `df` (keys..., ts, value) as the reference's zip layout.
     * Returns the manifest rows (serie index, key values, n points).
+    *
+    * This path collects every selected series to the driver (a zip file
+    * is a single-writer sink) — it exists for byte parity with the
+    * reference's admin action on SMALL selections. `maxSeries` refuses a
+    * selection that would materialize more than that many series
+    * driver-side (checked via `limit(maxSeries+1)` on the aggregated
+    * frame — no extra job, bounded memory); point big exports at
+    * [[exportDistributed]].
     */
   def export(df: DataFrame, keys: Seq[String], outFile: String,
-      tsCol: String = "ts", valueCol: String = "value"): Seq[(Int, Map[String, String], Long)] = {
+      tsCol: String = "ts", valueCol: String = "value",
+      maxSeries: Int = 10000): Seq[(Int, Map[String, String], Long)] = {
+    require(maxSeries >= 1, "maxSeries must be >= 1")
     // one job: per-series sorted (ts;value) lines
     val perSeries = df
       .groupBy(keys.map(col): _*)
       .agg(
         sort_array(collect_list(struct(col(tsCol), col(valueCol)))).as("pts"),
         count(lit(1)).as("n"))
+      .limit(maxSeries + 1)
       .collect()
+    if (perSeries.length > maxSeries)
+      throw new IllegalArgumentException(
+        s"CsvZip.export: selection exceeds $maxSeries series — the zip export is a " +
+          "driver-side admin path; use CsvZip.exportDistributed for large exports")
 
     val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(outFile)))
     val manifest = scala.collection.mutable.ListBuffer.empty[(Int, Map[String, String], Long)]

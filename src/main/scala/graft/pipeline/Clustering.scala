@@ -60,9 +60,16 @@ object Clustering {
         .select(col("id"),
           least(col("comp"), coalesce(col("__nbr"), col("comp"))).as("comp"),
           (col("__nbr") < col("comp")).as("__chg"))
-        .localCheckpoint()
-      converged = next.filter(col("__chg")).isEmpty
-      labels = next.drop("__chg")
+      // convergence check folded into the materialization job: observe()
+      // counts changed labels WHILE localCheckpoint materializes the round
+      // — one action per round, not two (the separate isEmpty job was
+      // ~20-30% of q_dup_clusters)
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$it")
+      val materialized = next
+        .observe(obs, sum(when(col("__chg"), 1L).otherwise(0L)).as("changed"))
+        .localCheckpoint() // eager: runs the job, which fills the observation
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      labels = materialized.drop("__chg")
       it += 1
     }
     if (!converged)

@@ -197,10 +197,84 @@ object Similarity {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
+  /** Multi-probe probe-bucket list for a query vector: the base sign-LSH
+    * bucket plus `numProbes - 1` variants with the LOWEST-MARGIN bit
+    * flipped (smallest |projection| = the hyperplane the vector sits
+    * closest to = the bit most likely to differ for a true neighbor) —
+    * the classic multi-probe LSH recall boost (Lv et al., VLDB'07)
+    * without building extra hash tables. All buckets are distinct (base
+    * XOR distinct single bits), so a downstream equi-join yields each
+    * candidate pair at most once.
+    *
+    * Every computed array (projections, base bucket) is BOUND once as a
+    * lambda variable via `transform(array(x), v => ...)` — referencing
+    * them directly would inline the full projection fold into every use
+    * (CSE cannot reach lambda bodies).
+    */
+  def lshProbeBuckets(vec: Column, numPlanes: Int = 12, numProbes: Int = 3): Column = {
+    require(numProbes >= 1 && numProbes <= numPlanes + 1,
+      s"numProbes must be in [1, numPlanes+1]; got $numProbes")
+    val planes = graft.functions.PortableHash.planes(numPlanes, MaxDim)
+    val projs = array((0 until numPlanes).map { p =>
+      val w = slice(lit(planes(p)), lit(1), size(vec))
+      aggregate(zip_with(vec, w, (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+    // 2^p as a column: pow is exact for p < 53; shiftleft needs a literal
+    def pow2(p: Column): Column = pow(lit(2.0), p.cast("double")).cast("long")
+    flatten(transform(array(projs), ps => {
+      val base = aggregate(sequence(lit(0), lit(numPlanes - 1)), lit(0L),
+        (acc, p) => acc + when(element_at(ps, p + 1) >= 0, pow2(p)).otherwise(lit(0L)))
+      // bit indices by ascending |projection| (ties → bit index): the
+      // first numProbes-1 are the flips, probed in that order
+      val flipOrder = slice(
+        array_sort(transform(sequence(lit(0), lit(numPlanes - 1)),
+          p => struct(abs(element_at(ps, p + 1)).as("m"), p.cast("long").as("p")))),
+        1, numProbes - 1)
+      flatten(transform(array(base), b =>
+        concat(array(b), transform(flipOrder, s => b.bitwiseXOR(pow2(s.getField("p")))))))
+    }))
+  }
+
+  /** Multi-probe variant of [[lshTopK]]: each query searches its own
+    * bucket PLUS the `numProbes - 1` lowest-margin bit-flip buckets —
+    * recall approaches brute force as numProbes grows while the corpus
+    * side still partitions by a single bucket id (the corpus is hashed
+    * once; only the small query side explodes ×numProbes). Same
+    * output/cost shape as [[lshTopK]]: equi-join on the bucket key, exact
+    * cosine within candidates, per-query top-k window on the candidate
+    * set. Output: (query_id, vec_id, cos_sim, rank).
+    */
+  def lshTopKMultiProbe(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      numPlanes: Int = 12,
+      numProbes: Int = 3): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("bucket", explode(lshProbeBuckets(col("__qv"), numPlanes, numProbes)))
+      .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
+      .withColumn("bucket", lshBucket(col("__cv"), numPlanes))
+      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
+    // a corpus vector lives in exactly ONE bucket and a query's probe
+    // buckets are pairwise distinct, so no (query, vec) pair joins twice
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
   /** LSH-bucketed ANN: join queries to corpus on bucket id (equi-join —
     * shuffle on the short bucket key, not a cross join), then exact cosine
     * + top-k within candidates. Recall < 1 by construction; raise
-    * `numPlanes` ↓bucket size, or probe multiple tables for recall.
+    * `numPlanes` ↓bucket size, or use [[lshTopKMultiProbe]] for recall.
     * Output: (query_id, vec_id, cos_sim, rank).
     */
   def lshTopK(

@@ -35,10 +35,12 @@ object TextAnalysis {
 
   /** Per-language stopword-hit scores — the argmax is the language guess.
     * Emitted as one column per language so downstream (and the SQL oracle)
-    * stays deterministic without tie-break subtleties.
+    * stays deterministic without tie-break subtleties. Words come from
+    * [[tokens]] (the same regex tokenizer every other operator uses), so
+    * multi-space/punctuated text scores consistently with token counts.
     */
   def langScores(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val words = split(lower(col(textCol)), " ")
+    val words = tokens(lower(col(textCol)))
     StopwordsByLang.toSeq.sortBy(_._1).foldLeft(df.withColumn("__w", words)) {
       case (d, (lang, stops)) =>
         val hits = stops.map(s => size(filter(col("__w"), w => w === lit(s)))).reduce(_ + _)
@@ -47,13 +49,15 @@ object TextAnalysis {
   }
 
   /** Quality heuristics (length / word-shape / stopword ratios) — the
-    * usual cheap pre-filters before expensive dedup/training.
+    * usual cheap pre-filters before expensive dedup/training. Stopword
+    * hits count over [[tokens]] of the lowered text — the same
+    * tokenization as `n_tokens`, so the ratio is a true fraction.
     */
   def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = tokens(col(textCol))
     val nTok = size(toks)
     val en   = StopwordsByLang("en")
-    val stopHits = en.map(s => size(filter(split(lower(col(textCol)), " "), w => w === lit(s)))).reduce(_ + _)
+    val stopHits = en.map(s => size(filter(tokens(lower(col(textCol))), w => w === lit(s)))).reduce(_ + _)
     df.withColumn("n_tokens", nTok)
       .withColumn("n_chars_m", length(col(textCol)))
       .withColumn("avg_token_len",

@@ -289,18 +289,47 @@ class ChunkStore(
     parts
   }
 
+  /** All chunk partitions present on disk, from a directory listing —
+    * free relative to any scan (the same listing the parquet reader does
+    * for partition discovery; on a real lakehouse it is one namenode/
+    * object-store LIST).
+    */
+  private def listChunkPartitions(): Seq[Int] =
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("chunk_index="))
+      .map(_.getName.stripPrefix("chunk_index=").toInt)
+
   /** Latest non-null timestamp across matching series, None when empty
     * (reference `get_max_horodate`, chunk_timeserie_store.py:519-539).
-    * Restricts to the max chunk first — partition pruning makes the scan
-    * touch one partition, like the reference's max-chunk shortcut.
+    * The max-chunk candidate comes from the partition DIRECTORY LISTING
+    * (the reference's max-chunk index shortcut, :531 — and the same
+    * listing `compactIfNeeded` uses), so the common case scans exactly ONE
+    * pruned partition instead of aggregating max(chunk_index) over every
+    * partition first. A partition can be empty FOR THE FILTERS (other
+    * series' chunks, tombstones), so walk downward; after `probeLimit`
+    * misses fall back to the two-pass aggregation rather than issuing a
+    * job per remaining partition.
     */
   def maxHorodate(filters: Map[String, Any] = Map.empty): Option[java.time.LocalDateTime] = {
     val live = load().filter(attrFilter(filters) && !col("is_deleted") && col("value").isNotNull)
-    val maxChunk = live.agg(max("chunk_index")).head()
-    if (maxChunk.isNullAt(0)) None
+    val probeLimit = 3
+    val candidates = listChunkPartitions().sorted(Ordering[Int].reverse)
+    for (p <- candidates.take(probeLimit)) {
+      // literal chunk_index predicate → PartitionFilters: one-partition scan
+      val r = live.filter(col("chunk_index") === lit(p)).agg(max("ts")).head()
+      if (!r.isNullAt(0)) return Some(r.getAs[java.time.LocalDateTime](0))
+    }
+    if (candidates.length <= probeLimit) None
     else {
-      val r = live.filter(col("chunk_index") === maxChunk.getInt(0)).agg(max("ts")).head()
-      if (r.isNullAt(0)) None else Some(r.getAs[java.time.LocalDateTime](0))
+      // the newest partitions held nothing for these filters — one
+      // bounded fallback over the rest, not a job per partition
+      val rest = live.filter(col("chunk_index") < lit(candidates(probeLimit - 1)))
+      val maxChunk = rest.agg(max("chunk_index")).head()
+      if (maxChunk.isNullAt(0)) None
+      else {
+        val r = rest.filter(col("chunk_index") === maxChunk.getInt(0)).agg(max("ts")).head()
+        if (r.isNullAt(0)) None else Some(r.getAs[java.time.LocalDateTime](0))
+      }
     }
   }
 

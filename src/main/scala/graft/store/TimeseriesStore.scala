@@ -1,0 +1,175 @@
+package graft.store
+
+import graft.ts.Combine
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Non-chunked keyed time-series store — the Spark re-expression of the
+  * reference's `TimeseriesStore` (hostore/models/timeserie_store.py:16-156):
+  * one series per unique business-key tuple, whole-series writes, no
+  * chunking, no tombstones, no sync.
+  *
+  * Layout: ONE long-form parquet table `(keys..., ts, value)` partitioned
+  * by the business keys — each series is its own partition directory, so
+  * a keyed read prunes to one directory (what the reference's unique
+  * constraint + index give it), `set_ts` rewrites exactly one series via
+  * dynamic partition overwrite (the reference re-encodes the whole blob
+  * per set — same granularity), and `clear` is a directory drop. Partial
+  * key filters (incl. Django `__`-lookups) prune on the partition columns.
+  *
+  * Error contract mirrors the reference's ValueError surface
+  * (timeserie_store.py:118-141, tests_timeseries_store.py:86-133):
+  * update+replace exclusive; set over an existing series without a flag
+  * refused; flat get with zero or multiple matches refused; an all-null
+  * series is skipped (returns false), not written.
+  *
+  * For chunked storage, tombstoned deletes, and incremental sync, use
+  * [[ChunkStore]] — this facade exists so a reference user migrating a
+  * plain `TimeseriesStore` model has a 1:1 class to land on.
+  */
+class TimeseriesStore(
+    val spark: SparkSession,
+    val path: String,
+    val keySchema: StructType) {
+
+  val keys: Seq[String] = keySchema.fields.map(_.name).toSeq
+  require(keys.nonEmpty, "TimeseriesStore needs at least one business key")
+
+  def schema: StructType = StructType(
+    keySchema.fields.toSeq ++ Seq(
+      StructField("ts", TimestampNTZType),
+      StructField("value", DoubleType)))
+
+  def load(): DataFrame =
+    if (new java.io.File(path).exists())
+      spark.read.schema(schema).parquet(path)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def attrFilter(attrs: Map[String, Any]): Column =
+    attrs.map { case (k, v) => col(k) === lit(v) }.reduceOption(_ && _).getOrElse(lit(true))
+
+  private def requireAllKeys(attrs: Map[String, Any]): Unit = {
+    require(attrs != null, "ts_attributes is null")
+    val missing = keys.filterNot(attrs.contains)
+    require(missing.isEmpty, s"all business keys must be specified; missing: ${missing.mkString(",")}")
+    val unknown = attrs.keys.filterNot(keys.contains)
+    require(unknown.isEmpty, s"unknown attrs: ${unknown.mkString(",")}")
+    require(attrs.values.forall(_ != null), "null key values are not allowed")
+  }
+
+  def exists(attrs: Map[String, Any]): Boolean =
+    !load().filter(attrFilter(attrs)).isEmpty
+
+  /** Write one series under `attrs` (reference `set_ts`,
+    * timeserie_store.py:97-141): `update` merges new.combine_first(existing),
+    * `replace` swaps the series wholesale, neither flag over an existing
+    * series is refused (ValueError parity → IllegalArgumentException).
+    * An empty / all-null series is skipped; returns false (the reference
+    * logs and returns without writing).
+    */
+  def setTs(
+      attrs: Map[String, Any],
+      series: DataFrame,
+      update: Boolean = false,
+      replace: Boolean = false): Boolean = {
+    if (update && replace)
+      throw new IllegalArgumentException("update and replace are mutually exclusive")
+    requireAllKeys(attrs)
+    val s = series
+      .select(col("ts").cast(TimestampNTZType).as("ts"), col("value").cast(DoubleType).as("value"))
+      .filter(col("value").isNotNull && !isnan(col("value")) && col("ts").isNotNull)
+    if (s.isEmpty) return false
+    val content =
+      if (!exists(attrs)) s
+      else if (update) {
+        val existing = load().filter(attrFilter(attrs)).select(col("ts"), col("value"))
+        // single-key combine: both frames are one series, keyed by a
+        // constant — reuse the ordered-coalesce machinery with no keys
+        Combine.combineFirst(
+          Seq(s.withColumn("__k", lit(1)), existing.withColumn("__k", lit(1))), Seq("__k"))
+          .drop("__k")
+      } else if (replace) s
+      else throw new IllegalArgumentException(
+        s"Trying save over existing ts without update or replace option: $attrs")
+    val withKeys = keys.foldLeft(content)((d, k) =>
+      d.withColumn(k, lit(attrs(k)).cast(keySchema(k).dataType)))
+      .select(schema.fieldNames.map(col): _*)
+    overwriteSeriesPartition(withKeys)
+    true
+  }
+
+  /** Read series matching (possibly partial) `filters`, Django
+    * `__`-lookups accepted — the list form of the reference `get_ts`
+    * (timeserie_store.py:59-95): long form `(keys..., ts, value)` ordered
+    * by (keys..., ts); the key columns play the entry-attribute dict.
+    */
+  def getTs(filters: Map[String, Any] = Map.empty): DataFrame = {
+    val unknown = Lookups.baseFields(filters).filterNot(keys.contains)
+    require(unknown.isEmpty, s"Unknown attribute(s) ${unknown.mkString(",")}")
+    val cond = Lookups.compile(filters).getOrElse(lit(true))
+    load().filter(cond)
+      .select((keys.map(col) :+ col("ts") :+ col("value")): _*)
+      .orderBy((keys.map(col) :+ col("ts")): _*)
+  }
+
+  /** `get_ts(flat=True)`: exactly one series must match — zero or
+    * multiple raise (ValueError parity). Returns (ts, value) ordered.
+    */
+  def getTsFlat(filters: Map[String, Any]): DataFrame = {
+    val unknown = Lookups.baseFields(filters).filterNot(keys.contains)
+    require(unknown.isEmpty, s"Unknown attribute(s) ${unknown.mkString(",")}")
+    val cond = Lookups.compile(filters).getOrElse(lit(true))
+    val matched = load().filter(cond)
+      .select(keys.map(col): _*).distinct().limit(2).collect()
+    if (matched.isEmpty)
+      throw new IllegalArgumentException(s"No serie found for key $filters")
+    if (matched.length > 1)
+      throw new IllegalArgumentException(s"Multiple series found for key $filters")
+    load().filter(cond).select(col("ts"), col("value")).orderBy("ts")
+  }
+
+  /** Delete matching series (reference `clear`, timeserie_store.py:144-156):
+    * each matched series is one partition directory — a directory drop,
+    * no rewrite of anything else.
+    */
+  def clear(filters: Map[String, Any]): Unit = {
+    val unknown = Lookups.baseFields(filters).filterNot(keys.contains)
+    require(unknown.isEmpty, s"Unknown attribute(s) ${unknown.mkString(",")}")
+    val cond = Lookups.compile(filters).getOrElse(lit(true))
+    val victims = load().filter(cond).select(keys.map(col): _*).distinct().collect()
+    victims.foreach { r =>
+      ChunkStore.deleteRecursively(new java.io.File(path, partitionDir(r)))
+    }
+  }
+
+  /** The partition directory a key tuple lives in, using Spark's own
+    * partition-path escaping so special characters round-trip.
+    */
+  private def partitionDir(r: org.apache.spark.sql.Row): String =
+    keys.zipWithIndex.map { case (k, i) =>
+      s"${ExternalCatalogUtils.escapePathName(k)}=${ExternalCatalogUtils.escapePathName(String.valueOf(r.get(i)))}"
+    }.mkString("/")
+
+  /** Staged dynamic-partition overwrite of the (single) series partition
+    * in `content` — same trick as ChunkStore.overwritePartitions: Spark
+    * refuses to overwrite a path it is reading, so bounce through a
+    * sibling staging dir.
+    */
+  private def overwriteSeriesPartition(content: DataFrame): Unit = {
+    val staging = s"${path}__staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      content
+        .repartition(keys.map(col): _*)
+        .sortWithinPartitions("ts")
+        .write.mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(staging)
+      spark.read.schema(schema).parquet(staging)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(keys: _*)
+        .parquet(path)
+    } finally ChunkStore.deleteRecursively(new java.io.File(staging))
+  }
+}

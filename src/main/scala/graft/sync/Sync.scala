@@ -26,7 +26,17 @@ object Sync {
   def updates(
       store: ChunkStore,
       since: java.time.LocalDateTime,
-      filters: Map[String, Any] = Map.empty): DataFrame = {
+      filters: Map[String, Any] = Map.empty): DataFrame =
+    listing(store, since, filters)
+      .orderBy((col("updated_at") +: store.keys.map(col) :+ col("chunk_index")): _*)
+
+  /** Unordered form of [[updates]] — `pull` stages this and lets each
+    * page's top-K do the ordering, so no global sort is ever materialized.
+    */
+  private def listing(
+      store: ChunkStore,
+      since: java.time.LocalDateTime,
+      filters: Map[String, Any]): DataFrame = {
     val keys = store.keys
     val base = filters.foldLeft(store.load()) { case (d, (k, v)) => d.filter(col(k) === lit(v)) }
     base
@@ -35,7 +45,6 @@ object Sync {
         max(col("updated_at")).as("updated_at"),
         max(when(col("is_deleted"), 1).otherwise(0)).cast("boolean").as("is_deleted"))
       .filter(col("updated_at") >= lit(since)) // LocalDateTime → NTZ literal, JVM-tz-proof
-      .orderBy((col("updated_at") +: keys.map(col) :+ col("chunk_index")): _*)
   }
 
   /** Payload fetch for a spec set (reference `export_chunks`,
@@ -89,40 +98,66 @@ object Sync {
       pageSize: Int = 200): Long = {
     require(client.config.syncEnabled && server.config.syncEnabled,
       "sync requires ALLOW_CLIENT_SERVER_SYNC on both stores")
+    require(pageSize >= 1, "pageSize must be >= 1")
     val keys  = client.keys
     val since = client.lastUpdatedAt(filters)
-    // Stage the listing ONCE: the full-store aggregation behind `updates`
-    // runs a single time and materializes (localCheckpoint cuts the
-    // lineage, so page slices re-read the materialized blocks, never the
-    // store). A precomputed global row number replaces offset/limit — each
-    // page is a filter on the staged frame, no re-sort either. The staged
-    // frame is chunk METADATA (no payload): one row per (keys, chunk), so
-    // the single-partition row_number window is trivially small even when
-    // the store is not.
-    val ordCols = col("updated_at") +: keys.map(col) :+ col("chunk_index")
-    val w = org.apache.spark.sql.expressions.Window.orderBy(ordCols: _*)
-    val staged = updates(server, since, filters)
-      .withColumn("__rn", row_number().over(w).cast("long") - 1)
-      .localCheckpoint()
+    // Stage the listing ONCE: the full-store aggregation behind the
+    // updates listing runs a single time and materializes (localCheckpoint
+    // cuts the lineage, so page reads hit the materialized blocks, never
+    // the store). Pagination is KEYSET, not offset: the reference's
+    // deterministic `(updated_at, pk)` listing order
+    // (chunk_timeserie_store.py:560) is exactly a keyset, so each page is
+    // `(updated_at, keys..., chunk_index) > last_seen` + a distributed
+    // top-K (TakeOrderedAndProject: per-partition heads merged on the
+    // driver) — no global sort, no single-partition window, at any
+    // listing size. The page rows collected for the keyset ARE the spec
+    // list `exportChunks` broadcasts, so the collect is work the page
+    // import needed anyway (pageSize metadata rows, never payload).
+    val staged = listing(server, since, filters).localCheckpoint()
     try {
-      val total = staged.count()
-      var applied = 0L
-      var offsetN = 0L
-      while (offsetN < total) {
+      var applied  = 0L
+      var lastSeen: Option[org.apache.spark.sql.Row] = None
+      var more     = true
+      while (more) {
         // Both live chunks and tombstones transfer as full row sets: a
         // tombstone chunk's rows ARE its tombstone row, so one import path
         // covers both (reference splits them only because of the two-step
         // HTTP protocol). Page-at-a-time import keeps crash-resume: pages
         // already imported persist; `>= since` re-fetches the boundary row.
-        val page = staged
-          .filter(col("__rn") >= offsetN && col("__rn") < offsetN + pageSize)
-          .drop("__rn")
-        val payload = exportChunks(server, page)
-        importChunks(client, payload)
-        applied += math.min(pageSize, total - offsetN)
-        offsetN += pageSize
+        val pageRows = pageFrame(staged, keys, lastSeen, pageSize).collect()
+        if (pageRows.isEmpty) more = false
+        else {
+          val page = server.spark.createDataFrame(
+            java.util.Arrays.asList(pageRows: _*), staged.schema)
+          importChunks(client, exportChunks(server, page))
+          applied += pageRows.length
+          lastSeen = Some(pageRows.last)
+          more = pageRows.length == pageSize
+        }
       }
       applied
     } finally staged.unpersist(blocking = false)
+  }
+
+  /** One keyset page of the staged listing: rows strictly after
+    * `lastSeen` in `(updated_at, keys..., chunk_index)` order, limited to
+    * `pageSize`. Struct comparison gives the lexicographic `>` in one
+    * codegen'd predicate; `orderBy().limit()` plans as
+    * TakeOrderedAndProject (distributed per-partition top-K), never a
+    * global sort or window — PlanSpec pins this shape.
+    */
+  private[graft] def pageFrame(
+      staged: DataFrame,
+      keys: Seq[String],
+      lastSeen: Option[org.apache.spark.sql.Row],
+      pageSize: Int): DataFrame = {
+    val ordNames = "updated_at" +: keys :+ "chunk_index"
+    val after = lastSeen match {
+      case None => lit(true)
+      case Some(r) =>
+        struct(ordNames.map(col): _*) >
+          struct(ordNames.map(n => lit(r.getAs[Any](n)).as(n)): _*)
+    }
+    staged.filter(after).orderBy(ordNames.map(col): _*).limit(pageSize)
   }
 }

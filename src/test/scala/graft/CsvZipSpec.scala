@@ -37,6 +37,18 @@ class CsvZipSpec extends SparkSpec {
     } finally zf.close()
   }
 
+  test("zip export refuses selections beyond maxSeries (driver-bomb guard)") {
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    val df = Seq(("a", t0, 1.0), ("b", t0, 2.0), ("c", t0, 3.0))
+      .toDF("kind", "ts", "value")
+    val out = java.nio.file.Files.createTempDirectory("csvzipg").toString + "/export.zip"
+    val e = intercept[IllegalArgumentException](
+      CsvZip.export(df, Seq("kind"), out, maxSeries = 2))
+    assert(e.getMessage.contains("exportDistributed"))
+    // within the limit still works
+    assert(CsvZip.export(df, Seq("kind"), out, maxSeries = 3).length === 3)
+  }
+
   test("distributed export: executor-written per-key csv dirs + manifest, no driver collect") {
     val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
     val df = Seq(

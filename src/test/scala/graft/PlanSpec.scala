@@ -78,6 +78,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"))
   }
 
+  // The 100 TB scale contract of sync pagination: a pull page must never
+  // draw the whole updates listing through one task — no partition-less
+  // window (the pre-round-7 row_number shape), just a distributed top-K.
+  test("Sync.pull page plan: keyset top-K (TakeOrdered), no partition-less window") {
+    import spark.implicits._
+    val st = new ChunkStore(spark, tmpDir("pullplan"),
+      StructType(Seq(StructField("kind", StringType))),
+      StoreConfig(freq = "1h", tz = "UTC", chunkAxis = YearMonthAxis, syncEnabled = true))
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    st.setTs(Map("kind" -> "a"),
+      (0 until 24 * 40).map(i => (t0.plusHours(i.toLong), 1.0)).toDF("ts", "value"),
+      update = true, now = t0)
+    val staged = graft.sync.Sync.updates(st, t0.minusDays(1))
+    val first = staged.orderBy("updated_at", "kind", "chunk_index").limit(1).collect().head
+    for (lastSeen <- Seq(None, Some(first))) {
+      val p = graft.sync.Sync.pageFrame(staged, st.keys, lastSeen, 2)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert("\\bWindow\\b".r.findFirstIn(p).isEmpty,
+        "pull page must not use a window\n" + p.take(600))
+      assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    }
+  }
+
   test("kmeans assignment plan: centroid literals folded in — no join, no window") {
     val p = plan("q_kmeans")
     assert(!p.contains("Join"), "assignment must be a projection over literals\n" + p.take(600))

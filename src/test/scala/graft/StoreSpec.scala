@@ -130,6 +130,62 @@ class ChunkStoreSpec extends SparkSpec {
     assert(st.lastUpdatedAt() === now0)
   }
 
+  // Directory-listing shortcut (reference max-chunk shortcut,
+  // chunk_timeserie_store.py:531): the newest partitions may hold nothing
+  // for the filters (other series, tombstones) — walk down, then fall
+  // back to one bounded aggregation, never a job per partition.
+  test("maxHorodate walks down past foreign/tombstoned chunks; falls back when deep") {
+    val st = newStore(tz = "UTC")
+    val attrsB = Map[String, Any]("version" -> 0, "kind" -> "k2")
+    // series A: Jan-May (5 chunks); series B: Jan only
+    st.setTs(attrs, hourly("2024-01-01T00:00", 24, i => Some(1.0)), now = now0)
+    for (m <- 2 to 5)
+      st.setTs(attrs, hourly(f"2024-$m%02d-01T00:00", 24, i => Some(1.0)), update = true, now = now0)
+    st.setTs(attrsB, hourly("2024-01-01T00:00", 10, i => Some(2.0)), now = now0)
+    // B's max sits 4 partitions below the newest → probe misses + fallback
+    assert(st.maxHorodate(Map("kind" -> "k2")).get === ldt("2024-01-01T09:00"))
+    assert(st.maxHorodate().get === ldt("2024-05-01T23:00"))
+    // no matching series at all → None through the fallback
+    assert(st.maxHorodate(Map("kind" -> "nope")) === None)
+    // tombstoned series: delete A → its 5 chunks are tombstone-only; the
+    // walk-down + fallback must land on B's Jan max
+    st.delete(Map("kind" -> "k1"), keepTracking = true, now = now0.plusHours(1))
+    assert(st.maxHorodate().get === ldt("2024-01-01T09:00"))
+  }
+
+  test("maxHorodate common case: one pruned-partition probe, no full max(chunk_index) pass") {
+    val st = newStore(tz = "UTC")
+    st.setTs(attrs, hourly("2024-01-30T00:00", 24 * 5, i => Some(i.toDouble)), now = now0) // Jan+Feb
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val storePath = st.path
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        val p = qe.executedPlan.toString
+        // suites share the session and may run in parallel — only THIS
+        // store's scans count
+        if (p.contains(storePath)) plans.add(p)
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      assert(st.maxHorodate().get === ldt("2024-02-03T23:00"))
+      // listener bus is async — wait for quiescence
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1
+      while (System.nanoTime() < deadline && plans.size != last) {
+        last = plans.size; Thread.sleep(300)
+      }
+      val all = scala.jdk.CollectionConverters.IteratorHasAsScala(plans.iterator()).asScala.toList
+      assert(!all.exists(_.contains("max(chunk_index")),
+        "directory shortcut must not aggregate max(chunk_index) over the store")
+      assert(all.exists(p => p.contains("max(ts") && p.contains("PartitionFilters")),
+        "the probe scan must carry a chunk_index PartitionFilter")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("soft delete tombstones; hard delete forbidden when sync enabled") {
     val st = newStore(tz = "UTC")
     st.setTs(attrs, hourly("2024-01-01T00:00", 5, i => Some(1.0)), now = now0)
