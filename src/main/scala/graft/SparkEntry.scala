@@ -744,14 +744,20 @@ object SparkEntry {
       val dir = java.nio.file.Files.createTempDirectory("graft_tstore_").toString
       val st = new graft.store.TimeseriesStore(s, dir,
         StructType(Seq(StructField("user_id", LongType))))
-      val ev = events(s, d)
-      def daily(uid: Int, evType: String, scale: Double) = ev
+      // one events scan feeds every write: the store's per-write jobs
+      // (normalize/exists/stage) re-read the checkpointed aggregate, not
+      // the events table
+      val daily = events(s, d)
+        .filter(col("user_id") < 3 && col("event_type").isin("view", "purchase"))
+        .groupBy(col("user_id"), col("event_type"), date_trunc("day", col("ts")).as("ts"))
+        .agg(avg(col("value")).as("avg_v"))
+        .localCheckpoint()
+      def series(uid: Int, evType: String, scale: Double) = daily
         .filter(col("user_id") === uid && col("event_type") === evType)
-        .groupBy(date_trunc("day", col("ts")).as("ts"))
-        .agg(round(avg(col("value")) * scale, 6).as("value"))
+        .select(col("ts"), round(col("avg_v") * scale, 6).as("value"))
       for (u <- 0 until 3)
-        st.setTs(Map("user_id" -> u.toLong), daily(u, "view", 1.0))
-      st.setTs(Map("user_id" -> 1L), daily(1, "purchase", 2.0), replace = true)
+        st.setTs(Map("user_id" -> u.toLong), series(u, "view", 1.0))
+      st.setTs(Map("user_id" -> 1L), series(1, "purchase", 2.0), replace = true)
       st.getTs().orderBy("user_id", "ts")
     })
   )
