@@ -345,6 +345,49 @@ object Dedup {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** Multi-probe variant of the no-block [[embeddingCosinePairs]] path:
+    * near-dup PAIRS whose members straddle a sign-LSH bucket boundary
+    * (one low-margin hyperplane apart) are recovered by joining each
+    * vector's probe buckets ([[Similarity.lshProbeBuckets]]: base +
+    * lowest-|margin| bit flips) against every vector's BASE bucket. A
+    * pair collides when either member's probe list contains the other's
+    * base bucket — strictly more candidates than single-bucket blocking
+    * (numProbes = 1 reproduces it exactly), still never all-pairs.
+    *
+    * Plan shape: the probe explode is ×numProbes on (id, bucket) longs
+    * only; candidate pairs are `distinct`-ed BARE (id_a, id_b) before
+    * vectors join back — the pair explosion never shuffles embeddings
+    * (same discipline as the MinHash band-collision path).
+    * Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim >= minCos.
+    */
+  def embeddingCosinePairsMultiProbe(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double = 0.9,
+      lshPlanes: Int = 8,
+      numProbes: Int = 2): DataFrame = {
+    import graft.pipeline.Similarity.dot
+    val prep = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
+      .withColumn("__base", graft.pipeline.Similarity.lshBucket(col("__v"), lshPlanes))
+      .localCheckpoint() // GC-reclaimed, no cache pin
+    val probes = prep.select(col("id").as("__pid"),
+      explode(graft.pipeline.Similarity.lshProbeBuckets(col("__v"), lshPlanes, numProbes)).as("__b"))
+    val bases = prep.select(col("id").as("__bid"), col("__base").as("__b"))
+    val candidates = probes.join(bases, "__b")
+      .filter(col("__pid") =!= col("__bid"))
+      .select(least(col("__pid"), col("__bid")).as("id_a"),
+        greatest(col("__pid"), col("__bid")).as("id_b"))
+      .distinct()
+    val va = prep.select(col("id").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
+    val vb = prep.select(col("id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
+    candidates.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos_sim", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("cos_sim") >= minCos)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
   /** Substring-level duplication spans — the windowed approximation of
     * suffix-array dedup (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better", ACL'22: exact substring matching at
