@@ -106,5 +106,10 @@ class TimeseriesStoreSpec extends SparkSpec {
     // store stays writable after clear
     assert(st.setTs(a2020, hourly("2020-02-01T00:00", 2, i => Some(7.0))))
     assert(st.getTsFlat(a2020).count() === 2)
+    // full clear (empty filters = everything), then write again
+    st.clear(Map.empty)
+    assert(st.getTs().count() === 0)
+    assert(st.setTs(b2020, hourly("2020-03-01T00:00", 2, i => Some(4.0))))
+    assert(st.getTsFlat(b2020).collect().map(_.getDouble(1)).toSeq === Seq(4.0, 4.0))
   }
 }
