@@ -101,6 +101,39 @@ class TimeseriesStore(
     true
   }
 
+  /** Bulk insert of many series in ONE staged write — the batch analogue
+    * of [[setTs]], mirroring the chunked store's `set_many_ts` contract
+    * (chunk_timeserie_store.py:419-449, adapted to the non-chunked
+    * layout): insert-only (any series whose key tuple already exists is
+    * refused wholesale — IntegrityError parity, the caller clears
+    * upstream), null key values refused, null/NaN rows dropped (a series
+    * that loses every row is simply absent, as `_normalize_serie → None`
+    * skips it).
+    *
+    * `many` is long form `(keys..., ts, value)`. Where N sequential
+    * [[setTs]] calls stage N parquet writes (and N existence probes),
+    * this plans ONE write whose dynamic-partition overwrite lands every
+    * new series directory in a single job — the shape that matters when
+    * backfilling millions of series.
+    */
+  def setManyTs(many: DataFrame): Unit = {
+    val s = many
+      .select((keys.map(col) :+
+        col("ts").cast(TimestampNTZType).as("ts") :+
+        col("value").cast(DoubleType).as("value")): _*)
+      .filter(col("value").isNotNull && !isnan(col("value")) && col("ts").isNotNull)
+      .localCheckpoint()
+    val nullKeyed = keys.map(col(_).isNull).reduce(_ || _)
+    require(s.filter(nullKeyed).isEmpty, "null key values are not allowed")
+    val dup = s.select(keys.map(col): _*).distinct()
+      .join(load().select(keys.map(col): _*).distinct(), keys, "left_semi")
+    if (!dup.isEmpty)
+      throw new IllegalStateException(
+        "set_many_ts: some series already exist (IntegrityError parity)")
+    if (!s.isEmpty)
+      overwriteSeriesPartition(s.select(schema.fieldNames.map(col): _*))
+  }
+
   /** Read series matching (possibly partial) `filters`, Django
     * `__`-lookups accepted — the list form of the reference `get_ts`
     * (timeserie_store.py:59-95): long form `(keys..., ts, value)` ordered
@@ -153,17 +186,17 @@ class TimeseriesStore(
       s"${ExternalCatalogUtils.escapePathName(k)}=${ExternalCatalogUtils.escapePathName(String.valueOf(r.get(i)))}"
     }.mkString("/")
 
-  /** Staged dynamic-partition overwrite of the (single) series partition
-    * in `content` — same trick as ChunkStore.overwritePartitions: Spark
-    * refuses to overwrite a path it is reading, so bounce through a
-    * sibling staging dir.
+  /** Staged dynamic-partition overwrite of the series partition(s) in
+    * `content` (one for [[setTs]], many for [[setManyTs]]) — same trick
+    * as ChunkStore.overwritePartitions: Spark refuses to overwrite a
+    * path it is reading, so bounce through a sibling staging dir.
     */
   private def overwriteSeriesPartition(content: DataFrame): Unit = {
     val staging = s"${path}__staging_${java.util.UUID.randomUUID().toString.take(8)}"
     try {
       content
         .repartition(keys.map(col): _*)
-        .sortWithinPartitions("ts")
+        .sortWithinPartitions((keys.map(col) :+ col("ts")): _*)
         .write.mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(staging)
       spark.read.schema(schema).parquet(staging)
         .write.mode(SaveMode.Overwrite)

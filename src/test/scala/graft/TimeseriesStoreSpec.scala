@@ -95,6 +95,44 @@ class TimeseriesStoreSpec extends SparkSpec {
     assert(!st.setTs(a2020, Seq.empty[(java.time.LocalDateTime, Double)].toDF("ts", "value")))
   }
 
+  test("setManyTs lands many series in one write; read-back per series ordered") {
+    val st = newStore()
+    val many = (for {
+      (year, kind) <- Seq((2020, "a"), (2020, "b"), (2024, "a"))
+      i <- 0 until 3
+    } yield (year, kind, ldt("2020-01-01T00:00").plusHours(i), (i + 1).toDouble))
+      .toDF("year", "kind", "ts", "value")
+    st.setManyTs(many)
+    assert(st.getTs().count() === 9)
+    assert(st.getTsFlat(b2020).collect().map(_.getDouble(1)).toSeq === Seq(1.0, 2.0, 3.0))
+    // null/NaN rows dropped, a series reduced to nothing is absent
+    st.clear(Map.empty)
+    val withNulls = Seq(
+      (2020, "a", ldt("2020-01-01T00:00"), Some(1.0)),
+      (2020, "a", ldt("2020-01-01T01:00"), None),
+      (2020, "b", ldt("2020-01-01T00:00"), None))
+      .toDF("year", "kind", "ts", "value")
+    st.setManyTs(withNulls)
+    assert(st.getTsFlat(a2020).count() === 1)
+    assert(!st.exists(b2020))
+  }
+
+  test("setManyTs refuses existing series (IntegrityError parity) and null keys") {
+    val st = newStore()
+    st.setTs(a2020, hourly("2020-01-01T00:00", 2, i => Some(1.0)))
+    val batch = Seq(
+      (2020, "a", ldt("2021-01-01T00:00"), 9.0),
+      (2024, "a", ldt("2021-01-01T00:00"), 9.0))
+      .toDF("year", "kind", "ts", "value")
+    assertThrows[IllegalStateException](st.setManyTs(batch))
+    // nothing from the refused batch leaked; original untouched
+    assert(!st.exists(a2024))
+    assert(st.getTsFlat(a2020).collect().map(_.getDouble(1)).toSeq === Seq(1.0, 1.0))
+    val nullKey = Seq((2020, null: String, ldt("2021-01-01T00:00"), 1.0))
+      .toDF("year", "kind", "ts", "value")
+    assertThrows[IllegalArgumentException](st.setManyTs(nullKey))
+  }
+
   test("clear removes matching series only; partial + lookup filters work") {
     val st = newStore()
     st.setTs(a2020, hourly("2020-01-01T00:00", 3, i => Some(1.0)))
