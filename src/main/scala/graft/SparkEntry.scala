@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Clustering, Curation, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Clustering, Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.ts.{Combine, Gaps, Grid, Intervals, Resample}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -639,6 +639,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // packing — GPT-style concat-then-split sequence packing for training
+    // exports: hash-shard, deterministic well-mixed order within shard,
+    // running token offset → fixed-budget pack ids (pack_last >
+    // pack_first ⇔ the doc straddles a sequence boundary)
+    "q_pack_sequences" -> ((s, d) => {
+      Packing.packSequences(table(s, d, "documents"), "doc_id", "text",
+          budget = 512, numShards = 4)
+        .select(col("id").as("doc_id"), col("shard"), col("n_tokens"),
+          col("start_off"), col("pack_first"), col("pack_last"))
+        .orderBy("doc_id")
+    }),
+
     // text analysis — rolling-hash fingerprints (portable token hash)
     "q_fingerprint" -> ((s, d) => {
       table(s, d, "documents")
@@ -732,32 +744,34 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // W4 — TimeseriesStore facade lifecycle: set → replace → read-back.
-    // The one write-path operator whose full lifecycle is observable as a
-    // result set, so it gets a real oracle: users 0-2 each get a daily
-    // 'view' series; user 1 is then REPLACED by a doubled 'purchase'
-    // series; the read-back shows old data for users 0/2 and ONLY the new
-    // data for user 1 (replace tombstones nothing here — non-chunked
-    // whole-series swap, timeserie_store.py:126-133).
+    // W4 — TimeseriesStore facade lifecycle: batch set → replace →
+    // read-back. The one write-path operator whose full lifecycle is
+    // observable as a result set, so it gets a real oracle: users 0-2
+    // each get a daily 'view' series in ONE setManyTs batch write
+    // (set_many_ts parity, chunk_timeserie_store.py:419-449); user 1 is
+    // then REPLACED by a doubled 'purchase' series; the read-back shows
+    // old data for users 0/2 and ONLY the new data for user 1 (replace
+    // tombstones nothing here — non-chunked whole-series swap,
+    // timeserie_store.py:126-133).
     "q_store_replace" -> ((s, d) => {
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
       val dir = java.nio.file.Files.createTempDirectory("graft_tstore_").toString
       val st = new graft.store.TimeseriesStore(s, dir,
         StructType(Seq(StructField("user_id", LongType))))
-      // one events scan feeds every write: the store's per-write jobs
-      // (normalize/exists/stage) re-read the checkpointed aggregate, not
-      // the events table
+      // one events scan feeds every write: the store's write jobs
+      // (normalize/duplicate-probe/stage) re-read the checkpointed
+      // aggregate, not the events table
       val daily = events(s, d)
         .filter(col("user_id") < 3 && col("event_type").isin("view", "purchase"))
         .groupBy(col("user_id"), col("event_type"), date_trunc("day", col("ts")).as("ts"))
         .agg(avg(col("value")).as("avg_v"))
         .localCheckpoint()
-      def series(uid: Int, evType: String, scale: Double) = daily
-        .filter(col("user_id") === uid && col("event_type") === evType)
-        .select(col("ts"), round(col("avg_v") * scale, 6).as("value"))
-      for (u <- 0 until 3)
-        st.setTs(Map("user_id" -> u.toLong), series(u, "view", 1.0))
-      st.setTs(Map("user_id" -> 1L), series(1, "purchase", 2.0), replace = true)
+      st.setManyTs(daily.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), round(col("avg_v"), 6).as("value")))
+      val purchases = daily
+        .filter(col("user_id") === 1 && col("event_type") === "purchase")
+        .select(col("ts"), round(col("avg_v") * 2.0, 6).as("value"))
+      st.setTs(Map("user_id" -> 1L), purchases, replace = true)
       st.getTs().orderBy("user_id", "ts")
     })
   )
@@ -1431,6 +1445,27 @@ object SparkEntry {
          FROM documents
          WHERE $score < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END
          ORDER BY doc_id"""
+    },
+
+    "q_pack_sequences" -> {
+      import graft.functions.PortableHash.sqlHashMod
+      val score = Sampling.sqlHashScore("doc_id", "pack")
+      s"""WITH t AS (
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+                  (${sqlHashMod("('pack:' || CAST(doc_id AS VARCHAR))")} % 4) AS shard,
+                  $score AS score
+           FROM documents),
+         w AS (
+           SELECT doc_id, shard, n_tokens,
+                  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard
+                    ORDER BY score, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+           FROM t WHERE n_tokens > 0)
+         SELECT doc_id, shard, n_tokens, start_off,
+                CAST(start_off // 512 AS BIGINT) AS pack_first,
+                CAST((start_off + n_tokens - 1) // 512 AS BIGINT) AS pack_last
+         FROM w ORDER BY doc_id"""
     },
 
     "q_fingerprint" -> {

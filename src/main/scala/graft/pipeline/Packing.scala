@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pretraining exports — the concat-then-split
+  * layout: documents are laid end-to-end in a deterministic order and the
+  * token stream is cut into fixed-`budget` sequences, so every training
+  * sequence is full (no padding waste) and a document may straddle two
+  * adjacent sequences.
+  *
+  * Distributed shape: the corpus is first hash-sharded
+  * ([[Sampling.shardAssign]] — portable, repartition-proof), then the
+  * running token offset is a window `sum` PER SHARD, ordered by the
+  * salted portable hash of the doc id (a deterministic "shuffle": the
+  * pack order is well-mixed but identical on every engine and rerun).
+  * The only sort is per-shard, and `numShards` is chosen so a shard's
+  * doc-count fits a task — at 100 TB you raise `numShards`, never the
+  * size of any single sort. No global window, no driver state.
+  *
+  * Output, one row per surviving document: `(id, shard, n_tokens,
+  * start_off, pack_first, pack_last)` — `start_off` is the document's
+  * first-token offset in its shard's stream, `pack_first`/`pack_last`
+  * the fixed-size sequences it lands in (`pack_last > pack_first` ⇔ the
+  * document straddles a boundary). Zero-token documents are dropped (a
+  * real pipeline filters empties before packing; keeping them would make
+  * `pack_last = pack_first - 1` nonsense rows).
+  */
+object Packing {
+
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int,
+      numShards: Int,
+      salt: String = "pack"): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val sharded = Sampling.shardAssign(
+      df.select(col(idCol).as("id"),
+          TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0),
+      "id", numShards, salt)
+    val order = Window.partitionBy(col("shard"))
+      .orderBy(Sampling.hashScore(col("id"), salt), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(order), lit(0L)))
+      .withColumn("pack_first", expr(s"start_off div ${budget.toLong}"))
+      .withColumn("pack_last", expr(s"(start_off + n_tokens - 1) div ${budget.toLong}"))
+      .select("id", "shard", "n_tokens", "start_off", "pack_first", "pack_last")
+  }
+}
