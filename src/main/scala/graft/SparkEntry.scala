@@ -247,6 +247,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // dedup — SemDeDup-style semantic dedup: kmeans-bucketed exact
+    // cosine, drop a vector when a lower-id cluster-mate is within tau
+    // (the clustering bounds the pair count — never all-pairs)
+    "q_semantic_dedup" -> ((s, d) => {
+      Dedup.semanticDedup(table(s, d, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 2, tau = 0.4)
+        .select(col("id").as("vec_id"), col("cluster"), col("dup_of"), col("keep"))
+        .orderBy("vec_id")
+    }),
+
     // P4 — bounds-NaN trim (keep [first, last] non-null per key)
     "q_trim_bounds" -> ((s, d) => {
       val ev = events(s, d).select(col("user_id"), col("event_id"), col("ts"),
@@ -1596,6 +1606,24 @@ object SparkEntry {
          ORDER BY d.doc_id""",
 
     "q_kmeans" -> kmeansOracleSql(k = 8, iters = 2, dim = 64),
+
+    "q_semantic_dedup" -> {
+      val dim = 64
+      def norm(v: String) =
+        s"sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> $v[i] * $v[i])))"
+      s"""WITH ${kmeansCtes(8, 2, dim)},
+         ${kmeansAssign("af", "c2", dim)},
+         n AS (SELECT vec_id, v, cl, ${norm("v")} AS nrm FROM af),
+         dups AS (
+           SELECT b.vec_id, min(a.vec_id) AS dup_of
+           FROM n a JOIN n b ON a.cl = b.cl AND a.vec_id < b.vec_id
+           WHERE list_sum(list_transform(range(1, ${dim + 1}),
+                   i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) > 0.4
+           GROUP BY b.vec_id)
+         SELECT n.vec_id, n.cl AS cluster, d.dup_of, (d.dup_of IS NULL) AS keep
+         FROM n LEFT JOIN dups d ON d.vec_id = n.vec_id
+         ORDER BY n.vec_id"""
+    },
 
     "q_ivf_kmeans" -> ivfKmeansOracleSql(k = 5, nlist = 8, nprobe = 2, iters = 2, dim = 64),
 

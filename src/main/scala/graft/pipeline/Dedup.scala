@@ -458,6 +458,49 @@ object Dedup {
       .select("id", "span_start", "span_end", "n_windows")
   }
 
+  /** SemDeDup-style semantic dedup over an embedding column: k-means
+    * clusters the corpus (deterministic Lloyd's,
+    * [[graft.pipeline.Clustering.kmeans]]), then exact cosine is computed
+    * only WITHIN each cluster — the clustering bounds the pair count to
+    * Σ|cluster|², never all-pairs (the SemDeDup trick: semantically close
+    * vectors share a centroid, so cross-cluster pairs can be skipped).
+    * A vector is dropped when any lower-id vector in its cluster is
+    * within `tau` cosine; `dup_of` reports the smallest such id. One
+    * deterministic pass — for chain-transitive canonicalization feed the
+    * pairs into [[graft.pipeline.Clustering.nearDupClusters]] instead.
+    *
+    * Plan shape: centroid assignment is a codegen'd literal-distance
+    * projection (no join); the self-join shuffles on the cluster id with
+    * norms hoisted (one sqrt per vector, not per pair); at 100 TB the
+    * knob is `k` — more clusters, smaller quadratic blocks.
+    *
+    * Output: one row per vector — (id, cluster, dup_of, keep).
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 8,
+      iters: Int = 2,
+      tau: Double = 0.9): DataFrame = {
+    import graft.pipeline.Similarity.dot
+    val assigned = graft.pipeline.Clustering.kmeans(df, idCol, vecCol, k, iters)
+      .select(col("id"), col("cluster"))
+    val vecs = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val prep = assigned.join(vecs, "id")
+      .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
+      .localCheckpoint() // both self-join sides read it; GC-reclaimed
+    val a = prep.select(col("cluster"), col("id").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
+    val b = prep.select(col("cluster"), col("id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
+    val dups = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) > tau)
+      .groupBy(col("id_b").as("id"))
+      .agg(min(col("id_a")).as("dup_of"))
+    prep.select("id", "cluster").join(dups, Seq("id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
+  }
+
   /** SimHash near-dup pairs, blocked by 15-bit sub-bands (4 bands): docs
     * within Hamming distance 3 must share at least one of 4 bands —
     * standard pigeonhole blocking, shuffle on short band keys only.
