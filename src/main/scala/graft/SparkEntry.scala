@@ -247,6 +247,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // dedup — cross-corpus incremental exact dedup: the odd-id "new
+    // crawl" snapshot anti-joined against the even-id "standing corpus"
+    // on content hash, then self-deduped (min id per hash)
+    "q_incremental_dedup" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Dedup.crossCorpusDedup(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("content_hash"))
+        .orderBy("doc_id")
+    }),
+
     // dedup — SemDeDup-style semantic dedup: kmeans-bucketed exact
     // cosine, drop a vector when a lower-id cluster-mate is within tau
     // (the clustering bounds the pair count — never all-pairs)
@@ -1606,6 +1619,17 @@ object SparkEntry {
          ORDER BY d.doc_id""",
 
     "q_kmeans" -> kmeansOracleSql(k = 8, iters = 2, dim = 64),
+
+    "q_incremental_dedup" ->
+      """WITH newd AS (
+           SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id % 2 = 1),
+         seen AS (
+           SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id % 2 = 0),
+         fresh AS (
+           SELECT doc_id, content_hash FROM newd
+           WHERE content_hash NOT IN (SELECT content_hash FROM seen))
+         SELECT min(doc_id) AS doc_id, content_hash
+         FROM fresh GROUP BY content_hash ORDER BY doc_id""",
 
     "q_semantic_dedup" -> {
       val dim = 64

@@ -31,6 +31,30 @@ object Dedup {
       .filter(col("__rn") > 1).drop("__rn")
   }
 
+  /** Cross-corpus (incremental) exact dedup: survivors of a NEW snapshot
+    * against an already-ingested corpus — how exact dedup actually runs
+    * at 100 TB, where each crawl increment dedups against the standing
+    * corpus instead of re-grouping everything. Two hash-keyed stages,
+    * neither shuffling document bodies:
+    *
+    *  1. anti-join the new snapshot's content hashes against the seen
+    *     corpus's (Spark injects a runtime bloom/semi filter on the
+    *     probe side when the seen side is large);
+    *  2. self-dedup the survivors (min-id per hash within the batch).
+    *
+    * Output: one row per surviving new document — (id, content_hash).
+    */
+  def crossCorpusDedup(
+      newDf: DataFrame,
+      seenDf: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val fresh = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("content_hash"))
+      .join(seenDf.select(md5(col(textCol)).as("content_hash")), Seq("content_hash"), "left_anti")
+    fresh.groupBy(col("content_hash")).agg(min(col("id")).as("id"))
+      .select("id", "content_hash")
+  }
+
   /** Word n-gram shingles (lowercased, space-tokenized), distinct.
     * Guarded: Spark's `sequence(1, k)` DESCENDS when k < 1, so short
     * documents must short-circuit to an empty array.

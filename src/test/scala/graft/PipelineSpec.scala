@@ -22,6 +22,18 @@ class DedupSpec extends SparkSpec {
     assert(drop.map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("crossCorpusDedup: drops docs seen in the standing corpus, self-dedups the batch") {
+    val seen = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val fresh = Dedup.crossCorpusDedup(docs, seen, "doc_id", "text").collect()
+    // docs 0 and 1 match the seen corpus exactly -> gone; 2/3/4 survive,
+    // each its own hash group
+    assert(fresh.map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L, 4L))
+    // empty seen corpus -> plain exact self-dedup of the batch
+    val selfOnly = Dedup.crossCorpusDedup(docs, docs.limit(0), "doc_id", "text").collect()
+    assert(selfOnly.map(_.getLong(0)).sorted.toSeq === Seq(0L, 2L, 3L, 4L))
+  }
+
   test("shingles: distinct n-grams; short docs → empty array (no descending sequence)") {
     val sh = docs.select(Dedup.shingles(col("text"), 3).as("sh"))
       .collect().map(_.getSeq[String](0))
