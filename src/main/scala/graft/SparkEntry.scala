@@ -755,6 +755,17 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // similarity — symmetric int8 embedding quantization (ANN storage
+    // trim), exploded per dimension so the oracle compares scalars
+    "q_quantize_embed" -> ((s, d) => {
+      Similarity.quantizeInt8(table(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), round(col("scale"), 9).as("scale"),
+          posexplode(col("qvec")).as(Seq("pos", "qval")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          col("qval").cast("long").as("qval"), col("scale"))
+        .orderBy("vec_id", "dim")
+    }),
+
     // similarity — multi-probe LSH ANN: each query also probes its
     // numProbes-1 lowest-margin bit-flip buckets (recall boost, no extra
     // hash tables; corpus still hashed once)
@@ -1619,6 +1630,21 @@ object SparkEntry {
          ORDER BY d.doc_id""",
 
     "q_kmeans" -> kmeansOracleSql(k = 8, iters = 2, dim = 64),
+
+    "q_quantize_embed" ->
+      """WITH dv AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM dv),
+         q AS (
+           SELECT vec_id, round(ma / 127, 9) AS scale,
+                  CASE WHEN ma > 0
+                       THEN list_transform(v, x -> CAST(round(x / (ma / 127)) AS BIGINT))
+                       ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+           FROM m),
+         e AS (SELECT vec_id, scale, qv, unnest(range(1, len(qv) + 1)) AS dim FROM q)
+         SELECT vec_id, CAST(dim AS BIGINT) AS dim, qv[dim] AS qval, scale
+         FROM e ORDER BY vec_id, dim""",
 
     "q_incremental_dedup" ->
       """WITH newd AS (

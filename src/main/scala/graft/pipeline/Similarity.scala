@@ -271,6 +271,29 @@ object Similarity {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
+  /** Symmetric per-vector int8 quantization of an embedding column — the
+    * standard ANN storage trim (4× smaller than float32, ~8× smaller
+    * than the double-cast working form): `scale = max|v_i| / 127`,
+    * `q_i = round(v_i / scale) ∈ [-127, 127]`. Deterministic (ties away
+    * from zero in both engines); an all-zero vector quantizes to zeros
+    * with scale 0. A pure codegen'd projection — no shuffle, composes
+    * with any scan; candidate generation (LSH/IVF cell joins) can run
+    * entirely on the int8 form, with exact re-ranking reading the
+    * float column only for the shortlist.
+    *
+    * Output: (id, qvec array<int>, scale) — `dequantized ≈ q_i * scale`.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .withColumn("__ma", array_max(transform(col("__v"), x => abs(x))))
+      .withColumn("scale", col("__ma") / lit(127.0))
+      .withColumn("qvec",
+        when(col("__ma") > 0,
+          transform(col("__v"), x => round(x / col("scale"), 0).cast("int")))
+        .otherwise(transform(col("__v"), _ => lit(0))))
+      .select("id", "qvec", "scale")
+
   /** LSH-bucketed ANN: join queries to corpus on bucket id (equi-join —
     * shuffle on the short bucket key, not a cross join), then exact cosine
     * + top-k within candidates. Recall < 1 by construction; raise

@@ -241,6 +241,29 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === bf)
   }
 
+  test("quantizeInt8: known values, zero vector, cosine preserved on random vectors") {
+    val q = Similarity.quantizeInt8(
+        Seq((0L, Array(1.0f, -0.5f, 0.25f)), (1L, Array(0.0f, 0.0f, 0.0f)))
+          .toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+    assert(q(0L)._1 === Seq(127, -64, 32)) // round(±x/scale), ties away from zero
+    assert(math.abs(q(0L)._2 - 1.0 / 127) < 1e-12)
+    assert(q(1L)._1 === Seq(0, 0, 0) && q(1L)._2 === 0.0)
+    // random vectors: dequantized cosine vs original stays near 1
+    val rnd = new scala.util.Random(42)
+    val pts = (0L until 30L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(pts, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2))).sortBy(_._1)
+    val orig = pts.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    for (((id, qv, sc), (_, v)) <- rows.zip(orig)) {
+      val dq = qv.map(_ * sc)
+      val cos = dq.zip(v).map { case (a, b) => a * b.toDouble }.sum /
+        (math.sqrt(dq.map(x => x * x).sum) * math.sqrt(v.map(x => x.toDouble * x).sum))
+      assert(cos > 0.995, s"vec $id cosine $cos")
+    }
+  }
+
   test("multi-probe buckets: first is the base bucket, all distinct, right count") {
     val out = vecs
       .withColumn("base", Similarity.lshBucket(col("embedding"), 8))
