@@ -662,6 +662,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // curation — the full pre-training data path composed as ONE plan:
+    // quality gate → exact dedup → stratified sample → shard + pack
+    "q_curation_pipeline" -> ((s, d) => {
+      Curation.curate(table(s, d, "documents"), "doc_id", "text", "lang",
+          minTokens = 5, fractions = Map("en" -> 0.6), defaultFraction = 0.4,
+          budget = 512, numShards = 4)
+        .select(col("id").as("doc_id"), col("lang"), col("n_tokens"),
+          col("shard"), col("start_off"), col("pack_first"), col("pack_last"))
+        .orderBy("doc_id")
+    }),
+
     // packing — GPT-style concat-then-split sequence packing for training
     // exports: hash-shard, deterministic well-mixed order within shard,
     // running token offset → fixed-budget pack ids (pack_last >
@@ -1479,6 +1490,34 @@ object SparkEntry {
          FROM documents
          WHERE $score < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END
          ORDER BY doc_id"""
+    },
+
+    "q_curation_pipeline" -> {
+      import graft.functions.PortableHash.sqlHashMod
+      val sampleScore = Sampling.sqlHashScore("doc_id", "curate")
+      val packScore = Sampling.sqlHashScore("doc_id", "pack")
+      s"""WITH t AS (
+           SELECT doc_id, lang, text,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         q AS (SELECT * FROM t WHERE n_tokens >= 5),
+         k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         dd AS (SELECT q.* FROM q JOIN k USING (doc_id)),
+         sm AS (SELECT * FROM dd
+                WHERE $sampleScore < CASE WHEN lang = 'en' THEN 0.6 ELSE 0.4 END),
+         sh AS (SELECT doc_id, lang, n_tokens,
+                  (${sqlHashMod("('pack:' || CAST(doc_id AS VARCHAR))")} % 4) AS shard,
+                  $packScore AS pscore
+                FROM sm),
+         w AS (SELECT doc_id, lang, n_tokens, shard,
+                  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard
+                    ORDER BY pscore, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+               FROM sh)
+         SELECT doc_id, lang, n_tokens, shard, start_off,
+                CAST(start_off // 512 AS BIGINT) AS pack_first,
+                CAST((start_off + n_tokens - 1) // 512 AS BIGINT) AS pack_last
+         FROM w ORDER BY doc_id"""
     },
 
     "q_pack_sequences" -> {

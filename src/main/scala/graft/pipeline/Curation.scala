@@ -12,6 +12,43 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** End-to-end curation manifest — the full pre-training data path as
+    * ONE composed Spark plan: quality gate (min token count) → exact
+    * dedup (min-id per content hash) → per-language stratified hash
+    * sampling → shard + sequence packing. Each stage is an existing
+    * operator; this proves they compose without materialization
+    * boundaries, and gives a migrating pipeline a single call that goes
+    * from raw corpus to training-export manifest.
+    *
+    * Scale shape = the union of the parts: one hash-shuffle for the
+    * dedup group, narrow hash predicates for the sample, per-shard
+    * windows for the packing — document bodies are read once at the
+    * scan and never shuffled (the dedup semi-join carries (id, digest)).
+    *
+    * Output, one row per packed document: (id, <strataCol>, n_tokens,
+    * shard, start_off, pack_first, pack_last).
+    */
+  def curate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      strataCol: String,
+      minTokens: Int,
+      fractions: Map[String, Double],
+      defaultFraction: Double,
+      budget: Int,
+      numShards: Int,
+      salt: String = "curate"): DataFrame = {
+    val quality = df.filter(TextAnalysis.tokenCount(col(textCol)) >= minTokens)
+    val keepers = Dedup.exactGroups(quality, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val deduped = quality.join(keepers, Seq(idCol), "left_semi")
+    val sampled = Sampling.stratifiedSample(deduped, idCol, strataCol, fractions, defaultFraction, salt)
+    Packing.packSequences(sampled, idCol, textCol, budget, numShards)
+      .join(sampled.select(col(idCol).as("id"), col(strataCol)), Seq("id"))
+      .select("id", strataCol, "n_tokens", "shard", "start_off", "pack_first", "pack_last")
+  }
+
   /** Temperature-scaled sampling weights per corpus group (source,
     * language, domain): the standard multinomial-mixing formula
     * `w_g ∝ share_g^alpha` (alpha < 1 upsamples the tail, alpha = 1 is

@@ -571,6 +571,29 @@ class CurationSpec extends SparkSpec {
     assert(run().toSeq === got.toSeq) // seedless determinism
   }
 
+  test("curate: quality gate, dedup, sampling, and packing compose end-to-end") {
+    val docs = ((0L until 30L).map(i => (i, s"alpha beta gamma delta epsilon tok$i end", "en")) ++
+      Seq((100L, "alpha beta gamma delta epsilon tok5 end", "en"), // exact dup of 5
+          (101L, "too short", "en"),                               // fails min tokens
+          (102L, "uno dos tres cuatro cinco seis siete", "fr")))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.curate(docs, "doc_id", "text", "lang",
+        minTokens = 5, fractions = Map("en" -> 1.0), defaultFraction = 1.0,
+        budget = 10, numShards = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val ids = out.map(_._1).toSet
+    assert(!ids.contains(100L)) // dup dropped, canonical 5 kept
+    assert(ids.contains(5L))
+    assert(!ids.contains(101L)) // below min tokens
+    assert(ids.contains(102L)) // other-language stratum at fraction 1.0
+    assert(out.forall(_._3 >= 5))
+    // fraction 0 for a stratum removes it entirely
+    val noFr = Curation.curate(docs, "doc_id", "text", "lang",
+        minTokens = 5, fractions = Map("en" -> 1.0), defaultFraction = 0.0,
+        budget = 10, numShards = 2).collect()
+    assert(!noFr.map(_.getLong(0)).contains(102L))
+  }
+
   test("semanticDedup: identical vectors collapse to the lowest id; orthogonal survives") {
     val pts = ((0L until 5L).map(i => (i, Array(1f, 0f, 0f, 0f))) ++
                Seq((5L, Array(0f, 1f, 0f, 0f))) ++
