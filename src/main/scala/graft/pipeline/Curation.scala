@@ -20,10 +20,14 @@ object Curation {
     * boundaries, and gives a migrating pipeline a single call that goes
     * from raw corpus to training-export manifest.
     *
-    * Scale shape = the union of the parts: one hash-shuffle for the
-    * dedup group, narrow hash predicates for the sample, per-shard
-    * windows for the packing — document bodies are read once at the
-    * scan and never shuffled (the dedup semi-join carries (id, digest)).
+    * Scale shape: document bodies are read ONCE — token count and
+    * content digest come out of the same projection as the scan, and
+    * everything downstream carries only (id, stratum, n_tokens, digest).
+    * Exact dedup is a window over the digest partitioning (min-id row
+    * per hash — group size bounds the partition, same pattern as
+    * `Dedup.exactDropList`), the sample is a narrow hash predicate, and
+    * the packing is the per-shard window over the PRE-computed counts
+    * ([[Packing.packTokenCounts]]). Two shuffles total (digest, shard).
     *
     * Output, one row per packed document: (id, <strataCol>, n_tokens,
     * shard, start_off, pack_first, pack_last).
@@ -39,13 +43,16 @@ object Curation {
       budget: Int,
       numShards: Int,
       salt: String = "curate"): DataFrame = {
-    val quality = df.filter(TextAnalysis.tokenCount(col(textCol)) >= minTokens)
-    val keepers = Dedup.exactGroups(quality, idCol, textCol)
-      .select(col("keep_id").as(idCol))
-    val deduped = quality.join(keepers, Seq(idCol), "left_semi")
-    val sampled = Sampling.stratifiedSample(deduped, idCol, strataCol, fractions, defaultFraction, salt)
-    Packing.packSequences(sampled, idCol, textCol, budget, numShards)
-      .join(sampled.select(col(idCol).as("id"), col(strataCol)), Seq("id"))
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"), col(strataCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        md5(col(textCol)).as("__h"))
+      .filter(col("n_tokens") >= minTokens)
+    val dw = Window.partitionBy(col("__h")).orderBy(col("id"))
+    val deduped = base.withColumn("__rn", row_number().over(dw))
+      .filter(col("__rn") === 1).drop("__rn", "__h")
+    val sampled = Sampling.stratifiedSample(deduped, "id", strataCol, fractions, defaultFraction, salt)
+    Packing.packTokenCounts(sampled, "id", "n_tokens", budget, numShards)
       .select("id", strataCol, "n_tokens", "shard", "start_off", "pack_first", "pack_last")
   }
 

@@ -35,20 +35,35 @@ object Packing {
       textCol: String,
       budget: Int,
       numShards: Int,
+      salt: String = "pack"): DataFrame =
+    packTokenCounts(
+      df.select(col(idCol).as("id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      "id", "n_tokens", budget, numShards, salt)
+      .select("id", "shard", "n_tokens", "start_off", "pack_first", "pack_last")
+
+  /** Packing over a PRE-COMPUTED token-count column — the composition
+    * form ([[graft.pipeline.Curation.curate]] counts tokens once in the
+    * same projection as its content hash, so the corpus text is never
+    * re-read here). Appends (shard, start_off, pack_first, pack_last)
+    * to the input's columns; zero-token rows are dropped.
+    */
+  def packTokenCounts(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      budget: Int,
+      numShards: Int,
       salt: String = "pack"): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val sharded = Sampling.shardAssign(
-      df.select(col(idCol).as("id"),
-          TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-        .filter(col("n_tokens") > 0),
-      "id", numShards, salt)
+      df.filter(col(tokensCol) > 0), idCol, numShards, salt)
     val order = Window.partitionBy(col("shard"))
-      .orderBy(Sampling.hashScore(col("id"), salt), col("id"))
+      .orderBy(Sampling.hashScore(col(idCol), salt), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     sharded
-      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(order), lit(0L)))
+      .withColumn("start_off", coalesce(sum(col(tokensCol)).over(order), lit(0L)))
       .withColumn("pack_first", expr(s"start_off div ${budget.toLong}"))
-      .withColumn("pack_last", expr(s"(start_off + n_tokens - 1) div ${budget.toLong}"))
-      .select("id", "shard", "n_tokens", "start_off", "pack_first", "pack_last")
+      .withColumn("pack_last", expr(s"(start_off + $tokensCol - 1) div ${budget.toLong}"))
   }
 }

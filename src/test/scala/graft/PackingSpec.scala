@@ -37,6 +37,32 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("random corpora: layout matches the driver-side reference fold") {
+    import graft.functions.PortableHash
+    def h(id: Long) = PortableHash.const60(s"pack:$id") % PortableHash.P
+    def refPack(ds: Seq[(Long, String)], budget: Int, numShards: Int): Map[Long, Seq[Long]] =
+      ds.map { case (id, text) => (id, "[A-Za-z0-9]+".r.findAllIn(text).size.toLong) }
+        .filter(_._2 > 0)
+        .groupBy { case (id, _) => h(id) % numShards }
+        .flatMap { case (shard, members) =>
+          var off = 0L
+          members.sortBy { case (id, _) => (h(id), id) }.map { case (id, n) =>
+            val row = id -> Seq(shard, n, off, off / budget, (off + n - 1) / budget)
+            off += n
+            row
+          }
+        }.toMap
+    val rnd = new scala.util.Random(4242L)
+    for (trial <- 0 until 3) {
+      val ds = (0L until 50L).map(i =>
+        (i, Seq.fill(rnd.nextInt(12))("w" + rnd.nextInt(9)).mkString(" ")))
+      val got = Packing.packSequences(ds.toDF("doc_id", "text"), "doc_id", "text",
+          budget = 7, numShards = 4)
+        .collect().map(r => r.getLong(0) -> (1 to 5).map(r.getLong).toSeq).toMap
+      assert(got === refPack(ds, 7, 4), s"trial $trial")
+    }
+  }
+
   test("deterministic under repartition; empty docs dropped") {
     val base = Packing.packSequences(corpus, "doc_id", "text", budget = 5, numShards = 3)
       .collect().map(_.toSeq).toSet
