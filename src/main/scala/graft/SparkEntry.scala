@@ -766,6 +766,18 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // similarity — LSH ANN on the int8-quantized column only (scales
+    // cancel in cosine, so scoring is integer-vector cosine; 4x less
+    // scan I/O than the float path)
+    "q_lsh_int8" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.lshTopKInt8(emb.filter(col("vec_id") < 10), emb,
+          k = 5, numPlanes = 8)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos_sim"), 6).as("cos_sim"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // similarity — symmetric int8 embedding quantization (ANN storage
     // trim), exploded per dimension so the oracle compares scalars
     "q_quantize_embed" -> ((s, d) => {
@@ -1669,6 +1681,41 @@ object SparkEntry {
          ORDER BY d.doc_id""",
 
     "q_kmeans" -> kmeansOracleSql(k = 8, iters = 2, dim = 64),
+
+    "q_lsh_int8" -> {
+      import graft.functions.PortableHash.planeInts
+      val pls = planeInts(8, graft.pipeline.Similarity.MaxDim)
+      def proj(p: Int): String = {
+        val karr = pls(p).mkString("[", ", ", "]")
+        s"list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * (CAST(($karr)[i] AS DOUBLE) / 1000001.0)))"
+      }
+      val bucketExpr = (0 until 8).map { p =>
+        s"CASE WHEN ${proj(p)} >= 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString("(", "\n                + ", ")")
+      s"""WITH dv AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM dv),
+         qz AS (
+           SELECT vec_id,
+                  CASE WHEN ma > 0
+                       THEN list_transform(v, x -> round(x / (ma / 127)))
+                       ELSE list_transform(v, x -> 0.0) END AS qv
+           FROM m),
+         cb AS (SELECT vec_id, qv, CAST($bucketExpr AS BIGINT) AS bucket FROM qz),
+         q AS (SELECT vec_id AS query_id, qv AS qq, bucket FROM cb WHERE vec_id < 10),
+         s AS (
+           SELECT query_id, c.vec_id,
+             list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * c.qv[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * qq[i])))
+              * sqrt(list_sum(list_transform(range(1, len(c.qv) + 1), i -> c.qv[i] * c.qv[i])))) AS cos
+           FROM cb c JOIN q USING (bucket) WHERE c.vec_id <> query_id),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           FROM s)
+         SELECT query_id, vec_id, round(cos, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
 
     "q_quantize_embed" ->
       """WITH dv AS (

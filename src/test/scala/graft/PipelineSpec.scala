@@ -241,6 +241,17 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === bf)
   }
 
+  test("lshTopKInt8: near-parallel pair survives quantization; self-dup scores ~1") {
+    val out = Similarity.lshTopKInt8(vecs.filter(col("vec_id") === 0), vecs, k = 2, numPlanes = 4)
+      .collect()
+    assert(out.exists(r => r.getLong(1) === 1L && r.getDouble(2) > 0.98))
+    val dup = Seq((0L, Array(0.3f, -0.7f, 0.2f)), (1L, Array(0.3f, -0.7f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val d = Similarity.lshTopKInt8(dup.filter(col("vec_id") === 0), dup, k = 1, numPlanes = 4)
+      .collect()
+    assert(d.length === 1 && d(0).getDouble(2) > 0.9999)
+  }
+
   test("quantizeInt8: known values, zero vector, cosine preserved on random vectors") {
     val q = Similarity.quantizeInt8(
         Seq((0L, Array(1.0f, -0.5f, 0.25f)), (1L, Array(0.0f, 0.0f, 0.0f)))
@@ -750,6 +761,27 @@ class KmeansLawsSpec extends SparkSpec {
           "vec_id", "embedding", k = 4, iters = 2)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === refKmeans(pts, 4, 2), s"trial $trial")
+    }
+  }
+
+  test("random vectors: semanticDedup matches the reference cluster + pairwise fold") {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val rnd = new scala.util.Random(991L)
+    for (trial <- 0 until 3) {
+      val pts = (0L until 40L).map(id => (id, Array.fill(4)(rnd.nextFloat() * 2f - 1f)))
+      val cl = refKmeans(pts, 4, 2)
+      val vm = pts.toMap
+      val expected = pts.map { case (id, v) =>
+        val mates = pts.collect { case (o, w) if o < id && cl(o) == cl(id) && cos(w, v) > 0.5 => o }
+        id -> mates.sorted.headOption.getOrElse(-1L)
+      }.toMap
+      val got = graft.pipeline.Dedup.semanticDedup(pts.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", k = 4, iters = 2, tau = 0.5)
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+      assert(got === expected, s"trial $trial")
     }
   }
 }
