@@ -685,6 +685,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // text analysis — winnowing fingerprints (MOSS): min of every
+    // k-window of w-token window hashes — density-reduced fingerprints
+    // with the shared-run guarantee
+    "q_winnow" -> ((s, d) => {
+      TextAnalysis.winnow(table(s, d, "documents"), "doc_id", "text", w = 5, k = 4)
+        .select(col("id").as("doc_id"), col("pos"), col("fp"))
+        .orderBy("doc_id", "pos", "fp")
+    }),
+
     // text analysis — rolling-hash fingerprints (portable token hash)
     "q_fingerprint" -> ((s, d) => {
       table(s, d, "documents")
@@ -1551,6 +1560,33 @@ object SparkEntry {
                 CAST(start_off // 512 AS BIGINT) AS pack_first,
                 CAST((start_off + n_tokens - 1) // 512 AS BIGINT) AS pack_last
          FROM w ORDER BY doc_id"""
+    },
+
+    "q_winnow" -> {
+      import graft.functions.PortableHash.sqlHashMod
+      val w = 5; val k = 4; val pb = 1L << 20
+      s"""WITH t AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+           FROM documents),
+         px AS (
+           SELECT doc_id, ws, unnest(range(1, len(ws) - $w + 2)) AS pos FROM t),
+         win AS (
+           SELECT doc_id, pos,
+                  ${sqlHashMod(s"array_to_string(ws[pos:pos+${w - 1}], ' ')")} AS h
+           FROM px),
+         keyed AS (
+           SELECT doc_id, pos, h * $pb + pos AS key FROM win WHERE pos < $pb),
+         sel AS (
+           SELECT doc_id, pos,
+                  count(*) OVER (PARTITION BY doc_id) AS n,
+                  min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND ${k - 1} FOLLOWING) AS wmin
+           FROM keyed),
+         f AS (
+           SELECT DISTINCT doc_id, wmin % $pb AS fpos, wmin // $pb AS fp
+           FROM sel WHERE pos <= greatest(1, n - ${k - 1}))
+         SELECT doc_id, CAST(fpos AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
+         FROM f ORDER BY doc_id, pos, fp"""
     },
 
     "q_fingerprint" -> {

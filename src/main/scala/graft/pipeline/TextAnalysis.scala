@@ -108,6 +108,53 @@ object TextAnalysis {
       (acc, t) => pmod(acc * 31L + PortableHash.hashMod(t), p))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): from a document's `w`-token window hashes, select the
+    * minimum of every `k`-window of consecutive hashes — a guaranteed
+    * density-reduced fingerprint set (any shared run of ≥ w+k-1 tokens
+    * between two documents shares at least one selected fingerprint), at
+    * ~2/(k+1) the density of the full [[graft.pipeline.Dedup.windowHashes]]
+    * stream. Ties break to the LEFTMOST smallest hash, made total by
+    * packing (hash, pos) into one long key (`hash·2²⁰ + pos` — exact for
+    * hashes < 2³¹ and positions < 2²⁰, engine-portable integer math; docs
+    * longer than 2²⁰ tokens are refused by the pos guard rather than
+    * silently mis-keyed). Documents with fewer than `k` windows emit the
+    * min of what they have.
+    *
+    * Plan: per-document windows only (explode to (id, pos, hash) longs,
+    * one frame-bounded window min, distinct) — corpus size never enters
+    * any window; cross-document matching then joins on the selected
+    * fingerprints, at winnowed density.
+    *
+    * Output: (id, pos, fp) — 1-based token position of each selected
+    * window hash.
+    */
+  def winnow(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 5,
+      k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 1 && k >= 1, s"need w >= 1, k >= 1; got w=$w k=$k")
+    val PosBits = 20
+    val wins = df
+      .select(col(idCol).as("id"),
+        posexplode(graft.pipeline.Dedup.windowHashes(col(textCol), w)).as(Seq("__p0", "__h")))
+      .select(col("id"), (col("__p0") + 1).cast("long").as("pos"), col("__h"))
+      .filter(col("pos") < (1L << PosBits)) // key packing guard
+      .withColumn("__key", col("__h") * (1L << PosBits) + col("pos"))
+    val ord = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val sel = wins
+      .withColumn("__n", count(lit(1)).over(ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__wmin", min(col("__key")).over(ord.rowsBetween(0, k - 1)))
+      .filter(col("pos") <= greatest(lit(1L), col("__n") - (k - 1)))
+    sel.select(col("id"),
+        (col("__wmin") % (1L << PosBits)).as("pos"),
+        expr(s"__wmin div ${1L << PosBits}").as("fp"))
+      .distinct()
+  }
+
   /** Repetition detection: per document, the frequency of its most
     * repeated word n-gram as a fraction of all its n-grams — the standard
     * cheap filter for boilerplate/spam (near-1 means the doc is one

@@ -361,6 +361,50 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class WinnowSpec extends SparkSpec {
+  import graft.functions.PortableHash
+  import spark.implicits._
+
+  private def refWinnow(text: String, w: Int, k: Int): Set[(Long, Long)] = {
+    val ws = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+    val hs = (0 to ws.length - w).map(i => PortableHash.const60(ws.slice(i, i + w).mkString(" ")) % PortableHash.P)
+    if (hs.isEmpty) return Set.empty
+    val keys = hs.zipWithIndex.map { case (h, i) => h * 1048576L + (i + 1) }
+    (1 to math.max(1, keys.length - (k - 1)))
+      .map(s => keys.slice(s - 1, s - 1 + k).min)
+      .toSet[Long].map(key => (key % 1048576L, key / 1048576L))
+  }
+
+  test("winnow: matches the driver-side reference fold on random tiny-vocab docs") {
+    val rnd = new scala.util.Random(5150L)
+    val docs = (0L until 25L).map(i =>
+      (i, Seq.fill(rnd.nextInt(30))("t" + rnd.nextInt(6)).mkString(" ")))
+    val got = TextAnalysis.winnow(docs.toDF("doc_id", "text"), "doc_id", "text", w = 3, k = 4)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSet).toMap
+    for ((id, text) <- docs) {
+      val exp = refWinnow(text, 3, 4)
+      assert(got.getOrElse(id, Set.empty) === exp, s"doc $id '$text'")
+    }
+  }
+
+  test("winnow: shared long run guarantees a shared fingerprint; density reduced") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, s"one two three $run four five six"),
+      (1L, s"$run nine eight seven"),
+      (2L, "completely different words everywhere here today")).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnow(docs, "doc_id", "text", w = 4, k = 3)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert((fp(0L) & fp(1L)).nonEmpty) // shared 10-token run >= w+k-1 = 6
+    assert((fp(2L) & (fp(0L) | fp(1L))).isEmpty)
+    // density: selected fingerprints < full window-hash count
+    val full = Dedup.windowHashes(col("text"), 4)
+    val nFull = docs.filter(col("doc_id") === 0).select(size(full)).head().getInt(0)
+    assert(fp(0L).size < nFull)
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
