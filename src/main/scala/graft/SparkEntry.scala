@@ -694,6 +694,15 @@ object SparkEntry {
         .orderBy("doc_id", "pos", "fp")
     }),
 
+    // text analysis — near-dup candidate pairs at winnowed density
+    // (df-capped fingerprint join; shuffles carry (fp, id) longs)
+    "q_winnow_pairs" -> ((s, d) => {
+      TextAnalysis.winnowPairs(table(s, d, "documents"), "doc_id", "text",
+          w = 5, k = 4, minShared = 2, maxDf = 100)
+        .select(col("id_a"), col("id_b"), col("n_shared"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // text analysis — rolling-hash fingerprints (portable token hash)
     "q_fingerprint" -> ((s, d) => {
       table(s, d, "documents")
@@ -1587,6 +1596,39 @@ object SparkEntry {
            FROM sel WHERE pos <= greatest(1, n - ${k - 1}))
          SELECT doc_id, CAST(fpos AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
          FROM f ORDER BY doc_id, pos, fp"""
+    },
+
+    "q_winnow_pairs" -> {
+      import graft.functions.PortableHash.sqlHashMod
+      val w = 5; val k = 4; val pb = 1L << 20
+      s"""WITH t AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+           FROM documents),
+         px AS (
+           SELECT doc_id, ws, unnest(range(1, len(ws) - $w + 2)) AS pos FROM t),
+         win AS (
+           SELECT doc_id, pos,
+                  ${sqlHashMod(s"array_to_string(ws[pos:pos+${w - 1}], ' ')")} AS h
+           FROM px),
+         keyed AS (
+           SELECT doc_id, pos, h * $pb + pos AS key FROM win WHERE pos < $pb),
+         sel AS (
+           SELECT doc_id, pos,
+                  count(*) OVER (PARTITION BY doc_id) AS n,
+                  min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND ${k - 1} FOLLOWING) AS wmin
+           FROM keyed),
+         f AS (
+           SELECT DISTINCT doc_id, wmin // $pb AS fp
+           FROM sel WHERE pos <= greatest(1, n - ${k - 1})),
+         rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 100),
+         kept AS (SELECT doc_id, fp FROM f JOIN rare USING (fp)),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+           FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+         FROM pairs WHERE n_shared >= 2 ORDER BY id_a, id_b"""
     },
 
     "q_fingerprint" -> {

@@ -155,6 +155,37 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Near-dup candidate pairs from winnowed fingerprints: documents
+    * sharing ≥ `minShared` [[winnow]] fingerprints. The candidate join
+    * runs at winnowed density (~2/(k+1) of the full window-hash stream)
+    * and fingerprints appearing in more than `maxDf` documents are
+    * dropped first — boilerplate shared by half the corpus must not
+    * drive a quadratic bucket (the same df-cap every inverted-index
+    * pipeline applies). Shuffles carry (fp, id) longs only.
+    *
+    * Output: (id_a, id_b, n_shared) with id_a < id_b.
+    */
+  def winnowPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 5,
+      k: Int = 4,
+      minShared: Long = 2,
+      maxDf: Long = 1000): DataFrame = {
+    val fps = winnow(df, idCol, textCol, w, k)
+      .select(col("id"), col("fp")).distinct()
+      .localCheckpoint() // df-cap count + both join sides read it
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("fp")
+    val kept = fps.join(rare, "fp")
+    val a = kept.select(col("id").as("id_a"), col("fp"))
+    val b = kept.select(col("id").as("id_b"), col("fp"))
+    a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Repetition detection: per document, the frequency of its most
     * repeated word n-gram as a fraction of all its n-grams — the standard
     * cheap filter for boilerplate/spam (near-1 means the doc is one

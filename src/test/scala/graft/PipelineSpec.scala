@@ -388,6 +388,27 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("winnowPairs: near-dups pair up, boilerplate df-cap suppresses universal fp") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val boiler = "subscribe to our newsletter for more content today"
+    val docs = Seq(
+      (0L, s"one two three $run four five"),
+      (1L, s"$run nine eight seven"),
+      (2L, s"unrelated text entirely $boiler"),
+      (3L, s"other totally different words $boiler"),
+      (4L, "nothing in common with anything at all")).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowPairs(docs, "doc_id", "text", w = 4, k = 3,
+        minShared = 1, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+    // df-cap 1: every fingerprint shared by 2+ docs is dropped -> no pairs
+    val capped = TextAnalysis.winnowPairs(docs, "doc_id", "text", w = 4, k = 3,
+        minShared = 1, maxDf = 1)
+    assert(capped.isEmpty)
+  }
+
   test("winnow: shared long run guarantees a shared fingerprint; density reduced") {
     val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
