@@ -64,6 +64,6 @@ object Packing {
     sharded
       .withColumn("start_off", coalesce(sum(col(tokensCol)).over(order), lit(0L)))
       .withColumn("pack_first", expr(s"start_off div ${budget.toLong}"))
-      .withColumn("pack_last", expr(s"(start_off + $tokensCol - 1) div ${budget.toLong}"))
+      .withColumn("pack_last", expr(s"(start_off + `$tokensCol` - 1) div ${budget.toLong}"))
   }
 }

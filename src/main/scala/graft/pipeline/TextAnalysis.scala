@@ -116,10 +116,11 @@ object TextAnalysis {
     * ~2/(k+1) the density of the full [[graft.pipeline.Dedup.windowHashes]]
     * stream. Ties break to the LEFTMOST smallest hash, made total by
     * packing (hash, pos) into one long key (`hash·2²⁰ + pos` — exact for
-    * hashes < 2³¹ and positions < 2²⁰, engine-portable integer math; docs
-    * longer than 2²⁰ tokens are refused by the pos guard rather than
-    * silently mis-keyed). Documents with fewer than `k` windows emit the
-    * min of what they have.
+    * hashes < 2³¹ and positions < 2²⁰, engine-portable integer math; the
+    * pos guard EXCLUDES windows past 2²⁰ tokens rather than mis-keying
+    * them — fingerprints cover the first ~1M tokens, split longer docs
+    * upstream). Documents with fewer than `k` windows emit the min of
+    * what they have.
     *
     * Plan: per-document windows only (explode to (id, pos, hash) longs,
     * one frame-bounded window min, distinct) — corpus size never enters
