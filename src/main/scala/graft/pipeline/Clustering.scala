@@ -211,9 +211,22 @@ object Clustering {
       n: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 4,
-      minSim: Double = 0.5): DataFrame = {
-    val pairs = Dedup.minhashLshPairs(df, idCol, textCol, n, bands, rowsPerBand, minSim)
-    val comps = connectedComponents(pairs)
+      minSim: Double = 0.5): DataFrame =
+    nearDupClustersFromPairs(df, idCol,
+      Dedup.minhashLshPairs(df, idCol, textCol, n, bands, rowsPerBand, minSim))
+
+  /** [[nearDupClusters]] over CALLER-supplied candidate pairs — any pair
+    * generator plugs into the same canonicalization: winnowed
+    * fingerprints ([[graft.pipeline.TextAnalysis.winnowPairs]]), SimHash
+    * bands, embedding cosine, or a custom join. `pairs` needs columns
+    * (id_a, id_b); every document in `df` gets a component (its own id
+    * when unpaired) and one canonical representative per component.
+    */
+  def nearDupClustersFromPairs(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs.select(col("id_a"), col("id_b")))
     df.select(col(idCol).as("id"))
       .join(comps, Seq("id"), "left")
       .withColumn("component", coalesce(col("comp"), col("id")))

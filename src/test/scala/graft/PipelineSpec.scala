@@ -409,6 +409,23 @@ class WinnowSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("winnowPairs feed nearDupClustersFromPairs: run-sharers cluster, loner canonical") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, s"one two three $run four five"),
+      (1L, s"$run nine eight seven"),
+      (2L, s"prefix words then $run trailing bits"),
+      (3L, "nothing in common with anything at all")).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowPairs(docs, "doc_id", "text", w = 4, k = 3,
+      minShared = 1, maxDf = 10)
+    val out = Clustering.nearDupClustersFromPairs(docs, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(out.take(3).map(_._2).distinct.toSeq === Seq(0L)) // one component, min label
+    assert(out.take(3).count(_._3) === 1) // exactly one canonical among the sharers
+    assert(out(3) === ((3L, 3L, true))) // unpaired doc is its own canonical
+  }
+
   test("winnow: shared long run guarantees a shared fingerprint; density reduced") {
     val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
