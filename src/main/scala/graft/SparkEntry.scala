@@ -1525,7 +1525,7 @@ object SparkEntry {
     "q_curation_pipeline" -> {
       import graft.functions.PortableHash.sqlHashMod
       val sampleScore = Sampling.sqlHashScore("doc_id", "curate")
-      val packScore = Sampling.sqlHashScore("doc_id", "pack")
+      val packScore = Sampling.sqlHashScore("doc_id", "curate-pack")
       s"""WITH t AS (
            SELECT doc_id, lang, text,
                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
@@ -1536,7 +1536,7 @@ object SparkEntry {
          sm AS (SELECT * FROM dd
                 WHERE $sampleScore < CASE WHEN lang = 'en' THEN 0.6 ELSE 0.4 END),
          sh AS (SELECT doc_id, lang, n_tokens,
-                  (${sqlHashMod("('pack:' || CAST(doc_id AS VARCHAR))")} % 4) AS shard,
+                  (${sqlHashMod("('curate-pack:' || CAST(doc_id AS VARCHAR))")} % 4) AS shard,
                   $packScore AS pscore
                 FROM sm),
          w AS (SELECT doc_id, lang, n_tokens, shard,
@@ -1816,8 +1816,12 @@ object SparkEntry {
          seen AS (
            SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id % 2 = 0),
          fresh AS (
+           -- NOT EXISTS with equality, not NOT IN: a NULL hash on the
+           -- seen side must not empty the result, and a NULL-hash new
+           -- doc survives — exactly Spark's left_anti null semantics
            SELECT doc_id, content_hash FROM newd
-           WHERE content_hash NOT IN (SELECT content_hash FROM seen))
+           WHERE NOT EXISTS (
+             SELECT 1 FROM seen s WHERE s.content_hash = newd.content_hash))
          SELECT min(doc_id) AS doc_id, content_hash
          FROM fresh GROUP BY content_hash ORDER BY doc_id""",
 
@@ -1831,7 +1835,8 @@ object SparkEntry {
          dups AS (
            SELECT b.vec_id, min(a.vec_id) AS dup_of
            FROM n a JOIN n b ON a.cl = b.cl AND a.vec_id < b.vec_id
-           WHERE list_sum(list_transform(range(1, ${dim + 1}),
+           WHERE a.nrm > 0 AND b.nrm > 0
+             AND list_sum(list_transform(range(1, ${dim + 1}),
                    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) > 0.4
            GROUP BY b.vec_id)
          SELECT n.vec_id, n.cl AS cluster, d.dup_of, (d.dup_of IS NULL) AS keep

@@ -52,7 +52,10 @@ object Curation {
     val deduped = base.withColumn("__rn", row_number().over(dw))
       .filter(col("__rn") === 1).drop("__rn", "__h")
     val sampled = Sampling.stratifiedSample(deduped, "id", strataCol, fractions, defaultFraction, salt)
-    Packing.packTokenCounts(sampled, "id", "n_tokens", budget, numShards)
+    // packing salt derived from the caller's: two curations with
+    // different salts must get independent shard layouts too, not just
+    // independent sample keep-sets
+    Packing.packTokenCounts(sampled, "id", "n_tokens", budget, numShards, s"$salt-pack")
       .select("id", strataCol, "n_tokens", "shard", "start_off", "pack_first", "pack_last")
   }
 

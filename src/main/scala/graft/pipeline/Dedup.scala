@@ -508,16 +508,25 @@ object Dedup {
       iters: Int = 2,
       tau: Double = 0.9): DataFrame = {
     import graft.pipeline.Similarity.dot
-    val assigned = graft.pipeline.Clustering.kmeans(df, idCol, vecCol, k, iters)
-      .select(col("id"), col("cluster"))
-    val vecs = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("__v"))
-    val prep = assigned.join(vecs, "id")
+    // centroid assignment inline with the vector projection — the same
+    // literal-distance pattern as kmeans's own final assignment, so the
+    // embedding column is never shuffled through an id-join
+    val cents = graft.pipeline.Clustering.kmeansCentroids(df, idCol, vecCol, k, iters)
+    val prep = df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .withColumn("__ds", graft.pipeline.Clustering.centroidDists(col("__v"), cents))
+      .withColumn("cluster",
+        (array_position(col("__ds"), array_min(col("__ds"))) - 1).cast("long"))
+      .drop("__ds")
       .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
       .localCheckpoint() // both self-join sides read it; GC-reclaimed
     val a = prep.select(col("cluster"), col("id").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
     val b = prep.select(col("cluster"), col("id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
+    // zero-norm guard: cosine with a zero vector is 0/0 = NaN, and Spark
+    // orders NaN ABOVE every number — without the norm filter a zero
+    // embedding would be "similar" to everything in its cluster
     val dups = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .filter(col("__na") > 0 && col("__nb") > 0)
       .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) > tau)
       .groupBy(col("id_b").as("id"))
       .agg(min(col("id_a")).as("dup_of"))

@@ -117,14 +117,18 @@ class TimeseriesStore(
     * backfilling millions of series.
     */
   def setManyTs(many: DataFrame): Unit = {
+    // key validation on the RAW batch, BEFORE row normalization — a
+    // null-keyed row must refuse the batch even when its value is also
+    // null/NaN (setTs parity: requireAllKeys runs before the series
+    // filter)
+    val nullKeyed = keys.map(col(_).isNull).reduce(_ || _)
+    require(many.filter(nullKeyed).isEmpty, "null key values are not allowed")
     val s = many
       .select((keys.map(col) :+
         col("ts").cast(TimestampNTZType).as("ts") :+
         col("value").cast(DoubleType).as("value")): _*)
       .filter(col("value").isNotNull && !isnan(col("value")) && col("ts").isNotNull)
       .localCheckpoint()
-    val nullKeyed = keys.map(col(_).isNull).reduce(_ || _)
-    require(s.filter(nullKeyed).isEmpty, "null key values are not allowed")
     val dup = s.select(keys.map(col): _*).distinct()
       .join(load().select(keys.map(col): _*).distinct(), keys, "left_semi")
     if (!dup.isEmpty)

@@ -689,18 +689,19 @@ class CurationSpec extends SparkSpec {
 
   test("semanticDedup: identical vectors collapse to the lowest id; orthogonal survives") {
     val pts = ((0L until 5L).map(i => (i, Array(1f, 0f, 0f, 0f))) ++
-               Seq((5L, Array(0f, 1f, 0f, 0f))) ++
+               Seq((5L, Array(0f, 1f, 0f, 0f)), (6L, Array(0f, 0f, 0f, 0f))) ++
                (10L until 13L).map(i => (i, Array(10f, 10f, 10f, 10f)))).toDF("vec_id", "embedding")
     def run() = Dedup.semanticDedup(pts, "vec_id", "embedding", k = 2, iters = 2, tau = 0.9)
       .collect()
       .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
       .sortBy(_._1)
     val got = run()
-    assert(got.length === 9)
+    assert(got.length === 10)
     val m = got.map(t => t._1 -> ((t._2, t._3))).toMap
     assert(m(0L) === ((-1L, true)))
     for (i <- 1L until 5L) assert(m(i) === ((0L, false)))
     assert(m(5L) === ((-1L, true))) // orthogonal cluster-mate: kept
+    assert(m(6L) === ((-1L, true))) // zero vector: NaN cosine must NOT mark it dup
     assert(m(10L) === ((-1L, true)))
     for (i <- 11L until 13L) assert(m(i) === ((10L, false)))
     assert(run().toSeq === got.toSeq) // deterministic

@@ -131,6 +131,14 @@ class TimeseriesStoreSpec extends SparkSpec {
     val nullKey = Seq((2020, null: String, ldt("2021-01-01T00:00"), 1.0))
       .toDF("year", "kind", "ts", "value")
     assertThrows[IllegalArgumentException](st.setManyTs(nullKey))
+    // a null-keyed row refuses the batch even when its VALUE is also
+    // null/NaN — key validation runs before row normalization
+    val nullKeyNanValue = Seq(
+      (2024, "b", ldt("2021-01-01T00:00"), 1.0),
+      (2020, null: String, ldt("2021-01-01T00:00"), Double.NaN))
+      .toDF("year", "kind", "ts", "value")
+    assertThrows[IllegalArgumentException](st.setManyTs(nullKeyNanValue))
+    assert(!st.exists(Map("year" -> 2024, "kind" -> "b")))
   }
 
   test("clear removes matching series only; partial + lookup filters work") {
