@@ -63,6 +63,48 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("curate: random corpora match the driver-side gate+dedup+sample+pack fold") {
+    import graft.functions.PortableHash
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def score(id: Long, salt: String): Double =
+      (PortableHash.const60(s"$salt:$id") % PortableHash.P).toDouble / PortableHash.P
+    def hp(id: Long) = PortableHash.const60(s"curate-pack:$id") % PortableHash.P
+    val rnd = new scala.util.Random(8080L)
+    for (trial <- 0 until 3) {
+      val ds = (0L until 60L).map { i =>
+        val lang = if (rnd.nextBoolean()) "en" else "fr"
+        // small vocab so exact dups occur across ids
+        (i, Seq.fill(rnd.nextInt(10))("w" + rnd.nextInt(3)).mkString(" "), lang)
+      }
+      // reference fold
+      val gated = ds.map { case (id, t, l) =>
+        (id, t, l, "[A-Za-z0-9]+".r.findAllIn(t).size.toLong) }.filter(_._4 >= 2)
+      val deduped = gated.groupBy(d => md5hex(d._2)).values.map(_.minBy(_._1)).toSeq
+      val sampled = deduped.filter { case (id, _, l, _) =>
+        score(id, "curate") < (if (l == "en") 0.7 else 0.3) }
+      val expected = sampled.groupBy { case (id, _, _, _) => hp(id) % 3 }
+        .flatMap { case (shard, members) =>
+          var off = 0L
+          members.sortBy { case (id, _, _, _) => (hp(id), id) }.map { case (id, _, l, n) =>
+            val row = id -> Seq(l, n.toString, shard.toString, off.toString,
+              (off / 6).toString, ((off + n - 1) / 6).toString)
+            off += n
+            row
+          }
+        }
+      val got = graft.pipeline.Curation.curate(ds.toDF("doc_id", "text", "lang"),
+          "doc_id", "text", "lang", minTokens = 2,
+          fractions = Map("en" -> 0.7), defaultFraction = 0.3,
+          budget = 6, numShards = 3)
+        .collect().map(r => r.getLong(0) -> Seq(r.getString(1), r.getLong(2).toString,
+          r.getLong(3).toString, r.getLong(4).toString,
+          r.getLong(5).toString, r.getLong(6).toString)).toMap
+      assert(got === expected.toMap, s"trial $trial")
+    }
+  }
+
   test("deterministic under repartition; empty docs dropped") {
     val base = Packing.packSequences(corpus, "doc_id", "text", budget = 5, numShards = 3)
       .collect().map(_.toSeq).toSet

@@ -34,6 +34,25 @@ class DedupSpec extends SparkSpec {
     assert(selfOnly.map(_.getLong(0)).sorted.toSeq === Seq(0L, 2L, 3L, 4L))
   }
 
+  test("crossCorpusDedup: random overlapping snapshots match the reference set algebra") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(6060L)
+    for (trial <- 0 until 3) {
+      val texts = (0 until 40).map(_ => Seq.fill(rnd.nextInt(6) + 1)("w" + rnd.nextInt(4)).mkString(" "))
+      val seen = texts.take(25).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val fresh = texts.drop(15).zipWithIndex.map { case (t, i) => (100L + i, t) }
+      val seenHashes = seen.map(d => md5hex(d._2)).toSet
+      val expected = fresh.filterNot(d => seenHashes(md5hex(d._2)))
+        .groupBy(d => md5hex(d._2)).values.map(_.map(_._1).min).toSet
+      val got = Dedup.crossCorpusDedup(fresh.toDF("doc_id", "text"),
+          seen.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(_.getLong(0)).toSet
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("shingles: distinct n-grams; short docs → empty array (no descending sequence)") {
     val sh = docs.select(Dedup.shingles(col("text"), 3).as("sh"))
       .collect().map(_.getSeq[String](0))
