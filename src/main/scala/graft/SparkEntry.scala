@@ -784,6 +784,17 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // similarity — trained-IVF ANN on the int8-quantized column: the
+    // codebook, cells, probes, and cosine all run in the quantized space
+    "q_ivf_int8" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.ivfTopKInt8(emb.filter(col("vec_id") < 10), emb,
+          k = 5, nlist = 8, nprobe = 2, iters = 2)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos_sim"), 6).as("cos_sim"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // similarity — LSH ANN on the int8-quantized column only (scales
     // cancel in cosine, so scoring is integer-vector cosine; 4x less
     // scan I/O than the float path)
@@ -1846,6 +1857,8 @@ object SparkEntry {
 
     "q_ivf_kmeans" -> ivfKmeansOracleSql(k = 5, nlist = 8, nprobe = 2, iters = 2, dim = 64),
 
+    "q_ivf_int8" -> ivfKmeansOracleSql(k = 5, nlist = 8, nprobe = 2, iters = 2, dim = 64, int8DvCte),
+
     "q_diversity_sample" -> {
       val score = graft.pipeline.Sampling.sqlHashScore("vec_id", "diversity")
       s"""WITH ${kmeansCtes(8, 2, 64)},
@@ -1974,7 +1987,31 @@ object SparkEntry {
     * their previous centroid. Ends at centroid table `c<iters>(cl, cent)`
     * — shared by the `q_kmeans` and `q_ivf_kmeans` oracles.
     */
-  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+  /** Default `dv` CTE: double-cast float embeddings. */
+  private val floatDvCte: String =
+    """dv AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)"""
+
+  /** `dv` CTE for the int8-quantized space ([[graft.pipeline.Similarity.quantizeInt8]]
+    * twin): the kmeans chain and everything downstream then run on the
+    * integer-valued vectors, mirroring the `ivfTopKInt8` composition.
+    */
+  private val int8DvCte: String =
+    """qz_dv AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+           FROM embeddings),
+         qz_ma AS (SELECT vec_id, v0, list_max(list_transform(v0, x -> abs(x))) AS ma FROM qz_dv),
+         dv AS (
+           SELECT vec_id,
+                  CASE WHEN ma > 0 THEN list_transform(v0, x -> round(x / (ma / 127)))
+                       ELSE list_transform(v0, x -> 0.0) END AS v
+           FROM qz_ma)"""
+
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String =
+    kmeansCtes(k, iters, dim, floatDvCte)
+
+  private def kmeansCtes(k: Int, iters: Int, dim: Int, dvCte: String): String = {
     def update(aName: String, prevC: String, mName: String, cName: String): String = {
       val meanCols = (1 to dim).map(i => s"round(avg(v[$i]), 6) AS d$i").mkString(", ")
       val centList = (1 to dim).map(i => s"m.d$i").mkString("[", ", ", "]")
@@ -1987,9 +2024,7 @@ object SparkEntry {
       kmeansAssign(s"a$i", s"c$i", dim) + ",\n         " +
         update(s"a$i", s"c$i", s"m$i", s"c${i + 1}")
     }.mkString(",\n         ")
-    s"""dv AS (
-           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
+    s"""$dvCte,
          c0 AS (
            SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cl,
                   v AS cent
@@ -2009,10 +2044,14 @@ object SparkEntry {
     * [[graft.pipeline.Similarity.ivfTopKTrained]].
     */
   private def ivfKmeansOracleSql(
-      k: Int, nlist: Int, nprobe: Int, iters: Int, dim: Int): String = {
+      k: Int, nlist: Int, nprobe: Int, iters: Int, dim: Int): String =
+    ivfKmeansOracleSql(k, nlist, nprobe, iters, dim, floatDvCte)
+
+  private def ivfKmeansOracleSql(
+      k: Int, nlist: Int, nprobe: Int, iters: Int, dim: Int, dvCte: String): String = {
     def norm(v: String) =
       s"sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> $v[i] * $v[i])))"
-    s"""WITH ${kmeansCtes(nlist, iters, dim)},
+    s"""WITH ${kmeansCtes(nlist, iters, dim, dvCte)},
          ${kmeansAssign("ca", s"c$iters", dim)},
          cn AS (SELECT vec_id, v, cl AS cell, ${norm("v")} AS n FROM ca),
          ${kmeansAssign("qa", s"c$iters", dim, keep = nprobe, where = " WHERE d.vec_id < 10")},

@@ -197,6 +197,30 @@ object Similarity {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
+  /** Trained-IVF ANN on the int8-quantized form — [[lshTopKInt8]]'s
+    * storage-trim composition applied to the IVF index: both sides are
+    * [[quantizeInt8]]-ed and the k-means codebook, cell assignment,
+    * probes, and cosine all run on the integer-valued vectors (scales
+    * cancel in cosine; training on the quantized corpus keeps codebook
+    * and data in the same space). Same cost shape as [[ivfTopKTrained]];
+    * cos_sim carries quantization error — re-rank the shortlist against
+    * the float column when exactness matters.
+    */
+  def ivfTopKInt8(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      nlist: Int = 8,
+      nprobe: Int = 2,
+      iters: Int = 2): DataFrame = {
+    def asIntVec(df: DataFrame) = quantizeInt8(df, idCol, vecCol)
+      .select(col("id").as(idCol),
+        transform(col("qvec"), x => x.cast("double")).as(vecCol))
+    ivfTopKTrained(asIntVec(queries), asIntVec(corpus), idCol, vecCol, k, nlist, nprobe, iters)
+  }
+
   /** Multi-probe probe-bucket list for a query vector: the base sign-LSH
     * bucket plus `numProbes - 1` variants with the LOWEST-MARGIN bit
     * flipped (smallest |projection| = the hyperplane the vector sits

@@ -260,6 +260,20 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === bf)
   }
 
+  test("ivfTopKInt8: quantized cells recall the cluster neighbor like the float path") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.01f, 0.0f)), (1L, Array(0.98f, 0.02f, 0.0f)), (2L, Array(0.95f, 0.0f, 0.05f)),
+      (3L, Array(0.0f, 1.0f, 0.01f)), (4L, Array(0.02f, 0.97f, 0.0f)),
+      (5L, Array(0.0f, 0.05f, 0.99f)), (6L, Array(0.01f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id").isin(0L, 3L, 5L))
+    val int8 = Similarity.ivfTopKInt8(q, corpus, k = 1, nlist = 7, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bf = Similarity.bruteForceTopK(q, corpus, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(int8 === bf) // quantization preserves the rank-1 neighbor here
+  }
+
   test("lshTopKInt8: near-parallel pair survives quantization; self-dup scores ~1") {
     val out = Similarity.lshTopKInt8(vecs.filter(col("vec_id") === 0), vecs, k = 2, numPlanes = 4)
       .collect()
