@@ -218,7 +218,11 @@ object Similarity {
     def asIntVec(df: DataFrame) = quantizeInt8(df, idCol, vecCol)
       .select(col("id").as(idCol),
         transform(col("qvec"), x => x.cast("double")).as(vecCol))
-    ivfTopKTrained(asIntVec(queries), asIntVec(corpus), idCol, vecCol, k, nlist, nprobe, iters)
+    // materialize the quantized corpus ONCE: k-means training + cell
+    // assignment run several actions over it, and in production the int8
+    // column is persisted storage, not a projection recomputed per pass
+    ivfTopKTrained(asIntVec(queries), asIntVec(corpus).localCheckpoint(),
+      idCol, vecCol, k, nlist, nprobe, iters)
   }
 
   /** Multi-probe probe-bucket list for a query vector: the base sign-LSH
