@@ -673,6 +673,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // curation — cross-modal: text gate + dedup joined with embeddings,
+    // k-means DIVERSITY sampling decides representation, then pack
+    "q_curate_diverse" -> ((s, d) => {
+      Curation.curateDiverse(table(s, d, "documents"), table(s, d, "embeddings"),
+          "doc_id", "text", "lang", "vec_id", "embedding",
+          minTokens = 5, k = 4, iters = 2, perCluster = 32,
+          budget = 512, numShards = 4)
+        .select(col("id").as("doc_id"), col("lang"), col("n_tokens"), col("cluster"),
+          col("shard"), col("start_off"), col("pack_first"), col("pack_last"))
+        .orderBy("doc_id")
+    }),
+
     // packing — GPT-style concat-then-split sequence packing for training
     // exports: hash-shard, deterministic well-mixed order within shard,
     // running token offset → fixed-budget pack ids (pack_last >
@@ -1531,6 +1543,46 @@ object SparkEntry {
          FROM documents
          WHERE $score < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END
          ORDER BY doc_id"""
+    },
+
+    "q_curate_diverse" -> {
+      import graft.functions.PortableHash.sqlHashMod
+      val divScore = Sampling.sqlHashScore("af.vec_id", "curate-div")
+      val packScore = Sampling.sqlHashScore("doc_id", "curate-pack")
+      val dvCte =
+        """base AS (
+           SELECT doc_id, lang,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+                  md5(text) AS h
+           FROM documents),
+         g AS (SELECT * FROM base WHERE n_tokens >= 5),
+         dd AS (SELECT doc_id, lang, n_tokens FROM (
+                  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM g)
+                WHERE rn = 1),
+         dv AS (SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings e JOIN dd ON dd.doc_id = e.vec_id)"""
+      s"""WITH ${kmeansCtes(4, 2, 64, dvCte)},
+         ${kmeansAssign("af", "c2", 64)},
+         sz AS (SELECT cl, count(*) AS n FROM af GROUP BY cl),
+         kept AS (
+           SELECT af.vec_id AS doc_id, af.cl AS cluster
+           FROM af JOIN sz ON sz.cl = af.cl
+           WHERE $divScore < least(1.0, 32.0 / sz.n)),
+         kd AS (SELECT k.doc_id, k.cluster, dd.lang, dd.n_tokens
+                FROM kept k JOIN dd ON dd.doc_id = k.doc_id),
+         sh AS (SELECT doc_id, cluster, lang, n_tokens,
+                  (${sqlHashMod("('curate-pack:' || CAST(doc_id AS VARCHAR))")} % 4) AS shard,
+                  $packScore AS pscore
+                FROM kd),
+         w AS (SELECT doc_id, cluster, lang, n_tokens, shard,
+                  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard
+                    ORDER BY pscore, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+               FROM sh)
+         SELECT doc_id, lang, n_tokens, cluster, shard, start_off,
+                CAST(start_off // 512 AS BIGINT) AS pack_first,
+                CAST((start_off + n_tokens - 1) // 512 AS BIGINT) AS pack_last
+         FROM w ORDER BY doc_id"""
     },
 
     "q_curation_pipeline" -> {

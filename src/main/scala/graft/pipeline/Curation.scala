@@ -59,6 +59,56 @@ object Curation {
       .select("id", strataCol, "n_tokens", "shard", "start_off", "pack_first", "pack_last")
   }
 
+  /** Cross-modal curation: [[curate]]'s gate + dedup stages, but the
+    * sampling decision comes from EMBEDDING diversity instead of strata
+    * rates — the text table is gated and exact-deduped, joined to its
+    * embeddings on id, thinned per k-means cluster
+    * ([[diversitySample]]: big clusters sampled down, small ones kept
+    * whole), and packed for export. The shape a semantic-coverage-aware
+    * training mix actually uses: text quality decides admission,
+    * embedding geometry decides representation.
+    *
+    * Scale: the join ships (id, stratum, n_tokens) against (id, vec) on
+    * the id key; clustering/sampling run on the joined working set; the
+    * final pack is the usual per-shard window. Salts are namespaced per
+    * stage (`$salt-div`, `$salt-pack`).
+    *
+    * Output: (id, <strataCol>, n_tokens, cluster, shard, start_off,
+    * pack_first, pack_last).
+    */
+  def curateDiverse(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      textCol: String,
+      strataCol: String,
+      vecIdCol: String,
+      vecCol: String,
+      minTokens: Int,
+      k: Int,
+      iters: Int,
+      perCluster: Int,
+      budget: Int,
+      numShards: Int,
+      salt: String = "curate"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("id"), col(strataCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        md5(col(textCol)).as("__h"))
+      .filter(col("n_tokens") >= minTokens)
+    val dw = Window.partitionBy(col("__h")).orderBy(col("id"))
+    val deduped = base.withColumn("__rn", row_number().over(dw))
+      .filter(col("__rn") === 1).drop("__rn", "__h")
+    val joined = deduped.join(
+      embeddings.select(col(vecIdCol).as("id"), col(vecCol)), Seq("id"))
+    val sampled = diversitySample(joined, "id", vecCol, k, iters, perCluster, s"$salt-div")
+      .filter(col("keep"))
+      .select("id", "cluster")
+      .join(deduped, Seq("id"))
+    Packing.packTokenCounts(sampled, "id", "n_tokens", budget, numShards, s"$salt-pack")
+      .select("id", strataCol, "n_tokens", "cluster", "shard", "start_off", "pack_first", "pack_last")
+  }
+
   /** Temperature-scaled sampling weights per corpus group (source,
     * language, domain): the standard multinomial-mixing formula
     * `w_g ∝ share_g^alpha` (alpha < 1 upsamples the tail, alpha = 1 is

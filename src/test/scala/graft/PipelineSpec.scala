@@ -720,6 +720,30 @@ class CurationSpec extends SparkSpec {
     assert(!noFr.map(_.getLong(0)).contains(102L))
   }
 
+  test("curateDiverse: gate+dedup admit, embedding diversity decides representation") {
+    // 40 docs in one tight embedding blob (thinned), 3 in a far blob
+    // (kept whole); one exact dup and one too-short doc (dropped)
+    val docs = ((0L until 40L).map(i => (i, s"alpha beta gamma delta epsilon tok$i end", "en")) ++
+      Seq((100L, "alpha beta gamma delta epsilon tok5 end", "en"), // dup of 5
+          (101L, "too short", "en")) ++
+      (110L until 113L).map(i => (i, s"uno dos tres cuatro cinco seis tok$i", "fr")))
+      .toDF("doc_id", "text", "lang")
+    val embs = ((0L until 40L).map(i => (i, Array(0f, 0f, 0f, i.toFloat * 1e-4f))) ++
+      Seq((100L, Array(0f, 0f, 0f, 0.001f)), (101L, Array(0f, 0f, 0f, 0.002f))) ++
+      (110L until 113L).map(i => (i, Array(10f, 10f, 10f, 10f))))
+      .toDF("vec_id", "embedding")
+    val out = Curation.curateDiverse(docs, embs, "doc_id", "text", "lang",
+        "vec_id", "embedding", minTokens = 5, k = 2, iters = 3, perCluster = 8,
+        budget = 10, numShards = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val ids = out.map(_._1).toSet
+    assert(!ids.contains(100L)) // exact dup never reaches sampling
+    assert(!ids.contains(101L)) // short doc gated out
+    assert((110L until 113L).forall(ids.contains)) // small far blob kept whole
+    val bigKept = ids.count(_ < 40L)
+    assert(bigKept > 0 && bigKept < 40) // big blob thinned, not dropped
+  }
+
   test("semanticDedup: identical vectors collapse to the lowest id; orthogonal survives") {
     val pts = ((0L until 5L).map(i => (i, Array(1f, 0f, 0f, 0f))) ++
                Seq((5L, Array(0f, 1f, 0f, 0f)), (6L, Array(0f, 0f, 0f, 0f))) ++
