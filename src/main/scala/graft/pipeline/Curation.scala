@@ -99,12 +99,16 @@ object Curation {
     val dw = Window.partitionBy(col("__h")).orderBy(col("id"))
     val deduped = base.withColumn("__rn", row_number().over(dw))
       .filter(col("__rn") === 1).drop("__rn", "__h")
+    // materialize the working set once: k-means training runs several
+    // actions over it, and re-executing the dedup window + join per
+    // Lloyd's pass would multiply the whole upstream pipeline
     val joined = deduped.join(
       embeddings.select(col(vecIdCol).as("id"), col(vecCol)), Seq("id"))
+      .localCheckpoint()
     val sampled = diversitySample(joined, "id", vecCol, k, iters, perCluster, s"$salt-div")
       .filter(col("keep"))
       .select("id", "cluster")
-      .join(deduped, Seq("id"))
+      .join(joined.drop(vecCol), Seq("id"))
     Packing.packTokenCounts(sampled, "id", "n_tokens", budget, numShards, s"$salt-pack")
       .select("id", strataCol, "n_tokens", "cluster", "shard", "start_off", "pack_first", "pack_last")
   }
