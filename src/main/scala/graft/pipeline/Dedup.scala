@@ -493,10 +493,26 @@ object Dedup {
     * deterministic pass — for chain-transitive canonicalization feed the
     * pairs into [[graft.pipeline.Clustering.nearDupClusters]] instead.
     *
+    * `subPlanes > 0` turns on intra-cluster sign-LSH sub-blocking: the
+    * block key becomes (cluster, lsh bucket), so the quadratic block size
+    * is |cluster ∩ bucket| and nothing depends on |cluster| alone — the
+    * scale guard for a fixed-k clustering over a growing corpus. Recall
+    * is recovered multi-probe style: the LOWER-id side of each candidate
+    * pair probes its base bucket plus the `subProbes - 1` lowest-margin
+    * bit-flip buckets ([[Similarity.lshProbeBuckets]], Lv et al.
+    * VLDB'07), so a pair (a, b) with a < b is considered iff
+    * bucket(b) ∈ probes(a). Probe buckets are pairwise distinct and the
+    * b-side sits in exactly one bucket, so no pair is scored twice and no
+    * distinct is needed. Near-identical vectors agree on every
+    * hyperplane sign with overwhelming probability, so the dup recall
+    * loss is at the tau boundary only; `subProbes` is the recall knob
+    * (monotone: more probes ⇒ superset of pairs — DedupSpec law).
+    *
     * Plan shape: centroid assignment is a codegen'd literal-distance
-    * projection (no join); the self-join shuffles on the cluster id with
-    * norms hoisted (one sqrt per vector, not per pair); at 100 TB the
-    * knob is `k` — more clusters, smaller quadratic blocks.
+    * projection (no join); the self-join shuffles on (cluster, bucket)
+    * with norms hoisted (one sqrt per vector, not per pair); at 100 TB
+    * the knobs are `k` (see [[semanticDedupAuto]]) and `subPlanes`
+    * (block size ~ |cluster| / 2^subPlanes for spread clusters).
     *
     * Output: one row per vector — (id, cluster, dup_of, keep).
     */
@@ -506,8 +522,11 @@ object Dedup {
       vecCol: String,
       k: Int = 8,
       iters: Int = 2,
-      tau: Double = 0.9): DataFrame = {
+      tau: Double = 0.9,
+      subPlanes: Int = 0,
+      subProbes: Int = 2): DataFrame = {
     import graft.pipeline.Similarity.dot
+    require(subPlanes >= 0, s"subPlanes must be >= 0; got $subPlanes")
     // centroid assignment inline with the vector projection — the same
     // literal-distance pattern as kmeans's own final assignment, so the
     // embedding column is never shuffled through an id-join
@@ -520,18 +539,54 @@ object Dedup {
       .drop("__ds")
       .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
       .localCheckpoint() // both self-join sides read it; GC-reclaimed
-    val a = prep.select(col("cluster"), col("id").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
-    val b = prep.select(col("cluster"), col("id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
+    val (a, b, blockKeys) =
+      if (subPlanes == 0) {
+        (prep.select(col("cluster"), col("id").as("id_a"), col("__v").as("__va"), col("__n").as("__na")),
+         prep.select(col("cluster"), col("id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb")),
+         Seq("cluster"))
+      } else {
+        // lower-id side explodes ×subProbes (base + lowest-margin flips);
+        // higher-id side keys on its single base bucket
+        (prep.select(col("cluster"), col("id").as("id_a"), col("__v").as("__va"), col("__n").as("__na"),
+           explode(Similarity.lshProbeBuckets(col("__v"), subPlanes, subProbes)).as("__bkt")),
+         prep.select(col("cluster"), col("id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"),
+           Similarity.lshBucket(col("__v"), subPlanes).as("__bkt")),
+         Seq("cluster", "__bkt"))
+      }
     // zero-norm guard: cosine with a zero vector is 0/0 = NaN, and Spark
     // orders NaN ABOVE every number — without the norm filter a zero
     // embedding would be "similar" to everything in its cluster
-    val dups = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+    val dups = a.join(b, blockKeys).filter(col("id_a") < col("id_b"))
       .filter(col("__na") > 0 && col("__nb") > 0)
       .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) > tau)
       .groupBy(col("id_b").as("id"))
       .agg(min(col("id_a")).as("dup_of"))
     prep.select("id", "cluster").join(dups, Seq("id"), "left")
       .withColumn("keep", col("dup_of").isNull)
+  }
+
+  /** [[semanticDedup]] with `k` derived from the corpus count so the
+    * EXPECTED cluster size stays constant as the corpus grows —
+    * `k = ceil(N / targetClusterSize)` — instead of a fixed k whose
+    * clusters (and quadratic blocks) grow linearly with N. One extra
+    * count() action over the id column; at 100 TB that is a
+    * metadata-cheap columnar scan, and the alternative (a stale fixed k)
+    * is the scale-killer. Combine with `subPlanes` for skewed clusters:
+    * expected size bounds the mean, LSH sub-blocking bounds the max.
+    */
+  def semanticDedupAuto(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      targetClusterSize: Long = 2048L,
+      iters: Int = 2,
+      tau: Double = 0.9,
+      subPlanes: Int = 0,
+      subProbes: Int = 2): DataFrame = {
+    require(targetClusterSize >= 1, s"targetClusterSize must be >= 1; got $targetClusterSize")
+    val n = df.select(col(idCol)).count()
+    val k = math.max(1L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+    semanticDedup(df, idCol, vecCol, k, iters, tau, subPlanes, subProbes)
   }
 
   /** SimHash near-dup pairs, blocked by 15-bit sub-bands (4 bands): docs

@@ -763,6 +763,62 @@ class CurationSpec extends SparkSpec {
     for (i <- 11L until 13L) assert(m(i) === ((10L, false)))
     assert(run().toSeq === got.toSeq) // deterministic
   }
+
+  test("semanticDedup: LSH sub-blocking only removes pairs, and probes are monotone") {
+    // Laws (same clustering on all runs, since the codebook ignores the
+    // sub-block knobs): (1) dropped(subPlanes=p) ⊆ dropped(subPlanes=0);
+    // (2) dup_of under sub-blocking is never a SMALLER id than the
+    // unblocked dup_of (min over a pair subset); (3) subProbes is
+    // monotone — probe lists are nested prefixes of the flip order, so
+    // more probes ⇒ superset of dropped ids.
+    val rnd = new scala.util.Random(4242L)
+    // half the corpus are near-dups of a handful of anchors (tight cones
+    // around them), half independent — both regimes exercised
+    val anchors = (0 until 4).map(_ => Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val pts = (0L until 80L).map { id =>
+      val v =
+        if (id % 2 == 0) Array.fill(8)(rnd.nextFloat() * 2f - 1f)
+        else anchors((id % 4).toInt).map(x => x + rnd.nextFloat() * 0.02f)
+      (id, v)
+    }
+    def dupMap(subPlanes: Int, subProbes: Int): Map[Long, Long] =
+      Dedup.semanticDedup(pts.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", k = 4, iters = 2, tau = 0.8,
+          subPlanes = subPlanes, subProbes = subProbes)
+        .collect().collect { case r if !r.isNullAt(2) => r.getLong(0) -> r.getLong(2) }
+        .toMap
+    val full = dupMap(0, 1)
+    val p1 = dupMap(6, 1)
+    val p3 = dupMap(6, 3)
+    assert(full.nonEmpty) // the cones must actually produce dups
+    for (m <- Seq(p1, p3); (id, dupOf) <- m) {
+      assert(full.contains(id), s"sub-blocking invented a drop: $id")
+      assert(dupOf >= full(id), s"sub-blocked dup_of $dupOf below unblocked min ${full(id)}")
+    }
+    assert(p1.keySet.subsetOf(p3.keySet), "more probes must only add drops")
+    // identical vectors share every hyperplane sign, so exact dups always
+    // survive sub-blocking: recall loss is confined to the tau boundary
+    val exact = (100L until 104L).map(id => (id, anchors(0)))
+    val got = Dedup.semanticDedup((pts ++ exact).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 4, iters = 2, tau = 0.8,
+        subPlanes = 8, subProbes = 2)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    for (id <- 101L until 104L) assert(got(id) >= 0L && got(id) <= 100L,
+      s"exact dup $id escaped sub-blocked dedup")
+  }
+
+  test("semanticDedupAuto: k derived from corpus count matches the explicit-k run") {
+    val rnd = new scala.util.Random(515L)
+    val pts = (0L until 40L).map(id => (id, Array.fill(4)(rnd.nextFloat() * 2f - 1f)))
+    val df = pts.toDF("vec_id", "embedding")
+    val auto = Dedup.semanticDedupAuto(df, "vec_id", "embedding",
+        targetClusterSize = 10L, iters = 2, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1)
+    val explicit = Dedup.semanticDedup(df, "vec_id", "embedding",
+        k = 4, iters = 2, tau = 0.5) // ceil(40 / 10) = 4
+      .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1)
+    assert(auto.toSeq === explicit.toSeq)
+  }
 }
 
 class DuplicateSpansSpec extends SparkSpec {

@@ -101,6 +101,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  // The round-8 official bench showed the old 3-shuffle shape (two full
+  // lineitem re-aggregations + merge) going 5.9x under memory contention;
+  // the slimmed query pre-aggregates once (checkpointed) and the merge
+  // groupBy must remain the final plan's ONLY Exchange.
+  test("q_update_merge plan: single Exchange over the checkpointed pre-aggregation") {
+    val p = plan("q_update_merge")
+    // count node-detail headers ("(8) Exchange"), not raw substrings —
+    // the formatted explain prints each node once in the tree and once
+    // in the detail section
+    val exchanges = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 Exchange, got $exchanges\n" + p.take(800))
+    assert("\\bWindow\\b".r.findFirstIn(p).isEmpty)
+  }
+
   test("kmeans assignment plan: centroid literals folded in — no join, no window") {
     val p = plan("q_kmeans")
     assert(!p.contains("Join"), "assignment must be a projection over literals\n" + p.take(600))
