@@ -49,14 +49,32 @@ object Bench {
     }
     val floorBefore = floorMs()
 
+    // Per-query shuffle-spill bytes (memory + disk), so a slow outlier in
+    // the round artifact is diagnosable as contention (no spill) vs
+    // memory pressure (spill) without re-running. Task-end events are
+    // delivered async, so attribution is approximate at the rep boundary
+    // (a tail task of query N can land in N+1's window) — fine for a
+    // diagnostic; the reported number is the MAX across reps because
+    // spill in any rep is the signal.
+    val spillAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) spillAcc.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    })
+
     val queries = SparkEntry.queries.toSeq
     val samples = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+    val spills = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     (0 until reps).foreach { _ =>
       queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
+        val s0 = spillAcc.get()
         try {
           fn(spark, sfDir).count()
           samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+          spills(name) = math.max(spills(name), spillAcc.get() - s0)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
@@ -95,8 +113,12 @@ object Bench {
       .mkString("{", ",", "}")
     val oks = queries.map { case (name, _) => s"\"" + name + "\":" + repOk(name) }
       .mkString("{", ",", "}")
+    // only non-zero spills: the common all-zero case must not bloat the line
+    val spillsJson = queries.collect { case (name, _) if spills(name) > 0 =>
+      s"\"" + name + "\":" + spills(name)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_ok":$oks,"sf":"$sfDir","reps":$reps,"floor_ms_before":$floorBefore,"floor_ms_after":$floorAfter,"noisy":$noisy,"n_failed":${failed.length},"n_flaky":${flaky.length}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_ok":$oks,"spill_bytes":$spillsJson,"sf":"$sfDir","reps":$reps,"floor_ms_before":$floorBefore,"floor_ms_after":$floorAfter,"noisy":$noisy,"n_failed":${failed.length},"n_flaky":${flaky.length}}"""
     println(line)
     // Also persist the line: sbt appends its own "[success]" line after our
     // stdout, which has broken the harness's last-line JSON parse in every

@@ -831,6 +831,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // similarity — FAISS-style two-stage search: int8 LSH candidate
+    // generation (4x less scan I/O, quantization-error scores) + exact
+    // float re-rank of the 10-deep shortlist (restores exact ordering,
+    // reading float vectors only for shortlist rows)
+    "q_ann_rerank" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val shortlist = Similarity.lshTopKInt8(queries, emb, k = 10, numPlanes = 8)
+      Similarity.rerankExact(shortlist, queries, emb, k = 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos_sim"), 6).as("cos_sim"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // similarity — symmetric int8 embedding quantization (ANN storage
     // trim), exploded per dimension so the oracle compares scalars
     "q_quantize_embed" -> ((s, d) => {
@@ -906,8 +920,8 @@ object SparkEntry {
     s"""d AS (
            SELECT doc_id,
                   list_distinct(list_transform(
-                    range(1, len(string_split(lower(text), ' ')) - 1),
-                    i -> array_to_string((string_split(lower(text), ' '))[i:i+2], ' '))) AS sh
+                    range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 1),
+                    i -> array_to_string((regexp_extract_all(lower(text), '[a-z0-9]+'))[i:i+2], ' '))) AS sh
            FROM documents),
          ex AS (SELECT doc_id, unnest(sh) AS shingle FROM d WHERE len(sh) > 0),
          hx AS (SELECT doc_id, ${sqlHashMod("shingle")} AS b FROM ex),
@@ -1320,8 +1334,8 @@ object SparkEntry {
       """WITH d AS (
            SELECT doc_id, lang,
                   list_distinct(list_transform(
-                    range(1, len(string_split(lower(text), ' ')) - 1),
-                    i -> array_to_string((string_split(lower(text), ' '))[i:i+2], ' '))) AS sh
+                    range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 1),
+                    i -> array_to_string((regexp_extract_all(lower(text), '[a-z0-9]+'))[i:i+2], ' '))) AS sh
            FROM documents),
          dd AS (SELECT doc_id, lang, sh, len(sh) AS n FROM d WHERE len(sh) > 0),
          ex AS (SELECT doc_id, lang, n, unnest(sh) AS shingle FROM dd),
@@ -1352,8 +1366,8 @@ object SparkEntry {
       s"""WITH d AS (
            SELECT doc_id,
                   list_distinct(list_transform(
-                    range(1, len(string_split(lower(text), ' ')) - 1),
-                    i -> array_to_string((string_split(lower(text), ' '))[i:i+2], ' '))) AS sh
+                    range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 1),
+                    i -> array_to_string((regexp_extract_all(lower(text), '[a-z0-9]+'))[i:i+2], ' '))) AS sh
            FROM documents),
          ex AS (SELECT doc_id, unnest(sh) AS shingle FROM d WHERE len(sh) > 0),
          hx AS (SELECT doc_id, ${sqlHashMod("shingle")} AS h FROM ex),
@@ -1366,7 +1380,7 @@ object SparkEntry {
 
     "q_repetition" -> {
       import graft.functions.PortableHash.sqlHashMod
-      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
          g AS (SELECT doc_id, unnest(list_transform(
                  range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) AS gram
                FROM w),
@@ -1868,6 +1882,58 @@ object SparkEntry {
            FROM s)
          SELECT query_id, vec_id, round(cos, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
          FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
+
+    "q_ann_rerank" -> {
+      // int8 LSH shortlist (rank <= 10; q_lsh_int8's machinery) re-scored
+      // with exact float cosine, top-5 per query in exact order
+      import graft.functions.PortableHash.planeInts
+      val pls = planeInts(8, graft.pipeline.Similarity.MaxDim)
+      def proj(p: Int): String = {
+        val karr = pls(p).mkString("[", ", ", "]")
+        s"list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * (CAST(($karr)[i] AS DOUBLE) / 1000001.0)))"
+      }
+      val bucketExpr = (0 until 8).map { p =>
+        s"CASE WHEN ${proj(p)} >= 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString("(", "\n                + ", ")")
+      s"""WITH dv AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM dv),
+         qz AS (
+           SELECT vec_id,
+                  CASE WHEN ma > 0
+                       THEN list_transform(v, x -> round(x / (ma / 127)))
+                       ELSE list_transform(v, x -> 0.0) END AS qv
+           FROM m),
+         cb AS (SELECT vec_id, qv, CAST($bucketExpr AS BIGINT) AS bucket FROM qz),
+         q AS (SELECT vec_id AS query_id, qv AS qq, bucket FROM cb WHERE vec_id < 10),
+         s AS (
+           SELECT query_id, c.vec_id,
+             list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * c.qv[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * qq[i])))
+              * sqrt(list_sum(list_transform(range(1, len(c.qv) + 1), i -> c.qv[i] * c.qv[i])))) AS cos
+           FROM cb c JOIN q USING (bucket) WHERE c.vec_id <> query_id),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           FROM s),
+         short AS (SELECT query_id, vec_id FROM r WHERE rank <= 10),
+         fv AS (
+           SELECT vec_id, v,
+                  sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))) AS n
+           FROM dv),
+         rescored AS (
+           SELECT sh.query_id, sh.vec_id,
+                  list_sum(list_transform(range(1, len(qf.v) + 1),
+                    i -> qf.v[i] * cf.v[i])) / (qf.n * cf.n) AS cos
+           FROM short sh
+           JOIN fv qf ON qf.vec_id = sh.query_id
+           JOIN fv cf ON cf.vec_id = sh.vec_id),
+         rr AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           FROM rescored)
+         SELECT query_id, vec_id, round(cos, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+         FROM rr WHERE rank <= 5 ORDER BY query_id, rank"""
     },
 
     "q_quantize_embed" ->

@@ -55,16 +55,19 @@ object Dedup {
       .select("id", "content_hash")
   }
 
-  /** Word n-gram shingles (lowercased, space-tokenized), distinct.
-    * Guarded: Spark's `sequence(1, k)` DESCENDS when k < 1, so short
-    * documents must short-circuit to an empty array.
+  /** Word n-gram shingles (lowercased, [[TextAnalysis.tokens]]-split),
+    * distinct. One tokenization policy project-wide (round-9 unify): the
+    * alnum-run regex — multi-space and punctuated text shingles
+    * consistently with every token count. Guarded: Spark's
+    * `sequence(1, k)` DESCENDS when k < 1, so short documents must
+    * short-circuit to an empty array.
     */
   def shingles(text: Column, n: Int): Column =
-    // the split is BOUND as a lambda variable (evaluated once per row);
-    // referencing it directly inside the window lambda would let
-    // CollapseProject inline the split into every slice — a ~tokens×
+    // the tokenization is BOUND as a lambda variable (evaluated once per
+    // row); referencing it directly inside the window lambda would let
+    // CollapseProject inline it into every slice — a ~tokens×
     // re-evaluation blowup (CSE never reaches inside lambda bodies)
-    flatten(transform(array(split(lower(text), " ")), ws =>
+    flatten(transform(array(TextAnalysis.tokens(lower(text))), ws =>
       when(size(ws) >= n,
         array_distinct(
           transform(

@@ -375,4 +375,43 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
+
+  /** FAISS-style two-stage search, stage two: exact re-ranking of an ANN
+    * shortlist against the full-precision vectors. The shortlist's
+    * (query_id, vec_id) pairs — from [[lshTopKInt8]]/[[ivfTopKInt8]] (or
+    * any candidate generator whose scores carry quantization error) —
+    * are joined back to the FLOAT vector columns and re-scored with
+    * exact cosine; output is the top `k` per query in exact-score order.
+    * The int8 stage generates candidates reading 4x less corpus I/O;
+    * this stage restores exact scores and ordering while reading float
+    * vectors for only |shortlist| rows.
+    *
+    * Plan shape: the shortlist joined to its query vectors is
+    * |Q|·shortK rows — broadcast; the corpus streams through ONE
+    * broadcast hash join on the id (no corpus shuffle, no cross join),
+    * and the top-k window runs on the tiny re-scored candidate set.
+    * Output: (query_id, vec_id, cos_sim, rank) — rank 1..k by exact
+    * cosine, `vec_id` tie-break.
+    */
+  def rerankExact(
+      shortlist: DataFrame,
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
+    val sq = shortlist.select(col("query_id"), col("vec_id"))
+      .join(q, Seq("query_id"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", sqrt(dot(col("__cv"), col("__cv"))))
+    val scored = c.join(broadcast(sq), Seq("vec_id"))
+      .withColumn("cos_sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
 }

@@ -201,8 +201,10 @@ object TextAnalysis {
   def repetitionRatio(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     import graft.functions.PortableHash
     // bind-once lambda variable — see Dedup.shingles: an unbound `words`
-    // reference inside the window lambda re-evaluates the split per gram
-    val grams = flatten(transform(array(split(lower(col(textCol)), " ")), ws =>
+    // reference inside the window lambda re-evaluates the split per gram.
+    // tokens() regex, not a space split — one tokenization policy
+    // project-wide (round-9 unify)
+    val grams = flatten(transform(array(tokens(lower(col(textCol)))), ws =>
       when(size(ws) >= n,
         transform(sequence(lit(1), size(ws) - (n - 1)),
           i => concat_ws(" ", slice(ws, i, lit(n)))))

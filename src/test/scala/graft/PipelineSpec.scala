@@ -362,6 +362,41 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === bf)
     assert(run() === ivf) // seedless determinism
   }
+
+  test("rerankExact: exact float scores over an int8 shortlist; full shortlist == brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    // stage 1: int8 shortlist (scores carry quantization error)
+    val short = Similarity.lshTopKInt8(queries, emb, k = 10, numPlanes = 4)
+    val got = Similarity.rerankExact(short, queries, emb, k = 5).collect()
+    // re-ranked pairs are a subset of the shortlist, re-scored EXACTLY:
+    // every cos_sim must equal the brute-force float score for that pair
+    val shortPairs = short.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(queries, emb, k = emb.count().toInt)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    got.foreach { r =>
+      val pair = (r.getLong(0), r.getLong(1))
+      assert(shortPairs.contains(pair), s"re-ranked pair $pair not in shortlist")
+      assert(math.abs(r.getDouble(2) - exact(pair)) < 1e-12,
+        s"pair $pair rerank score ${r.getDouble(2)} != exact ${exact(pair)}")
+    }
+    // per query: ranks are 1..n, strictly ordered by exact score desc
+    got.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq === (1 to byRank.length).toSeq)
+      assert(byRank.map(_.getDouble(2)).toSeq.sorted(Ordering[Double].reverse) ===
+        byRank.map(_.getDouble(2)).toSeq)
+    }
+    // degenerate law: re-ranking the FULL pair list reproduces brute force
+    val allPairs = queries.select(col("vec_id").as("query_id"))
+      .crossJoin(emb.select(col("vec_id")))
+      .filter(col("query_id") =!= col("vec_id"))
+    val full = Similarity.rerankExact(allPairs, queries, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
+    val bf5 = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
+    assert(full === bf5)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
