@@ -1662,7 +1662,7 @@ object SparkEntry {
 
     "q_winnow" -> {
       import graft.functions.PortableHash.sqlHashMod
-      val w = 5; val k = 4; val pb = 1L << 20
+      val w = 5; val k = 4; val pb = 1L << 32 // TextAnalysis.winnow PosBits
       s"""WITH t AS (
            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
            FROM documents),
@@ -1689,7 +1689,7 @@ object SparkEntry {
 
     "q_winnow_pairs" -> {
       import graft.functions.PortableHash.sqlHashMod
-      val w = 5; val k = 4; val pb = 1L << 20
+      val w = 5; val k = 4; val pb = 1L << 32 // TextAnalysis.winnow PosBits
       s"""WITH t AS (
            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
            FROM documents),

@@ -46,8 +46,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // ALWAYS dump the complete oracle map: a filtered local-iteration run
+    // into an existing full artifact dir must not shrink oracle_sql.json,
+    // or a later full selfcheck over that dir would silently validate
+    // only the filtered subset. The filter applies to the parquet dumps
+    // (selfcheck skips oracle entries with no result dir), never the map.
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

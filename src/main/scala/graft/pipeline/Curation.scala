@@ -73,6 +73,14 @@ object Curation {
     * final pack is the usual per-shard window. Salts are namespaced per
     * stage (`$salt-div`, `$salt-pack`).
     *
+    * Embedding coverage contract: an ADMITTED document (past the gate
+    * and the dedup) with no embedding row cannot be placed by embedding
+    * geometry. By default (`requireEmbeddings = false`) such documents
+    * are DROPPED from the output manifest — inner-join semantics, fine
+    * for a fully-embedded corpus but silent data loss on a partial one.
+    * Pass `requireEmbeddings = true` to fail fast instead (one extra
+    * emptiness probe over the already-checkpointed working set).
+    *
     * Output: (id, <strataCol>, n_tokens, cluster, shard, start_off,
     * pack_first, pack_last).
     */
@@ -90,7 +98,8 @@ object Curation {
       perCluster: Int,
       budget: Int,
       numShards: Int,
-      salt: String = "curate"): DataFrame = {
+      salt: String = "curate",
+      requireEmbeddings: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(col(idCol).as("id"), col(strataCol),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
@@ -101,10 +110,17 @@ object Curation {
       .filter(col("__rn") === 1).drop("__rn", "__h")
     // materialize the working set once: k-means training runs several
     // actions over it, and re-executing the dedup window + join per
-    // Lloyd's pass would multiply the whole upstream pipeline
-    val joined = deduped.join(
-      embeddings.select(col(vecIdCol).as("id"), col(vecCol)), Seq("id"))
+    // Lloyd's pass would multiply the whole upstream pipeline. Left join
+    // so a missing embedding is OBSERVABLE here; dropped (default) or
+    // fatal (requireEmbeddings) below.
+    val joinedAll = deduped.join(
+      embeddings.select(col(vecIdCol).as("id"), col(vecCol)), Seq("id"), "left")
       .localCheckpoint()
+    if (requireEmbeddings)
+      require(joinedAll.filter(col(vecCol).isNull).isEmpty,
+        "curateDiverse: admitted documents lack embedding rows " +
+          "(requireEmbeddings = true); embed the corpus or drop the flag")
+    val joined = joinedAll.filter(col(vecCol).isNotNull)
     val sampled = diversitySample(joined, "id", vecCol, k, iters, perCluster, s"$salt-div")
       .filter(col("keep"))
       .select("id", "cluster")

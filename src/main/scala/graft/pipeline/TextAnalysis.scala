@@ -115,12 +115,12 @@ object TextAnalysis {
     * between two documents shares at least one selected fingerprint), at
     * ~2/(k+1) the density of the full [[graft.pipeline.Dedup.windowHashes]]
     * stream. Ties break to the LEFTMOST smallest hash, made total by
-    * packing (hash, pos) into one long key (`hash·2²⁰ + pos` — exact for
-    * hashes < 2³¹ and positions < 2²⁰, engine-portable integer math; the
-    * pos guard EXCLUDES windows past 2²⁰ tokens rather than mis-keying
-    * them — fingerprints cover the first ~1M tokens, split longer docs
-    * upstream). Documents with fewer than `k` windows emit the min of
-    * what they have.
+    * packing (hash, pos) into one long key (`hash·2³² + pos` — exact
+    * signed-64 integer math for hashes < 2³¹ and positions < 2³², so
+    * coverage extends to ~4.3B tokens per document, far past any real
+    * document; the pos guard EXCLUDES rather than mis-keys the
+    * unreachable beyond). Documents with fewer than `k` windows emit the
+    * min of what they have.
     *
     * Plan: per-document windows only (explode to (id, pos, hash) longs,
     * one frame-bounded window min, distinct) — corpus size never enters
@@ -138,7 +138,7 @@ object TextAnalysis {
       k: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(w >= 1 && k >= 1, s"need w >= 1, k >= 1; got w=$w k=$k")
-    val PosBits = 20
+    val PosBits = 32
     val wins = df
       .select(col(idCol).as("id"),
         posexplode(graft.pipeline.Dedup.windowHashes(col(textCol), w)).as(Seq("__p0", "__h")))

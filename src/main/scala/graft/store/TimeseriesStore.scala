@@ -123,8 +123,13 @@ class TimeseriesStore(
     // filter)
     val nullKeyed = keys.map(col(_).isNull).reduce(_ || _)
     require(many.filter(nullKeyed).isEmpty, "null key values are not allowed")
+    // key columns coerced to the store schema (setTs parity, which casts
+    // via lit(attrs(k)).cast): a batch whose key dtypes differ (e.g. a
+    // LongType column for an IntegerType key) would otherwise stage
+    // parquet with mismatched physical types and die mid-write on the
+    // schema'd read-back with an obscure parquet error
     val s = many
-      .select((keys.map(col) :+
+      .select((keys.map(k => col(k).cast(keySchema(k).dataType).as(k)) :+
         col("ts").cast(TimestampNTZType).as("ts") :+
         col("value").cast(DoubleType).as("value")): _*)
       .filter(col("value").isNotNull && !isnan(col("value")) && col("ts").isNotNull)

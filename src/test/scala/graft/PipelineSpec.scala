@@ -437,10 +437,11 @@ class WinnowSpec extends SparkSpec {
     val ws = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
     val hs = (0 to ws.length - w).map(i => PortableHash.const60(ws.slice(i, i + w).mkString(" ")) % PortableHash.P)
     if (hs.isEmpty) return Set.empty
-    val keys = hs.zipWithIndex.map { case (h, i) => h * 1048576L + (i + 1) }
+    val pb = 1L << 32 // TextAnalysis.winnow PosBits
+    val keys = hs.zipWithIndex.map { case (h, i) => h * pb + (i + 1) }
     (1 to math.max(1, keys.length - (k - 1)))
       .map(s => keys.slice(s - 1, s - 1 + k).min)
-      .toSet[Long].map(key => (key % 1048576L, key / 1048576L))
+      .toSet[Long].map(key => (key % pb, key / pb))
   }
 
   test("winnow: matches the driver-side reference fold on random tiny-vocab docs") {
@@ -777,6 +778,24 @@ class CurationSpec extends SparkSpec {
     assert((110L until 113L).forall(ids.contains)) // small far blob kept whole
     val bigKept = ids.count(_ < 40L)
     assert(bigKept > 0 && bigKept < 40) // big blob thinned, not dropped
+  }
+
+  test("curateDiverse: missing embeddings drop silently by default, fail when required") {
+    val docs = (0L until 6L).map(i => (i, s"alpha beta gamma delta epsilon tok$i", "en"))
+      .toDF("doc_id", "text", "lang")
+    // doc 5 is admitted (long enough, unique) but has NO embedding row
+    val embs = (0L until 5L).map(i => (i, Array(0f, 0f, 0f, i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Curation.curateDiverse(docs, embs, "doc_id", "text", "lang",
+        "vec_id", "embedding", minTokens = 3, k = 2, iters = 2, perCluster = 8,
+        budget = 100, numShards = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(!out.contains(5L) && out.nonEmpty) // documented inner-join drop
+    assertThrows[IllegalArgumentException] {
+      Curation.curateDiverse(docs, embs, "doc_id", "text", "lang",
+        "vec_id", "embedding", minTokens = 3, k = 2, iters = 2, perCluster = 8,
+        budget = 100, numShards = 1, requireEmbeddings = true)
+    }
   }
 
   test("semanticDedup: identical vectors collapse to the lowest id; orthogonal survives") {

@@ -117,6 +117,19 @@ class TimeseriesStoreSpec extends SparkSpec {
     assert(!st.exists(b2020))
   }
 
+  test("setManyTs coerces key column dtypes to the store schema") {
+    val st = newStore()
+    // LongType year column against the IntegerType key: must cast and
+    // land (setTs parity), not stage mismatched parquet that dies on the
+    // schema'd read-back
+    val many = Seq(
+      (2020L, "a", ldt("2020-01-01T00:00"), 1.0),
+      (2020L, "a", ldt("2020-01-01T01:00"), 2.0))
+      .toDF("year", "kind", "ts", "value")
+    st.setManyTs(many)
+    assert(st.getTsFlat(a2020).collect().map(_.getDouble(1)).toSeq === Seq(1.0, 2.0))
+  }
+
   test("setManyTs refuses existing series (IntegrityError parity) and null keys") {
     val st = newStore()
     st.setTs(a2020, hourly("2020-01-01T00:00", 2, i => Some(1.0)))
