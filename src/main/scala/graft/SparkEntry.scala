@@ -897,6 +897,32 @@ object SparkEntry {
         .select(col("ts"), round(col("avg_v") * 2.0, 6).as("value"))
       st.setTs(Map("user_id" -> 1L), purchases, replace = true)
       st.getTs().orderBy("user_id", "ts")
+    }),
+
+    // W4 — TimeseriesStore facade UPDATE path: combine-on-write. Same
+    // batch baseline as q_store_replace, but user 1 gets
+    // setTs(update = true): new.combine_first(existing)
+    // (timeserie_store.py:126-128) — purchase days overwrite view days
+    // they overlap, view days with no purchase survive, purchase-only
+    // days append. The facade's write-side merge is thereby oracle-pinned
+    // end-to-end (not just via the Combine unit laws).
+    "q_store_update" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val dir = java.nio.file.Files.createTempDirectory("graft_tstore_u_").toString
+      val st = new graft.store.TimeseriesStore(s, dir,
+        StructType(Seq(StructField("user_id", LongType))))
+      val daily = events(s, d)
+        .filter(col("user_id") < 3 && col("event_type").isin("view", "purchase"))
+        .groupBy(col("user_id"), col("event_type"), date_trunc("day", col("ts")).as("ts"))
+        .agg(avg(col("value")).as("avg_v"))
+        .localCheckpoint()
+      st.setManyTs(daily.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), round(col("avg_v"), 6).as("value")))
+      val upd = daily
+        .filter(col("user_id") === 1 && col("event_type") === "purchase")
+        .select(col("ts"), round(col("avg_v") * 3.0, 6).as("value"))
+      st.setTs(Map("user_id" -> 1L), upd, update = true)
+      st.getTs().orderBy("user_id", "ts")
     })
   )
 
@@ -2123,6 +2149,24 @@ object SparkEntry {
            FROM events WHERE user_id = 1 AND event_type = 'purchase' GROUP BY 1, 2)
          SELECT user_id, ts, value FROM oldv
          UNION ALL SELECT user_id, ts, value FROM newv
+         ORDER BY user_id, ts""",
+
+    "q_store_update" ->
+      """WITH oldv AS (
+           SELECT user_id, date_trunc('day', ts) AS ts, round(avg(value), 6) AS value
+           FROM events WHERE user_id IN (0, 1, 2) AND event_type = 'view' GROUP BY 1, 2),
+         newv AS (
+           SELECT date_trunc('day', ts) AS ts, round(avg(value) * 3, 6) AS value
+           FROM events WHERE user_id = 1 AND event_type = 'purchase' GROUP BY 1),
+         -- update = new.combine_first(existing) on user 1: new wins on
+         -- overlapping days, old fills elsewhere, new-only days append
+         u1 AS (
+           SELECT 1 AS user_id, COALESCE(n.ts, o.ts) AS ts,
+                  COALESCE(n.value, o.value) AS value
+           FROM (SELECT ts, value FROM oldv WHERE user_id = 1) o
+           FULL JOIN newv n ON n.ts = o.ts)
+         SELECT user_id, ts, value FROM oldv WHERE user_id <> 1
+         UNION ALL SELECT CAST(user_id AS BIGINT) AS user_id, ts, value FROM u1
          ORDER BY user_id, ts"""
   )
 
