@@ -64,7 +64,11 @@ object Bench {
       }
     })
 
+    // optional subset (comma-separated names) for local stress runs
+    // (SCALE.md sf1 exponents); the driver's full run leaves it unset
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val samples = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     val spills = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     (0 until reps).foreach { _ =>
