@@ -923,6 +923,44 @@ object SparkEntry {
         .select(col("ts"), round(col("avg_v") * 3.0, 6).as("value"))
       st.setTs(Map("user_id" -> 1L), upd, update = true)
       st.getTs().orderBy("user_id", "ts")
+    }),
+
+    // §2.10 wire parity, oracle-pinned as lossless round-trips: the blob
+    // codecs are bijective on dense series, so encode∘decode must be the
+    // identity and the DuckDB twin is the plain selection. Any drift in
+    // byte layout, ts unit conversion, or value ordering breaks the hash.
+    // (NaN/null hole handling is pinned separately in FeatherBlobSpec /
+    // Lz4BlobSpec against real pandas-generated fixture bytes.)
+
+    // Feather-v2 whole-series blob (hostore.py:347-353): series -> Arrow
+    // IPC file with LZ4-frame buffers -> series. Exercises the codec
+    // distributed (one blob per user series, encoded on executors).
+    "q_feather_roundtrip" -> ((s, d) => {
+      import graft.functions.FeatherBlob._
+      val pts = events(s, d).filter(col("user_id") < 8)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts"), col("value")))).as("points"))
+      pts.select(col("user_id"),
+          feather_decode(feather_encode(concat(lit("prm_"), col("user_id")), col("points"))).as("d"))
+        .select(col("user_id"), col("d.name").as("name"), explode(col("d.points")).as("p"))
+        .select(col("user_id"), col("name"), col("p.ts").as("ts"),
+          round(col("p.value"), 4).as("value"))
+        .orderBy("user_id", "ts")
+    }),
+
+    // LZ4-frame chunk payload (chunk_timeserie_store.py:255-258): values
+    // -> numpy-layout float64 bytes -> LZ4 frame -> values.
+    "q_blob_roundtrip" -> ((s, d) => {
+      import graft.functions.Lz4Blob._
+      val pts = events(s, d).filter(col("user_id") < 8)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts"), col("value")))).as("points"))
+      pts.select(col("user_id"),
+          explode(arrays_zip(
+            col("points.ts").as("ts"),
+            chunk_values(chunk_payload(col("points.value"))).as("value"))).as("p"))
+        .select(col("user_id"), col("p.ts").as("ts"), round(col("p.value"), 4).as("value"))
+        .orderBy("user_id", "ts")
     })
   )
 
@@ -2167,6 +2205,17 @@ object SparkEntry {
            FULL JOIN newv n ON n.ts = o.ts)
          SELECT user_id, ts, value FROM oldv WHERE user_id <> 1
          UNION ALL SELECT CAST(user_id AS BIGINT) AS user_id, ts, value FROM u1
+         ORDER BY user_id, ts""",
+
+    // wire-parity round-trips are lossless, so the oracle is the identity
+    "q_feather_roundtrip" ->
+      """SELECT user_id, 'prm_' || user_id AS name, ts, round(value, 4) AS value
+         FROM events WHERE user_id < 8
+         ORDER BY user_id, ts""",
+
+    "q_blob_roundtrip" ->
+      """SELECT user_id, ts, round(value, 4) AS value
+         FROM events WHERE user_id < 8
          ORDER BY user_id, ts"""
   )
 
