@@ -58,6 +58,105 @@ object Sync {
     store.load().join(broadcast(specs.select(joinCols.map(col): _*).distinct()), joinCols, "left_semi")
   }
 
+  /** The `/pack/` wire envelope (reference sync ViewSet,
+    * ts_sync.py:119-144): one JSON object per chunk —
+    * `{"blob": base64(lz4-frame(float64-LE values)), "attrs": {keys...,
+    * chunk_index}, "meta": {dtype, start_ts, is_deleted, updated_at}}` —
+    * exactly what the reference server returns for an export_chunks spec
+    * and what its client feeds to import_chunks. The blob is the chunk's
+    * DENSE value array: the reference normalizes every series to the
+    * store frequency grid on write and rebuilds the index reader-side
+    * from (start_ts, freq), so holes must travel as NaN positions, not
+    * absent rows. Densification is in-plan: epoch-micros grid positions
+    * per row, a position→value map per chunk, and a `transform(sequence)`
+    * fill — no window, no driver loop; one shuffle (the per-chunk
+    * groupBy), blobs built map-side after it.
+    *
+    * Returns (keys..., chunk_index, envelope_json) — one wire row per
+    * chunk, keys kept alongside for addressing; `envelope_json` alone is
+    * the reference-parity payload. Timestamps are ISO-8601 naive UTC with
+    * microseconds.
+    */
+  def packEnvelope(store: ChunkStore, specs: DataFrame): DataFrame = {
+    val keys = store.keys
+    val freqUs = store.config.freqSecs * 1000000L
+    val rows = exportChunks(store, specs)
+    val us = unix_micros(col("ts").cast("timestamp")) // NTZ→TS identity under UTC session tz
+    val grouped = rows
+      .withColumn("__us", when(col("ts").isNotNull, us))
+      .groupBy((keys.map(col) :+ col("chunk_index")): _*)
+      .agg(
+        min(col("__us")).as("__start_us"),
+        max(col("__us")).as("__end_us"),
+        map_from_entries(collect_list(when(col("ts").isNotNull,
+          struct(col("__us"), col("value"))))).as("__byUs"),
+        max(col("updated_at")).as("updated_at"),
+        max(when(col("is_deleted"), 1).otherwise(0)).cast("boolean").as("is_deleted"))
+    // dense grid fill: absent grid positions are NaN holes on the wire,
+    // like the reference's freq-reindexed series; tombstone chunks
+    // (no live ts) pack the reference's empty payload with a null start_ts
+    val values = when(col("__start_us").isNull, array().cast("array<double>"))
+      .otherwise(transform(
+        sequence(lit(0L), ((col("__end_us") - col("__start_us")) / freqUs).cast("long")),
+        i => coalesce( // try_: a missing grid position is a hole, not an ANSI error
+          try_element_at(col("__byUs"), col("__start_us") + i * freqUs),
+          lit(Double.NaN))))
+    val isoTs = (c: org.apache.spark.sql.Column) =>
+      date_format(c.cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    grouped.select(
+      (keys.map(col) :+ col("chunk_index") :+
+        to_json(struct(
+          base64(graft.functions.Lz4Blob.chunk_payload(values)).as("blob"),
+          struct((keys.map(col) :+ col("chunk_index")): _*).as("attrs"),
+          struct(
+            lit("float64").as("dtype"),
+            isoTs(timestamp_micros(col("__start_us")).cast("timestamp_ntz")).as("start_ts"),
+            col("is_deleted").as("is_deleted"),
+            isoTs(col("updated_at")).as("updated_at")).as("meta"))).as("envelope_json")): _*)
+  }
+
+  /** Inverse of [[packEnvelope]] — parse a `/pack/` payload back into
+    * full store rows ready for [[importChunks]] (the reference client's
+    * `import_chunks(payload)` step, ts_sync.py:239-247). Timestamps are
+    * rebuilt as `start_ts + i*freq` exactly like the reference reader;
+    * NaN positions are wire holes and yield no row (the store's long form
+    * holds holes as absent rows); an empty blob with `is_deleted` is a
+    * tombstone row with null ts/value.
+    */
+  def unpackEnvelope(store: ChunkStore, envelopes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val keys = store.keys
+    val freqUs = store.config.freqSecs * 1000000L
+    val envSchema = StructType(Seq(
+      StructField("blob", StringType),
+      StructField("attrs", StructType(
+        store.keySchema.fields.toSeq :+ StructField("chunk_index", IntegerType))),
+      StructField("meta", StructType(Seq(
+        StructField("dtype", StringType),
+        StructField("start_ts", StringType),
+        StructField("is_deleted", BooleanType),
+        StructField("updated_at", StringType))))))
+    val parsed = envelopes
+      .select(from_json(col("envelope_json"), envSchema).as("e"))
+      .select(
+        col("e.attrs.*"),
+        graft.functions.Lz4Blob.chunk_values(unbase64(col("e.blob"))).as("__vals"),
+        to_timestamp_ntz(col("e.meta.start_ts"), lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")).as("__start"),
+        col("e.meta.is_deleted").as("is_deleted"),
+        to_timestamp_ntz(col("e.meta.updated_at"), lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")).as("updated_at"))
+    val live = parsed
+      .select((keys.map(col) :+ col("chunk_index") :+ col("is_deleted") :+ col("updated_at") :+
+        col("__start") :+ posexplode(col("__vals")).as(Seq("__pos", "value"))): _*)
+      .filter(!isnan(col("value")))
+      .withColumn("ts", timestamp_micros(
+        unix_micros(col("__start").cast("timestamp")) + col("__pos") * freqUs).cast("timestamp_ntz"))
+    val tombstones = parsed.filter(size(col("__vals")) === 0)
+      .select((keys.map(col) :+ col("chunk_index") :+ col("is_deleted") :+ col("updated_at") :+
+        lit(null).cast(TimestampNTZType).as("ts") :+ lit(null).cast(DoubleType).as("value")): _*)
+    live.select(store.schema.fieldNames.map(col): _*)
+      .unionByName(tombstones.select(store.schema.fieldNames.map(col): _*))
+  }
+
   /** Atomic batch upsert of full chunk rows into `store` (reference
     * `import_chunks`, chunk_timeserie_store.py:633-695): rows match on
     * (businessKeys..., chunk_index); matched series-chunks are fully
