@@ -299,6 +299,43 @@ class VersionedStore(
     (groups, data)
   }
 
+  /** Export every stored version entry as the reference's exact
+    * persisted form: the DB row there is one feather-v2 lz4 blob per
+    * (prm, client_id, version, attrs) holding the series as a one-column
+    * DataFrame named after the prm (`df.to_feather(buf,
+    * compression='lz4')`, hostore.py:347-353). A migrating user can
+    * hand these rows to a live reference deployment — or diff them
+    * against its table — byte-format-compatibly. One shuffle (the
+    * version-entry groupBy); blobs are encoded map-side after it.
+    * Output: (prm, client_id, version, extraKeys..., data binary).
+    */
+  def exportBlobs(clientId: Int, prms: Option[Seq[String]] = None): DataFrame = {
+    var df = load().filter(col("client_id") === clientId)
+    prms.foreach(ps => df = df.filter(col("prm").isin(ps: _*)))
+    val groupCols = Seq("prm", "client_id", "version") ++ extraKeys
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("ts"), col("value")))).as("__pts"))
+      .select((groupCols.map(col) :+
+        graft.functions.FeatherBlob.feather_encode(col("prm"), col("__pts")).as("data")): _*)
+  }
+
+  /** Inverse of [[exportBlobs]] — decode reference blob rows
+    * (`prm, client_id, version, data`) back to the long form this store
+    * holds, exactly like the reference read path (`pd.read_feather` +
+    * index fix, hostore.py:247-255). NaN wire positions are holes and
+    * yield no row. Feed the result to [[setLc]]/[[setManyLc]] per prm
+    * (the reference client's ingest step) or compare directly against
+    * [[load]]. Output: (prm, client_id, version, ts, value).
+    */
+  def decodeBlobs(blobs: DataFrame): DataFrame =
+    blobs
+      .withColumn("__d", graft.functions.FeatherBlob.feather_decode(col("data")))
+      .select(col("prm"), col("client_id"), col("version"),
+        explode(col("__d.points")).as("p"))
+      .filter(!isnan(col("p.value")))
+      .select(col("prm"), col("client_id"), col("version"),
+        col("p.ts").as("ts"), col("p.value").as("value"))
+
   /** Requested prms with no stored data — the left-anti side of
     * `find_groups` (hostore.py:120-124).
     */

@@ -347,6 +347,35 @@ class VersionedStoreSpec extends SparkSpec {
     assert(st.count(1) === 2)
   }
 
+  test("exportBlobs: one feather-lz4 blob per version entry; decodeBlobs inverts it") {
+    val st = new VersionedStore(spark, tmpDir("vstore"))
+    st.setLc("prm_a", 1, series("2024-01-01T00:00", 6, 1.5), versioning = true)
+    st.setLc("prm_a", 1, series("2024-01-01T02:00", 4, 2.5), versioning = true)
+    st.setLc("prm_b", 1, series("2024-03-01T00:00", 3, -9.0))
+    st.setLc("prm_c", 2, series("2024-04-01T00:00", 2, 7.0)) // other client: excluded
+    val blobs = st.exportBlobs(1)
+    val metas = blobs.select("prm", "version").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(metas === Set(("prm_a", 0), ("prm_a", 1), ("prm_b", 0)))
+    // the blob IS the reference's stored form: feather magic + series name = prm
+    val row = blobs.filter(col("prm") === "prm_b").collect()(0)
+    val data = row.getAs[Array[Byte]]("data")
+    assert(new String(data.take(6), "ASCII") === "ARROW1")
+    val dec = Seq(Tuple1(data)).toDF("b")
+      .select(graft.functions.FeatherBlob.feather_decode(col("b")).as("d"))
+      .select(col("d.name")).collect()(0).getString(0)
+    assert(dec === "prm_b")
+    // decodeBlobs(exportBlobs) == stored long form
+    val back = st.decodeBlobs(blobs)
+      .orderBy("prm", "version", "ts").collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getAs[java.time.LocalDateTime]("ts"), r.getDouble(4)))
+    val orig = st.load().filter(col("client_id") === 1)
+      .select("prm", "client_id", "version", "ts", "value")
+      .orderBy("prm", "version", "ts").collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getAs[java.time.LocalDateTime]("ts"), r.getDouble(4)))
+    assert(back.toSeq === orig.toSeq)
+  }
+
   test("delay slice cuts each version's start before combining") {
     val st = new VersionedStore(spark, tmpDir("vstore"))
     // reference tests_slice_with_delay.py: v0 from Jan 1 (value 1), v1 from Jan 2 (value 2)
