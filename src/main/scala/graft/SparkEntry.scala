@@ -269,6 +269,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // dedup — Bloom-pruned crawl increment: the seen corpus is consumed
+    // ONCE into a Bloom sketch, unseen hashes skip the join entirely
+    // (no false negatives), and only the maybe-seen sliver anti-joins to
+    // recover false positives — so the result is EXACT and the oracle is
+    // the plain anti-join. Different split (mod 3) than
+    // q_incremental_dedup so the two paths can't shadow each other.
+    "q_bloom_dedup" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Dedup.crossCorpusDedupBloom(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("content_hash"))
+        .orderBy("doc_id")
+    }),
+
     // dedup — SemDeDup-style semantic dedup: kmeans-bucketed exact
     // cosine, drop a vector when a lower-id cluster-mate is within tau.
     // subPlanes=8 sub-blocks each cluster by sign-LSH bucket (block key =
@@ -2014,6 +2030,20 @@ object SparkEntry {
          e AS (SELECT vec_id, scale, qv, unnest(range(1, len(qv) + 1)) AS dim FROM q)
          SELECT vec_id, CAST(dim AS BIGINT) AS dim, qv[dim] AS qval, scale
          FROM e ORDER BY vec_id, dim""",
+
+    // bloom prune + exact confirm == plain anti-join (no false negatives;
+    // false positives recovered by the confirm join)
+    "q_bloom_dedup" ->
+      """WITH newd AS (
+           SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id % 3 <> 0),
+         seen AS (
+           SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id % 3 = 0),
+         fresh AS (
+           SELECT doc_id, content_hash FROM newd
+           WHERE NOT EXISTS (
+             SELECT 1 FROM seen s WHERE s.content_hash = newd.content_hash))
+         SELECT min(doc_id) AS doc_id, content_hash
+         FROM fresh GROUP BY content_hash ORDER BY 1""",
 
     "q_incremental_dedup" ->
       """WITH newd AS (

@@ -55,6 +55,63 @@ object Dedup {
       .select("id", "content_hash")
   }
 
+  /** Bloom-pruned form of [[crossCorpusDedup]] — the shape for a small
+    * crawl increment against a HUGE standing corpus, where even the
+    * hash-only anti-join shuffles the seen side once per increment. Here
+    * the seen side is consumed exactly once into a Bloom sketch
+    * (tree-aggregated on executors via `stat.bloomFilter`; only the bit
+    * array reaches the driver), then:
+    *
+    *  1. map-side prune: documents whose hash the Bloom has never seen
+    *     are DEFINITELY new — no join at all for them (a Bloom has no
+    *     false negatives);
+    *  2. exact confirm: only the "maybe seen" sliver (true dups + fpp
+    *     false positives) anti-joins the corpus hashes, so false
+    *     positives are recovered and the result is EXACT — identical to
+    *     [[crossCorpusDedup]], which is why the DuckDB oracle is the
+    *     plain anti-join;
+    *  3. batch self-dedup of the union (min-id per hash).
+    *
+    * The sketch is ~1.2 GB per 10^9 corpus docs at fpp=1e-2 — broadcast
+    * fits to low billions of documents; beyond that, partition the
+    * corpus and AND the per-partition prunes (documented bound, same
+    * trade the reference's single-node engine cannot reach at all).
+    */
+  def crossCorpusDedupBloom(
+      newDf: DataFrame,
+      seenDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      expectedSeen: Long = -1L,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
+    val seenHashes = seenDf.select(xxhash64(col(textCol)).as("h64"))
+    val n = if (expectedSeen > 0) expectedSeen else seenHashes.count()
+    if (n == 0 || (expectedSeen > 0 && seenHashes.isEmpty)) {
+      // empty corpus: the whole batch is new — plain self-dedup, no sketch
+      // (stat.bloomFilter over zero rows yields no aggregate to read)
+      return newDf.select(col(idCol).as("id"), md5(col(textCol)).as("content_hash"))
+        .groupBy(col("content_hash")).agg(min(col("id")).as("id"))
+        .select("id", "content_hash")
+    }
+    val sketch = seenHashes.stat.bloomFilter("h64", math.max(n, 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    sketch.writeTo(bos)
+    val mightContain = toColumn(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        toExpr(lit(bos.toByteArray)), toExpr(xxhash64(col(textCol)))))
+    val hashed = newDf.select(
+      col(idCol).as("id"), md5(col(textCol)).as("content_hash"),
+      xxhash64(col(textCol)).as("h64"), mightContain.as("__maybe"))
+    val definitelyNew = hashed.filter(!col("__maybe"))
+    val confirmed = hashed.filter(col("__maybe"))
+      .join(seenDf.select(md5(col(textCol)).as("content_hash")), Seq("content_hash"), "left_anti")
+    definitelyNew.select("id", "content_hash")
+      .unionByName(confirmed.select("id", "content_hash"))
+      .groupBy(col("content_hash")).agg(min(col("id")).as("id"))
+      .select("id", "content_hash")
+  }
+
   /** Word n-gram shingles (lowercased, [[TextAnalysis.tokens]]-split),
     * distinct. One tokenization policy project-wide (round-9 unify): the
     * alnum-run regex — multi-space and punctuated text shingles

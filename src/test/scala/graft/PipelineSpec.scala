@@ -53,6 +53,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("crossCorpusDedupBloom == crossCorpusDedup on random overlapping snapshots (exactness law)") {
+    val rnd = new scala.util.Random(7171L)
+    for (trial <- 0 until 3) {
+      val texts = (0 until 60).map(_ => Seq.fill(rnd.nextInt(6) + 1)("w" + rnd.nextInt(5)).mkString(" "))
+      val seen = texts.take(35).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val fresh = texts.drop(20).zipWithIndex.map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      val exact = Dedup.crossCorpusDedup(fresh, seen, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // tiny fpp AND a high-fpp sketch: the confirm join must recover
+      // false positives either way — the result may never depend on fpp
+      for (fpp <- Seq(0.01, 0.4)) {
+        val bloom = Dedup.crossCorpusDedupBloom(fresh, seen, "doc_id", "text", fpp = fpp)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(bloom === exact, s"trial $trial fpp $fpp")
+      }
+    }
+    // empty seen corpus: sketch of nothing, every doc definitively new
+    val lone = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val got = Dedup.crossCorpusDedupBloom(lone, lone.limit(0), "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L))
+  }
+
   test("shingles: distinct n-grams; short docs → empty array (no descending sequence)") {
     val sh = docs.select(Dedup.shingles(col("text"), 3).as("sh"))
       .collect().map(_.getSeq[String](0))
