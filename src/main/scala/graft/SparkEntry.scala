@@ -769,6 +769,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // similarity — recall@k of the LSH index vs the brute-force truth:
+    // the figure of merit for tuning planes/probes before committing an
+    // index shape at scale. Joins two k·|queries| frames; never rescans
+    // the corpus.
+    "q_ann_recall" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+          Similarity.lshTopK(queries, emb, k = 5, numPlanes = 8),
+          Similarity.bruteForceTopK(queries, emb, k = 5))
+        .select(col("query_id"), col("n_exact"), col("n_hit"),
+          round(col("recall"), 6).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // similarity — IVF with a TRAINED coarse quantizer (k-means codebook
     // instead of a raw sample; balanced cells → better recall per probe)
     "q_ivf_kmeans" -> ((s, d) => {
@@ -1887,6 +1902,59 @@ object SparkEntry {
            FROM s)
          SELECT query_id, vec_id, round(cos, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
          FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
+
+    // recall@k = |lsh top-5 ∩ exact top-5| / 5 per query: composes the
+    // q_lsh_topk and q_cosine_topk chains (both hash-matched on their own)
+    "q_ann_recall" -> {
+      import graft.functions.PortableHash.planeInts
+      val pls = planeInts(8, graft.pipeline.Similarity.MaxDim)
+      def proj(p: Int): String = {
+        val karr = pls(p).mkString("[", ", ", "]")
+        s"list_sum(list_transform(range(1, len(v) + 1), i -> CAST(v[i] AS DOUBLE) * (CAST(($karr)[i] AS DOUBLE) / 1000001.0)))"
+      }
+      val bucketExpr = (0 until 8).map { p =>
+        s"CASE WHEN ${proj(p)} >= 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString("(", "\n                + ", ")")
+      s"""WITH cb AS (
+           SELECT vec_id, embedding AS v,
+                  CAST($bucketExpr AS BIGINT) AS bucket
+           FROM embeddings),
+         lq AS (SELECT vec_id AS query_id, v AS qv, bucket FROM cb WHERE vec_id < 10),
+         ls AS (
+           SELECT query_id, c.vec_id,
+             list_sum(list_transform(range(1, len(qv) + 1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(c.v) + 1),
+                  i -> CAST(c.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))))) AS cos
+           FROM cb c JOIN lq USING (bucket) WHERE c.vec_id <> query_id),
+         lr AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           FROM ls),
+         approx AS (SELECT query_id, vec_id FROM lr WHERE rank <= 5),
+         eq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         es AS (
+           SELECT query_id, c.vec_id,
+             list_sum(list_transform(range(1, len(qv) + 1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(c.v) + 1),
+                  i -> CAST(c.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))))) AS cos
+           FROM cb c CROSS JOIN eq WHERE c.vec_id <> query_id),
+         er AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           FROM es),
+         exact AS (SELECT query_id, vec_id FROM er WHERE rank <= 5)
+         SELECT e.query_id,
+                CAST(count(*) AS BIGINT) AS n_exact,
+                CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+                round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 6) AS recall
+         FROM exact e LEFT JOIN approx a
+           ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+         GROUP BY e.query_id ORDER BY e.query_id"""
     },
 
     "q_mix_weights" ->

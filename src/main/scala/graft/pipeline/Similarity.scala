@@ -414,4 +414,25 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
+
+  /** ANN index quality: recall@k of an approximate top-k result set
+    * against the exact one — the standard figure of merit for tuning
+    * the LSH/IVF knobs (planes, probes, cells) before committing an
+    * index shape to a 100 TB corpus. Both inputs are (query_id, vec_id,
+    * ...) top-k frames (any of [[lshTopK]]/[[ivfTopK]]/the int8 paths vs
+    * [[bruteForceTopK]]). Per query: |approx ∩ exact| / |exact| — a
+    * broadcast-sized join of two k·|queries| frames, never touching the
+    * corpus. Output: (query_id, n_exact, n_hit, recall).
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("vec_id")).distinct()
+      .withColumn("__hit", lit(1))
+    exact.select(col("query_id"), col("vec_id"))
+      .join(a, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+  }
 }
