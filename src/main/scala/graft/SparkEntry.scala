@@ -546,6 +546,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // text analysis — Gopher repetition filters: char fraction of the top
+    // 2-/3-gram and of duplicated 5-grams per doc (the Rae et al. §A1.1
+    // machine-text gates)
+    "q_gopher_rep" -> ((s, d) => {
+      TextAnalysis.gopherRepetition(table(s, d, "documents"), "doc_id", "text",
+          topNs = Seq(2, 3), dupNs = Seq(5))
+        .select(col("id").as("doc_id"), col("total_chars"),
+          round(col("top_2gram_char_frac"), 6).as("top_2gram_char_frac"),
+          round(col("top_3gram_char_frac"), 6).as("top_3gram_char_frac"),
+          round(col("dup_5gram_char_frac"), 6).as("dup_5gram_char_frac"))
+        .orderBy("doc_id")
+    }),
+
     // text analysis — PII redaction (emails + digit runs → typed tokens)
     "q_redact" -> ((s, d) => {
       table(s, d, "documents")
@@ -1485,6 +1498,51 @@ object SparkEntry {
                 CAST(max(c) AS BIGINT) AS top_ngram_count,
                 round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS rep_ratio
          FROM c GROUP BY doc_id ORDER BY doc_id"""
+    },
+
+    // Gopher repetition: per n, gram counts + char lengths; top = lexi-max
+    // (count, chars) like Spark's max(struct); dup = Σ count·chars at c>=2
+    "q_gopher_rep" -> {
+      def gramsCte(n: Int, tag: String): String =
+        s"""g$tag AS (
+           SELECT doc_id, unnest(list_transform(
+             range(1, len(ws) - ${n - 2}), i -> array_to_string(ws[i:i+${n - 1}], ' '))) AS g
+           FROM w WHERE len(ws) >= $n),
+         c$tag AS (
+           SELECT doc_id, g, count(*) AS c,
+                  CAST(length(replace(g, ' ', '')) AS BIGINT) AS ch
+           FROM g$tag GROUP BY 1, 2)"""
+      def topCte(tag: String): String =
+        s"""m$tag AS (SELECT doc_id, max(c) AS mc FROM c$tag GROUP BY 1),
+         t$tag AS (
+           SELECT c.doc_id, any_value(m.mc) * max(c.ch) AS chars
+           FROM c$tag c JOIN m$tag m ON c.doc_id = m.doc_id AND c.c = m.mc
+           GROUP BY c.doc_id)"""
+      s"""WITH w AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+         tot AS (
+           SELECT doc_id,
+                  CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS total_chars
+           FROM w),
+         ${gramsCte(2, "2")},
+         ${topCte("2")},
+         ${gramsCte(3, "3")},
+         ${topCte("3")},
+         ${gramsCte(5, "5")},
+         d5 AS (
+           SELECT doc_id, sum(c * ch) AS chars FROM c5 WHERE c >= 2 GROUP BY 1)
+         SELECT tot.doc_id, tot.total_chars,
+                round(CASE WHEN tot.total_chars = 0 THEN 0.0
+                      ELSE CAST(coalesce(t2.chars, 0) AS DOUBLE) / tot.total_chars END, 6) AS top_2gram_char_frac,
+                round(CASE WHEN tot.total_chars = 0 THEN 0.0
+                      ELSE CAST(coalesce(t3.chars, 0) AS DOUBLE) / tot.total_chars END, 6) AS top_3gram_char_frac,
+                round(CASE WHEN tot.total_chars = 0 THEN 0.0
+                      ELSE CAST(coalesce(d5.chars, 0) AS DOUBLE) / tot.total_chars END, 6) AS dup_5gram_char_frac
+         FROM tot
+         LEFT JOIN t2 ON t2.doc_id = tot.doc_id
+         LEFT JOIN t3 ON t3.doc_id = tot.doc_id
+         LEFT JOIN d5 ON d5.doc_id = tot.doc_id
+         ORDER BY tot.doc_id"""
     },
 
     "q_redact" ->

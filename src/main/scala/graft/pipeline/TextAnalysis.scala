@@ -217,6 +217,61 @@ object TextAnalysis {
       .withColumn("rep_ratio", col("top_ngram_count").cast("double") / col("n_ngrams"))
   }
 
+  /** Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
+    * Models" §A1.1), count-weighted variant: per document, the fraction
+    * of token characters attributable to (a) the single most frequent
+    * n-gram for each `topNs` n — `top_{n}gram_char_frac` — and (b) all
+    * n-grams occurring at least twice for each `dupNs` n —
+    * `dup_{n}gram_char_frac`. The paper thresholds these to drop
+    * machine-generated / boilerplate-heavy text (e.g. top-2gram > 0.20,
+    * dup-5gram > 0.15). Character mass is count × gram chars over total
+    * token chars — occurrences weighted, overlaps not deduplicated (the
+    * portable simplification; the DuckDB twin computes the identical
+    * quantity). Tie on top count resolves to the longer gram
+    * (lexicographic max(struct(count, chars)) — deterministic in both
+    * engines). One (doc, gram) shuffle per requested n, like tfIdfTop;
+    * docs shorter than n tokens get 0.0. Output: (id, total_chars,
+    * top_..., dup_... fractions).
+    */
+  def gopherRepetition(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topNs: Seq[Int] = Seq(2, 3),
+      dupNs: Seq[Int] = Seq(5)): DataFrame = {
+    val ws = tokens(lower(col(textCol)))
+    val base = df.select(col(idCol).as("id"), ws.as("__ws"),
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("total_chars"))
+    def gramCounts(n: Int): DataFrame =
+      base.select(col("id"), explode(
+          when(size(col("__ws")) >= n,
+            transform(sequence(lit(1), size(col("__ws")) - (n - 1)),
+              i => concat_ws(" ", slice(col("__ws"), i, lit(n)))))
+            .otherwise(array().cast("array<string>"))).as("g"))
+        .groupBy(col("id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("ch", length(translate(col("g"), " ", "")).cast("long"))
+    val withTop = topNs.foldLeft(base.select("id", "total_chars")) { (acc, n) =>
+      val top = gramCounts(n).groupBy("id")
+        .agg(max(struct(col("c"), col("ch"))).as("m"))
+        .select(col("id"), (col("m.c") * col("m.ch")).as(s"__top_$n"))
+      acc.join(top, Seq("id"), "left")
+        .withColumn(s"top_${n}gram_char_frac",
+          when(col("total_chars") === 0, 0.0).otherwise(
+            coalesce(col(s"__top_$n"), lit(0L)).cast("double") / col("total_chars")))
+        .drop(s"__top_$n")
+    }
+    dupNs.foldLeft(withTop) { (acc, n) =>
+      val dup = gramCounts(n).filter(col("c") >= 2).groupBy("id")
+        .agg(sum(col("c") * col("ch")).as(s"__dup_$n"))
+      acc.join(dup, Seq("id"), "left")
+        .withColumn(s"dup_${n}gram_char_frac",
+          when(col("total_chars") === 0, 0.0).otherwise(
+            coalesce(col(s"__dup_$n"), lit(0L)).cast("double") / col("total_chars")))
+        .drop(s"__dup_$n")
+    }
+  }
+
   /** PII redaction: replace e-mail addresses and digit runs with typed
     * placeholder tokens — a narrow per-row projection (codegen'd
     * `regexp_replace`, no shuffle, composes with any scan). The patterns

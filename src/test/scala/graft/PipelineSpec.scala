@@ -450,6 +450,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(0) === fp(1)) // extra whitespace ignored (token stream equal)
     assert(fp(0) !== fp(2)) // order matters
   }
+
+  test("gopherRepetition: hand-computed top/dup n-gram char fractions") {
+    // "ab cd ab cd ef" → tokens ab,cd,ab,cd,ef (total 10 chars)
+    // 2-grams: "ab cd"×2, "cd ab"×1, "cd ef"×1 → top = 2×4 = 8 → 0.8
+    // 5-grams: one gram, count 1 → dup = 0
+    val df = Seq((1L, "ab cd ab cd ef"), (2L, ""), (3L, "xy")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetition(df, "doc_id", "text",
+        topNs = Seq(2), dupNs = Seq(5))
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("total_chars") === 10L)
+    assert(out(0).getAs[Double]("top_2gram_char_frac") === 0.8)
+    assert(out(0).getAs[Double]("dup_5gram_char_frac") === 0.0)
+    // empty doc → 0.0 everywhere, no NaN/null
+    assert(out(1).getAs[Long]("total_chars") === 0L)
+    assert(out(1).getAs[Double]("top_2gram_char_frac") === 0.0)
+    // doc shorter than n → no grams → 0.0
+    assert(out(2).getAs[Double]("top_2gram_char_frac") === 0.0)
+    // duplicated 5-gram: the whole phrase repeats → every 5-gram in the
+    // repeated region duplicates; fraction is count-weighted
+    val rep = Seq((9L, "a b c d e a b c d e")).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRepetition(rep, "doc_id", "text",
+        topNs = Seq(2), dupNs = Seq(5)).head()
+    // 5-grams (6): "a b c d e"×2, 4 distinct singles → dup = 2×5 = 10 chars / 10 total
+    assert(r.getAs[Double]("dup_5gram_char_frac") === 1.0)
+  }
 }
 
 class WinnowSpec extends SparkSpec {
