@@ -52,6 +52,24 @@ object StreamIngest {
     stream.withWatermark(tsCol, watermarkDelay)
       .dropDuplicates(keys :+ tsCol)
 
+  /** Streaming CONTENT dedup — the crawl-ingest face of exact dedup:
+    * keep the first arrival of each content hash, dropping re-crawls
+    * that land at DIFFERENT event times within the watermark horizon
+    * (dedupStream's (keys, ts) equality can't catch those).
+    * `dropDuplicatesWithinWatermark` keys the state on the hash alone
+    * and expires entries once the watermark passes, so state stays
+    * bounded by the horizon's unique-content count — the streaming
+    * complement of the batch `Dedup.crossCorpusDedup` increment.
+    */
+  def contentDedupStream(
+      stream: DataFrame,
+      textCol: String,
+      watermarkDelay: String = "10 minutes",
+      tsCol: String = "ts"): DataFrame =
+    stream.withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("content_hash"))
+
   // TimestampType (not NTZ): Spark's event-time machinery (watermarks)
   // only accepts TIMESTAMP event-time columns.
   final case class Point(key: String, ts: java.sql.Timestamp, value: Double)

@@ -49,6 +49,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contentDedupStream drops re-crawls of the same body at different event times") {
+    val dir = tmpDir("stream_cd")
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    def ts(i: Int) = java.sql.Timestamp.valueOf(t0.plusMinutes(i.toLong))
+    // same text arrives at minutes 0, 3, 7 (inside the horizon) → 1 kept;
+    // distinct texts at any time all survive
+    Seq(
+      ("a", ts(0), "the quick brown fox"),
+      ("b", ts(3), "the quick brown fox"),
+      ("c", ts(7), "the quick brown fox"),
+      ("d", ts(1), "an entirely different doc"),
+      ("e", ts(9), "a third body")).toDF("id", "ts", "text").write.parquet(dir)
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val dd = StreamIngest.contentDedupStream(stream, "text", watermarkDelay = "10 minutes")
+    val q = StreamIngest.runToMemory(dd, "content_dedup_out", OutputMode.Append())
+    try {
+      val out = spark.table("content_dedup_out").collect()
+      assert(out.length === 3) // one per distinct body
+      assert(out.map(_.getAs[String]("content_hash")).distinct.length === 3)
+    } finally q.stop()
+  }
+
   test("continuous ingest into a ChunkStore: batches merge, overlap upserts") {
     val dir = java.nio.file.Files.createTempDirectory("ingest-src").toString + "/data"
     val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
