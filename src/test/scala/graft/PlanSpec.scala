@@ -120,4 +120,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "assignment must be a projection over literals\n" + p.take(600))
     assert("\\bWindow\\b".r.findFirstIn(p).isEmpty)
   }
+
+  test("q_bloom_dedup plan: might_contain prunes map-side; one anti-join for the sliver only") {
+    val p = plan("q_bloom_dedup")
+    // the sketch probe must sit in a Filter over the scan (map-side, no
+    // shuffle for the definitely-new branch)...
+    assert(p.contains("might_contain"), p.take(600))
+    // ...and exactly one confirm anti-join handles the maybe-seen sliver
+    val antis = "LeftAnti".r.findAllIn(p).size
+    assert(antis >= 1, s"expected a confirm LeftAnti join\n" + p.take(600))
+    assert(!p.contains("SortMergeJoin"), "confirm join must not sort-merge at this scale")
+  }
+
+  test("wire round-trip plans: one series groupBy, codecs in projections, no window") {
+    for (q <- Seq("q_feather_roundtrip", "q_blob_roundtrip")) {
+      val p = plan(q)
+      assert("\\bWindow\\b".r.findFirstIn(p).isEmpty, s"$q must not use a window")
+      assert(!p.contains("Join"), s"$q must not join\n" + p.take(400))
+    }
+  }
 }
