@@ -66,4 +66,32 @@ object Packing {
       .withColumn("pack_first", expr(s"start_off div ${budget.toLong}"))
       .withColumn("pack_last", expr(s"(start_off + `$tokensCol` - 1) div ${budget.toLong}"))
   }
+
+  /** Materialize a packed export a trainer consumes directly: join the
+    * packing manifest back to the document bodies and write parquet
+    * partitioned by `shard`, one file per shard, rows in pack order
+    * (`start_off`) within the file — so a sequential read of a shard's
+    * file IS the concatenated token stream, no trainer-side sort. Bodies
+    * are shuffled exactly once (the repartition-by-shard that also
+    * collapses each shard to one task/file); the manifest side is the
+    * narrow frame. At 100 TB, `numShards` (chosen at pack time) bounds
+    * every task's sort and file size — raise shards, never file size.
+    * Returns the per-shard row/token totals (the export's receipt).
+    */
+  def writePacked(
+      packed: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      outDir: String): DataFrame = {
+    val joined = packed.join(
+        docs.select(col(idCol).as("id"), col(textCol).as("text")), Seq("id"))
+    joined
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("start_off"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    joined.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("shard")
+  }
 }

@@ -116,4 +116,28 @@ class PackingSpec extends SparkSpec {
     assert(packed.filter(col("id") === 99L).isEmpty)
     assert(packed.count() === 40L)
   }
+
+  test("writePacked: one file per shard, rows in pack order, receipt totals match") {
+    val outDir = tmpDir("packed_out")
+    val packed = Packing.packSequences(corpus, "doc_id", "text", budget = 5, numShards = 3)
+    val receipt = Packing.writePacked(packed, corpus, "doc_id", "text", outDir).collect()
+    assert(receipt.map(_.getAs[Long]("n_docs")).sum === 40L)
+    val back = spark.read.parquet(outDir)
+    assert(back.count() === 40L)
+    // trainer contract: a sequential read of each shard's file is the
+    // concatenated stream — within every parquet file, start_off ascends
+    val files = back
+      .select(input_file_name().as("f"), col("shard").cast("long").as("shard"), col("start_off"))
+      .collect()
+    assert(files.map(_.getString(0)).distinct.length === 3, "one file per shard")
+    files.groupBy(_.getString(0)).foreach { case (f, rows) =>
+      assert(rows.map(_.getLong(1)).distinct.length === 1, s"$f mixes shards")
+    }
+    // read-back per shard sorted equals the manifest's offsets
+    val manifest = packed.select(col("shard").cast("long"), col("start_off")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(files.map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq === manifest.toSeq)
+    // bodies present
+    assert(back.filter(col("text").isNull).isEmpty)
+  }
 }
