@@ -1,7 +1,7 @@
 package graft
 
 import graft.pipeline.{Clustering, Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
-import graft.ts.{Combine, Gaps, Grid, Intervals, Resample}
+import graft.ts.{Combine, Gaps, Grid, Intervals, Resample, Stats}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -325,6 +325,33 @@ object SparkEntry {
     // A9 — frequency inference: min consecutive step per key (exact µs)
     "q_min_freq" -> ((s, d) => {
       Resample.minFreq(events(s, d), Seq("user_id")).orderBy("user_id")
+    }),
+
+    // stats — exponential smoothing level per series (Series.ewm analog):
+    // the same sequential fold runs as aggregate() here and list_reduce
+    // in the oracle — identical order, constants, doubles
+    "q_ewma" -> ((s, d) => {
+      Stats.ewmaLevel(events(s, d).filter(col("user_id") < 40), Seq("user_id"), alpha = 0.3)
+        .select(col("user_id"), col("n"), round(col("ewma"), 6).as("ewma"))
+        .orderBy("user_id")
+    }),
+
+    // stats — winsorized clipping per series (Series.clip(quantiles)):
+    // exact interpolated percentiles (Spark percentile == quantile_cont)
+    "q_winsorize" -> ((s, d) => {
+      Stats.winsorize(events(s, d).filter(col("user_id") < 10), Seq("user_id"),
+          pLo = 0.05, pHi = 0.95)
+        .select(col("event_id"), col("user_id"), round(col("value_clipped"), 6).as("value_clipped"))
+        .orderBy("event_id")
+    }),
+
+    // stats — fixed-range histogram per series (value_counts(bins)):
+    // shared [0, 100) grid, out-of-range values clamp to edge bins
+    "q_histogram" -> ((s, d) => {
+      Stats.histogram(events(s, d).filter(col("user_id") < 10), Seq("user_id"),
+          lo = 0.0, hi = 100.0, bins = 20)
+        .select(col("user_id"), col("bin"), round(col("bin_lo"), 6).as("bin_lo"), col("n"))
+        .orderBy("user_id", "bin")
     }),
 
     // A5 — max_horodate: latest non-null ts per key; absent keys → null
@@ -1286,6 +1313,35 @@ object SparkEntry {
                   epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS step
            FROM events)
          SELECT user_id, min(step) AS min_step_us FROM s GROUP BY 1 ORDER BY 1""",
+
+    // same sequential fold as Spark's aggregate(): acc starts at the first
+    // (ts-ordered, value tie-break) value, then acc*0.7 + x*0.3 per step
+    "q_ewma" ->
+      """WITH s AS (
+           SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, value) AS vs
+           FROM events WHERE user_id < 40 GROUP BY 1)
+         SELECT user_id, CAST(len(vs) AS BIGINT) AS n,
+                round(CAST(list_reduce(vs, (acc, x) -> acc * 0.7 + x * 0.3) AS DOUBLE), 6) AS ewma
+         FROM s ORDER BY user_id""",
+
+    "q_winsorize" ->
+      """WITH b AS (
+           SELECT user_id,
+                  quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+           FROM events WHERE user_id < 10 GROUP BY 1)
+         SELECT e.event_id, e.user_id,
+                round(least(greatest(e.value, b.lo), b.hi), 6) AS value_clipped
+         FROM events e JOIN b USING (user_id)
+         WHERE e.user_id < 10 ORDER BY e.event_id""",
+
+    "q_histogram" ->
+      """WITH binned AS (
+           SELECT user_id,
+                  CAST(least(greatest(floor(value / 5.0), 0), 19) AS BIGINT) AS bin
+           FROM events WHERE user_id < 10)
+         SELECT user_id, bin, round(bin * 5.0, 6) AS bin_lo,
+                CAST(count(*) AS BIGINT) AS n
+         FROM binned GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_max_horodate" ->
       """SELECT r.user_id, m.max_horodate
