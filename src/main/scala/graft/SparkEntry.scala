@@ -354,6 +354,25 @@ object SparkEntry {
         .orderBy("user_id", "bin")
     }),
 
+    // stats — MAD-rule robust outliers per series (load-curve QA):
+    // exact medians both sides, only flagged rows returned
+    "q_mad_outliers" -> ((s, d) => {
+      Stats.madOutliers(events(s, d).filter(col("user_id") < 20), Seq("user_id"), k = 3.5)
+        .filter(col("is_outlier"))
+        .select(col("event_id"), col("user_id"), round(col("value"), 6).as("value"))
+        .orderBy("event_id")
+    }),
+
+    // stats — weekly seasonal residuals (dow × hod profile, the
+    // load-curve shape primitive); dow is 0=Sunday in both engines
+    "q_deseasonalize" -> ((s, d) => {
+      Stats.deseasonalize(events(s, d).filter(col("user_id") < 5), Seq("user_id"))
+        .select(col("event_id"), col("user_id"),
+          round(col("profile_mean"), 6).as("profile_mean"),
+          round(col("residual"), 6).as("residual"))
+        .orderBy("event_id")
+    }),
+
     // A5 — max_horodate: latest non-null ts per key; absent keys → null
     "q_max_horodate" -> ((s, d) => {
       val live = events(s, d).filter(col("event_type") =!= "error")
@@ -1342,6 +1361,34 @@ object SparkEntry {
          SELECT user_id, bin, round(bin * 5.0, 6) AS bin_lo,
                 CAST(count(*) AS BIGINT) AS n
          FROM binned GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_mad_outliers" ->
+      """WITH med AS (
+           SELECT user_id, quantile_cont(value, 0.5) AS m
+           FROM events WHERE user_id < 20 GROUP BY 1),
+         mad AS (
+           SELECT e.user_id, quantile_cont(abs(e.value - med.m), 0.5) AS d,
+                  any_value(med.m) AS m
+           FROM events e JOIN med USING (user_id)
+           WHERE e.user_id < 20 GROUP BY e.user_id)
+         SELECT e.event_id, e.user_id, round(e.value, 6) AS value
+         FROM events e JOIN mad USING (user_id)
+         WHERE e.user_id < 20
+           AND abs(e.value - mad.m) > 3.5 * 1.4826 * mad.d
+         ORDER BY e.event_id""",
+
+    "q_deseasonalize" ->
+      """WITH prof AS (
+           SELECT user_id, dayofweek(ts) AS dow, hour(ts) AS hod,
+                  avg(value) AS profile_mean
+           FROM events WHERE user_id < 5 GROUP BY 1, 2, 3)
+         SELECT e.event_id, e.user_id,
+                round(p.profile_mean, 6) AS profile_mean,
+                round(e.value - p.profile_mean, 6) AS residual
+         FROM events e
+         JOIN prof p ON p.user_id = e.user_id
+           AND p.dow = dayofweek(e.ts) AND p.hod = hour(e.ts)
+         WHERE e.user_id < 5 ORDER BY e.event_id""",
 
     "q_max_horodate" ->
       """SELECT r.user_id, m.max_horodate

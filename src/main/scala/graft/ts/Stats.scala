@@ -64,6 +64,68 @@ object Stats {
       .drop("__lo", "__hi")
   }
 
+  /** Robust outlier flags per series — the MAD rule (|x − median| >
+    * k · 1.4826 · MAD), the load-curve QA standard because mean/stddev
+    * are themselves dragged by the spikes being hunted. Two exact-median
+    * aggregations (median, then median absolute deviation) joined back
+    * broadcast — no window, no sort of the data. A constant series has
+    * MAD 0, so any deviating point flags (documented; callers wanting
+    * tolerance pass a floor via `madFloor`). Adds `is_outlier`; rows
+    * pass through.
+    */
+  def madOutliers(
+      df: DataFrame,
+      keys: Seq[String],
+      k: Double = 3.5,
+      madFloor: Double = 0.0,
+      valueCol: String = "value"): DataFrame = {
+    val med = df.groupBy(keys.map(col): _*)
+      .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
+    val mad = df.join(broadcast(med), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(percentile(abs(col(valueCol) - col("__med")), lit(0.5)).as("__mad"),
+        first(col("__med")).as("__med"))
+    df.join(broadcast(mad), keys)
+      .withColumn("is_outlier",
+        abs(col(valueCol) - col("__med")) >
+          lit(k) * lit(1.4826) * greatest(col("__mad"), lit(madFloor)))
+      .drop("__med", "__mad")
+  }
+
+  /** Seasonal profile per series — the (day-of-week, hour-of-day) mean
+    * grid, THE shape primitive for load curves (the reference's domain:
+    * metering series repeat weekly). `dow` is 0=Sunday..6 (Spark's
+    * `dayofweek` − 1, matching DuckDB's `dayofweek`). One hash
+    * aggregation; output (keys..., dow, hod, profile_mean, n).
+    */
+  def seasonalProfile(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame =
+    df.groupBy((keys.map(col) :+
+        (dayofweek(col(tsCol)) - 1).as("dow") :+ hour(col(tsCol)).as("hod")): _*)
+      .agg(avg(col(valueCol)).as("profile_mean"), count(lit(1)).as("n"))
+
+  /** Subtract the weekly profile from each point (residual = value −
+    * profile slot mean): what remains after seasonality is the signal
+    * anomaly detection and forecasting models actually want. The profile
+    * is keys × 168 rows → broadcast join; adds `profile_mean` and
+    * `residual`.
+    */
+  def deseasonalize(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val prof = seasonalProfile(df, keys, tsCol, valueCol).drop("n")
+    df.withColumn("dow", dayofweek(col(tsCol)) - 1)
+      .withColumn("hod", hour(col(tsCol)))
+      .join(broadcast(prof), keys ++ Seq("dow", "hod"))
+      .withColumn("residual", col(valueCol) - col("profile_mean"))
+      .drop("dow", "hod")
+  }
+
   /** Fixed-range histogram per series — `value_counts(bins)` with
     * explicit [lo, hi) bounds so every series shares one bin grid
     * (comparable across keys and engines; a data-derived range would need

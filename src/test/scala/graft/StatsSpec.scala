@@ -47,6 +47,29 @@ class StatsSpec extends SparkSpec {
     assert(out(4) === 5.0) // interior untouched
   }
 
+  test("madOutliers: spike flags, normal points pass; constant series flags any deviation") {
+    // median 5, MAD 1 → threshold 3.5*1.4826 ≈ 5.19; 100 flags, 7 doesn't
+    val df = series(Seq(4.0, 5.0, 6.0, 5.0, 4.0, 6.0, 7.0, 100.0))
+    val out = Stats.madOutliers(df, Seq("key"))
+    assert(out.filter(col("is_outlier")).collect().map(_.getAs[Double]("value")).toSeq === Seq(100.0))
+    val const = Stats.madOutliers(series(Seq(2.0, 2.0, 2.0, 3.0)), Seq("key"))
+    assert(const.filter(col("is_outlier")).count() === 1) // MAD 0 → 3.0 flags
+  }
+
+  test("deseasonalize: residual is zero when every (dow, hod) slot is constant") {
+    // two full weeks of hourly data, value = pure function of (dow, hod)
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    val df = (0 until 24 * 14).map { i =>
+      val ts = t0.plusHours(i.toLong)
+      ("k", ts, (ts.getDayOfWeek.getValue * 100 + ts.getHour).toDouble)
+    }.toDF("key", "ts", "value")
+    val out = Stats.deseasonalize(df, Seq("key"))
+    assert(out.count() === 24 * 14)
+    assert(out.filter(abs(col("residual")) > 1e-12).isEmpty)
+    // profile has one row per occupied slot
+    assert(Stats.seasonalProfile(df, Seq("key")).count() === 7 * 24)
+  }
+
   test("histogram: shared grid, out-of-range values clamp to edge bins") {
     val df = series(Seq(-5.0, 0.0, 4.9, 5.0, 99.0, 250.0))
     val out = Stats.histogram(df, Seq("key"), lo = 0.0, hi = 100.0, bins = 20)
