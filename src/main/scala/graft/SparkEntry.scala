@@ -414,6 +414,31 @@ object SparkEntry {
         .orderBy("user_id", "ts")
     }),
 
+    // time-weighted linear interpolation of the dense grid's interior
+    // holes (Series.interpolate(method='time')); leading/trailing stay
+    // null — no extrapolation
+    "q_interpolate" -> ((s, d) => {
+      val vals = events(s, d)
+        .filter(col("user_id") < 5 && col("ts") >= ts("2024-01-01 00:00:00") && col("ts") < ts("2024-01-08 00:00:00"))
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("ts"))
+        .agg(round(avg(col("value")), 4).as("value_avg"))
+      val dense = Grid.reindex(vals, Seq("user_id"),
+        java.time.LocalDateTime.parse("2024-01-01T00:00"),
+        java.time.LocalDateTime.parse("2024-01-07T23:00"), 3600L)
+      Resample.interpolate(dense, Seq("user_id"), "ts", "value_avg", "value_interp")
+        .select(col("user_id"), col("ts"), round(col("value_interp"), 6).as("value_interp"))
+        .orderBy("user_id", "ts")
+    }),
+
+    // stats — lag-1 autocorrelation per series: the forecasting
+    // sanity-check number (persistence strength) straight off the store
+    "q_autocorr" -> ((s, d) => {
+      Stats.autocorr(events(s, d).filter(col("user_id") < 40), Seq("user_id"),
+          lagK = 1, tsCol = "ts", orderCol = "event_id")
+        .select(col("user_id"), col("n_pairs"), round(col("acf"), 6).as("acf"))
+        .orderBy("user_id")
+    }),
+
     // J5 — upsample with reference profile (ratio-to-period-mean)
     "q_upsample" -> ((s, d) => {
       val ev = events(s, d)
@@ -1426,6 +1451,47 @@ object SparkEntry {
                 last_value(value_avg IGNORE NULLS) OVER (
                   PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS value_ffill
          FROM dense ORDER BY user_id, ts""",
+
+    "q_interpolate" ->
+      """WITH spine AS (
+           SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-07 23:00:00', INTERVAL 1 HOUR)) AS ts),
+         vals AS (
+           SELECT user_id, date_trunc('hour', ts) AS ts, round(avg(value), 4) AS value_avg
+           FROM events
+           WHERE user_id < 5 AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+           GROUP BY 1, 2),
+         users AS (SELECT DISTINCT user_id FROM vals),
+         dense AS (
+           SELECT u.user_id, s.ts, v.value_avg
+           FROM users u CROSS JOIN spine s
+           LEFT JOIN vals v ON v.user_id = u.user_id AND v.ts = s.ts),
+         brk AS (
+           SELECT user_id, ts, value_avg,
+                  last_value(value_avg IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS pv,
+                  last_value(CASE WHEN value_avg IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS pt,
+                  first_value(value_avg IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                  first_value(CASE WHEN value_avg IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+           FROM dense)
+         SELECT user_id, ts,
+                round(CASE WHEN value_avg IS NOT NULL THEN value_avg
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                        pv + (nv - pv) * (CAST(epoch_us(ts) - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+                      END, 6) AS value_interp
+         FROM brk ORDER BY user_id, ts""",
+
+    "q_autocorr" ->
+      """WITH lagged AS (
+           SELECT user_id, value,
+                  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+           FROM events WHERE user_id < 40)
+         SELECT user_id,
+                CAST(count(pv) AS BIGINT) AS n_pairs,
+                round(corr(value, pv), 6) AS acf
+         FROM lagged GROUP BY 1 ORDER BY 1""",
 
     "q_upsample" ->
       """WITH spine AS (

@@ -115,6 +115,40 @@ object Resample {
     df.withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Time-weighted linear interpolation of INTERIOR nulls per key —
+    * `Series.interpolate(method='time')`, the gap-filling step between
+    * find-holes and any model that needs a dense curve. Two keyed
+    * windows (the bracketing non-null neighbors looking back and
+    * forward), then a codegen'd lerp on exact epoch-micros weights —
+    * irregular spacing handled by construction. Leading/trailing nulls
+    * stay null (no extrapolation — that would invent data the reference
+    * never had); non-null rows pass through exactly. Adds `outCol`.
+    */
+  def interpolate(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      outCol: String = "value_interp"): DataFrame = {
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val back = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tsOf = when(col(valueCol).isNotNull, us)
+    df
+      .withColumn("__pv", last(col(valueCol), ignoreNulls = true).over(back))
+      .withColumn("__pt", last(tsOf, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col(valueCol), ignoreNulls = true).over(fwd))
+      .withColumn("__nt", first(tsOf, ignoreNulls = true).over(fwd))
+      .withColumn(outCol,
+        when(col(valueCol).isNotNull, col(valueCol))
+          .otherwise(when(col("__pv").isNotNull && col("__nv").isNotNull,
+            col("__pv") + (col("__nv") - col("__pv")) *
+              ((us - col("__pt")).cast("double") / (col("__nt") - col("__pt")).cast("double")))))
+      .drop("__pv", "__pt", "__nv", "__nt")
+  }
+
   /** Distribute a coarse series over a fine grid proportionally to a
     * reference profile (reference `upsample_using_reference_serie`,
     * utils/timeseries.py:166-225):

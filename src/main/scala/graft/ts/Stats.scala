@@ -126,6 +126,32 @@ object Stats {
       .drop("dow", "hod")
   }
 
+  /** Lag-k autocorrelation per series — `Series.autocorr(k)`, the
+    * persistence-strength number a forecaster checks before modelling a
+    * store series (acf≈1: yesterday predicts today; acf≈0: noise).
+    * Pearson correlation of (x_t, x_{t−k}) pairs: one keyed window for
+    * the lag, one `corr` aggregation. `orderCol` breaks ts ties so the
+    * lag sequence is deterministic under any partitioning. Series with
+    * fewer than k+2 points (or zero variance) yield null acf, like
+    * pandas. Output: (keys..., n_pairs, acf).
+    */
+  def autocorr(
+      df: DataFrame,
+      keys: Seq[String],
+      lagK: Int = 1,
+      tsCol: String = "ts",
+      orderCol: String,
+      valueCol: String = "value"): DataFrame = {
+    require(lagK >= 1, s"lagK must be >= 1, got $lagK")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(tsCol), col(orderCol))
+    df.withColumn("__pv", lag(col(valueCol), lagK).over(w))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(col("__pv")).as("n_pairs"),
+        corr(col(valueCol), col("__pv")).as("acf"))
+  }
+
   /** Fixed-range histogram per series — `value_counts(bins)` with
     * explicit [lo, hi) bounds so every series shares one bin grid
     * (comparable across keys and engines; a data-derived range would need

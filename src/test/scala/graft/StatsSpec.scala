@@ -70,6 +70,45 @@ class StatsSpec extends SparkSpec {
     assert(Stats.seasonalProfile(df, Seq("key")).count() === 7 * 24)
   }
 
+  test("interpolate: time-weighted interior fill, edges stay null, non-nulls pass through") {
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    // irregular spacing: known at h0 (10.0) and h4 (30.0); holes at h1, h3;
+    // leading hole at h-2 position via a separate first row
+    val rows = Seq(
+      (java.lang.Double.valueOf(Double.NaN), -2L), // leading null (as null below)
+      (java.lang.Double.valueOf(10.0), 0L),
+      (null.asInstanceOf[java.lang.Double], 1L),
+      (null.asInstanceOf[java.lang.Double], 3L),
+      (java.lang.Double.valueOf(30.0), 4L),
+      (null.asInstanceOf[java.lang.Double], 9L)) // trailing null
+      .map { case (v, h) => ("k", t0.plusHours(h),
+        if (v == null || v.isNaN) null.asInstanceOf[java.lang.Double] else v) }
+    val df = rows.toDF("key", "ts", "value")
+    val out = graft.ts.Resample.interpolate(df, Seq("key"))
+      .orderBy("ts").collect().map(r => Option(r.getAs[java.lang.Double]("value_interp")))
+    assert(out(0).isEmpty)                       // leading: no prev → null
+    assert(out(1).contains(10.0))
+    assert(out(2).contains(15.0))                // h1: 10 + (30-10)*(1/4)
+    assert(out(3).contains(25.0))                // h3: 10 + (30-10)*(3/4)
+    assert(out(4).contains(30.0))
+    assert(out(5).isEmpty)                       // trailing: no next → null
+  }
+
+  test("autocorr: perfect persistence is 1, alternating series is -1, short series null") {
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    def mk(key: String, vals: Seq[Double]) =
+      vals.zipWithIndex.map { case (v, i) => (key, t0.plusHours(i.toLong), i.toLong, v) }
+    val df = (mk("up", (1 to 50).map(_.toDouble)) ++
+      mk("alt", Seq.fill(25)(Seq(1.0, -1.0)).flatten) ++
+      mk("one", Seq(5.0)))
+      .toDF("key", "ts", "event_id", "value")
+    val out = Stats.autocorr(df, Seq("key"), lagK = 1, orderCol = "event_id")
+      .collect().map(r => r.getString(0) -> Option(r.getAs[java.lang.Double]("acf"))).toMap
+    assert(math.abs(out("up").get - 1.0) < 1e-9)
+    assert(math.abs(out("alt").get - (-1.0)) < 1e-9)
+    assert(out("one").isEmpty) // no pairs → null
+  }
+
   test("histogram: shared grid, out-of-range values clamp to edge bins") {
     val df = series(Seq(-5.0, 0.0, 4.9, 5.0, 99.0, 250.0))
     val out = Stats.histogram(df, Seq("key"), lo = 0.0, hi = 100.0, bins = 20)
