@@ -430,6 +430,30 @@ object SparkEntry {
         .orderBy("user_id", "ts")
     }),
 
+    // stats — robust rolling baseline: 24-row median window
+    "q_rolling_median" -> ((s, d) => {
+      Stats.rollingMedian(events(s, d).filter(col("user_id") < 5), Seq("user_id"),
+          n = 24, orderCol = "event_id")
+        .select(col("event_id"), col("user_id"), round(col("roll_med"), 6).as("roll_med"))
+        .orderBy("event_id")
+    }),
+
+    // stats — tariff split: weekday 8-20h is peak (dow 0=Sunday both
+    // engines after the -1 shift)
+    "q_peak_offpeak" -> ((s, d) => {
+      Stats.peakOffpeak(events(s, d).filter(col("user_id") < 40), Seq("user_id"))
+        .select(col("user_id"), col("is_peak"),
+          round(col("energy"), 4).as("energy"), col("n"))
+        .orderBy("user_id", "is_peak")
+    }),
+
+    // stats — daily load factor (avg/max flatness KPI)
+    "q_load_factor" -> ((s, d) => {
+      Stats.loadFactor(events(s, d).filter(col("user_id") < 10), Seq("user_id"))
+        .select(col("user_id"), col("day"), round(col("load_factor"), 6).as("load_factor"))
+        .orderBy("user_id", "day")
+    }),
+
     // stats — lag-1 autocorrelation per series: the forecasting
     // sanity-check number (persistence strength) straight off the store
     "q_autocorr" -> ((s, d) => {
@@ -1482,6 +1506,29 @@ object SparkEntry {
                         pv + (nv - pv) * (CAST(epoch_us(ts) - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
                       END, 6) AS value_interp
          FROM brk ORDER BY user_id, ts""",
+
+    "q_rolling_median" ->
+      """SELECT event_id, user_id,
+                round(quantile_cont(value, 0.5) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 6) AS roll_med
+         FROM events WHERE user_id < 5 ORDER BY event_id""",
+
+    "q_peak_offpeak" ->
+      """WITH t AS (
+           SELECT user_id, value,
+                  dayofweek(ts) NOT IN (0, 6)
+                    AND hour(ts) >= 8 AND hour(ts) < 20 AS is_peak
+           FROM events WHERE user_id < 40)
+         SELECT user_id, is_peak, round(sum(value), 4) AS energy,
+                CAST(count(*) AS BIGINT) AS n
+         FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_load_factor" ->
+      """SELECT user_id, date_trunc('day', ts) AS day,
+                round(CASE WHEN max(value) > 0 THEN avg(value) / max(value) END, 6) AS load_factor
+         FROM events WHERE user_id < 10
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_autocorr" ->
       """WITH lagged AS (

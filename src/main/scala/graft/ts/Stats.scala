@@ -126,6 +126,66 @@ object Stats {
       .drop("dow", "hod")
   }
 
+  /** Rolling median per series — `Series.rolling(n).median()`, the
+    * robust rolling baseline (a mean window chases the spikes the MAD
+    * rule flags; the median window doesn't). Exact interpolated
+    * percentile over a `ROWS n−1 PRECEDING..CURRENT` keyed window —
+    * partial leading windows produce the median of what's there, like
+    * pandas `min_periods=1`. `orderCol` breaks ts ties deterministically.
+    * Adds `outCol`.
+    */
+  def rollingMedian(
+      df: DataFrame,
+      keys: Seq[String],
+      n: Int,
+      tsCol: String = "ts",
+      orderCol: String,
+      valueCol: String = "value",
+      outCol: String = "roll_med"): DataFrame = {
+    require(n >= 1, s"window must be >= 1 rows, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(tsCol), col(orderCol))
+      .rowsBetween(-(n - 1).toLong, org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn(outCol, percentile(col(valueCol), lit(0.5)).over(w))
+  }
+
+  /** Peak / off-peak energy split — the metering-tariff primitive: sum
+    * and count per (keys, is_peak) where peak = weekday with
+    * hour ∈ [peakStartHour, peakEndHour). One hash aggregation. `dow`
+    * follows [[seasonalProfile]]'s 0=Sunday convention.
+    */
+  def peakOffpeak(
+      df: DataFrame,
+      keys: Seq[String],
+      peakStartHour: Int = 8,
+      peakEndHour: Int = 20,
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    require(0 <= peakStartHour && peakStartHour < peakEndHour && peakEndHour <= 24,
+      s"need 0 <= start < end <= 24, got $peakStartHour/$peakEndHour")
+    val dow = dayofweek(col(tsCol)) - 1 // 0=Sunday
+    val isPeak = dow =!= 0 && dow =!= 6 &&
+      hour(col(tsCol)) >= peakStartHour && hour(col(tsCol)) < peakEndHour
+    df.groupBy((keys.map(col) :+ isPeak.as("is_peak")): _*)
+      .agg(sum(col(valueCol)).as("energy"), count(lit(1)).as("n"))
+  }
+
+  /** Daily load factor per series — avg/max over each day, the
+    * flatness KPI (1.0 = perfectly flat demand; low = peaky). Zero or
+    * negative-max days yield null rather than a misleading ratio.
+    * Output: (keys..., day, load_factor).
+    */
+  def loadFactor(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame =
+    df.groupBy((keys.map(col) :+ date_trunc("day", col(tsCol)).as("day")): _*)
+      .agg(avg(col(valueCol)).as("__avg"), max(col(valueCol)).as("__max"))
+      .withColumn("load_factor",
+        when(col("__max") > 0, col("__avg") / col("__max")))
+      .drop("__avg", "__max")
+
   /** Lag-k autocorrelation per series — `Series.autocorr(k)`, the
     * persistence-strength number a forecaster checks before modelling a
     * store series (acf≈1: yesterday predicts today; acf≈0: noise).

@@ -109,6 +109,47 @@ class StatsSpec extends SparkSpec {
     assert(out("one").isEmpty) // no pairs → null
   }
 
+  test("rollingMedian: spike-resistant baseline; partial leading windows use what's there") {
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    val vals = Seq(1.0, 2.0, 3.0, 1000.0, 2.0, 1.0, 3.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", t0.plusHours(i.toLong), i.toLong, v) }
+      .toDF("key", "ts", "event_id", "value")
+    val out = Stats.rollingMedian(df, Seq("key"), n = 3, orderCol = "event_id")
+      .orderBy("ts").collect().map(_.getAs[Double]("roll_med"))
+    assert(out(0) === 1.0)  // window of 1
+    assert(out(1) === 1.5)  // median(1,2)
+    assert(out(3) === 3.0)  // median(2,3,1000) — the spike does NOT drag it
+    assert(out(4) === 3.0)  // median(3,1000,2)
+  }
+
+  test("peakOffpeak: weekday 8-20h is peak, weekends never are") {
+    // 2024-01-01 is a Monday; 2024-01-06/07 the weekend
+    val rows = Seq(
+      ("2024-01-01T09:00", 10.0), // Mon 9h → peak
+      ("2024-01-01T21:00", 1.0),  // Mon 21h → off
+      ("2024-01-06T12:00", 5.0),  // Sat noon → off
+      ("2024-01-07T10:00", 7.0))  // Sun → off
+      .map { case (t, v) => ("k", java.time.LocalDateTime.parse(t), v) }
+    val out = Stats.peakOffpeak(rows.toDF("key", "ts", "value"), Seq("key"))
+      .collect().map(r => r.getBoolean(1) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(out(true) === ((10.0, 1L)))
+    assert(out(false) === ((13.0, 3L)))
+  }
+
+  test("loadFactor: flat day is 1.0, peaky day is avg/max, zero-max day null") {
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    val rows =
+      (0 until 4).map(i => ("k", t0.plusHours(i.toLong), 5.0)) ++           // flat day
+      (0 until 4).map(i => ("k", t0.plusDays(1).plusHours(i.toLong),
+        if (i == 0) 8.0 else 0.0)) ++                                       // peaky: avg 2, max 8
+      (0 until 2).map(i => ("k", t0.plusDays(2).plusHours(i.toLong), 0.0))  // zero day
+    val out = Stats.loadFactor(rows.toDF("key", "ts", "value"), Seq("key"))
+      .orderBy("day").collect().map(r => Option(r.getAs[java.lang.Double]("load_factor")))
+    assert(out(0).contains(1.0))
+    assert(out(1).contains(0.25))
+    assert(out(2).isEmpty)
+  }
+
   test("histogram: shared grid, out-of-range values clamp to edge bins") {
     val df = series(Seq(-5.0, 0.0, 4.9, 5.0, 99.0, 250.0))
     val out = Stats.histogram(df, Seq("key"), lo = 0.0, hi = 100.0, bins = 20)
