@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, Hash60}
+import graft.functions.{DotProduct, FeatherDecode, FeatherEncode, Hash60, Lz4FrameCompress, Lz4FrameDecompress, PackDoublesLe, UnpackDoublesLe}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
@@ -69,6 +69,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    // wire-parity codecs (SURVEY §2.10): SQL-first users read/write the
+    // reference's exact blob bytes without touching the Scala API
+    ext.injectFunction((
+      FunctionIdentifier("lz4_frame_compress"),
+      new ExpressionInfo(classOf[Lz4FrameCompress].getName, "lz4_frame_compress"),
+      (exprs: Seq[Expression]) => Lz4FrameCompress(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("lz4_frame_decompress"),
+      new ExpressionInfo(classOf[Lz4FrameDecompress].getName, "lz4_frame_decompress"),
+      (exprs: Seq[Expression]) => Lz4FrameDecompress(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("pack_doubles_le"),
+      new ExpressionInfo(classOf[PackDoublesLe].getName, "pack_doubles_le"),
+      (exprs: Seq[Expression]) => PackDoublesLe(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("unpack_doubles_le"),
+      new ExpressionInfo(classOf[UnpackDoublesLe].getName, "unpack_doubles_le"),
+      (exprs: Seq[Expression]) => UnpackDoublesLe(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("feather_encode"),
+      new ExpressionInfo(classOf[FeatherEncode].getName, "feather_encode"),
+      (exprs: Seq[Expression]) => FeatherEncode(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("feather_decode"),
+      new ExpressionInfo(classOf[FeatherDecode].getName, "feather_decode"),
+      (exprs: Seq[Expression]) => FeatherDecode(exprs.head)))
     ext.injectOptimizerRule(_ => NativeHashRewrite)
   }
 }

@@ -60,4 +60,21 @@ class ExtensionsSpec extends SparkSpec {
         |  (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) AS d""".stripMargin).head()
     assert(r.isNullAt(0), "HOF fold over mismatched lengths must stay NULL")
   }
+
+  test("injected wire-codec SQL functions round-trip blob bytes from plain SQL") {
+    // chunk payload: values -> lz4-frame(float64-LE) -> values, pure SQL
+    val vals = spark.sql(
+      """SELECT unpack_doubles_le(lz4_frame_decompress(
+        |         lz4_frame_compress(pack_doubles_le(array(1.5D, -2.25D))))) AS v""".stripMargin)
+      .head().getSeq[Double](0)
+    assert(vals === Seq(1.5, -2.25))
+    // feather whole-series blob: SQL-side encode, decode, name + points back
+    val row = spark.sql(
+      """SELECT feather_decode(feather_encode('prm_sql',
+        |  array(struct(TIMESTAMP_NTZ '2024-01-01 00:00:00' AS ts, 7.5D AS value)))) AS d""".stripMargin)
+      .select("d.name", "d.points").head()
+    assert(row.getString(0) === "prm_sql")
+    val p = row.getSeq[org.apache.spark.sql.Row](1)
+    assert(p.length === 1 && p.head.getAs[Double]("value") === 7.5)
+  }
 }
