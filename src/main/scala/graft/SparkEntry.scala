@@ -269,11 +269,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // dedup — Bloom-pruned crawl increment: the seen corpus is consumed
-    // ONCE into a Bloom sketch, unseen hashes skip the join entirely
-    // (no false negatives), and only the maybe-seen sliver anti-joins to
-    // recover false positives — so the result is EXACT and the oracle is
-    // the plain anti-join. Different split (mod 3) than
+    // dedup — Bloom-join crawl increment: the increment's hashes go into
+    // a Bloom sketch, the corpus scan is pruned MAP-SIDE by
+    // might_contain (no false negatives → no dup can slip through), and
+    // the increment anti-joins only the surviving corpus hashes — so
+    // corpus hashes never shuffle in full, the result is EXACT, and the
+    // oracle is the plain anti-join. Different split (mod 3) than
     // q_incremental_dedup so the two paths can't shadow each other.
     "q_bloom_dedup" -> ((s, d) => {
       val docs = table(s, d, "documents")
@@ -1536,7 +1537,7 @@ object SparkEntry {
                   lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
            FROM events WHERE user_id < 40)
          SELECT user_id,
-                CAST(count(pv) AS BIGINT) AS n_pairs,
+                CAST(count(CASE WHEN value IS NOT NULL AND pv IS NOT NULL THEN 1 END) AS BIGINT) AS n_pairs,
                 round(corr(value, pv), 6) AS acf
          FROM lagged GROUP BY 1 ORDER BY 1""",
 

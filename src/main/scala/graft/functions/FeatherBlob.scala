@@ -103,6 +103,7 @@ case class FeatherEncode(left: Expression, right: Expression)
         valVec.allocateNew(n)
         var i = 0
         while (i < n) {
+          require(!points.isNullAt(i), s"feather_encode: null point struct at position $i")
           val row = points.getStruct(i, 2)
           require(!row.isNullAt(0), s"feather_encode: null ts at position $i")
           idxVec.set(i, Math.multiplyExact(row.getLong(0), 1000L))

@@ -57,59 +57,54 @@ object Dedup {
 
   /** Bloom-pruned form of [[crossCorpusDedup]] — the shape for a small
     * crawl increment against a HUGE standing corpus, where even the
-    * hash-only anti-join shuffles the seen side once per increment. Here
-    * the seen side is consumed exactly once into a Bloom sketch
-    * (tree-aggregated on executors via `stat.bloomFilter`; only the bit
-    * array reaches the driver), then:
+    * hash-only anti-join shuffles every corpus hash once per increment.
+    * The classic bloom-join, sketching the SMALL side:
     *
-    *  1. map-side prune: documents whose hash the Bloom has never seen
-    *     are DEFINITELY new — no join at all for them (a Bloom has no
-    *     false negatives);
-    *  2. exact confirm: only the "maybe seen" sliver (true dups + fpp
-    *     false positives) anti-joins the corpus hashes, so false
-    *     positives are recovered and the result is EXACT — identical to
+    *  1. the increment's content hashes go into a Bloom sketch
+    *     (tree-aggregated on executors via `stat.bloomFilter`; only the
+    *     bit array reaches the driver — sizing it needs one count of the
+    *     increment, which is the cheap side by definition);
+    *  2. the corpus scan is pruned MAP-SIDE by `might_contain`: a corpus
+    *     hash the sketch has never seen cannot match any increment doc
+    *     (no false negatives), so only ~|true dups| + fpp·|corpus| hash
+    *     rows survive to shuffle — the corpus is scanned once and never
+    *     shuffled in full;
+    *  3. the increment anti-joins the surviving corpus hashes (a frame
+    *     small enough to broadcast), so Bloom false positives are
+    *     recovered and the result is EXACT — identical to
     *     [[crossCorpusDedup]], which is why the DuckDB oracle is the
-    *     plain anti-join;
-    *  3. batch self-dedup of the union (min-id per hash).
+    *     plain anti-join — then batch self-dedup (min-id per hash).
     *
-    * The sketch is ~1.2 GB per 10^9 corpus docs at fpp=1e-2 — broadcast
-    * fits to low billions of documents; beyond that, partition the
-    * corpus and AND the per-partition prunes (documented bound, same
-    * trade the reference's single-node engine cannot reach at all).
+    * The sketch is ~1.2 MB per 10^6 increment docs at fpp=1e-2 —
+    * broadcast is trivial for any real crawl increment; fpp trades
+    * sketch size against the fpp·|corpus| survivor rows only, never
+    * against correctness (law-tested at fpp 0.01 and 0.4).
     */
   def crossCorpusDedupBloom(
       newDf: DataFrame,
       seenDf: DataFrame,
       idCol: String,
       textCol: String,
-      expectedSeen: Long = -1L,
       fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
-    val seenHashes = seenDf.select(xxhash64(col(textCol)).as("h64"))
-    val n = if (expectedSeen > 0) expectedSeen else seenHashes.count()
-    if (n == 0 || (expectedSeen > 0 && seenHashes.isEmpty)) {
-      // empty corpus: the whole batch is new — plain self-dedup, no sketch
-      // (stat.bloomFilter over zero rows yields no aggregate to read)
-      return newDf.select(col(idCol).as("id"), md5(col(textCol)).as("content_hash"))
-        .groupBy(col("content_hash")).agg(min(col("id")).as("id"))
-        .select("id", "content_hash")
-    }
-    val sketch = seenHashes.stat.bloomFilter("h64", math.max(n, 1L), fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    sketch.writeTo(bos)
-    val mightContain = toColumn(
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        toExpr(lit(bos.toByteArray)), toExpr(xxhash64(col(textCol)))))
     val hashed = newDf.select(
       col(idCol).as("id"), md5(col(textCol)).as("content_hash"),
-      xxhash64(col(textCol)).as("h64"), mightContain.as("__maybe"))
-    val definitelyNew = hashed.filter(!col("__maybe"))
-    val confirmed = hashed.filter(col("__maybe"))
-      .join(seenDf.select(md5(col(textCol)).as("content_hash")), Seq("content_hash"), "left_anti")
-    definitelyNew.select("id", "content_hash")
-      .unionByName(confirmed.select("id", "content_hash"))
+      xxhash64(col(textCol)).as("h64"))
+    val n = hashed.count() // the increment — the cheap side by definition
+    val selfDedup = (df: DataFrame) => df
       .groupBy(col("content_hash")).agg(min(col("id")).as("id"))
       .select("id", "content_hash")
+    if (n == 0) return selfDedup(hashed)
+    val sketch = hashed.select("h64").stat.bloomFilter("h64", n, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    sketch.writeTo(bos)
+    val mightMatch = toColumn(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        toExpr(lit(bos.toByteArray)), toExpr(xxhash64(col(textCol)))))
+    val survivingSeen = seenDf
+      .filter(mightMatch) // map-side: full corpus hashes never shuffle
+      .select(md5(col(textCol)).as("content_hash"))
+    selfDedup(hashed.join(survivingSeen, Seq("content_hash"), "left_anti"))
   }
 
   /** Word n-gram shingles (lowercased, [[TextAnalysis.tokens]]-split),

@@ -84,13 +84,13 @@ object Packing {
       idCol: String,
       textCol: String,
       outDir: String): DataFrame = {
-    val joined = packed.join(
-        docs.select(col(idCol).as("id"), col(textCol).as("text")), Seq("id"))
-    joined
+    packed.join(docs.select(col(idCol).as("id"), col(textCol).as("text")), Seq("id"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("start_off"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
-    joined.groupBy("shard")
+    // receipt from the narrow manifest alone — consuming it must not
+    // re-run the body join the write already paid for
+    packed.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy("shard")
   }

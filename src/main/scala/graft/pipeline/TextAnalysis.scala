@@ -239,7 +239,9 @@ object TextAnalysis {
       textCol: String,
       topNs: Seq[Int] = Seq(2, 3),
       dupNs: Seq[Int] = Seq(5)): DataFrame = {
-    val ws = tokens(lower(col(textCol)))
+    // null text reads as an empty doc (0.0 fractions), not null fractions
+    // that would silently escape a downstream threshold filter both ways
+    val ws = tokens(lower(coalesce(col(textCol), lit(""))))
     val base = df.select(col(idCol).as("id"), ws.as("__ws"),
       aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("total_chars"))
     def gramCounts(n: Int): DataFrame =

@@ -311,7 +311,11 @@ class VersionedStore(
     */
   def exportBlobs(clientId: Int, prms: Option[Seq[String]] = None): DataFrame = {
     var df = load().filter(col("client_id") === clientId)
-    prms.foreach(ps => df = df.filter(col("prm").isin(ps: _*)))
+    // bucket pruning first, like count(): a prm-list export reads only
+    // the prms' bucket partitions, not every directory of the store
+    prms.foreach(ps => df = df
+      .filter(col("bucket").isin(ps.map(bucketOf).distinct: _*))
+      .filter(col("prm").isin(ps: _*)))
     val groupCols = Seq("prm", "client_id", "version") ++ extraKeys
     df.groupBy(groupCols.map(col): _*)
       .agg(sort_array(collect_list(struct(col("ts"), col("value")))).as("__pts"))
@@ -320,21 +324,24 @@ class VersionedStore(
   }
 
   /** Inverse of [[exportBlobs]] — decode reference blob rows
-    * (`prm, client_id, version, data`) back to the long form this store
-    * holds, exactly like the reference read path (`pd.read_feather` +
-    * index fix, hostore.py:247-255). NaN wire positions are holes and
-    * yield no row. Feed the result to [[setLc]]/[[setManyLc]] per prm
-    * (the reference client's ingest step) or compare directly against
-    * [[load]]. Output: (prm, client_id, version, ts, value).
+    * (`prm, client_id, version, extraKeys..., data`) back to the long
+    * form this store holds, exactly like the reference read path
+    * (`pd.read_feather` + index fix, hostore.py:247-255). NaN wire
+    * positions are holes and yield no row; the store's extraSchema
+    * attributes ride along so version entries distinguished only by an
+    * extra key stay distinct. Feed the result to [[setLc]]/[[setManyLc]]
+    * per prm (the reference client's ingest step) or compare directly
+    * against [[load]]. Output: (prm, client_id, version, extraKeys...,
+    * ts, value).
     */
-  def decodeBlobs(blobs: DataFrame): DataFrame =
+  def decodeBlobs(blobs: DataFrame): DataFrame = {
+    val entryCols = Seq("prm", "client_id", "version") ++ extraKeys
     blobs
       .withColumn("__d", graft.functions.FeatherBlob.feather_decode(col("data")))
-      .select(col("prm"), col("client_id"), col("version"),
-        explode(col("__d.points")).as("p"))
+      .select((entryCols.map(col) :+ explode(col("__d.points")).as("p")): _*)
       .filter(!isnan(col("p.value")))
-      .select(col("prm"), col("client_id"), col("version"),
-        col("p.ts").as("ts"), col("p.value").as("value"))
+      .select((entryCols.map(col) :+ col("p.ts").as("ts") :+ col("p.value").as("value")): _*)
+  }
 
   /** Requested prms with no stored data — the left-anti side of
     * `find_groups` (hostore.py:120-124).

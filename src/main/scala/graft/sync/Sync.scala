@@ -95,12 +95,22 @@ object Sync {
     // dense grid fill: absent grid positions are NaN holes on the wire,
     // like the reference's freq-reindexed series; tombstone chunks
     // (no live ts) pack the reference's empty payload with a null start_ts
-    val values = when(col("__start_us").isNull, array().cast("array<double>"))
+    val rawValues = when(col("__start_us").isNull, array().cast("array<double>"))
       .otherwise(transform(
         sequence(lit(0L), ((col("__end_us") - col("__start_us")) / freqUs).cast("long")),
         i => coalesce( // try_: a missing grid position is a hole, not an ANSI error
           try_element_at(col("__byUs"), col("__start_us") + i * freqUs),
           lit(Double.NaN))))
+    // Off-grid guard: a stored point not on start + k*freq would miss
+    // every grid lookup and vanish from the wire SILENTLY. The store
+    // never writes NaN rows, so grid hits = non-NaN slots; any shortfall
+    // vs the chunk's point count means off-grid data → fail the job
+    // instead of losing points (the blob format cannot represent them).
+    val values = when(
+      size(filter(rawValues, v => !isnan(v))) === size(col("__byUs")), rawValues)
+      .otherwise(raise_error(concat(
+        lit("packEnvelope: chunk has points off the "), lit(freqUs / 1000000L),
+        lit("s grid — the reference blob format cannot represent them"))))
     val isoTs = (c: org.apache.spark.sql.Column) =>
       date_format(c.cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
     grouped.select(

@@ -205,11 +205,20 @@ object Stats {
     require(lagK >= 1, s"lagK must be >= 1, got $lagK")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(col(tsCol), col(orderCol))
+    // mask both sides to the pairwise-complete subset so the moments
+    // below all range over exactly the pairs the correlation uses
+    val pairOk = col(valueCol).isNotNull && col("__pv").isNotNull
+    val xm = when(pairOk, col(valueCol))
+    val ym = when(pairOk, col("__pv"))
     df.withColumn("__pv", lag(col(valueCol), lagK).over(w))
       .groupBy(keys.map(col): _*)
       .agg(
-        count(col("__pv")).as("n_pairs"),
-        corr(col(valueCol), col("__pv")).as("acf"))
+        count(when(pairOk, 1)).as("n_pairs"),
+        // corr spelled out as try_divide(cov, sx*sy): ANSI `corr` RAISES
+        // on zero variance (divide-by-zero); this form yields null —
+        // what DuckDB's corr returns and what "undefined" means
+        try_divide(covar_samp(xm, ym),
+          stddev_samp(xm) * stddev_samp(ym)).as("acf"))
   }
 
   /** Fixed-range histogram per series — `value_counts(bins)` with
@@ -232,7 +241,10 @@ object Stats {
     val bin = least(greatest(
       floor((col(valueCol) - lo) / width), lit(0.0)), lit((bins - 1).toDouble))
       .cast("long")
-    df.groupBy((keys.map(col) :+ bin.as("bin")): _*)
+    // NaN readings are holes, not max-range values (NaN orders above every
+    // double, so without the filter they'd silently clamp into the top bin)
+    df.filter(!isnan(col(valueCol)))
+      .groupBy((keys.map(col) :+ bin.as("bin")): _*)
       .agg(count(lit(1)).as("n"))
       .withColumn("bin_lo", lit(lo) + col("bin") * width)
       .select((keys.map(col) :+ col("bin") :+ col("bin_lo") :+ col("n")): _*)

@@ -451,6 +451,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(0) !== fp(2)) // order matters
   }
 
+  test("gopherRepetition: null text reads as an empty doc (0.0, not null fractions)") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "a b a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetition(df, "doc_id", "text",
+        topNs = Seq(2), dupNs = Seq(5)).orderBy("id").collect()
+    assert(out(0).getAs[Long]("total_chars") === 0L)
+    assert(out(0).getAs[Double]("top_2gram_char_frac") === 0.0) // NOT null
+  }
+
   test("gopherRepetition: hand-computed top/dup n-gram char fractions") {
     // "ab cd ab cd ef" → tokens ab,cd,ab,cd,ef (total 10 chars)
     // 2-grams: "ab cd"×2, "cd ab"×1, "cd ef"×1 → top = 2×4 = 8 → 0.8

@@ -121,15 +121,14 @@ class PlanSpec extends SparkSpec {
     assert("\\bWindow\\b".r.findFirstIn(p).isEmpty)
   }
 
-  test("q_bloom_dedup plan: might_contain prunes map-side; one anti-join for the sliver only") {
+  test("q_bloom_dedup plan: might_contain prunes the corpus scan map-side; anti-join on survivors") {
     val p = plan("q_bloom_dedup")
-    // the sketch probe must sit in a Filter over the scan (map-side, no
-    // shuffle for the definitely-new branch)...
+    // the sketch probe must sit in a Filter over the CORPUS scan — the
+    // full corpus hash set never reaches a shuffle
     assert(p.contains("might_contain"), p.take(600))
-    // ...and exactly one confirm anti-join handles the maybe-seen sliver
     val antis = "LeftAnti".r.findAllIn(p).size
-    assert(antis >= 1, s"expected a confirm LeftAnti join\n" + p.take(600))
-    assert(!p.contains("SortMergeJoin"), "confirm join must not sort-merge at this scale")
+    assert(antis >= 1, s"expected the exact-confirm LeftAnti join\n" + p.take(600))
+    assert(!p.contains("SortMergeJoin"), "survivor join must not sort-merge at this scale")
   }
 
   test("wire round-trip plans: one series groupBy, codecs in projections, no window") {

@@ -150,12 +150,28 @@ class StatsSpec extends SparkSpec {
     assert(out(2).isEmpty)
   }
 
-  test("histogram: shared grid, out-of-range values clamp to edge bins") {
-    val df = series(Seq(-5.0, 0.0, 4.9, 5.0, 99.0, 250.0))
+  test("histogram: shared grid, out-of-range values clamp to edge bins, NaN is a hole") {
+    val df = series(Seq(-5.0, 0.0, 4.9, 5.0, 99.0, 250.0, Double.NaN))
     val out = Stats.histogram(df, Seq("key"), lo = 0.0, hi = 100.0, bins = 20)
       .orderBy("bin").collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n")))
     // -5 clamps to bin 0; 0 and 4.9 land in bin 0; 5.0 in bin 1;
-    // 99 in bin 19; 250 clamps to bin 19
+    // 99 in bin 19; 250 clamps to bin 19; NaN is excluded, NOT a
+    // max-range reading
     assert(out.toSeq === Seq((0L, 3L), (1L, 1L), (19L, 2L)))
+  }
+
+  test("autocorr: n_pairs counts only the pairs corr uses when values are null") {
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    val df = Seq(Some(1.0), None, Some(3.0), Some(4.0)).zipWithIndex
+      .map { case (v, i) => ("k", t0.plusHours(i.toLong), i.toLong, v.map(Double.box).orNull) }
+      .toDF("key", "ts", "event_id", "value")
+    val r = Stats.autocorr(df, Seq("key"), lagK = 1, orderCol = "event_id").head()
+    // usable pairs: only (4.0, 3.0) — (null,1.0) and (3.0,null) don't count
+    assert(r.getAs[Long]("n_pairs") === 1L)
+    // zero-variance series: acf is null, not NaN
+    val const = (0 until 5).map(i => ("c", t0.plusHours(i.toLong), i.toLong, 2.0))
+      .toDF("key", "ts", "event_id", "value")
+    val rc = Stats.autocorr(const, Seq("key"), lagK = 1, orderCol = "event_id").head()
+    assert(rc.isNullAt(rc.fieldIndex("acf")))
   }
 }

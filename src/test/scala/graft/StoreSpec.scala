@@ -376,6 +376,27 @@ class VersionedStoreSpec extends SparkSpec {
     assert(back.toSeq === orig.toSeq)
   }
 
+  test("exportBlobs/decodeBlobs carry extraSchema attributes; prm-list export prunes buckets") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val st = new VersionedStore(spark, tmpDir("vstore"),
+      extraSchema = StructType(Seq(StructField("region", StringType))))
+    // same (prm, version) twice, distinguished only by the extra key
+    st.setLc("p", 1, series("2024-01-01T00:00", 3, 1.0),
+      attributesToSet = Map("region" -> "fr"))
+    st.setLc("p", 1, series("2024-01-01T00:00", 3, 2.0),
+      attributesToSet = Map("region" -> "de"))
+    val blobs = st.exportBlobs(1, prms = Some(Seq("p")))
+    assert(blobs.count() === 2)
+    val back = st.decodeBlobs(blobs)
+    assert(back.columns.contains("region"), "extra keys must survive decode")
+    val byRegion = back.groupBy("region").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byRegion === Map("fr" -> 3L, "de" -> 3L))
+    // bucket pruning: the prm filter must carry the bucket predicate
+    val p = blobs.queryExecution.optimizedPlan.toString
+    assert(p.contains("bucket"), s"expected bucket pruning in plan\n${p.take(500)}")
+  }
+
   test("delay slice cuts each version's start before combining") {
     val st = new VersionedStore(spark, tmpDir("vstore"))
     // reference tests_slice_with_delay.py: v0 from Jan 1 (value 1), v1 from Jan 2 (value 2)

@@ -100,6 +100,21 @@ class SyncPackSpec extends SparkSpec {
     assert(tombRows(0).getAs[Any]("ts") === null && tombRows(0).getAs[Any]("value") === null)
   }
 
+  test("off-grid points fail the pack job instead of vanishing from the wire") {
+    val st = newStore()
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    // 00:00 and 00:30 into a 1h-freq store: the blob grid cannot hold 00:30
+    val offGrid = Seq((t0, Some(1.0)), (t0.plusMinutes(30), Some(2.0)))
+      .toDF("ts", "value")
+    st.setTs(Map("version" -> 0, "kind" -> "a"), offGrid, update = true, now = now0)
+    val ex = intercept[Exception] {
+      Sync.packEnvelope(st, allSpecs(st)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("off the")), s"got: ${messages(ex)}")
+  }
+
   test("full wire sync: server -> envelopes -> importChunks drives client to server state") {
     val server = newStore()
     val client = newStore()
