@@ -940,6 +940,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // curation — per-domain cap (at most `cap` docs per source, best by
+    // length): exact two-phase salted top-N, never a whole-domain window
+    "q_domain_cap" -> ((s, d) => {
+      Curation.capPerDomain(table(s, d, "documents"), "source", "doc_id", "n_chars", cap = 10)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rank"))
+        .orderBy("doc_id")
+    }),
+
     // clustering — deterministic k-means over embeddings (Lloyd's, 2
     // iterations, md5-seeded init, quantized centroids)
     "q_kmeans" -> ((s, d) => {
@@ -2269,6 +2277,14 @@ object SparkEntry {
                   t -> CASE WHEN CAST(d.n_chars AS DOUBLE) > t THEN 1 ELSE 0 END)) AS BIGINT) AS bin
          FROM documents d JOIN c USING (lang)
          ORDER BY d.doc_id""",
+
+    "q_domain_cap" ->
+      """SELECT doc_id, source, n_chars, rank FROM (
+           SELECT doc_id, source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id) AS rank
+           FROM documents)
+         WHERE rank <= 10 ORDER BY doc_id""",
 
     "q_kmeans" -> kmeansOracleSql(k = 8, iters = 2, dim = 64),
 

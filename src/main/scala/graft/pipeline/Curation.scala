@@ -202,6 +202,56 @@ object Curation {
       .select("id", "cluster", "keep")
   }
 
+  /** Per-domain document cap: keep at most `cap` documents per group
+    * (domain / source / site), preferring the best by `orderCol`
+    * descending with ties broken by `idCol` ascending — the
+    * RefinedWeb/Gopher-style guard that stops one domain from swamping
+    * the training mix. Output: the kept rows as (id, group, order value,
+    * rank), rank = 1-based position within the group's kept set.
+    *
+    * Scale shape: EXACT two-phase top-N, never a whole-group window. A
+    * window partitioned by domain alone would sort a hot domain (half a
+    * crawl can be one site) in a single task; instead phase 1 ranks
+    * within (group, salt-bucket) — `numSalts` deterministic hash buckets
+    * — and keeps each bucket's top `cap`, so phase 2's per-group window
+    * sees at most `cap × numSalts` rows regardless of group size.
+    * Exactness: a row in the group's true top-`cap` is in its bucket's
+    * top-`cap` (the bucket is a subset of the group), so phase 1 drops
+    * no winner; conversely a row with true rank > `cap` has ≥ `cap`
+    * surviving predecessors, so its phase-2 rank still exceeds `cap`.
+    * The result is independent of `numSalts` (law-tested); `numSalts`
+    * only trades phase-1 parallelism against phase-2 fan-in.
+    *
+    * `orderCol` nulls sort last (both phases, Spark desc default) —
+    * null-quality documents are kept only when a group has spare
+    * capacity.
+    */
+  def capPerDomain(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      orderCol: String,
+      cap: Int,
+      numSalts: Int = 64,
+      salt: String = "domaincap"): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    require(numSalts >= 1, s"numSalts must be >= 1, got $numSalts")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col(orderCol).desc, col(idCol).asc)
+    val w1 = Window
+      .partitionBy(col(groupCol), pmod(xxhash64(col(idCol), lit(salt)), lit(numSalts.toLong)))
+      .orderBy(ord: _*)
+    val survivors = df
+      .select(col(idCol), col(groupCol), col(orderCol))
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
+    survivors
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= cap)
+  }
+
   /** Per-group quantile binning: assign each row the bucket its value
     * falls into between the group's `k`-quantile cutpoints (bin 1 =
     * below the first cutpoint, bin k = above the last). The cutpoints

@@ -929,6 +929,38 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1)
     assert(auto.toSeq === explicit.toSeq)
   }
+
+  test("capPerDomain: equals the naive whole-group window for any numSalts (skew + ties)") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(717L)
+    // one hot domain (120 rows), several small ones; heavy ties in the
+    // order column so the id tiebreak is exercised at the cap boundary
+    val rows = (0L until 120L).map(i => (i, "hot", rnd.nextInt(5).toLong)) ++
+      (120L until 140L).map(i => (i, s"d${i % 4}", rnd.nextInt(5).toLong))
+    val df = rows.toDF("id", "dom", "q")
+    val w = Window.partitionBy(col("dom")).orderBy(col("q").desc, col("id").asc)
+    val naive = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 7)
+      .select("id", "dom", "q", "rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    for (salts <- Seq(1, 3, 64)) {
+      val got = Curation.capPerDomain(df, "dom", "id", "q", cap = 7, numSalts = salts)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+      assert(got.toSeq === naive.toSeq, s"numSalts=$salts diverged from the naive window")
+    }
+  }
+
+  test("capPerDomain: under-cap groups kept whole; null quality sorts last") {
+    val df = Seq(
+      (1L, "a", Some(9L)), (2L, "a", Some(5L)), (3L, "a", None),
+      (4L, "b", Some(1L))).toDF("id", "dom", "q")
+    val got = Curation.capPerDomain(df, "dom", "id", "q", cap = 3, numSalts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    val capped = Curation.capPerDomain(df, "dom", "id", "q", cap = 2, numSalts = 4)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(capped === Seq(1L, 2L, 4L)) // the null-quality row is the one cut
+  }
 }
 
 class DuplicateSpansSpec extends SparkSpec {

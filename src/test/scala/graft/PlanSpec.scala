@@ -115,6 +115,18 @@ class PlanSpec extends SparkSpec {
     assert("\\bWindow\\b".r.findFirstIn(p).isEmpty)
   }
 
+  // The scale contract of the per-domain cap: phase 1 must rank within
+  // (group, salt-bucket) — a window partitioned by the domain alone would
+  // sort a corpus-sized hot domain in one task. Phase 2's per-group
+  // window is bounded at cap × numSalts rows per group by construction.
+  test("q_domain_cap plan: two windows, phase 1 salted by hash bucket") {
+    val p = plan("q_domain_cap")
+    val windows = "\\(\\d+\\) Window\\b".r.findAllIn(p).size
+    assert(windows == 2, s"expected the two-phase top-N (2 Windows), got $windows\n" + p.take(800))
+    assert(p.contains("xxhash64"),
+      "phase-1 window must partition by the salt hash bucket\n" + p.take(800))
+  }
+
   test("kmeans assignment plan: centroid literals folded in — no join, no window") {
     val p = plan("q_kmeans")
     assert(!p.contains("Join"), "assignment must be a projection over literals\n" + p.take(600))
