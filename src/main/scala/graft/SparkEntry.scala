@@ -655,6 +655,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // text analysis — Gopher LINE-level dup/format fractions. The fixture
+    // text has no newlines, so the query deterministically manufactures
+    // them first (every ' a '/' the ' becomes a line break — left-to-right
+    // non-overlapping replace, identical in Spark and the RE2 oracle) and
+    // the operator then runs with its default "\n" separator.
+    "q_gopher_lines" -> ((s, d) => {
+      val lined = table(s, d, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), " (a|the) ", "\n").as("text"))
+      TextAnalysis.gopherLineStats(lined, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("total_lines"), col("total_chars"),
+          round(col("dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("dup_line_char_frac"), 6).as("dup_line_char_frac"),
+          round(col("ellipsis_line_frac"), 6).as("ellipsis_line_frac"),
+          round(col("bullet_line_frac"), 6).as("bullet_line_frac"))
+        .orderBy("doc_id")
+    }),
+
     // text analysis — PII redaction (emails + digit runs → typed tokens)
     "q_redact" -> ((s, d) => {
       table(s, d, "documents")
@@ -1769,6 +1786,39 @@ object SparkEntry {
          LEFT JOIN d5 ON d5.doc_id = tot.doc_id
          ORDER BY tot.doc_id"""
     },
+
+    "q_gopher_lines" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_replace(text, ' (a|the) ', chr(10), 'g') AS text
+           FROM documents),
+         l AS (
+           SELECT doc_id, trim(u.x) AS line
+           FROM t, unnest(string_split(coalesce(t.text, ''), chr(10))) AS u(x)),
+         c AS (
+           SELECT doc_id, line, count(*) AS c, CAST(length(line) AS BIGINT) AS ch
+           FROM l WHERE line <> '' GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id,
+                  CAST(sum(c) AS BIGINT) AS total_lines,
+                  CAST(sum(c * ch) AS BIGINT) AS total_chars,
+                  CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup,
+                  CAST(coalesce(sum(c * ch) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dupch,
+                  CAST(coalesce(sum(c) FILTER (WHERE ends_with(line, '...') OR ends_with(line, chr(8230))), 0) AS BIGINT) AS ell,
+                  CAST(coalesce(sum(c) FILTER (WHERE regexp_matches(line, '^[-*' || chr(8226) || '] ')), 0) AS BIGINT) AS bul
+           FROM c GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(a.total_lines, 0) AS BIGINT) AS total_lines,
+                CAST(coalesce(a.total_chars, 0) AS BIGINT) AS total_chars,
+                round(CASE WHEN coalesce(a.total_lines, 0) = 0 THEN 0.0
+                      ELSE CAST(a.dup AS DOUBLE) / a.total_lines END, 6) AS dup_line_frac,
+                round(CASE WHEN coalesce(a.total_chars, 0) = 0 THEN 0.0
+                      ELSE CAST(a.dupch AS DOUBLE) / a.total_chars END, 6) AS dup_line_char_frac,
+                round(CASE WHEN coalesce(a.total_lines, 0) = 0 THEN 0.0
+                      ELSE CAST(a.ell AS DOUBLE) / a.total_lines END, 6) AS ellipsis_line_frac,
+                round(CASE WHEN coalesce(a.total_lines, 0) = 0 THEN 0.0
+                      ELSE CAST(a.bul AS DOUBLE) / a.total_lines END, 6) AS bullet_line_frac
+         FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
 
     "q_redact" ->
       """SELECT doc_id,

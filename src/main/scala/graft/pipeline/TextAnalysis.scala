@@ -274,6 +274,65 @@ object TextAnalysis {
     }
   }
 
+  /** Gopher LINE-level repetition and format filters (Rae et al. 2021
+    * §A1.1, the line-based rows of Table A1): per document, the fraction
+    * of lines that are duplicates of another line in the same document
+    * (`dup_line_frac`), the fraction of line characters in those
+    * duplicated lines (`dup_line_char_frac`), and the format-filter
+    * fractions the paper thresholds alongside them — lines ending in an
+    * ellipsis (`ellipsis_line_frac`) and lines starting with a bullet
+    * (`bullet_line_frac`). The paper drops docs with > 30% duplicate
+    * lines or > 90% ellipsis-terminated lines (crawl boilerplate:
+    * nav menus, truncated previews).
+    *
+    * Lines are `sep`-separated (literal separator, default "\n"),
+    * whitespace-trimmed; EMPTY lines are excluded before counting (blank
+    * runs are formatting, not content). Duplicate counting mirrors the
+    * n-gram rows of [[gopherRepetition]]: ALL occurrences of a line with
+    * count ≥ 2 are duplicates (5 copies → 5, not 4). `total_chars` is
+    * the character mass of the counted (trimmed, non-empty) lines, the
+    * denominator of the char fraction. Null text and all-blank docs
+    * surface as 0 lines with 0.0 fractions, not nulls — same convention
+    * as every other filter here, so a downstream threshold cannot
+    * silently pass an empty doc.
+    *
+    * Scale shape: one explode + one (doc, line) hash aggregation + one
+    * per-doc aggregation — no windows, no joins, and the exploded row
+    * count is bounded by input characters, so the shuffle never exceeds
+    * the scan. All expressions codegen (trim/split/length/conditional
+    * sums), so the per-line work stays inside whole-stage codegen.
+    */
+  def gopherLineStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = filter(
+      transform(
+        split(coalesce(col(textCol), lit("")), java.util.regex.Pattern.quote(sep)),
+        l => trim(l)),
+      l => l =!= "")
+    // explode_outer keeps zero-line docs (one null-line row) so every
+    // input doc appears in the output with zeroed stats
+    val counted = df.select(col(idCol).as("id"), explode_outer(lines).as("line"))
+      .groupBy("id", "line").agg(count(lit(1)).as("c"))
+      .withColumn("ch", length(col("line")).cast("long"))
+    def frac(num: Column, den: Column): Column =
+      when(den === 0, 0.0).otherwise(num.cast("double") / den)
+    counted.groupBy("id").agg(
+        coalesce(sum(when(col("line").isNotNull, col("c"))), lit(0L)).as("total_lines"),
+        coalesce(sum(when(col("line").isNotNull, col("c") * col("ch"))), lit(0L)).as("total_chars"),
+        coalesce(sum(when(col("c") >= 2, col("c"))), lit(0L)).as("__dup"),
+        coalesce(sum(when(col("c") >= 2, col("c") * col("ch"))), lit(0L)).as("__dupch"),
+        coalesce(sum(when(col("line").endsWith("...") || col("line").endsWith("…"), col("c"))), lit(0L)).as("__ell"),
+        coalesce(sum(when(col("line").rlike("^[-*•] "), col("c"))), lit(0L)).as("__bul"))
+      .select(col("id"), col("total_lines"), col("total_chars"),
+        frac(col("__dup"), col("total_lines")).as("dup_line_frac"),
+        frac(col("__dupch"), col("total_chars")).as("dup_line_char_frac"),
+        frac(col("__ell"), col("total_lines")).as("ellipsis_line_frac"),
+        frac(col("__bul"), col("total_lines")).as("bullet_line_frac"))
+  }
+
   /** PII redaction: replace e-mail addresses and digit runs with typed
     * placeholder tokens — a narrow per-row projection (codegen'd
     * `regexp_replace`, no shuffle, composes with any scan). The patterns

@@ -483,6 +483,40 @@ class TextAnalysisSpec extends SparkSpec {
     // 5-grams (6): "a b c d e"×2, 4 distinct singles → dup = 2×5 = 10 chars / 10 total
     assert(r.getAs[Double]("dup_5gram_char_frac") === 1.0)
   }
+
+  test("gopherLineStats: hand-computed dup/ellipsis/bullet line fractions") {
+    // trimmed non-empty lines: menu ×3, home, "• item one", "last line..."
+    val text = "menu\nhome\nmenu\n• item one\nlast line...\n\n  \nmenu"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherLineStats(df, "doc_id", "text").head()
+    assert(r.getAs[Long]("total_lines") === 6L)
+    // chars: 3×4 (menu) + 4 (home) + 10 (bullet line) + 12 (ellipsis line)
+    assert(r.getAs[Long]("total_chars") === 38L)
+    assert(r.getAs[Double]("dup_line_frac") === 3.0 / 6)      // all 3 menu copies
+    assert(r.getAs[Double]("dup_line_char_frac") === 12.0 / 38)
+    assert(r.getAs[Double]("ellipsis_line_frac") === 1.0 / 6)
+    assert(r.getAs[Double]("bullet_line_frac") === 1.0 / 6)
+  }
+
+  test("gopherLineStats: null/blank docs keep their row with zeroed stats") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, " \n  \n"), (3L, "x\nx"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherLineStats(df, "doc_id", "text").orderBy("id").collect()
+    assert(out.length === 3) // zero-line docs NOT dropped
+    for (i <- 0 to 1) {
+      assert(out(i).getAs[Long]("total_lines") === 0L)
+      assert(out(i).getAs[Double]("dup_line_frac") === 0.0) // 0.0, not null/NaN
+    }
+    assert(out(2).getAs[Double]("dup_line_frac") === 1.0)
+  }
+
+  test("gopherLineStats: custom separator is literal, not a regex") {
+    // '.' would split between every char if treated as a regex
+    val df = Seq((1L, "alpha.beta.alpha")).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherLineStats(df, "doc_id", "text", sep = ".").head()
+    assert(r.getAs[Long]("total_lines") === 3L)
+    assert(r.getAs[Double]("dup_line_frac") === 2.0 / 3)
+  }
 }
 
 class WinnowSpec extends SparkSpec {
