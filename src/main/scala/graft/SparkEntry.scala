@@ -939,6 +939,19 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // curation — realize the alpha=0.5 mixture as an actual deterministic
+    // sample under a 10k-token budget (rate = budget×weight/actual per
+    // source, hash-score membership)
+    "q_mix_apply" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val w = Curation.mixWeights(docs, "source", "text", alpha = 0.5)
+      Curation.applyMixWeights(docs, "doc_id", "source", w,
+          tokenBudget = 10000L, "text", salt = "mix")
+        .select(col("id").as("doc_id"), col("source"), col("n_tokens"),
+          round(col("rate"), 6).as("rate"))
+        .orderBy("doc_id")
+    }),
+
     // curation — unigram-LM self-perplexity (statistical quality score;
     // vocabulary joined, never assumed broadcast-able)
     "q_perplexity" -> ((s, d) => {
@@ -2304,6 +2317,32 @@ object SparkEntry {
          SELECT source, n_tokens, n_docs, round(share, 6) AS share,
                 round(raw / sum(raw) OVER (), 6) AS weight
          FROM r ORDER BY source""",
+
+    "q_mix_apply" -> {
+      val score = Sampling.sqlHashScore("d.doc_id", "mix")
+      s"""WITH g AS (
+           SELECT source,
+                  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS n_tokens,
+                  count(*) AS n_docs
+           FROM documents GROUP BY source),
+         s AS (
+           SELECT source, n_tokens,
+                  CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share
+           FROM g),
+         r AS (SELECT *, pow(share, 0.5) AS raw FROM s),
+         w AS (SELECT source, n_tokens AS actual, raw / sum(raw) OVER () AS weight FROM r),
+         rates AS (
+           SELECT source,
+                  CASE WHEN actual = 0 THEN 1.0
+                       ELSE least(1.0, 10000.0 * weight / actual) END AS rate
+           FROM w)
+         SELECT d.doc_id, d.source,
+                CAST(len(regexp_extract_all(d.text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+                round(rates.rate, 6) AS rate
+         FROM documents d JOIN rates USING (source)
+         WHERE $score < rates.rate
+         ORDER BY d.doc_id"""
+    },
 
     "q_perplexity" ->
       """WITH tok AS (

@@ -166,6 +166,55 @@ object Curation {
         col("share"), col("weight"))
   }
 
+  /** Realize a mixing distribution as an actual deterministic document
+    * sample under a global token budget: each group's token target is
+    * `tokenBudget × weight_g`, its keep rate is
+    * `min(1, target_g / actual_g)` over the INPUT corpus's per-group
+    * token mass, and membership is the per-doc portable hash score
+    * ([[Sampling.hashScore]]) against that rate — repartition-proof,
+    * rerun-proof, and engine-portable, hitting the target in
+    * expectation with binomial concentration (the exactness a 100 TB
+    * sampler cannot afford and does not need).
+    *
+    * `weights` is any (group, weight) frame — typically [[mixWeights]]
+    * over this corpus, but deliberately decoupled so a REFERENCE
+    * mixture (computed on another corpus, or hand-tuned) can be applied
+    * here: rates always renormalize against THIS df's actual token
+    * totals. Groups absent from `weights` are dropped — the weights
+    * frame defines the admitted mixture. A weighted group with zero
+    * actual tokens keeps all its (vacuously zero-token) docs rather
+    * than dividing by zero. Rates at or above 1 keep the whole group
+    * (no upsampling/replication — emit multiplicity downstream if an
+    * epoch schedule needs it).
+    *
+    * Plan shape: one per-group hash aggregation over the corpus (the
+    * only full pass), then the handful of (group, rate) rows broadcast
+    * back onto the scan — filter stays in whole-stage codegen, no
+    * shuffle of the corpus itself.
+    */
+  def applyMixWeights(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      weights: DataFrame,
+      tokenBudget: Long,
+      textCol: String = "text",
+      salt: String = "mix"): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be > 0, got $tokenBudget")
+    val docs = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val actual = docs.groupBy("grp").agg(sum(col("n_tokens")).as("__actual"))
+    val rates = actual
+      .join(weights.select(col(groupCol).as("grp"), col("weight")), Seq("grp"))
+      .withColumn("rate",
+        when(col("__actual") === 0, 1.0).otherwise(
+          least(lit(1.0), lit(tokenBudget.toDouble) * col("weight") / col("__actual"))))
+      .select("grp", "rate")
+    docs.join(broadcast(rates), Seq("grp"))
+      .filter(Sampling.hashScore(col("id"), salt) < col("rate"))
+      .select(col("id"), col("grp").as(groupCol), col("n_tokens"), col("rate"))
+  }
+
   /** Cluster-balanced diversity sampling: k-means the embedding corpus
     * ([[Clustering.kmeans]]), then keep ≈`perCluster` members of EACH
     * cluster — the downsampling that preserves the corpus's mode

@@ -762,6 +762,38 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(temp.values.map(_._2).sum - 1.0) < 1e-12)
   }
 
+  test("applyMixWeights: rates from budget×weight/actual, hash-membership, caps at 1") {
+    import graft.functions.PortableHash
+    import graft.pipeline.Sampling
+    // big: 4 docs × 4 tokens = 16; small: 1 doc × 2 tokens
+    val df = (0L until 4L).map(i => (i, "big", "w x y z")) :+ ((9L, "small", "q r"))
+    val docs = df.toDF("doc_id", "source", "text")
+    val w = Seq(("big", 0.5), ("small", 0.5)).toDF("source", "weight")
+    // budget 8: big target 4/16 → rate 0.25; small target 4/2 → capped 1.0
+    val out = Curation.applyMixWeights(docs, "doc_id", "source", w, tokenBudget = 8L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(3))).toMap
+    assert(out(9L)._2 === 1.0)               // capped group kept whole
+    val expectBig = (0L until 4L).filter { i =>
+      val score = math.floorMod(PortableHash.const60(s"mix:$i"), PortableHash.P).toDouble / PortableHash.P
+      score < 0.25
+    }.toSet
+    assert(out.keySet - 9L === expectBig)    // exact deterministic membership
+    out.collect { case (id, ("big", r)) => assert(r === 0.25, s"doc $id") }
+  }
+
+  test("applyMixWeights: unweighted groups drop; zero-token group keeps whole; repartition-proof") {
+    val docs = Seq((1L, "a", "t t t"), (2L, "b", "u u u"), (3L, "z", ""), (4L, "z", " "))
+      .toDF("doc_id", "source", "text")
+    val w = Seq(("a", 0.7), ("z", 0.3)).toDF("source", "weight")
+    val out = Curation.applyMixWeights(docs, "doc_id", "source", w, tokenBudget = 100L)
+      .collect().map(_.getLong(0)).toSet
+    assert(!out.contains(2L))                // source b absent from weights
+    assert(out.contains(3L) && out.contains(4L)) // zero-token group: rate 1, no div-by-0
+    val re = Curation.applyMixWeights(docs.repartition(7), "doc_id", "source", w, tokenBudget = 100L)
+      .collect().map(_.getLong(0)).toSet
+    assert(re === out)                       // partitioning-independent membership
+  }
+
   test("quantileBins: deciles of 1..100 land in bins 1..10, ties below the cutpoint") {
     val df = (1 to 100).map(i => ("g", i.toLong)).toDF("grp", "v")
     val bins = Curation.quantileBins(df, "grp", "v", k = 10, exact = true)
