@@ -788,6 +788,17 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // dedup — quality-priority retention: same minhash components as
+    // q_dup_clusters, but the survivor is the highest-n_chars doc
+    // (tie → lowest id), not the lowest-id canonical
+    "q_dedup_best" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Dedup.dedupKeepBest(docs, "doc_id", "n_chars",
+          Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, bands = 8,
+            rowsPerBand = 4, minSim = 0.5))
+        .orderBy("id")
+    }),
+
     // dedup — substring-level duplication: maximal spans of duplicated
     // 5-token windows (finds the boilerplate paragraph INSIDE otherwise
     // unique documents; windowed approximation of suffix-array dedup)
@@ -1973,6 +1984,30 @@ object SparkEntry {
                 coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          ORDER BY id""",
+
+    "q_dedup_best" ->
+      s"""WITH RECURSIVE $minhashSimsCtes,
+         p AS (SELECT id_a, id_b FROM sims WHERE sig_sim >= 0.5),
+         e AS (SELECT id_a AS a, id_b AS b FROM p
+               UNION ALL SELECT id_b AS a, id_a AS b FROM p),
+         reach(id, lbl) AS (
+           SELECT a, a FROM (SELECT DISTINCT a FROM e)
+           UNION
+           SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id),
+         comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+         allc AS (
+           SELECT d.doc_id AS id,
+                  coalesce(c.component, d.doc_id) AS component,
+                  CAST(d.n_chars AS DOUBLE) AS score
+           FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         ms AS (SELECT component, max(score) AS m FROM allc GROUP BY 1),
+         best AS (
+           SELECT a.component, min(a.id) AS best
+           FROM allc a JOIN ms ON a.component = ms.component AND a.score = ms.m
+           GROUP BY a.component)
+         SELECT a.id, a.component, a.id = b.best AS keep
+         FROM allc a JOIN best b ON a.component = b.component
+         ORDER BY a.id""",
 
     "q_simhash_pairs" -> {
       import graft.functions.PortableHash.sqlHash60

@@ -644,6 +644,40 @@ object Dedup {
     semanticDedup(df, idCol, vecCol, k, iters, tau, subPlanes, subProbes)
   }
 
+  /** Quality-priority near-dup retention: cluster the candidate `pairs`
+    * into connected components ([[Clustering.nearDupClustersFromPairs]])
+    * and keep, per component, the document with the HIGHEST `scoreCol`
+    * (tie → lowest id) — instead of the lowest-id canonical the plain
+    * cluster dedup keeps. This is the retention rule a curation pipeline
+    * actually wants: when a boilerplate family collapses to one survivor,
+    * survive the best-quality copy (longest, highest classifier score,
+    * freshest crawl), not an arbitrary one.
+    *
+    * Output: (id, component, keep) for EVERY input document — singletons
+    * are their own component and always kept, so downstream can either
+    * filter `keep` or audit the drop set.
+    *
+    * Scale shape: the component labeling is the usual iterative
+    * join+agg; the winner election is one hash aggregation per component
+    * (`max(struct(score, -id))` — a single reduction, never a per-
+    * component sort window that would serialize a corpus-sized
+    * boilerplate family through one task) plus one equi-join back on the
+    * component key.
+    */
+  def dedupKeepBest(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    val scored = Clustering.nearDupClustersFromPairs(df, idCol, pairs)
+      .join(df.select(col(idCol).as("id"), col(scoreCol).cast("double").as("__score")), Seq("id"))
+    val best = scored.groupBy("component")
+      .agg(max(struct(col("__score").as("s"), (-col("id")).as("nid"))).as("__m"))
+      .select(col("component"), (-col("__m.nid")).as("__best"))
+    scored.join(best, Seq("component"))
+      .select(col("id"), col("component"), (col("id") === col("__best")).as("keep"))
+  }
+
   /** SimHash near-dup pairs, blocked by 15-bit sub-bands (4 bands): docs
     * within Hamming distance 3 must share at least one of 4 bands —
     * standard pigeonhole blocking, shuffle on short band keys only.

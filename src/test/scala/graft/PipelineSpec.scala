@@ -22,6 +22,21 @@ class DedupSpec extends SparkSpec {
     assert(drop.map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("dedupKeepBest: best score survives per component, tie breaks to lowest id") {
+    val d = Seq(
+      (0L, 10.0), (1L, 30.0), (2L, 30.0),  // component {0,1,2}: 1 wins (tie 1 vs 2 → min id)
+      (3L, 5.0), (4L, 1.0),                // component {3,4}: 3 wins
+      (9L, 0.0))                           // singleton: always kept
+      .toDF("doc_id", "score")
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupKeepBest(d, "doc_id", "score", pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size === 6)                       // every doc present
+    assert(out.filter(_._2._2).keySet === Set(1L, 3L, 9L))
+    assert(out(2L)._1 === out(1L)._1 && out(0L)._1 === out(1L)._1) // one component
+    assert(out(9L) === ((9L, true)))             // singleton is its own component
+  }
+
   test("crossCorpusDedup: drops docs seen in the standing corpus, self-dedups the batch") {
     val seen = Seq((100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
