@@ -997,6 +997,17 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // clustering — per-cluster quality diagnostics (size share = balance,
+    // inertia = Lloyd's objective, mean/max squared distance = compactness)
+    "q_kmeans_inertia" -> ((s, d) => {
+      Clustering.clusterMetrics(
+          Clustering.kmeans(table(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2))
+        .select(col("cluster"), col("n_points"), round(col("share"), 6).as("share"),
+          round(col("inertia"), 6).as("inertia"),
+          round(col("mean_sqdist"), 6).as("mean_sqdist"), col("max_sqdist"))
+        .orderBy("cluster")
+    }),
+
     // similarity — trained-IVF ANN on the int8-quantized column: the
     // codebook, cells, probes, and cosine all run in the quantized space
     "q_ivf_int8" -> ((s, d) => {
@@ -2411,6 +2422,22 @@ object SparkEntry {
          WHERE rank <= 10 ORDER BY doc_id""",
 
     "q_kmeans" -> kmeansOracleSql(k = 8, iters = 2, dim = 64),
+
+    "q_kmeans_inertia" ->
+      s"""WITH ${kmeansCtes(8, 2, 64)},
+         ${kmeansAssign("af", "c2", 64)},
+         g AS (
+           SELECT cl AS cluster, count(*) AS n_points,
+                  sum(round(dist, 6)) AS inertia,
+                  avg(round(dist, 6)) AS mean_sqdist,
+                  max(round(dist, 6)) AS max_sqdist
+           FROM af GROUP BY 1)
+         SELECT cluster, n_points,
+                round(CAST(n_points AS DOUBLE) / sum(n_points) OVER (), 6) AS share,
+                round(inertia, 6) AS inertia,
+                round(mean_sqdist, 6) AS mean_sqdist,
+                max_sqdist
+         FROM g ORDER BY cluster""",
 
     "q_lsh_int8" -> {
       import graft.functions.PortableHash.planeInts

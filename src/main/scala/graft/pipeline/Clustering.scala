@@ -198,6 +198,30 @@ object Clustering {
       .select("id", "cluster", "dist")
   }
 
+  /** Clustering-quality diagnostics over a (id, cluster, dist) assignment
+    * frame ([[kmeans]] output, where `dist` is the SQUARED distance to
+    * the assigned centroid): per cluster, the member count, its share of
+    * all points (the balance diagnostic — a dominant share means the
+    * clustering degenerated and diversity sampling downstream would be
+    * fake), the inertia contribution (sum of squared distances — the
+    * quantity Lloyd's descends; compare across k/iters to pick a
+    * codebook), and mean/max squared distance (compactness / outlier
+    * reach). One hash aggregation of k rows plus a broadcast of the
+    * 1-row total — no window, no second corpus pass. Empty clusters do
+    * not appear (no assignment rows), matching the SQL twin.
+    */
+  def clusterMetrics(assigned: DataFrame): DataFrame = {
+    val perCluster = assigned.groupBy("cluster").agg(
+      count(lit(1)).as("n_points"),
+      sum(col("dist")).as("inertia"),
+      avg(col("dist")).as("mean_sqdist"),
+      max(col("dist")).as("max_sqdist"))
+    val total = perCluster.agg(sum(col("n_points")).as("__tot"))
+    perCluster.crossJoin(broadcast(total))
+      .withColumn("share", col("n_points").cast("double") / col("__tot"))
+      .select("cluster", "n_points", "share", "inertia", "mean_sqdist", "max_sqdist")
+  }
+
   /** End-to-end near-dup canonicalization: MinHash-LSH candidate pairs
     * ([[Dedup.minhashLshPairs]]) → connected components → every document
     * assigned a cluster id (its own id when it has no near-dup). Output:

@@ -660,6 +660,19 @@ class ClusteringSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusterMetrics: sizes, shares, and inertia from an assignment frame") {
+    val a = Seq((1L, 0L, 1.0), (2L, 0L, 3.0), (3L, 1L, 2.0), (4L, 1L, 0.0))
+      .toDF("id", "cluster", "dist")
+    val m = Clustering.clusterMetrics(a).collect().map(r => r.getLong(0) -> r).toMap
+    assert(m.keySet === Set(0L, 1L))        // empty clusters never appear
+    assert(m(0L).getAs[Long]("n_points") === 2L)
+    assert(m(0L).getAs[Double]("inertia") === 4.0)
+    assert(m(0L).getAs[Double]("mean_sqdist") === 2.0)
+    assert(m(0L).getAs[Double]("max_sqdist") === 3.0)
+    assert(m(0L).getAs[Double]("share") === 0.5)
+    assert(m.values.map(_.getAs[Double]("share")).sum === 1.0)
+  }
+
   test("connectedComponents is partitioning-independent and respects maxIter") {
     val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b") // one path, diameter 7
     val a = Clustering.connectedComponents(pairs).as[(Long, Long)].collect().toMap
