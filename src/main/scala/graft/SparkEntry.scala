@@ -583,6 +583,16 @@ object SparkEntry {
         .orderBy("content_hash")
     }),
 
+    // dedup — normalization-robust exact groups: hash the canonical form
+    // (lowercase, punctuation/whitespace collapsed) so near-exact dups
+    // that raw-byte hashing misses land in one group
+    "q_dedup_norm" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .withColumn("__ctext", TextAnalysis.canonicalize(col("text")))
+      Dedup.exactGroups(docs, "doc_id", "__ctext")
+        .orderBy("content_hash")
+    }),
+
     // dedup — exact-dup drop list (non-canonical rows)
     "q_dedup_drop" -> ((s, d) => {
       Dedup.exactDropList(table(s, d, "documents"), "doc_id", "text")
@@ -1706,6 +1716,11 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q_dedup_norm" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_hash,
+                min(doc_id) AS keep_id, count(*) AS n_docs
          FROM documents GROUP BY 1 ORDER BY 1""",
 
     "q_dedup_drop" ->

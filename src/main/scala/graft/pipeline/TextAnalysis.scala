@@ -17,6 +17,20 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Canonical text form for normalization-robust exact dedup: lowercase,
+    * every non-alphanumeric run collapsed to one space, ends trimmed.
+    * Two documents differing only in case, punctuation, or whitespace
+    * layout (re-wrapped lines, smart quotes swapped for ASCII, trailing
+    * formatting) canonicalize identically, so hashing THIS instead of the
+    * raw text catches the near-exact duplicate tier that raw-byte md5
+    * misses and fuzzy MinHash is overkill for. Pure codegen'd projection
+    * (lower + one RE2-safe regex + trim) — composes with any scan at full
+    * whole-stage-codegen speed; ASCII classes keep Spark (Java regex) and
+    * RE2 engines byte-identical.
+    */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
   /** Tiny per-language stopword lists for n-gram-heuristic language ID.
     * Chosen to be discriminative across the fixture's five languages.
     */

@@ -22,6 +22,20 @@ class DedupSpec extends SparkSpec {
     assert(drop.map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("canonicalize: case/punct/whitespace variants collapse, distinct content survives") {
+    val d = Seq(
+      (0L, "Hello, World!"), (1L, "hello   world"), (2L, "HELLO-WORLD."),
+      (3L, "hello worlds"))
+      .toDF("doc_id", "text")
+      .withColumn("ctext", graft.pipeline.TextAnalysis.canonicalize(col("text")))
+    val forms = d.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(forms(0L) === "hello world" && forms(1L) === forms(0L) && forms(2L) === forms(0L))
+    assert(forms(3L) === "hello worlds") // real content difference preserved
+    val groups = Dedup.exactGroups(d, "doc_id", "ctext").collect()
+    assert(groups.length === 2)
+    assert(groups.find(_.getAs[Long]("n_docs") === 3L).get.getAs[Long]("keep_id") === 0L)
+  }
+
   test("dedupKeepBest: best score survives per component, tie breaks to lowest id") {
     val d = Seq(
       (0L, 10.0), (1L, 30.0), (2L, 30.0),  // component {0,1,2}: 1 wins (tie 1 vs 2 → min id)
