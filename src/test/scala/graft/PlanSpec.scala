@@ -78,6 +78,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"))
   }
 
+  // applyMixWeights' scale contract: the (group, rate) rows broadcast
+  // back onto the corpus scan — the corpus itself never shuffles for the
+  // membership filter, and no window touches the plan.
+  test("q_mix_apply: rates broadcast onto the scan, no corpus shuffle for membership") {
+    val p = plan("q_mix_apply")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("Window"), "mix application must not use a window")
+  }
+
+  // gopherLineStats: explode + two hash aggregations, no window/join —
+  // the shuffle is bounded by the scan.
+  test("q_gopher_lines: explode + aggregations only, no window or join") {
+    val p = plan("q_gopher_lines")
+    assert(p.contains("Generate"), p.take(600)) // the explode
+    assert(!p.contains("Window") && !p.contains("Join"))
+  }
+
+  // dedupKeepBest winner election: aggregation + equi-join per component,
+  // never a per-component sort window (a corpus-sized boilerplate family
+  // would serialize through one task).
+  test("q_dedup_best: winner election via aggregation, no sort window") {
+    val p = plan("q_dedup_best")
+    assert(!p.contains("Window"), "winner election must not use a window\n" + p.take(600))
+  }
+
   // The 100 TB scale contract of sync pagination: a pull page must never
   // draw the whole updates listing through one task — no partition-less
   // window (the pre-round-7 row_number shape), just a distributed top-K.
