@@ -973,6 +973,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // curation — epoch-aware mixture: under-budget sources repeat
+    // (floor(rate) copies + fractional hash extra), oversized sources
+    // downsample exactly like q_mix_apply
+    "q_mix_epochs" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val w = Curation.mixWeights(docs, "source", "text", alpha = 0.5)
+      Curation.mixEpochs(docs, "doc_id", "source", w,
+          tokenBudget = 60000L, "text", salt = "mix")
+        .select(col("id").as("doc_id"), col("source"), col("n_tokens"),
+          round(col("rate"), 6).as("rate"), col("copies"))
+        .orderBy("doc_id")
+    }),
+
     // curation — unigram-LM self-perplexity (statistical quality score;
     // vocabulary joined, never assumed broadcast-able)
     "q_perplexity" -> ((s, d) => {
@@ -2403,6 +2416,36 @@ object SparkEntry {
          FROM documents d JOIN rates USING (source)
          WHERE $score < rates.rate
          ORDER BY d.doc_id"""
+    },
+
+    "q_mix_epochs" -> {
+      val score = Sampling.sqlHashScore("doc_id", "mix")
+      s"""WITH g AS (
+           SELECT source,
+                  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS n_tokens,
+                  count(*) AS n_docs
+           FROM documents GROUP BY source),
+         s AS (
+           SELECT source, n_tokens,
+                  CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share
+           FROM g),
+         r AS (SELECT *, pow(share, 0.5) AS raw FROM s),
+         w AS (SELECT source, n_tokens AS actual, raw / sum(raw) OVER () AS weight FROM r),
+         rates AS (
+           SELECT source,
+                  CASE WHEN actual = 0 THEN 1.0
+                       ELSE 60000.0 * weight / actual END AS rate
+           FROM w),
+         c AS (
+           SELECT d.doc_id, d.source,
+                  CAST(len(regexp_extract_all(d.text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+                  rates.rate,
+                  CAST(floor(rates.rate) AS BIGINT) +
+                    CASE WHEN $score < rates.rate - floor(rates.rate) THEN 1 ELSE 0 END AS copies
+           FROM documents d JOIN rates USING (source))
+         SELECT doc_id, source, n_tokens, round(rate, 6) AS rate, copies
+         FROM c WHERE copies >= 1
+         ORDER BY doc_id"""
     },
 
     "q_perplexity" ->

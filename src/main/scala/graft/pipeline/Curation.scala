@@ -215,6 +215,55 @@ object Curation {
       .select(col("id"), col("grp").as(groupCol), col("n_tokens"), col("rate"))
   }
 
+  /** Epoch-aware mixture application — the upsampling generalization of
+    * [[applyMixWeights]]. Where that operator caps the per-group keep
+    * rate at 1 (downsample-only), here a group whose token target
+    * EXCEEDS its actual mass repeats its documents: every doc gets
+    * `floor(rate)` whole copies plus one more with probability
+    * `rate - floor(rate)`, decided by the same portable per-doc hash
+    * score — so expected group tokens = `tokenBudget × weight` exactly,
+    * membership/multiplicity is deterministic and repartition-proof, and
+    * for rates < 1 the kept set is IDENTICAL to [[applyMixWeights]]
+    * (floor 0 + fractional membership). This is the standard "epochs per
+    * source" schedule of mixture training (small high-weight sources see
+    * multiple epochs while the head is subsampled).
+    *
+    * Output: one row per SURVIVING doc with its `copies` count (≥ 1) —
+    * the materialized repeat is left to the consumer (explode by
+    * `sequence(1, copies)` into packing, or feed `copies` to a loader's
+    * repeat schedule) so the engine never shuffles duplicated bodies.
+    * Zero-token groups keep one copy of each doc; unweighted groups
+    * drop, as in [[applyMixWeights]]. Same plan shape too: one per-group
+    * aggregation, then the (group, rate) rows broadcast onto the scan.
+    */
+  def mixEpochs(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      weights: DataFrame,
+      tokenBudget: Long,
+      textCol: String = "text",
+      salt: String = "mix"): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be > 0, got $tokenBudget")
+    val docs = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val actual = docs.groupBy("grp").agg(sum(col("n_tokens")).as("__actual"))
+    val rates = actual
+      .join(weights.select(col(groupCol).as("grp"), col("weight")), Seq("grp"))
+      .withColumn("rate",
+        when(col("__actual") === 0, 1.0).otherwise(
+          lit(tokenBudget.toDouble) * col("weight") / col("__actual")))
+      .select("grp", "rate")
+    docs.join(broadcast(rates), Seq("grp"))
+      .withColumn("copies",
+        floor(col("rate")) +
+          when(Sampling.hashScore(col("id"), salt) < (col("rate") - floor(col("rate"))), 1L)
+            .otherwise(0L))
+      .filter(col("copies") >= 1)
+      .select(col("id"), col("grp").as(groupCol), col("n_tokens"),
+        col("rate"), col("copies"))
+  }
+
   /** Cluster-balanced diversity sampling: k-means the embedding corpus
     * ([[Clustering.kmeans]]), then keep ≈`perCluster` members of EACH
     * cluster — the downsampling that preserves the corpus's mode

@@ -836,6 +836,28 @@ class CurationSpec extends SparkSpec {
     assert(re === out)                       // partitioning-independent membership
   }
 
+  test("mixEpochs: under-budget groups repeat, downsampled groups match applyMixWeights") {
+    import graft.functions.PortableHash
+    // big: 4 docs × 4 tokens = 16; small: 1 doc × 2 tokens
+    val df = (0L until 4L).map(i => (i, "big", "w x y z")) :+ ((9L, "small", "q r"))
+    val docs = df.toDF("doc_id", "source", "text")
+    val w = Seq(("big", 0.5), ("small", 0.5)).toDF("source", "weight")
+    // budget 9: big rate 4.5/16 = 0.28125 (downsample); small rate 4.5/2 = 2.25
+    val out = Curation.mixEpochs(docs, "doc_id", "source", w, tokenBudget = 9L)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    def score(i: Long): Double =
+      math.floorMod(PortableHash.const60(s"mix:$i"), PortableHash.P).toDouble / PortableHash.P
+    val expSmall = 2L + (if (score(9L) < 0.25) 1L else 0L)
+    assert(out(9L) === expSmall)             // floor(2.25) + fractional-hash extra
+    val expBig = (0L until 4L).filter(score(_) < 0.28125).toSet
+    assert(out.keySet - 9L === expBig)       // rate<1 reduces to membership...
+    expBig.foreach(i => assert(out(i) === 1L)) // ...with exactly one copy
+    // same corpus through applyMixWeights at the same rate keeps the same set
+    val amw = Curation.applyMixWeights(docs, "doc_id", "source", w, tokenBudget = 9L)
+      .collect().map(_.getLong(0)).toSet
+    assert(amw.filter(_ != 9L) === expBig)
+  }
+
   test("quantileBins: deciles of 1..100 land in bins 1..10, ties below the cutpoint") {
     val df = (1 to 100).map(i => ("g", i.toLong)).toDF("grp", "v")
     val bins = Curation.quantileBins(df, "grp", "v", k = 10, exact = true)
