@@ -37,17 +37,41 @@ object SparkEntry {
 
   private def ntz(c: Column): Column = c.cast("timestamp_ntz")
 
-  /** The events fixture stores TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects outright; read nanos as raw longs
-    * (legacy.parquet.nanosAsLong) and floor-convert to µs TIMESTAMP_NTZ —
-    * exactly what DuckDB's scanner does, so both engines see identical
-    * microsecond values.
+  /** Schema-adaptive events reader. The fixture's `ts` physical type has
+    * drifted across driver generations: TIMESTAMP(NANOS) (which Spark's
+    * parquet reader rejects unless `legacy.parquet.nanosAsLong` is set, and
+    * then surfaces as LongType) vs plain timestamp[us]. A NANOS file fails
+    * at schema load without the conf, so we set it BEFORE the read, branch
+    * on the dataType that actually loaded, and restore the previous value
+    * (the conf only changes how NANOS columns surface — a µs file reads as
+    * TimestampType either way).
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    val raw =
+      try { spark.conf.set(key, "true"); table(spark, dir, "events") }
+      catch { case e: Throwable => restoreConf(spark, key, prev); throw e }
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // TIMESTAMP(NANOS) read as raw nanos: floor-convert to µs — exactly
+        // what DuckDB's scanner does, so both engines see identical values.
+        // The conf stays set: the scan re-reads it at execution time, and
+        // unsetting it here would fail the deferred parquet read.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        // Plain timestamp[us]: no legacy handling needed — restore the conf
+        // so the session-wide side effect doesn't leak to other reads.
+        restoreConf(spark, key, prev)
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
+
+  private def restoreConf(spark: SparkSession, key: String, prev: Option[String]): Unit =
+    prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
 
   private def lineitem(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem").withColumn("l_shipdate", ntz(col("l_shipdate")))

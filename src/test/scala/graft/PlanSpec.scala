@@ -20,6 +20,11 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_scan_filter")
     assert(p.contains("PushedFilters"), p.take(500))
     assert(p.contains("EqualTo(user_id,7)"))
+    // With events read natively (no expression wrapping ts), the time-range
+    // predicates must push to the scan too — this was lost under the round-1
+    // nanos workaround and must not silently regress (VERDICT r9 item 2).
+    assert(p.contains("GreaterThanOrEqual(ts,") && p.contains("LessThan(ts,"),
+      s"ts range predicates not pushed to parquet scan:\n${p.take(1200)}")
   }
 
   test("q_revenue_join: all dimension joins broadcast, none sort-merge") {

@@ -16,6 +16,45 @@ import os
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# Fixture-drift guard (VERDICT r9 item 3): the round-9 driver regenerated
+# events.parquet from TIMESTAMP(NANOS) to timestamp[us] between the builder's
+# certification and the official run, silently breaking 38 queries. Assert the
+# schema of every column the engine branches on, and fail LOUDLY on anything
+# new so drift is a one-line diagnostic instead of 38 opaque analysis errors.
+EXPECTED = {
+    "events": {"ts": {"timestamp[us]", "timestamp[ns]", "int64"}},
+    "lineitem": {"l_shipdate": {"date32[day]", "timestamp[us]"}},
+    "orders": {"o_orderdate": {"date32[day]", "timestamp[us]"}},
+    "documents": {"text": {"string", "large_string"}},
+    "embeddings": {"embedding": {"list<element: float>", "list<item: float>",
+                                 "list<element: double>", "list<item: double>"}},
+}
+
+
+def check_fixture_schemas(sf_dir):
+    import pyarrow.parquet as pq
+    problems = []
+    for table, cols in EXPECTED.items():
+        p = f"{sf_dir}/{table}.parquet"
+        if not os.path.exists(p):
+            continue
+        schema = pq.read_schema(p)
+        for col, allowed in cols.items():
+            if col not in schema.names:
+                problems.append(f"{table}.{col}: column missing (schema: {schema.names})")
+                continue
+            actual = str(schema.field(col).type)
+            if actual not in allowed:
+                problems.append(
+                    f"{table}.{col} is {actual}, expected one of {sorted(allowed)} — "
+                    f"fixture schema drifted; update SparkEntry readers + this guard")
+    if problems:
+        print("FIXTURE SCHEMA DRIFT DETECTED:")
+        for p in problems:
+            print(f"  {p}")
+        sys.exit(2)
+    print(f"[fixtures] {sf_dir}: schemas OK")
+
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -36,6 +75,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(sf_dir, out_dir):
+    check_fixture_schemas(sf_dir)
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
