@@ -353,10 +353,12 @@ object SparkEntry {
     }),
 
     // stats — exponential smoothing level per series (Series.ewm analog):
-    // the same sequential fold runs as aggregate() here and list_reduce
-    // in the oracle — identical order, constants, doubles
+    // scale-safe segmented fold (per-segment affine pairs composed in ts
+    // order — no whole-series buffer); the oracle runs the collected
+    // sequential fold (list_reduce), mathematically identical, and the
+    // 6-dp round absorbs float reassociation
     "q_ewma" -> ((s, d) => {
-      Stats.ewmaLevel(events(s, d).filter(col("user_id") < 40), Seq("user_id"), alpha = 0.3)
+      Stats.ewmaLevelSegmented(events(s, d).filter(col("user_id") < 40), Seq("user_id"), alpha = 0.3)
         .select(col("user_id"), col("n"), round(col("ewma"), 6).as("ewma"))
         .orderBy("user_id")
     }),

@@ -39,6 +39,61 @@ object Stats {
           (acc, x) => acc * (1 - alpha) + x * alpha).as("ewma")): _*)
   }
 
+  /** Scale-safe `ewmaLevel`: identical semantics, but no whole series ever
+    * sits in one aggregation buffer. Each EWMA step is the affine map
+    * s → (1−α)·s + α·x, and affine maps compose associatively:
+    * (A₂,B₂)∘(A₁,B₁) = (A₁A₂, A₂B₁+B₂). So a ts-bucket segment of m points
+    * folds — independently, in parallel — to the pair
+    * A = (1−α)^m, B = Σᵢ α·xᵢ·(1−α)^(m−i), and the final level is the
+    * in-order composition of the per-segment pairs applied to the series'
+    * first value (the s₀ = x₀ init falls out: A·x₀ + B with the fold-from-0
+    * B telescopes to exactly the recursion — see StatsSpec's law test).
+    * Memory per task is one SEGMENT (bounded by `segmentSeconds`), and the
+    * per-key composition array is #segments structs — metadata-sized. Two
+    * shuffles instead of one; the price of never materializing a series.
+    * Output: (keys..., n, ewma) — same contract as `ewmaLevel`, which
+    * stays as the DuckDB-portable oracle twin.
+    */
+  def ewmaLevelSegmented(
+      df: DataFrame,
+      keys: Seq[String],
+      alpha: Double,
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      segmentSeconds: Long = 7L * 86400L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(segmentSeconds > 0, s"segmentSeconds must be positive, got $segmentSeconds")
+    val segUs = segmentSeconds * 1000000L
+    // within-segment: sort (ts, value-tiebreak) like ewmaLevel, then fold
+    val pts = sort_array(collect_list(struct(col(tsCol), col(valueCol).cast("double").as(valueCol))))
+    val vs = col("__pts").getField(valueCol)
+    val perSeg = df
+      .withColumn("__seg", floor(unix_micros(col(tsCol).cast("timestamp")) / segUs))
+      .groupBy((keys.map(col) :+ col("__seg")): _*)
+      .agg(pts.as("__pts"))
+      .select((keys.map(col) :+ col("__seg") :+
+        size(col("__pts")).cast("long").as("__m") :+
+        element_at(vs, 1).as("__first") :+
+        pow(lit(1 - alpha), size(col("__pts"))).as("__A") :+
+        aggregate(vs, lit(0.0), (acc, x) => acc * (1 - alpha) + x * alpha).as("__B")): _*)
+    // per key: compose the (A,B) pairs in segment (= ts) order; the array
+    // is #segments long, not #points
+    val segs = sort_array(collect_list(struct(
+      col("__seg"), col("__A"), col("__B"), col("__first"), col("__m"))))
+    val composed = aggregate(
+      col("__segs"),
+      struct(lit(1.0).as("A"), lit(0.0).as("B")),
+      (acc, s) => struct(
+        (acc.getField("A") * s.getField("__A")).as("A"),
+        (acc.getField("B") * s.getField("__A") + s.getField("__B")).as("B")))
+    perSeg.groupBy(keys.map(col): _*)
+      .agg(segs.as("__segs"))
+      .select((keys.map(col) :+
+        aggregate(col("__segs"), lit(0L), (acc, s) => acc + s.getField("__m")).as("n") :+
+        (composed.getField("A") * element_at(col("__segs"), 1).getField("__first") +
+          composed.getField("B")).as("ewma")): _*)
+  }
+
   /** Winsorized clipping per series — `Series.clip(s.quantile(pLo),
     * s.quantile(pHi))`: the outlier-robust normalization step before any
     * scale-sensitive downstream op. Exact linear-interpolated percentiles

@@ -37,6 +37,37 @@ class StatsSpec extends SparkSpec {
     assert(a === ref)
   }
 
+  test("ewmaLevelSegmented == ewmaLevel (affine-composition law, multi-segment)") {
+    val rnd = new scala.util.Random(7L)
+    // 30 days of hourly points across 2 keys → 5 segments at 7-day buckets
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    val df = (for (k <- Seq("a", "b"); i <- 0 until 720)
+      yield (k, t0.plusHours(i.toLong), rnd.nextDouble() * 100)).toDF("key", "ts", "value")
+    for (alpha <- Seq(0.05, 0.3, 1.0)) {
+      val ref = Stats.ewmaLevel(df, Seq("key"), alpha).collect()
+        .map(r => r.getAs[String]("key") -> (r.getAs[Long]("n"), r.getAs[Double]("ewma"))).toMap
+      val seg = Stats.ewmaLevelSegmented(df, Seq("key"), alpha).collect()
+        .map(r => r.getAs[String]("key") -> (r.getAs[Long]("n"), r.getAs[Double]("ewma"))).toMap
+      assert(seg.keySet === ref.keySet)
+      for ((k, (n, e)) <- ref) {
+        assert(seg(k)._1 === n)
+        assert(math.abs(seg(k)._2 - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+          s"alpha=$alpha key=$k: segmented ${seg(k)._2} != collected $e")
+      }
+    }
+    // degenerate shapes: single point, single segment, segment of size 1
+    val tiny = series(Seq(42.5))
+    assert(Stats.ewmaLevelSegmented(tiny, Seq("key"), 0.3).head().getAs[Double]("ewma") === 42.5)
+    val oneSeg = series(Seq(10.0, 20.0, 0.0))
+    assert(math.abs(Stats.ewmaLevelSegmented(oneSeg, Seq("key"), 0.3).head()
+      .getAs[Double]("ewma") - 9.1) < 1e-12)
+    // hourly points with 1-hour segments: every segment has exactly 1 point
+    val perPoint = Stats.ewmaLevelSegmented(series(Seq(10.0, 20.0, 0.0)), Seq("key"), 0.3,
+      segmentSeconds = 3600L).head()
+    assert(math.abs(perPoint.getAs[Double]("ewma") - 9.1) < 1e-12)
+    assert(perPoint.getAs[Long]("n") === 3L)
+  }
+
   test("winsorize clamps to the exact interpolated percentiles") {
     // values 1..10: p10 = 1.9, p90 = 9.1 (linear interpolation)
     val df = series((1 to 10).map(_.toDouble))
