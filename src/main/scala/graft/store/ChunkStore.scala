@@ -50,12 +50,19 @@ class ChunkStore(
     case YearMonthAxis => Grid.chunkIndexMonthly(ts, config.tz)
   }
 
-  /** Full long-form schema, keys first. */
+  /** Full long-form schema, keys first. `dtype` records the source value
+    * type of the write (Spark simpleString, e.g. "bigint") so reads can
+    * restore it — the reference stores dtype per chunk row and casts back
+    * on read (chunk_timeserie_store.py:187,776; int round-trip in
+    * tests/tests_basics.py:29). Pre-dtype store files read it as null
+    * (= double, the historical behavior).
+    */
   def schema: StructType = StructType(
     keySchema.fields.toSeq ++ Seq(
       StructField("chunk_index", IntegerType),
       StructField("ts", TimestampNTZType),
       StructField("value", DoubleType),
+      StructField("dtype", StringType),
       StructField("is_deleted", BooleanType, nullable = false),
       StructField("updated_at", TimestampNTZType)))
 
@@ -102,9 +109,13 @@ class ChunkStore(
     * empty or all-null — such writes are skipped (":720-722").
     */
   private def normalize(series: DataFrame): Option[DataFrame] = {
+    // remember the source value type BEFORE the double coercion, so reads
+    // can cast back (reference dtype round-trip)
+    val srcDtype = series.schema("value").dataType.simpleString
     val s = series
       .select(col("ts").cast(TimestampNTZType).as("ts"), col("value").cast(DoubleType).as("value"))
       .filter(col("value").isNotNull && !isnan(col("value")) && col("ts").isNotNull)
+      .withColumn("dtype", lit(srcDtype))
     if (s.isEmpty) None else Some(s)
   }
 
@@ -131,10 +142,11 @@ class ChunkStore(
     normalize(series) match {
       case None => false
       case Some(s) =>
+        val srcDtype = series.schema("value").dataType.simpleString
         val withKeys = attachAttrs(s, attrs)
         if (!update && !replace && exists(attrs))
           throw new IllegalStateException(s"series already exists for $attrs (IntegrityError parity)")
-        if (update) upsertChunks(attrs, withKeys, now)
+        if (update) upsertChunks(attrs, withKeys, srcDtype, now)
         else if (replace) replaceChunks(attrs, withKeys, now)
         else appendRows(finishRows(withKeys, now))
         true
@@ -152,6 +164,7 @@ class ChunkStore(
     if (config.syncEnabled)
       throw new IllegalStateException("set_many_ts is forbidden on a sync-enabled store")
     val s = many
+      .withColumn("dtype", lit(many.schema("value").dataType.simpleString))
       .withColumn("ts", col("ts").cast(TimestampNTZType))
       .withColumn("value", col("value").cast(DoubleType))
       .filter(col("value").isNotNull && !isnan(col("value")) && col("ts").isNotNull)
@@ -173,7 +186,9 @@ class ChunkStore(
   def upsertManyTs(
       rows: DataFrame,
       now: java.time.LocalDateTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)): Unit = {
+    val srcDtype = rows.schema("value").dataType.simpleString
     val s = rows
+      .withColumn("dtype", lit(srcDtype))
       .withColumn("ts", col("ts").cast(TimestampNTZType))
       .withColumn("value", col("value").cast(DoubleType))
       .filter(col("value").isNotNull && !isnan(col("value")) && col("ts").isNotNull)
@@ -189,7 +204,8 @@ class ChunkStore(
       Seq(newRows.select((keys.map(col) :+ col("ts") :+ col("value")): _*),
           mine.select((keys.map(col) :+ col("ts") :+ col("value")): _*)),
       keys)
-    overwritePartitions(others.unionByName(finishRows(merged, now)), affected)
+    overwritePartitions(
+      others.unionByName(finishRows(merged.withColumn("dtype", lit(srcDtype)), now)), affected)
   }
 
   /** Read one series (reference `get_ts`,
@@ -197,6 +213,14 @@ class ChunkStore(
     * excluded, chunk-range pruning from the requested interval, inclusive
     * time slice, leading/trailing-null trim. Returns the long-form
     * (ts, value) frame ordered by ts.
+    *
+    * The stored `dtype` is restored on egress (reference
+    * chunk_timeserie_store.py:776: blob values are cast back to the chunk
+    * row's recorded dtype) — an int series round-trips as ints. The dtype
+    * probe is one distinct over the PRUNED series rows (a single series,
+    * chunk-pruned — metadata-sized); chunks written with different dtypes
+    * (or pre-dtype files, read as null) fall back to double, since one
+    * frame has one value type.
     */
   def getTs(
       attrs: Map[String, Any],
@@ -206,7 +230,12 @@ class ChunkStore(
     var df = load().filter(attrFilter(attrs) && !col("is_deleted") && col("ts").isNotNull)
     start.foreach(z => df = df.filter(col("chunk_index") >= chunkOf(z) && col("ts") >= lit(toNtz(z))))
     end.foreach(z => df = df.filter(col("chunk_index") <= chunkOf(z) && col("ts") <= lit(toNtz(z))))
-    df.select(col("ts"), col("value")).orderBy("ts")
+    val out = df.select(col("ts"), col("value")).orderBy("ts")
+    val dts = df.select("dtype").na.drop().distinct().limit(2)
+      .collect().map(_.getString(0))
+    if (dts.length == 1 && dts(0) != "double")
+      out.withColumn("value", col("value").cast(dts(0)))
+    else out
   }
 
   /** Streaming grouped read (reference `yield_many_ts`,
@@ -373,6 +402,7 @@ class ChunkStore(
           .select((keys.map(col) :+ col("chunk_index")): _*).distinct()
           .withColumn("ts", lit(null).cast(TimestampNTZType))
           .withColumn("value", lit(null).cast(DoubleType))
+          .withColumn("dtype", lit(null).cast(StringType))
           .withColumn("is_deleted", lit(true))
           .withColumn("updated_at", lit(now))
         kept.unionByName(tombs.select(schema.fieldNames.map(col): _*))
@@ -385,12 +415,17 @@ class ChunkStore(
   private def attachAttrs(s: DataFrame, attrs: Map[String, Any]): DataFrame =
     keys.foldLeft(s)((d, k) => d.withColumn(k, lit(attrs(k)).cast(keySchema(k).dataType)))
 
-  /** Add chunk_index / is_deleted / updated_at and order columns. */
-  private def finishRows(s: DataFrame, now: java.time.LocalDateTime): DataFrame =
-    s.withColumn("chunk_index", chunkIndexCol(col("ts")))
+  /** Add chunk_index / is_deleted / updated_at and order columns. Frames
+    * without a dtype column (internal rebuilds of already-double rows)
+    * default to "double".
+    */
+  private def finishRows(s: DataFrame, now: java.time.LocalDateTime): DataFrame = {
+    val withD = if (s.columns.contains("dtype")) s else s.withColumn("dtype", lit("double"))
+    withD.withColumn("chunk_index", chunkIndexCol(col("ts")))
       .withColumn("is_deleted", lit(false))
       .withColumn("updated_at", lit(now))
       .select(schema.fieldNames.map(col): _*)
+  }
 
   private def appendRows(rows: DataFrame): Unit =
     rows
@@ -403,7 +438,7 @@ class ChunkStore(
     * (reference `_update_chunk_with_existing`,
     * chunk_timeserie_store.py:782-813 — txn → staged overwrite).
     */
-  private def upsertChunks(attrs: Map[String, Any], withKeys: DataFrame, now: java.time.LocalDateTime): Unit = {
+  private def upsertChunks(attrs: Map[String, Any], withKeys: DataFrame, dtype: String, now: java.time.LocalDateTime): Unit = {
     val newRows  = finishRows(withKeys, now)
     val affected = newRows.select("chunk_index").distinct().collect().map(_.getInt(0)).toSeq
     val cur      = load().filter(col("chunk_index").isin(affected: _*))
@@ -412,7 +447,9 @@ class ChunkStore(
         Seq(newRows.select((keys.map(col) :+ col("ts") :+ col("value")): _*),
             mine.select((keys.map(col) :+ col("ts") :+ col("value")): _*)),
         keys)
-    val mergedRows = finishRows(merged, now)
+    // the new write's dtype wins for the merged chunks (reference updates
+    // the chunk row's dtype on upsert)
+    val mergedRows = finishRows(merged.withColumn("dtype", lit(dtype)), now)
     val others     = cur.filter(!attrFilter(attrs))
     overwritePartitions(others.unionByName(mergedRows), affected)
   }
@@ -434,6 +471,7 @@ class ChunkStore(
       .select((keys.map(col) :+ col("chunk_index")): _*).distinct()
       .withColumn("ts", lit(null).cast(TimestampNTZType))
       .withColumn("value", lit(null).cast(DoubleType))
+      .withColumn("dtype", lit(null).cast(StringType))
       .withColumn("is_deleted", lit(true))
       .withColumn("updated_at", lit(now))
       .select(schema.fieldNames.map(col): _*)

@@ -15,6 +15,22 @@ import org.apache.spark.sql.types.{TimestampNTZType, DoubleType}
   */
 object Sync {
 
+  /** Wire dtype names are the reference's numpy names ("float64",
+    * "int64", ...); the store records Spark simpleStrings ("double",
+    * "bigint", ...). Unknown names pass through unchanged.
+    */
+  private def sparkToNumpy(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c === "double", "float64").when(c === "float", "float32")
+      .when(c === "bigint", "int64").when(c === "int", "int32")
+      .when(c === "smallint", "int16").when(c === "tinyint", "int8")
+      .otherwise(c)
+
+  private def numpyToSpark(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c === "float64", "double").when(c === "float32", "float")
+      .when(c === "int64", "bigint").when(c === "int32", "int")
+      .when(c === "int16", "smallint").when(c === "int8", "tinyint")
+      .otherwise(c)
+
   /** Chunk-level change listing (reference `updates_queryset` /
     * `list_updates`, chunk_timeserie_store.py:545-607): one row per
     * (businessKeys..., chunk_index) with `updated_at >= since` (GTE — the
@@ -91,7 +107,8 @@ object Sync {
         map_from_entries(collect_list(when(col("ts").isNotNull,
           struct(col("__us"), col("value"))))).as("__byUs"),
         max(col("updated_at")).as("updated_at"),
-        max(when(col("is_deleted"), 1).otherwise(0)).cast("boolean").as("is_deleted"))
+        max(when(col("is_deleted"), 1).otherwise(0)).cast("boolean").as("is_deleted"),
+        first(col("dtype"), ignoreNulls = true).as("__dtype"))
     // dense grid fill: absent grid positions are NaN holes on the wire,
     // like the reference's freq-reindexed series; tombstone chunks
     // (no live ts) pack the reference's empty payload with a null start_ts
@@ -119,7 +136,9 @@ object Sync {
           base64(graft.functions.Lz4Blob.chunk_payload(values)).as("blob"),
           struct((keys.map(col) :+ col("chunk_index")): _*).as("attrs"),
           struct(
-            lit("float64").as("dtype"),
+            // wire dtype uses the reference's numpy names; the blob itself
+            // is always float64-LE (the reference's storage form too)
+            coalesce(sparkToNumpy(col("__dtype")), lit("float64")).as("dtype"),
             isoTs(timestamp_micros(col("__start_us")).cast("timestamp_ntz")).as("start_ts"),
             col("is_deleted").as("is_deleted"),
             isoTs(col("updated_at")).as("updated_at")).as("meta"))).as("envelope_json")): _*)
@@ -153,15 +172,18 @@ object Sync {
         graft.functions.Lz4Blob.chunk_values(unbase64(col("e.blob"))).as("__vals"),
         to_timestamp_ntz(col("e.meta.start_ts"), lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")).as("__start"),
         col("e.meta.is_deleted").as("is_deleted"),
-        to_timestamp_ntz(col("e.meta.updated_at"), lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")).as("updated_at"))
+        to_timestamp_ntz(col("e.meta.updated_at"), lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")).as("updated_at"),
+        col("e.meta.dtype").as("__wire_dtype"))
     val live = parsed
       .select((keys.map(col) :+ col("chunk_index") :+ col("is_deleted") :+ col("updated_at") :+
+        numpyToSpark(col("__wire_dtype")).as("dtype") :+
         col("__start") :+ posexplode(col("__vals")).as(Seq("__pos", "value"))): _*)
       .filter(!isnan(col("value")))
       .withColumn("ts", timestamp_micros(
         unix_micros(col("__start").cast("timestamp")) + col("__pos") * freqUs).cast("timestamp_ntz"))
     val tombstones = parsed.filter(size(col("__vals")) === 0)
       .select((keys.map(col) :+ col("chunk_index") :+ col("is_deleted") :+ col("updated_at") :+
+        lit(null).cast(StringType).as("dtype") :+
         lit(null).cast(TimestampNTZType).as("ts") :+ lit(null).cast(DoubleType).as("value")): _*)
     live.select(store.schema.fieldNames.map(col): _*)
       .unionByName(tombstones.select(store.schema.fieldNames.map(col): _*))

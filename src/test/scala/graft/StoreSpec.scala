@@ -49,6 +49,44 @@ class ChunkStoreSpec extends SparkSpec {
     assert(!st.exists(attrs))
   }
 
+  test("dtype round-trip: int series reads back as ints, double stays double") {
+    val st = newStore()
+    val t0 = java.time.LocalDateTime.parse("2024-01-30T00:00")
+    // long-typed input spanning a chunk boundary (Jan→Feb)
+    val ints = (0 until 24 * 5).map(i => (t0.plusHours(i.toLong), i.toLong * 10)).toDF("ts", "value")
+    assert(st.setTs(attrs, ints, now = now0))
+    val back = st.getTs(attrs)
+    assert(back.schema("value").dataType === org.apache.spark.sql.types.LongType)
+    val rows = back.collect()
+    assert(rows.head.getLong(1) === 0L && rows.last.getLong(1) === (24 * 5 - 1).toLong * 10)
+    // a double series in the same store is untouched
+    val attrs2 = Map[String, Any]("version" -> 0, "kind" -> "k2")
+    assert(st.setTs(attrs2, hourly("2024-01-30T00:00", 5, i => Some(i + 0.5)), now = now0))
+    assert(st.getTs(attrs2).schema("value").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    // update with a DOUBLE write flips the merged chunks' dtype: mixed
+    // chunk dtypes fall back to double (one frame, one value type)
+    val upd = Seq((t0.plusHours(1L), 99.5)).toDF("ts", "value")
+    assert(st.setTs(attrs, upd, update = true, now = now0.plusHours(1)))
+    assert(st.getTs(attrs).schema("value").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("dtype survives the sync wire: packEnvelope -> unpackEnvelope -> import") {
+    val st = newStore(sync = true)
+    val t0 = java.time.LocalDateTime.parse("2024-03-01T00:00")
+    val ints = (0 until 48).map(i => (t0.plusHours(i.toLong), i.toLong)).toDF("ts", "value")
+    assert(st.setTs(attrs, ints, update = true, now = now0))
+    val specs = st.load().select("version", "kind", "chunk_index").distinct()
+    val wire = graft.sync.Sync.packEnvelope(st, specs)
+    assert(wire.select(get_json_object(col("envelope_json"), "$.meta.dtype")).head().getString(0)
+      === "int64")
+    val dst = newStore(sync = true)
+    graft.sync.Sync.importChunks(dst, graft.sync.Sync.unpackEnvelope(dst, wire.select("envelope_json")))
+    assert(dst.getTs(attrs).schema("value").dataType === org.apache.spark.sql.types.LongType)
+    assert(dst.getTs(attrs).collect().map(_.getLong(1)).toSeq === (0 until 48).map(_.toLong))
+  }
+
   test("partial attrs raise; unknown attrs raise; update+replace raise") {
     val st = newStore()
     val s = hourly("2024-01-01T00:00", 3, i => Some(i.toDouble))
@@ -326,6 +364,27 @@ class ChunkStoreSpec extends SparkSpec {
     assert(st.yieldManyTs(Map("version__gte" -> 1, "kind__in" -> Seq("b"))).count() === 2)
     val e = intercept[IllegalArgumentException](st.yieldManyTs(Map("nope__gte" -> 1)))
     assert(e.getMessage.contains("nope"))
+  }
+
+  test("yieldManyTs: string and range lookups (contains/startswith/iexact/range)") {
+    val st = newStore(tz = "UTC")
+    for ((v, k, value) <- Seq((0, "alpha", 1.0), (1, "beta", 2.0), (2, "Alto", 3.0)))
+      st.setTs(Map("version" -> v, "kind" -> k), hourly("2024-01-01T00:00", 2, _ => Some(value)), now = now0)
+    def kinds(f: Map[String, Any]): Seq[String] =
+      st.yieldManyTs(f).select("kind").distinct().collect().map(_.getString(0)).toSeq.sorted
+    assert(kinds(Map("kind__contains" -> "lt")) === Seq("Alto"))
+    assert(kinds(Map("kind__startswith" -> "al")) === Seq("alpha"))
+    assert(kinds(Map("kind__istartswith" -> "al")) === Seq("Alto", "alpha"))
+    assert(kinds(Map("kind__endswith" -> "a")) === Seq("alpha", "beta"))
+    assert(kinds(Map("kind__iexact" -> "ALTO")) === Seq("Alto"))
+    assert(kinds(Map("kind__icontains" -> "ALT")) === Seq("Alto"))
+    assert(kinds(Map("version__range" -> (1, 2))) === Seq("Alto", "beta"))
+    val e = intercept[IllegalArgumentException](
+      graft.store.Lookups.compileOne("version__range", 3))
+    assert(e.getMessage.contains("range"))
+    val u = intercept[IllegalArgumentException](
+      graft.store.Lookups.compileOne("kind__regex", "x"))
+    assert(u.getMessage.contains("unsupported"))
   }
 }
 
