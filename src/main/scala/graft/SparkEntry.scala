@@ -108,14 +108,16 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
-    // P1 — Django __-lookup filter compilation (in/gte/lt) on the scan
+    // P1 — Django __-lookup filter compilation (in/range/startswith/lt) on the scan
     // path (chunk_timeserie_store.py:889-899; graft.store.Lookups): the
     // compiled predicates stay pushdown-eligible literals.
     "q_lookup_filter" -> ((s, d) => {
       events(s, d)
         .filter(graft.store.Lookups.compile(Map(
           "user_id__in" -> Seq(1, 5, 9, 23),
-          "ts__gte" -> java.time.LocalDateTime.parse("2024-01-10T00:00"),
+          "ts__range" -> (java.time.LocalDateTime.parse("2024-01-10T00:00"),
+                          java.time.LocalDateTime.parse("2024-02-20T00:00")),
+          "event_type__startswith" -> "vi",
           "value__lt" -> 50.0)).get)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
@@ -1264,7 +1266,9 @@ object SparkEntry {
     "q_lookup_filter" ->
       """SELECT user_id, count(*) AS n, round(sum(value), 4) AS sum_value
          FROM events
-         WHERE user_id IN (1, 5, 9, 23) AND ts >= TIMESTAMP '2024-01-10' AND value < 50.0
+         WHERE user_id IN (1, 5, 9, 23)
+           AND ts BETWEEN TIMESTAMP '2024-01-10' AND TIMESTAMP '2024-02-20'
+           AND event_type LIKE 'vi%' AND value < 50.0
          GROUP BY 1 ORDER BY 1""",
 
     "q_chunk_prune" ->
