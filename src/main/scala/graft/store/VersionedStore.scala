@@ -135,6 +135,39 @@ class VersionedStore(
     !df.isEmpty
   }
 
+  /** Small-file compaction (ChunkStore.compact's sibling): every
+    * append-mode `setLc` adds a file to the prm's bucket directory, so a
+    * hot bucket accumulates one file per historical write. Rewrite the
+    * given (default: all) bucket partitions through the staged-overwrite
+    * protocol — each comes out as one file. Readers see the same rows.
+    */
+  def compact(buckets: Option[Seq[Int]] = None): Int = {
+    val bs = buckets.getOrElse(listBucketPartitions())
+    if (bs.isEmpty) return 0
+    overwriteBuckets(load().filter(col("bucket").isin(bs: _*)), bs)
+    bs.length
+  }
+
+  /** Policy form: rewrite only buckets whose parquet-file count exceeds
+    * `maxFilesPerBucket`, from a cheap directory listing — no data scan
+    * for buckets already compact. Returns the buckets compacted.
+    */
+  def compactIfNeeded(maxFilesPerBucket: Int = 8): Seq[Int] = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    val bs = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+      .filter(d => Option(d.listFiles()).toSeq.flatten
+        .count(_.getName.endsWith(".parquet")) > maxFilesPerBucket)
+      .map(_.getName.stripPrefix("bucket=").toInt)
+    if (bs.nonEmpty) compact(Some(bs))
+    bs
+  }
+
+  private def listBucketPartitions(): Seq[Int] =
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+      .map(_.getName.stripPrefix("bucket=").toInt)
+
   /** Version-combined read (reference `get_lc`, hostore.py:218-268) with
     * the full option surface:
     *  - `version=Some(n)` → only that version (hostore.py:241-242);

@@ -76,4 +76,61 @@ object Asof {
       (keys :+ tsCol).map(col) ++ leftExtra.map(col)
         ++ rightCols.map(c => col(s"__m.$c").as(c)): _*)
   }
+
+  /** Hot-series form of [[asofJoin]]: identical semantics, but no series
+    * ever serializes into ONE window task. The series is pre-split on a
+    * coarse time bucket and each (key, bucket) aligns independently; the
+    * cross-boundary matches that splitting would lose are restored by a
+    * boundary pass at BUCKET granularity — per (key, bucket), the
+    * nearest right row from any earlier (backward) / later (forward)
+    * bucket is computed from per-bucket edge summaries (one row per
+    * bucket, so that window is metadata-sized) and injected as one
+    * synthetic right row carrying its original timestamp. Then the
+    * verified single-window core runs with the bucket appended to the
+    * partition keys. A year-long 1s-resolution series at the default
+    * 30-day split runs as ~12 parallel tasks instead of one.
+    */
+  def asofJoinSplit(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String = "ts",
+      rightCols: Seq[String] = Seq("value"),
+      toleranceSecs: Option[Long] = None,
+      direction: String = "backward",
+      splitSeconds: Long = 30L * 86400L): DataFrame = {
+    require(direction == "backward" || direction == "forward", s"bad direction $direction")
+    require(splitSeconds > 0, s"splitSeconds must be positive, got $splitSeconds")
+    val backward = direction == "backward"
+    val bUs = splitSeconds * 1000000L
+    def bucket(c: org.apache.spark.sql.Column) =
+      floor(unix_micros(c.cast("timestamp")) / bUs)
+    val lB = left.withColumn("__b", bucket(col(tsCol)))
+    val rB = right.withColumn("__b", bucket(col(tsCol)))
+    // per-(key, bucket) edge of the right side: the row a later (backward)
+    // / earlier (forward) bucket would reach across the boundary for
+    val payload = struct(col(tsCol) +: rightCols.map(col): _*)
+    val edges = rB.groupBy((keys.map(col) :+ col("__b")): _*)
+      .agg((if (backward) max_by(payload, col(tsCol)) else min_by(payload, col(tsCol)))
+        .as("__edge"))
+    // every bucket either side touches, so left-only buckets still get a
+    // carry from the nearest right-bearing bucket
+    val allB = lB.select((keys.map(col) :+ col("__b")): _*)
+      .union(rB.select((keys.map(col) :+ col("__b")): _*)).distinct()
+      .join(edges, keys :+ "__b", "left")
+    val wc = Window.partitionBy(keys.map(col): _*)
+      .orderBy(if (backward) col("__b").asc else col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1) // strictly previous buckets
+    val carries = allB
+      .withColumn("__carry", last(col("__edge"), ignoreNulls = true).over(wc))
+      .filter(col("__carry").isNotNull)
+      .select((keys.map(col) :+ col("__b") :+
+        col(s"__carry.$tsCol").as(tsCol)) ++
+        rightCols.map(c => col(s"__carry.$c").as(c)): _*)
+    val augmentedRight = rB
+      .select((keys.map(col) :+ col("__b") :+ col(tsCol)) ++ rightCols.map(col): _*)
+      .unionByName(carries)
+    asofJoin(lB, augmentedRight, keys :+ "__b", tsCol, rightCols, toleranceSecs, direction)
+      .drop("__b")
+  }
 }

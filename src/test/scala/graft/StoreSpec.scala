@@ -396,6 +396,35 @@ class VersionedStoreSpec extends SparkSpec {
     (0 until n).map(i => (t0.plusHours(i), v)).toDF("ts", "value")
   }
 
+  test("compactIfNeeded: only buckets over the file threshold rewrite") {
+    val dir = tmpDir("vstore")
+    val st = new VersionedStore(spark, dir)
+    // 4 versioned appends to one prm -> 4+ files in its bucket; a second
+    // prm (different bucket for the default 64 buckets) gets 1 append
+    for (i <- 0 until 4)
+      st.setLc("hot_prm", 1, series("2024-01-01T00:00", 3, i.toDouble), versioning = true)
+    st.setLc("cold_prm", 1, series("2024-01-01T00:00", 3, 9.0), versioning = true)
+    val hotBucket = st.bucketOf("hot_prm")
+    val coldBucket = st.bucketOf("cold_prm")
+    assert(hotBucket !== coldBucket, "test prms landed in one bucket; pick different names")
+    def files(b: Int) = new java.io.File(dir, s"bucket=$b").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // one append can emit several files (one per write task), so size the
+    // threshold off the single-append bucket: cold sits AT it, hot (4
+    // appends) is far over
+    val coldBefore = files(coldBucket)
+    val hotRows = st.getLc("hot_prm", 1).collect()
+    val compacted = st.compactIfNeeded(maxFilesPerBucket = coldBefore)
+    assert(compacted === Seq(hotBucket))
+    assert(files(hotBucket) === 1)
+    assert(files(coldBucket) === coldBefore)
+    // same combined read after compaction (newest version still wins)
+    assert(st.getLc("hot_prm", 1).collect().map(_.getAs[Double]("value")).toSeq
+      === hotRows.map(_.getAs[Double]("value")).toSeq)
+    assert(st.count(1) === 5)
+    assert(st.compactIfNeeded(maxFilesPerBucket = coldBefore) === Seq.empty)
+  }
+
   test("versioned writes increment; combined read: newest wins, older fills") {
     val st = new VersionedStore(spark, tmpDir("vstore"))
     st.setLc("prm1", 1, series("2024-01-01T00:00", 5, 1.0), versioning = true)

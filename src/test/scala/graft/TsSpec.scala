@@ -178,6 +178,35 @@ class CombineSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinSplit == asofJoin (boundary-carry law, both directions)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4321)
+    val base = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    def randPts(nKeys: Int, n: Int): Seq[(String, java.time.LocalDateTime, Double)] =
+      (0 until n).map { _ =>
+        ("k" + rnd.nextInt(nKeys), base.plusMinutes(rnd.nextInt(2000).toLong), rnd.nextDouble())
+      }
+    val ldf = randPts(3, 150).toDF("key", "ts", "lv")
+    val rdf = randPts(3, 60).groupBy(p => (p._1, p._2)).map(_._2.head).toSeq.toDF("key", "ts", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime]("ts"),
+        r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .sortBy(t => (t._1, t._2.toString, t._3))
+    // 1h buckets over a ~33h span → dozens of buckets, many right-free,
+    // so boundary carries do real work; direction × tolerance matrix
+    for (dir <- Seq("backward", "forward"); tol <- Seq(None, Some(5400L))) {
+      val direct = rows(Asof.asofJoin(ldf, rdf, Seq("key"), "ts", Seq("v"), tol, dir))
+      val split = rows(Asof.asofJoinSplit(ldf, rdf, Seq("key"), "ts", Seq("v"), tol, dir,
+        splitSeconds = 3600L))
+      assert(split === direct, s"direction=$dir tolerance=$tol")
+    }
+    // degenerate split: everything in one bucket must also agree
+    val direct = rows(Asof.asofJoin(ldf, rdf, Seq("key"), "ts", Seq("v"), None, "backward"))
+    val one = rows(Asof.asofJoinSplit(ldf, rdf, Seq("key"), "ts", Seq("v"), None, "backward",
+      splitSeconds = 365L * 86400L))
+    assert(one === direct)
+  }
+
   test("asofJoin forward: nearest following incl equal ts") {
     import spark.implicits._
     val left = Seq(("k", "2024-01-01T00:30"), ("k", "2024-01-01T01:30"))
