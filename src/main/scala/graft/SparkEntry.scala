@@ -790,6 +790,24 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // hot-series as-of: identical semantics via the pre-split form — each
+    // (user, week-bucket) aligns as its own window task, boundary matches
+    // restored from per-bucket edge carries (Asof.asofJoinSplit); same
+    // DuckDB ASOF oracle as q_asof_join
+    "q_asof_split" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("view_value"))
+      graft.ts.Asof.asofJoinSplit(clicks, views, Seq("user_id"), "ts",
+          rightCols = Seq("view_value"), toleranceSecs = Some(6 * 3600L),
+          splitSeconds = 7L * 86400L)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("view_value"), 6).as("view_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // similarity — exact brute-force cosine top-k (ANN baseline)
     "q_cosine_topk" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
@@ -1983,10 +2001,26 @@ object SparkEntry {
            ON p.user_id = v.user_id AND p.ts_us BETWEEN v.start_us AND v.end_us
          ORDER BY 1, 2, 3""",
 
-    // DuckDB has a native ASOF LEFT JOIN; ts is cast to microseconds so
-    // both engines compare the same truncation (Spark reads the NANOS
-    // fixture via `ts div 1000`)
+    // DuckDB has a native ASOF LEFT JOIN; ts is cast to TIMESTAMP so both
+    // engines compare the same microsecond values regardless of the
+    // fixture's physical timestamp type (events() is schema-adaptive)
     "q_asof_join" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         clicks AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'click'),
+         views AS (
+           SELECT user_id, ts, max(value) AS view_value
+           FROM ev WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT c.user_id, c.event_id, c.ts,
+                CASE WHEN v.ts IS NOT NULL AND c.ts <= v.ts + INTERVAL 6 HOUR
+                     THEN round(v.view_value, 6) END AS view_value
+         FROM clicks c ASOF LEFT JOIN views v
+           ON c.user_id = v.user_id AND c.ts >= v.ts
+         ORDER BY c.user_id, c.event_id""",
+
+    // same oracle as q_asof_join — the split form must be observationally
+    // identical to the direct window
+    "q_asof_split" ->
       """WITH ev AS (
            SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
          clicks AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'click'),
