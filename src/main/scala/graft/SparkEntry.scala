@@ -438,7 +438,10 @@ object SparkEntry {
       val dense = Grid.reindex(vals, Seq("user_id"),
         java.time.LocalDateTime.parse("2024-01-01T00:00"),
         java.time.LocalDateTime.parse("2024-01-07T23:00"), 3600L)
-      Resample.ffill(dense, Seq("user_id"), "ts", "value_avg", "value_ffill")
+      // split form (day buckets over the 7-day window): same semantics as
+      // the whole-series window, no single-task series — oracle unchanged
+      Resample.ffillSplit(dense, Seq("user_id"), "ts", "value_avg", "value_ffill",
+          splitSeconds = 86400L)
         .select("user_id", "ts", "value_ffill")
         .orderBy("user_id", "ts")
     }),

@@ -115,6 +115,46 @@ object Resample {
     df.withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Hot-series [[ffill]]: identical semantics, no whole-series window
+    * task (same bucket-carry construction as `Asof.asofJoinSplit`). The
+    * fill for a row is the last non-null at-or-before it, which is either
+    * inside the row's own time bucket — a window partitioned by
+    * (keys, bucket), so a monster series parallelizes across buckets — or
+    * the last non-null of an EARLIER bucket: one `max_by` edge per
+    * (key, bucket), a strictly-previous running `last` over those edges
+    * (one row per bucket — metadata-sized), joined back as the
+    * `coalesce` fallback. Buckets with only nulls still receive the
+    * carry through the all-buckets spine.
+    */
+  def ffillSplit(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      outCol: String = "value_ffill",
+      splitSeconds: Long = 30L * 86400L): DataFrame = {
+    require(splitSeconds > 0, s"splitSeconds must be positive, got $splitSeconds")
+    val bUs = splitSeconds * 1000000L
+    val withB = df.withColumn("__b",
+      floor(unix_micros(col(tsCol).cast("timestamp")) / bUs))
+    val edges = withB.filter(col(valueCol).isNotNull)
+      .groupBy((keys.map(col) :+ col("__b")): _*)
+      .agg(max_by(col(valueCol), col(tsCol)).as("__edge"))
+    val allB = withB.select((keys.map(col) :+ col("__b")): _*).distinct()
+      .join(edges, keys :+ "__b", "left")
+    val wc = Window.partitionBy(keys.map(col): _*).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = allB
+      .withColumn("__carry", last(col("__edge"), ignoreNulls = true).over(wc))
+      .select((keys.map(col) :+ col("__b") :+ col("__carry")): _*)
+    val wkb = Window.partitionBy((keys :+ "__b").map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(carries, keys :+ "__b", "left")
+      .withColumn(outCol,
+        coalesce(last(col(valueCol), ignoreNulls = true).over(wkb), col("__carry")))
+      .drop("__b", "__carry")
+  }
+
   /** Time-weighted linear interpolation of INTERIOR nulls per key —
     * `Series.interpolate(method='time')`, the gap-filling step between
     * find-holes and any model that needs a dense curve. Two keyed

@@ -27,6 +27,27 @@ class PlanSpec extends SparkSpec {
       s"ts range predicates not pushed to parquet scan:\n${p.take(1200)}")
   }
 
+  test("q_asof_split: alignment window shuffles on (key, bucket), never key alone") {
+    val p = plan("q_asof_split")
+    // the data-wide alignment exchange must carry the bucket column — a
+    // key-only hashpartitioning feeding the big window would mean the
+    // split regressed to one task per series
+    assert(p.contains("user_id#") && p.contains("__b#"),
+      p.take(800))
+    val partitionings = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(partitionings.exists(args => args.contains("user_id#") && args.contains("__b#")),
+      s"no (user_id, __b) exchange found: $partitionings")
+  }
+
+  test("q_ffill: fill window shuffles on (key, bucket); carry join present") {
+    val p = plan("q_ffill")
+    val partitionings = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(partitionings.exists(args => args.contains("user_id#") && args.contains("__b#")),
+      s"no (user_id, __b) exchange found: $partitionings")
+  }
+
   test("q_revenue_join: all dimension joins broadcast, none sort-merge") {
     val p = plan("q_revenue_join")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)

@@ -424,6 +424,27 @@ class ResampleSpec extends SparkSpec {
     assert(out.map(r => Option(r.get(3))).toSeq === Seq(None, Some(5.0), Some(5.0), Some(9.0), Some(9.0)))
   }
 
+  test("ffillSplit == ffill (bucket-carry law, incl. all-null buckets)") {
+    val rnd = new scala.util.Random(88L)
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    // hourly points over 10 days, ~40% nulls, day-long null runs so some
+    // 1-day buckets are entirely null and need the cross-bucket carry
+    val rows = for (k <- Seq("a", "b"); i <- 0 until 240) yield {
+      val v = if (i % 48 >= 24 || rnd.nextDouble() < 0.4) None else Some(rnd.nextDouble() * 10)
+      (k, t0.plusHours(i.toLong), v)
+    }
+    val df = rows.map { case (k, t, v) => (k, t, v.map(Double.box).orNull) }
+      .toDF("k", "ts", "value")
+    def vals(d: org.apache.spark.sql.DataFrame) = d.orderBy("k", "ts").collect()
+      .map(r => Option(r.get(3)).map(_.asInstanceOf[Double]))
+    val direct = vals(Resample.ffill(df, Seq("k")))
+    val split  = vals(Resample.ffillSplit(df, Seq("k"), splitSeconds = 86400L))
+    assert(split.toSeq === direct.toSeq)
+    // degenerate: single bucket
+    val one = vals(Resample.ffillSplit(df, Seq("k"), splitSeconds = 365L * 86400L))
+    assert(one.toSeq === direct.toSeq)
+  }
+
   test("minFreq: exact min step in µs") {
     val out = Resample.minFreq(df3, Seq("k")).collect()
     assert(out.head.getLong(1) === 3600L * 1000000L)
