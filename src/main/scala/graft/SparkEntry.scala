@@ -457,7 +457,10 @@ object SparkEntry {
       val dense = Grid.reindex(vals, Seq("user_id"),
         java.time.LocalDateTime.parse("2024-01-01T00:00"),
         java.time.LocalDateTime.parse("2024-01-07T23:00"), 3600L)
-      Resample.interpolate(dense, Seq("user_id"), "ts", "value_avg", "value_interp")
+      // split form (day buckets over the 7-day window): same semantics as
+      // the whole-series window, no single-task series — oracle unchanged
+      Resample.interpolateSplit(dense, Seq("user_id"), "ts", "value_avg", "value_interp",
+          splitSeconds = 86400L)
         .select(col("user_id"), col("ts"), round(col("value_interp"), 6).as("value_interp"))
         .orderBy("user_id", "ts")
     }),
@@ -2552,15 +2555,18 @@ object SparkEntry {
       s"""WITH ${kmeansCtes(8, 2, 64)},
          ${kmeansAssign("af", "c2", 64)},
          g AS (
+           -- sum in integer micro-units: exact and order-independent, the
+           -- same construction as Clustering.clusterMetrics — a float sum
+           -- can land one ulp either side of a rounding boundary depending
+           -- on partial-aggregation order
            SELECT cl AS cluster, count(*) AS n_points,
-                  sum(round(dist, 6)) AS inertia,
-                  avg(round(dist, 6)) AS mean_sqdist,
+                  sum(CAST(round(round(dist, 6) * 1000000) AS BIGINT)) AS micro,
                   max(round(dist, 6)) AS max_sqdist
            FROM af GROUP BY 1)
          SELECT cluster, n_points,
                 round(CAST(n_points AS DOUBLE) / sum(n_points) OVER (), 6) AS share,
-                round(inertia, 6) AS inertia,
-                round(mean_sqdist, 6) AS mean_sqdist,
+                round(CAST(micro AS DOUBLE) / 1000000.0, 6) AS inertia,
+                round(CAST(micro AS DOUBLE) / 1000000.0 / n_points, 6) AS mean_sqdist,
                 max_sqdist
          FROM g ORDER BY cluster""",
 

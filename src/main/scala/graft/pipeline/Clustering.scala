@@ -209,16 +209,28 @@ object Clustering {
     * reach). One hash aggregation of k rows plus a broadcast of the
     * 1-row total — no window, no second corpus pass. Empty clusters do
     * not appear (no assignment rows), matching the SQL twin.
+    *
+    * Determinism: `dist` arrives quantized to `quantize` decimals
+    * ([[kmeans]] rounds it), so the per-cluster sum is an EXACT decimal —
+    * but summing doubles is order-dependent at the ulp level, and a mean
+    * landing exactly on a rounding boundary can flip its last digit with
+    * the partial-aggregation order (= partition count). The sum therefore
+    * runs in integer micro-units (`long` is associative-commutative-exact),
+    * and inertia/mean are derived by single IEEE divisions — bit-identical
+    * at any parallelism, and engine-portable.
     */
-  def clusterMetrics(assigned: DataFrame): DataFrame = {
+  def clusterMetrics(assigned: DataFrame, quantize: Int = 6): DataFrame = {
+    val scale = math.pow(10, quantize)
     val perCluster = assigned.groupBy("cluster").agg(
       count(lit(1)).as("n_points"),
-      sum(col("dist")).as("inertia"),
-      avg(col("dist")).as("mean_sqdist"),
+      sum(round(col("dist") * scale).cast("long")).as("__micro"),
       max(col("dist")).as("max_sqdist"))
     val total = perCluster.agg(sum(col("n_points")).as("__tot"))
     perCluster.crossJoin(broadcast(total))
       .withColumn("share", col("n_points").cast("double") / col("__tot"))
+      .withColumn("inertia", col("__micro").cast("double") / scale)
+      .withColumn("mean_sqdist",
+        col("__micro").cast("double") / scale / col("n_points"))
       .select("cluster", "n_points", "share", "inertia", "mean_sqdist", "max_sqdist")
   }
 

@@ -7,12 +7,19 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, plus decode / feature-extract stages.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode step is STUBBED with a deterministic fake (clearly marked
-  * below); everything around it — schema, batch shape, partition-aware
-  * processing via `mapPartitions` (the Scala analogue of `mapInPandas`:
-  * one iterator per partition, amortizing any per-batch model/codec
-  * setup) — is real and tested.
+  * Codec story (settled r11):
+  *  - IMAGES decode for real via `javax.imageio` (JPEG/PNG/GIF/BMP — the
+  *    readers the JDK ships; no external dependency, headless-safe).
+  *    [[resize]] is a true decode + bilinear rescale and
+  *    [[extractFeatures]] computes pixel-luminance features whenever the
+  *    payload parses as an image.
+  *  - AUDIO/VIDEO have no JVM-native codec (a real build would bind
+  *    javacv/ffmpeg over JNI — unavailable offline, and the reference has
+  *    no media surface at all): those payloads, and any undecodable blob,
+  *    take a clearly-marked DETERMINISTIC FALLBACK so the distributed
+  *    plumbing — schema, batching, 1→n flatMap demux shape, per-partition
+  *    codec amortization via `mapPartitions` (the Scala analogue of
+  *    `mapInPandas`) — is fully exercised and oracle-pinned either way.
   */
 object Multimodal {
 
@@ -45,12 +52,21 @@ object Multimodal {
       unhex(sha2(col(idCol).cast("string"), 256)).as("payload"),
       lit(64).as("width"), lit(64).as("height"), lit(1000L).as("duration_ms"))
 
-  /** ==== STUB ====
-    * Deterministic fake decode: a real deployment would decode
-    * JPEG/PCM/H264 here (e.g. via javacv) and emit a resized thumbnail /
-    * frame sample / spectrogram. This fake derives an 8-float feature
-    * vector from the payload bytes so the distributed plumbing (schema,
-    * batching, partition iteration) is fully exercisable without codecs.
+  /** REAL image decode: `javax.imageio` over the payload bytes. None for
+    * anything the JDK has no reader for (audio/video/opaque blobs) — the
+    * caller then takes the deterministic fallback. Cheap rejection:
+    * ImageIO sniffs magic bytes before parsing, so non-image payloads
+    * cost a header check, not a decode attempt.
+    */
+  private[pipeline] def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload == null || payload.length == 0) None
+    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException => None }
+
+  /** ==== DETERMINISTIC FALLBACK ==== for payloads with no JVM decoder
+    * (audio/video; a real build binds javacv here): an 8-float vector
+    * folded from the payload bytes, so the distributed plumbing behaves
+    * identically whether or not the payload decodes.
     */
   private def decodeStub(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](8)
@@ -59,12 +75,35 @@ object Multimodal {
     out
   }
 
+  /** 8-float feature from a REAL decoded image: mean luminance of 8
+    * vertical bands (deterministic, resolution-independent enough for
+    * near-dup blocking; the real-build seam for a CLIP-style embedding).
+    */
+  private def imageFeature(img: java.awt.image.BufferedImage): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Double](8); val counts = new Array[Long](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L + (rgb & 0xFF) * 114L) / 1000.0
+        val band = x * 8 / w
+        sums(band) += lum / 255.0; counts(band) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(8)(b => if (counts(b) == 0) 0f else (sums(b) / counts(b)).toFloat)
+  }
+
   final case class Thumbnail(media_id: Long, width: Int, height: Int, pixels: Array[Byte])
   final case class FrameSample(media_id: Long, frame_idx: Int, offset_ms: Long, frame: Array[Byte])
 
-  /** ==== STUB ==== Resize: a real build decodes + bilinear-resizes; the
-    * fake tiles the payload bytes into a w×h buffer so output schema,
-    * sizing math and the per-partition batching are real.
+  /** Resize to a w×h grayscale thumbnail. Image payloads take the REAL
+    * path: ImageIO decode → bilinear rescale → 8-bit luminance raster.
+    * Undecodable payloads (audio/video/blobs) tile their bytes into the
+    * buffer — the deterministic fallback, same schema and sizing math.
     */
   def resize(media: DataFrame, w: Int, h: Int): Dataset[Thumbnail] = {
     val spark = media.sparkSession
@@ -72,10 +111,24 @@ object Multimodal {
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
-          val out = new Array[Byte](w * h)
-          var i = 0
-          while (i < out.length) { out(i) = payload(i % math.max(payload.length, 1)); i += 1 }
-          Thumbnail(id, w, h, out)
+          decodeImage(payload) match {
+            case Some(img) =>
+              val scaled = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val g = scaled.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+              g.dispose()
+              val out = new Array[Byte](w * h)
+              scaled.getRaster.getDataElements(0, 0, w, h, out)
+              Thumbnail(id, w, h, out)
+            case None =>
+              val out = new Array[Byte](w * h)
+              var i = 0
+              while (i < out.length) { out(i) = payload(i % math.max(payload.length, 1)); i += 1 }
+              Thumbnail(id, w, h, out)
+          }
         }
       }
   }
@@ -104,7 +157,10 @@ object Multimodal {
   /** Feature extraction over media rows: one `mapPartitions` pass — codec
     * init happens once per partition, rows stream through (the Scala
     * equivalent of a batched `mapInPandas` UDF). Input must have
-    * `mediaSchema` columns.
+    * `mediaSchema` columns. Payloads that decode as images get REAL
+    * pixel-luminance features ([[imageFeature]]); everything else falls
+    * back to the byte-fold. `n_bytes`/`byte_mean` are payload stats in
+    * both paths (schema identical).
     */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -113,7 +169,7 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition codec setup would go here (once, not per row)
         rows.map { case (id, kind, payload) =>
-          val feat = decodeStub(payload)
+          val feat = decodeImage(payload).map(imageFeature).getOrElse(decodeStub(payload))
           val bytes = payload.length
           val mean = if (bytes == 0) 0.0 else payload.map(b => (b & 0xFF).toDouble).sum / bytes
           MediaFeatures(id, kind, bytes, mean, feat)

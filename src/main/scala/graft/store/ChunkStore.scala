@@ -217,10 +217,14 @@ class ChunkStore(
     * The stored `dtype` is restored on egress (reference
     * chunk_timeserie_store.py:776: blob values are cast back to the chunk
     * row's recorded dtype) — an int series round-trips as ints. The dtype
-    * probe is one distinct over the PRUNED series rows (a single series,
-    * chunk-pruned — metadata-sized); chunks written with different dtypes
-    * (or pre-dtype files, read as null) fall back to double, since one
-    * frame has one value type.
+    * probe is ONE Spark job at call time (the returned frame itself stays
+    * lazy): a per-partition distinct over only the `dtype` column of the
+    * pruned chunks, folded on the driver — no shuffle, and parquet reads
+    * just the dtype pages under the same pushed filters. Chunks written
+    * with different dtypes fall back to double (one frame, one value
+    * type), and a pre-dtype chunk (null dtype — historically double data)
+    * counts AS double, so a series mixing legacy and typed chunks can
+    * never be silently truncated by a non-double cast.
     */
   def getTs(
       attrs: Map[String, Any],
@@ -231,10 +235,12 @@ class ChunkStore(
     start.foreach(z => df = df.filter(col("chunk_index") >= chunkOf(z) && col("ts") >= lit(toNtz(z))))
     end.foreach(z => df = df.filter(col("chunk_index") <= chunkOf(z) && col("ts") <= lit(toNtz(z))))
     val out = df.select(col("ts"), col("value")).orderBy("ts")
-    val dts = df.select("dtype").na.drop().distinct().limit(2)
-      .collect().map(_.getString(0))
-    if (dts.length == 1 && dts(0) != "double")
-      out.withColumn("value", col("value").cast(dts(0)))
+    val dts = df.select(coalesce(col("dtype"), lit("double")).as("dt"))
+      .rdd.aggregate(Set.empty[String])(
+        (s, r) => if (s.size >= 2) s else s + r.getString(0),
+        _ ++ _)
+    if (dts.size == 1 && dts.head != "double")
+      out.withColumn("value", col("value").cast(dts.head))
     else out
   }
 

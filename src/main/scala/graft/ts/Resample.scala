@@ -189,6 +189,68 @@ object Resample {
       .drop("__pv", "__pt", "__nv", "__nt")
   }
 
+  /** Hot-series [[interpolate]]: identical semantics, no whole-series
+    * window task (the same bucket-carry construction as [[ffillSplit]] /
+    * `Asof.asofJoinSplit`, extended to BOTH directions). A null row's
+    * bracketing non-null neighbors are either inside its own time bucket —
+    * windows partitioned by (keys, bucket), so a monster series
+    * parallelizes across buckets — or the last/first non-null point of an
+    * adjacent bucket: one `max_by`/`min_by` (value, micros) edge struct
+    * per (key, bucket), a strictly-previous running `last` and a
+    * strictly-next running `first` over those edges (one row per bucket —
+    * metadata-sized), joined back as the `coalesce` fallback on each side.
+    * Value and timestamp travel in ONE struct so a carry can never pair a
+    * value with another point's time. All-null buckets still receive both
+    * carries through the all-buckets spine.
+    */
+  def interpolateSplit(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      outCol: String = "value_interp",
+      splitSeconds: Long = 30L * 86400L): DataFrame = {
+    require(splitSeconds > 0, s"splitSeconds must be positive, got $splitSeconds")
+    val bUs = splitSeconds * 1000000L
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val tsOf = when(col(valueCol).isNotNull, us)
+    val withB = df.withColumn("__b", floor(us / bUs))
+    val edge = struct(col(valueCol).as("v"), us.as("t"))
+    val edges = withB.filter(col(valueCol).isNotNull)
+      .groupBy((keys.map(col) :+ col("__b")): _*)
+      .agg(max_by(edge, col(tsCol)).as("__lastE"),
+           min_by(edge, col(tsCol)).as("__firstE"))
+    val allB = withB.select((keys.map(col) :+ col("__b")): _*).distinct()
+      .join(edges, keys :+ "__b", "left")
+    val wPrev = Window.partitionBy(keys.map(col): _*).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(keys.map(col): _*).orderBy(col("__b").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carries = allB
+      .withColumn("__prevC", last(col("__lastE"), ignoreNulls = true).over(wPrev))
+      .withColumn("__nextC", first(col("__firstE"), ignoreNulls = true).over(wNext))
+      .select((keys.map(col) :+ col("__b") :+ col("__prevC") :+ col("__nextC")): _*)
+    val back = Window.partitionBy((keys :+ "__b").map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy((keys :+ "__b").map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    withB.join(carries, keys :+ "__b", "left")
+      .withColumn("__pv", coalesce(last(col(valueCol), ignoreNulls = true).over(back),
+        col("__prevC").getField("v")))
+      .withColumn("__pt", coalesce(last(tsOf, ignoreNulls = true).over(back),
+        col("__prevC").getField("t")))
+      .withColumn("__nv", coalesce(first(col(valueCol), ignoreNulls = true).over(fwd),
+        col("__nextC").getField("v")))
+      .withColumn("__nt", coalesce(first(tsOf, ignoreNulls = true).over(fwd),
+        col("__nextC").getField("t")))
+      .withColumn(outCol,
+        when(col(valueCol).isNotNull, col(valueCol))
+          .otherwise(when(col("__pv").isNotNull && col("__nv").isNotNull,
+            col("__pv") + (col("__nv") - col("__pv")) *
+              ((us - col("__pt")).cast("double") / (col("__nt") - col("__pt")).cast("double")))))
+      .drop("__b", "__prevC", "__nextC", "__pv", "__pt", "__nv", "__nt")
+  }
+
   /** Distribute a coarse series over a fine grid proportionally to a
     * reference profile (reference `upsample_using_reference_serie`,
     * utils/timeseries.py:166-225):

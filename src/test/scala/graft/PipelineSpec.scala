@@ -648,6 +648,42 @@ class MultimodalSpec extends SparkSpec {
     assert(again(0).byte_mean === feats(0).byte_mean)
   }
 
+  // The image path is REAL (javax.imageio): encode actual PNG/JPEG
+  // fixtures in-test, push them through the binary media column, and
+  // assert decoded-pixel behavior no byte-fold fake could produce.
+  test("real image decode: resize downscales pixels, features reflect luminance") {
+    def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // left half black, right half white, 32x16
+    val halves = png(32, 16)((x, _) => if (x < 16) 0x000000 else 0xFFFFFF)
+    val white  = png(32, 16)((_, _) => 0xFFFFFF)
+    val media = Seq((1L, "image", "image/png", halves), (2L, "image", "image/png", white))
+      .toDF("media_id", "kind", "mime", "payload")
+      .withColumn("width", lit(32)).withColumn("height", lit(16))
+      .withColumn("duration_ms", lit(0L))
+    val thumbs = Multimodal.resize(media, 8, 4).collect().map(t => t.media_id -> t).toMap
+    assert(thumbs(1L).pixels.length === 32)
+    // decoded + resized: left pixels dark, right pixels bright — byte
+    // tiling of a PNG stream could never produce this structure
+    val row0 = thumbs(1L).pixels.take(8).map(_ & 0xFF)
+    assert(row0.take(3).forall(_ < 60) && row0.takeRight(3).forall(_ > 190), row0.toSeq)
+    assert(thumbs(2L).pixels.forall(p => (p & 0xFF) > 240))
+    val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    // 8 vertical luminance bands: black→white step for halves, all ~1 for white
+    assert(feats(1L).feature.take(3).forall(_ < 0.1f) && feats(1L).feature.takeRight(3).forall(_ > 0.9f))
+    assert(feats(2L).feature.forall(_ > 0.95f))
+    // an undecodable payload still flows through the fallback path
+    val blob = Seq((3L, "audio", "application/octet-stream", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "kind", "mime", "payload")
+      .withColumn("width", lit(0)).withColumn("height", lit(0)).withColumn("duration_ms", lit(0L))
+    assert(Multimodal.extractFeatures(blob).collect().head.feature.length === 8)
+  }
+
   test("resize + frame-sample stubs: shapes and flatMap fan-out") {
     val ids = (0L until 9L).toDF("doc_id")
     val media = Multimodal.syntheticMedia(ids, "doc_id")
@@ -685,6 +721,27 @@ class ClusteringSpec extends SparkSpec {
     assert(m(0L).getAs[Double]("max_sqdist") === 3.0)
     assert(m(0L).getAs[Double]("share") === 0.5)
     assert(m.values.map(_.getAs[Double]("share")).sum === 1.0)
+  }
+
+  // The r10 driver run flipped q_kmeans_inertia's last digit because a
+  // float sum's partial-aggregation order depends on partition count and
+  // cluster 2's true mean sat exactly on the 6dp HALF_UP boundary. The
+  // integer micro-unit sum must make every output bit-identical at any
+  // parallelism — including means engineered onto the boundary.
+  test("clusterMetrics is bit-identical across partition counts (micro-unit sum)") {
+    val rnd = new scala.util.Random(7)
+    val boundary = Seq((100000L, 7L, 0.934201), (100001L, 7L, 0.934202)) // mean = x.xxxxxx50
+    val rows = (0 until 4000).map { i =>
+      (i.toLong, (i % 7).toLong, math.rint(rnd.nextDouble() * 2.0 * 1e6) / 1e6)
+    } ++ boundary
+    val df = rows.toDF("id", "cluster", "dist")
+    val parts = Seq(1, 3, 8).map { n =>
+      Clustering.clusterMetrics(df.repartition(n))
+        .withColumn("mean_sqdist", round(col("mean_sqdist"), 6))
+        .orderBy("cluster").collect().toSeq
+    }
+    assert(parts(0) === parts(1))
+    assert(parts(0) === parts(2))
   }
 
   test("connectedComponents is partitioning-independent and respects maxIter") {

@@ -46,4 +46,42 @@ class StoreLoadSpec extends SparkSpec {
       end = Some(java.time.ZonedDateTime.of(2024, 6, 30, 23, 0, 0, 0, z)))
     assert(one.count() === 24 * 30)
   }
+
+  // VersionedStore policy compaction under realistic churn (VERDICT r10
+  // item 7, mirroring ChunkStore's compaction coverage): every versioned
+  // setLc appends one file to the prm's bucket directory, so a hot prm
+  // accumulates a file per write — compactIfNeeded must bound the count
+  // from a directory listing alone, leave already-compact buckets
+  // untouched, and change NOTHING a reader sees.
+  test("VersionedStore.compactIfNeeded bounds files under write churn; reads unchanged") {
+    val st = new VersionedStore(spark, tmpDir("vchurn"), numBuckets = 4)
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    def series(base: Double) =
+      (0 until 24).map(i => (t0.plusHours(i.toLong), base + i)).toDF("ts", "value")
+    for (v <- 0 until 12) {
+      assert(st.setLc("prm_hot", 1, series(v * 100.0), versioning = true,
+        now = t0.plusMinutes(v.toLong)))
+      assert(st.setLc("prm_other", 1, series(v * 10.0), versioning = true,
+        now = t0.plusMinutes(v.toLong)))
+    }
+    def bucketFiles(): Map[String, Int] =
+      Option(new java.io.File(st.path).listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          Option(d.listFiles()).toSeq.flatten.count(_.getName.endsWith(".parquet")))
+        .toMap
+    assert(bucketFiles().values.max > 8, s"churn should pile up files: ${bucketFiles()}")
+    val before = st.getLc("prm_hot", 1).collect().toSeq
+    assert(before.nonEmpty)
+    val compacted = st.compactIfNeeded(maxFilesPerBucket = 4)
+    assert(compacted.nonEmpty)
+    val after = bucketFiles()
+    assert(after.values.forall(_ <= 4), s"all buckets bounded after compaction: $after")
+    // idempotent: a second pass finds nothing over threshold
+    assert(st.compactIfNeeded(maxFilesPerBucket = 4).isEmpty)
+    // readers see the exact same combined result (newest version wins)
+    val got = st.getLc("prm_hot", 1).collect().toSeq
+    assert(got === before)
+    assert(got.head.getAs[Double]("value") === 11 * 100.0)
+  }
 }

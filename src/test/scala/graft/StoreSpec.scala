@@ -72,6 +72,59 @@ class ChunkStoreSpec extends SparkSpec {
       org.apache.spark.sql.types.DoubleType)
   }
 
+  // ADVICE r10 (medium): a series mixing pre-dtype chunks (null dtype —
+  // historically double data) with one typed chunk must NOT cast the whole
+  // series to the typed chunk's dtype — that silently truncates fractional
+  // legacy values. Null dtype counts as double, forcing the fallback.
+  test("mixed legacy(null-dtype)/typed chunks fall back to double on read") {
+    val st = newStore(tz = "UTC")
+    val t0 = java.time.LocalDateTime.parse("2024-01-10T00:00")
+    val ints = (0 until 24).map(i => (t0.plusHours(i.toLong), i.toLong)).toDF("ts", "value")
+    assert(st.setTs(attrs, ints, now = now0)) // chunk 2024-01, dtype=bigint
+    // simulate a pre-dtype store file: same series, February chunk,
+    // fractional values, dtype null — appended the way a legacy writer
+    // laid files out (partitioned by chunk_index, no dtype recorded)
+    val t1 = java.time.LocalDateTime.parse("2024-02-10T00:00")
+    val legacy = (0 until 24).map(i => (t1.plusHours(i.toLong), i + 0.5)).toDF("ts", "value")
+      .withColumn("version", lit(0)).withColumn("kind", lit("k1"))
+      .withColumn("chunk_index", lit(2024 * 12 + 1))
+      .withColumn("ts", col("ts").cast(TimestampNTZType))
+      .withColumn("dtype", lit(null).cast(StringType))
+      .withColumn("is_deleted", lit(false))
+      .withColumn("updated_at", lit(now0).cast(TimestampNTZType))
+      .select(st.schema.fieldNames.map(col): _*)
+    legacy.write.mode("append").partitionBy("chunk_index").parquet(st.path)
+    val back = st.getTs(attrs)
+    assert(back.schema("value").dataType === DoubleType)
+    val vals = back.collect().map(_.getDouble(1))
+    assert(vals.length === 48 && vals.takeRight(24).head === 0.5) // fractions intact
+  }
+
+  test("getTs launches exactly one job (dtype probe); returned frame stays lazy") {
+    val st = newStore(tz = "UTC")
+    val ints = (0 until 48).map(i =>
+      (java.time.LocalDateTime.parse("2024-01-10T00:00").plusHours(i.toLong), i.toLong))
+      .toDF("ts", "value")
+    assert(st.setTs(attrs, ints, now = now0))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      st.getTs(attrs) // NO action on the returned frame
+      // listener events are async — wait until the count is stable
+      var last = -1; var stable = 0
+      while (stable < 6) { // 6 × 50 ms with no new events
+        Thread.sleep(50)
+        if (jobs.get == last) stable += 1 else { last = jobs.get; stable = 0 }
+      }
+      assert(jobs.get === 1,
+        s"getTs must cost exactly the single dtype-probe job, saw ${jobs.get}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("dtype survives the sync wire: packEnvelope -> unpackEnvelope -> import") {
     val st = newStore(sync = true)
     val t0 = java.time.LocalDateTime.parse("2024-03-01T00:00")

@@ -445,6 +445,33 @@ class ResampleSpec extends SparkSpec {
     assert(one.toSeq === direct.toSeq)
   }
 
+  test("interpolateSplit == interpolate (two-sided bucket-carry law)") {
+    val rnd = new scala.util.Random(91L)
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    // hourly points over 10 days with leading/trailing null stretches,
+    // day-long null runs (all-null buckets needing BOTH carries), and
+    // irregular interior nulls — the time-weighted lerp must be
+    // bit-identical to the whole-series-window form
+    val rows = for (k <- Seq("a", "b"); i <- 0 until 240) yield {
+      val v =
+        if (i < 5 || i >= 235) None                       // no extrapolation zones
+        else if (i % 72 >= 40 && i % 72 < 70) None        // >day-long holes
+        else if (rnd.nextDouble() < 0.3) None
+        else Some(rnd.nextDouble() * 10)
+      (k, t0.plusHours(i.toLong), v)
+    }
+    val df = rows.map { case (k, t, v) => (k, t, v.map(Double.box).orNull) }
+      .toDF("k", "ts", "value")
+    def vals(d: org.apache.spark.sql.DataFrame) = d.orderBy("k", "ts").collect()
+      .map(r => Option(r.get(3)).map(_.asInstanceOf[Double]))
+    val direct = vals(Resample.interpolate(df, Seq("k")))
+    val split  = vals(Resample.interpolateSplit(df, Seq("k"), splitSeconds = 86400L))
+    assert(split.toSeq === direct.toSeq)
+    // degenerate: single bucket
+    val one = vals(Resample.interpolateSplit(df, Seq("k"), splitSeconds = 365L * 86400L))
+    assert(one.toSeq === direct.toSeq)
+  }
+
   test("minFreq: exact min step in µs") {
     val out = Resample.minFreq(df3, Seq("k")).collect()
     assert(out.head.getLong(1) === 3600L * 1000000L)

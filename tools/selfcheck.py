@@ -48,6 +48,22 @@ def check_fixture_schemas(sf_dir):
                 problems.append(
                     f"{table}.{col} is {actual}, expected one of {sorted(allowed)} — "
                     f"fixture schema drifted; update SparkEntry readers + this guard")
+            # ADVICE r10: an int64 ts is interpreted as raw NANOSECONDS by
+            # SparkEntry.events() (ts div 1000). An int64 column holding
+            # micro/milliseconds would pass the type check yet misconvert by
+            # 1000x — assert the value magnitude sits in the nanos range for
+            # the fixture's 2020-2030 window (mirrors FixtureSpec).
+            if table == "events" and col == "ts" and actual == "int64":
+                import duckdb as _dk
+                lo, hi = _dk.connect().execute(
+                    f"SELECT min(ts), max(ts) FROM read_parquet('{p}')").fetchone()
+                ns_lo, ns_hi = 1_577_836_800 * 10**9, 1_893_456_000 * 10**9  # 2020..2030 in ns
+                if not (ns_lo <= lo and hi <= ns_hi):
+                    problems.append(
+                        f"events.ts int64 values [{lo}, {hi}] are not in the "
+                        f"2020-2030 NANOSECONDS range [{ns_lo}, {ns_hi}] — the "
+                        f"column is probably micro/milliseconds; events() would "
+                        f"misconvert by 1000x")
     if problems:
         print("FIXTURE SCHEMA DRIFT DETECTED:")
         for p in problems:
