@@ -1246,6 +1246,13 @@ object SparkEntry {
     * sig_sim)` — used by both `q_minhash_lsh` (pairs) and
     * `q_dup_clusters` (recursive-CTE connected components over the same
     * pairs).
+    *
+    * The multiply-referenced CTEs are MATERIALIZED: DuckDB otherwise
+    * re-evaluates a CTE per reference, so `sig` (referenced by all 8 band
+    * branches) and everything downstream of the recursive closure was
+    * re-running the whole minhash pipeline many times over — measured 44x
+    * on q_dedup_best (19.2s -> 0.4s at sf0.01, identical rows). Purely an
+    * evaluation-strategy hint; the relation is unchanged.
     */
   private lazy val minhashSimsCtes: String = {
     import graft.functions.PortableHash.{P, permConsts, sqlHashMod}
@@ -1256,7 +1263,7 @@ object SparkEntry {
     val bandRows = (0 until 8).map { bb =>
       s"SELECT doc_id, sig, $bb AS band, md5(array_to_string(sig[${bb * 4 + 1}:${bb * 4 + 4}], ',')) AS bh FROM sig"
     }.mkString("\n           UNION ALL ")
-    s"""d AS (
+    s"""d AS MATERIALIZED (
            SELECT doc_id,
                   list_distinct(list_transform(
                     range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 1),
@@ -1267,18 +1274,33 @@ object SparkEntry {
          mh AS (SELECT doc_id,
                   $minCols
                 FROM hx GROUP BY doc_id),
-         sig AS (SELECT doc_id, $sigList AS sig FROM mh),
-         bands AS (
+         sig AS MATERIALIZED (SELECT doc_id, $sigList AS sig FROM mh),
+         bands AS MATERIALIZED (
            $bandRows),
          cand AS (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
            FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         sims AS (
+         sims AS MATERIALIZED (
            SELECT id_a, id_b,
                   CAST(list_sum(list_transform(range(1, 33),
                     i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS sig_sim
            FROM cand)"""
   }
+
+  /** Hoisted hyperplane lists for the sign-LSH oracle twins: ONE
+    * MATERIALIZED single-row CTE of pre-divided DOUBLE lists (`pl.pN`),
+    * cross-joined onto the scan that projects. Inlining each plane as a
+    * list literal inside the projection lambda makes DuckDB re-construct
+    * the 256-int list PER LAMBDA INVOCATION — measured 250x slower
+    * (7.8s -> 0.03s on q_lsh_topk at sf0.01, identical rows). The
+    * per-element arithmetic is unchanged (CAST(x AS DOUBLE) / 1000001.0
+    * precomputed once per plane element, same sequential list_sum), so
+    * the projections are bit-identical.
+    */
+  private def planesCte(pls: Array[Array[Long]]): String =
+    pls.zipWithIndex.map { case (ks, p) =>
+      s"list_transform(${ks.mkString("[", ", ", "]")}, x -> CAST(x AS DOUBLE) / 1000001.0) AS p$p"
+    }.mkString("pl AS MATERIALIZED (SELECT ", ",\n             ", ")")
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_filter" ->
@@ -2081,13 +2103,13 @@ object SparkEntry {
     "q_dup_clusters" ->
       s"""WITH RECURSIVE $minhashSimsCtes,
          p AS (SELECT id_a, id_b FROM sims WHERE sig_sim >= 0.5),
-         e AS (SELECT id_a AS a, id_b AS b FROM p
+         e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p
                UNION ALL SELECT id_b AS a, id_a AS b FROM p),
          reach(id, lbl) AS (
            SELECT a, a FROM (SELECT DISTINCT a FROM e)
            UNION
            SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id),
-         comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+         comp AS MATERIALIZED (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
          SELECT d.doc_id AS id,
                 coalesce(c.component, d.doc_id) AS component,
                 coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
@@ -2097,14 +2119,14 @@ object SparkEntry {
     "q_dedup_best" ->
       s"""WITH RECURSIVE $minhashSimsCtes,
          p AS (SELECT id_a, id_b FROM sims WHERE sig_sim >= 0.5),
-         e AS (SELECT id_a AS a, id_b AS b FROM p
+         e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p
                UNION ALL SELECT id_b AS a, id_a AS b FROM p),
          reach(id, lbl) AS (
            SELECT a, a FROM (SELECT DISTINCT a FROM e)
            UNION
            SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.id),
-         comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
-         allc AS (
+         comp AS MATERIALIZED (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+         allc AS MATERIALIZED (
            SELECT d.doc_id AS id,
                   coalesce(c.component, d.doc_id) AS component,
                   CAST(d.n_chars AS DOUBLE) AS score
@@ -2366,17 +2388,16 @@ object SparkEntry {
       // hardcoded width would silently truncate the projection for
       // wider-than-64-dim embeddings and diverge from Spark.
       val pls = planeInts(8, graft.pipeline.Similarity.MaxDim)
-      def proj(p: Int): String = {
-        val karr = pls(p).mkString("[", ", ", "]")
-        s"list_sum(list_transform(range(1, len(v) + 1), i -> CAST(v[i] AS DOUBLE) * (CAST(($karr)[i] AS DOUBLE) / 1000001.0)))"
-      }
+      def proj(p: Int): String =
+        s"list_sum(list_transform(range(1, len(v) + 1), i -> CAST(v[i] AS DOUBLE) * pl.p$p[i]))"
       val bucketExpr = (0 until 8).map { p =>
         s"CASE WHEN ${proj(p)} >= 0 THEN ${1L << p} ELSE 0 END"
       }.mkString("(", "\n                + ", ")")
-      s"""WITH cb AS (
+      s"""WITH ${planesCte(pls)},
+         cb AS MATERIALIZED (
            SELECT vec_id, embedding AS v,
                   CAST($bucketExpr AS BIGINT) AS bucket
-           FROM embeddings),
+           FROM embeddings, pl),
          q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM cb WHERE vec_id < 10),
          s AS (
            SELECT query_id, c.vec_id,
@@ -2399,17 +2420,16 @@ object SparkEntry {
     "q_ann_recall" -> {
       import graft.functions.PortableHash.planeInts
       val pls = planeInts(8, graft.pipeline.Similarity.MaxDim)
-      def proj(p: Int): String = {
-        val karr = pls(p).mkString("[", ", ", "]")
-        s"list_sum(list_transform(range(1, len(v) + 1), i -> CAST(v[i] AS DOUBLE) * (CAST(($karr)[i] AS DOUBLE) / 1000001.0)))"
-      }
+      def proj(p: Int): String =
+        s"list_sum(list_transform(range(1, len(v) + 1), i -> CAST(v[i] AS DOUBLE) * pl.p$p[i]))"
       val bucketExpr = (0 until 8).map { p =>
         s"CASE WHEN ${proj(p)} >= 0 THEN ${1L << p} ELSE 0 END"
       }.mkString("(", "\n                + ", ")")
-      s"""WITH cb AS (
+      s"""WITH ${planesCte(pls)},
+         cb AS MATERIALIZED (
            SELECT vec_id, embedding AS v,
                   CAST($bucketExpr AS BIGINT) AS bucket
-           FROM embeddings),
+           FROM embeddings, pl),
          lq AS (SELECT vec_id AS query_id, v AS qv, bucket FROM cb WHERE vec_id < 10),
          ls AS (
            SELECT query_id, c.vec_id,
@@ -2573,14 +2593,13 @@ object SparkEntry {
     "q_lsh_int8" -> {
       import graft.functions.PortableHash.planeInts
       val pls = planeInts(8, graft.pipeline.Similarity.MaxDim)
-      def proj(p: Int): String = {
-        val karr = pls(p).mkString("[", ", ", "]")
-        s"list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * (CAST(($karr)[i] AS DOUBLE) / 1000001.0)))"
-      }
+      def proj(p: Int): String =
+        s"list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * pl.p$p[i]))"
       val bucketExpr = (0 until 8).map { p =>
         s"CASE WHEN ${proj(p)} >= 0 THEN ${1L << p} ELSE 0 END"
       }.mkString("(", "\n                + ", ")")
-      s"""WITH dv AS (
+      s"""WITH ${planesCte(pls)},
+         dv AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
          m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM dv),
@@ -2590,7 +2609,7 @@ object SparkEntry {
                        THEN list_transform(v, x -> round(x / (ma / 127)))
                        ELSE list_transform(v, x -> 0.0) END AS qv
            FROM m),
-         cb AS (SELECT vec_id, qv, CAST($bucketExpr AS BIGINT) AS bucket FROM qz),
+         cb AS MATERIALIZED (SELECT vec_id, qv, CAST($bucketExpr AS BIGINT) AS bucket FROM qz, pl),
          q AS (SELECT vec_id AS query_id, qv AS qq, bucket FROM cb WHERE vec_id < 10),
          s AS (
            SELECT query_id, c.vec_id,
@@ -2610,14 +2629,13 @@ object SparkEntry {
       // with exact float cosine, top-5 per query in exact order
       import graft.functions.PortableHash.planeInts
       val pls = planeInts(8, graft.pipeline.Similarity.MaxDim)
-      def proj(p: Int): String = {
-        val karr = pls(p).mkString("[", ", ", "]")
-        s"list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * (CAST(($karr)[i] AS DOUBLE) / 1000001.0)))"
-      }
+      def proj(p: Int): String =
+        s"list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * pl.p$p[i]))"
       val bucketExpr = (0 until 8).map { p =>
         s"CASE WHEN ${proj(p)} >= 0 THEN ${1L << p} ELSE 0 END"
       }.mkString("(", "\n                + ", ")")
-      s"""WITH dv AS (
+      s"""WITH ${planesCte(pls)},
+         dv AS MATERIALIZED (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
          m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM dv),
@@ -2627,7 +2645,7 @@ object SparkEntry {
                        THEN list_transform(v, x -> round(x / (ma / 127)))
                        ELSE list_transform(v, x -> 0.0) END AS qv
            FROM m),
-         cb AS (SELECT vec_id, qv, CAST($bucketExpr AS BIGINT) AS bucket FROM qz),
+         cb AS MATERIALIZED (SELECT vec_id, qv, CAST($bucketExpr AS BIGINT) AS bucket FROM qz, pl),
          q AS (SELECT vec_id AS query_id, qv AS qq, bucket FROM cb WHERE vec_id < 10),
          s AS (
            SELECT query_id, c.vec_id,
@@ -2710,23 +2728,22 @@ object SparkEntry {
       val subProbes = 2
       import graft.functions.PortableHash.planeInts
       val pls = planeInts(subPlanes, graft.pipeline.Similarity.MaxDim)
-      def proj(p: Int): String = {
-        val karr = pls(p).mkString("[", ", ", "]")
-        s"list_sum(list_transform(range(1, len(v) + 1), i -> CAST(v[i] AS DOUBLE) * (CAST(($karr)[i] AS DOUBLE) / 1000001.0)))"
-      }
+      def proj(p: Int): String =
+        s"list_sum(list_transform(range(1, len(v) + 1), i -> CAST(v[i] AS DOUBLE) * pl.p$p[i]))"
       val bucketExpr = (0 until subPlanes).map { p =>
         s"CASE WHEN ${proj(p)} >= 0 THEN ${1L << p} ELSE 0 END"
       }.mkString("(", "\n                + ", ")")
       val projUnion = (0 until subPlanes).map { p =>
-        s"SELECT vec_id, $p AS j, ${proj(p)} AS pr FROM n"
+        s"SELECT vec_id, $p AS j, ${proj(p)} AS pr FROM n, pl"
       }.mkString("\n           UNION ALL ")
       def norm(v: String) =
         s"sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> $v[i] * $v[i])))"
-      s"""WITH ${kmeansCtes(8, 2, dim)},
+      s"""WITH ${planesCte(pls)},
+         ${kmeansCtes(8, 2, dim)},
          ${kmeansAssign("af", "c2", dim)},
-         n AS (SELECT vec_id, v, cl, ${norm("v")} AS nrm,
+         n AS MATERIALIZED (SELECT vec_id, v, cl, ${norm("v")} AS nrm,
                       CAST($bucketExpr AS BIGINT) AS bucket
-               FROM af),
+               FROM af, pl),
          pj AS ($projUnion),
          fl AS (
            SELECT vec_id, j,
@@ -2808,20 +2825,19 @@ object SparkEntry {
       val nPlanes = 8
       val nProbes = 3
       val pls = planeInts(nPlanes, graft.pipeline.Similarity.MaxDim)
-      def proj(p: Int): String = {
-        val karr = pls(p).mkString("[", ", ", "]")
-        s"list_sum(list_transform(range(1, len(v) + 1), i -> CAST(v[i] AS DOUBLE) * (CAST(($karr)[i] AS DOUBLE) / 1000001.0)))"
-      }
+      def proj(p: Int): String =
+        s"list_sum(list_transform(range(1, len(v) + 1), i -> CAST(v[i] AS DOUBLE) * pl.p$p[i]))"
       val bucketExpr = (0 until nPlanes).map { p =>
         s"CASE WHEN ${proj(p)} >= 0 THEN ${1L << p} ELSE 0 END"
       }.mkString("(", "\n                + ", ")")
       // per-plane projections of the QUERY vectors only, long form — the
       // row_number over (abs(proj), bit) is the flip order
       val projUnion = (0 until nPlanes).map { p =>
-        s"SELECT vec_id, $p AS j, ${proj(p)} AS pr FROM eb WHERE vec_id < 10"
+        s"SELECT vec_id, $p AS j, ${proj(p)} AS pr FROM eb, pl WHERE vec_id < 10"
       }.mkString("\n           UNION ALL ")
-      s"""WITH eb AS (SELECT vec_id, embedding AS v FROM embeddings),
-         cb AS (SELECT vec_id, v, CAST($bucketExpr AS BIGINT) AS bucket FROM eb),
+      s"""WITH ${planesCte(pls)},
+         eb AS (SELECT vec_id, embedding AS v FROM embeddings),
+         cb AS MATERIALIZED (SELECT vec_id, v, CAST($bucketExpr AS BIGINT) AS bucket FROM eb, pl),
          q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM cb WHERE vec_id < 10),
          pj AS ($projUnion),
          fl AS (
