@@ -465,9 +465,11 @@ object SparkEntry {
         .orderBy("user_id", "ts")
     }),
 
-    // stats — robust rolling baseline: 24-row median window
+    // stats — robust rolling baseline: 24-row median window. Split form
+    // (30-day padded buckets): same semantics as the whole-series window
+    // (StatsSpec padding law), no single-task series — oracle unchanged
     "q_rolling_median" -> ((s, d) => {
-      Stats.rollingMedian(events(s, d).filter(col("user_id") < 5), Seq("user_id"),
+      Stats.rollingMedianSplit(events(s, d).filter(col("user_id") < 5), Seq("user_id"),
           n = 24, orderCol = "event_id")
         .select(col("event_id"), col("user_id"), round(col("roll_med"), 6).as("roll_med"))
         .orderBy("event_id")
@@ -752,13 +754,12 @@ object SparkEntry {
     }),
 
     // rolling features — trailing moving average per key (training-data
-    // windowed feature extraction)
+    // windowed feature extraction). Split form (padded buckets): identical
+    // values to the whole-series window, no single-task series
     "q_moving_avg" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        .rowsBetween(-4, 0)
-      events(s, d)
-        .withColumn("ma5", round(avg(col("value")).over(w), 4))
+      Stats.movingAvgSplit(events(s, d), Seq("user_id"),
+          n = 5, orderCol = "event_id", outCol = "ma5")
+        .withColumn("ma5", round(col("ma5"), 4))
         .select("user_id", "event_id", "ts", "ma5")
         .orderBy("user_id", "event_id")
     }),

@@ -204,6 +204,103 @@ object Stats {
     df.withColumn(outCol, percentile(col(valueCol), lit(0.5)).over(w))
   }
 
+  /** Shared scaffolding for hot-series bounded trailing-ROWS windows
+    * ([[rollingMedianSplit]] / [[movingAvgSplit]]): a `ROWS n−1
+    * PRECEDING..CURRENT` frame needs only the n−1 rows before each row,
+    * so a monster series need not sort in ONE window task — bucket the
+    * series by time, then REPLICATE each bucket's last n−1 rows into the
+    * next bucket as order-preserving padding (`__pad`), and run the same
+    * frame inside (keys, bucket). Sparse buckets are handled exactly: the
+    * carry for bucket b is the last n−1 of the CONCATENATED tails of all
+    * earlier buckets (each true predecessor is inside its own bucket's
+    * tail by construction), via one metadata-sized spine — one row per
+    * (key, bucket), each holding ≤ n−1 replicated rows. Padding rows sort
+    * before every native row of their bucket (their timestamps are
+    * earlier), get a garbage window value, and are dropped after the
+    * aggregation. Output is the projection (keys, tsCol, orderCol,
+    * valueCol) + the caller's window column — the split forms don't carry
+    * arbitrary pass-through columns.
+    */
+  private def paddedTrailing(
+      df: DataFrame,
+      keys: Seq[String],
+      n: Int,
+      tsCol: String,
+      orderCol: String,
+      valueCol: String,
+      splitSeconds: Long): DataFrame = {
+    require(n >= 1, s"window must be >= 1 rows, got $n")
+    require(splitSeconds > 0, s"splitSeconds must be positive, got $splitSeconds")
+    val bUs = splitSeconds * 1000000L
+    val withB = df
+      .select((keys.map(col) :+ col(tsCol) :+ col(orderCol) :+ col(valueCol)): _*)
+      .withColumn("__b", floor(unix_micros(col(tsCol).cast("timestamp")) / bUs))
+      .withColumn("__pad", lit(false))
+    if (n == 1) return withB // frame is the row itself — nothing to carry
+    val w = org.apache.spark.sql.expressions.Window
+    val tails = withB.groupBy((keys.map(col) :+ col("__b")): _*)
+      .agg(sort_array(collect_list(struct(col(tsCol), col(orderCol), col(valueCol))))
+        .as("__rows"))
+      .withColumn("__tail",
+        slice(col("__rows"), greatest(size(col("__rows")) - (n - 1) + 1, lit(1)), lit(n - 1)))
+      .drop("__rows")
+    val wPrev = w.partitionBy(keys.map(col): _*).orderBy(col("__b").asc)
+      .rowsBetween(w.unboundedPreceding, -1)
+    val pads = tails
+      .withColumn("__prevAll", flatten(collect_list(col("__tail")).over(wPrev)))
+      .withColumn("__carry",
+        slice(col("__prevAll"), greatest(size(col("__prevAll")) - (n - 1) + 1, lit(1)), lit(n - 1)))
+      .select((keys.map(col) :+ col("__b") :+ explode(col("__carry")).as("__r")): _*)
+      .select((keys.map(col) :+ col("__b") :+
+        col("__r").getField(tsCol).as(tsCol) :+
+        col("__r").getField(orderCol).as(orderCol) :+
+        col("__r").getField(valueCol).as(valueCol) :+
+        lit(true).as("__pad")): _*)
+    withB.unionByName(pads.select(withB.columns.map(col): _*))
+  }
+
+  /** Hot-series [[rollingMedian]]: identical semantics over the padded
+    * (keys, bucket) frame — no whole-series window task. Output columns:
+    * (keys..., tsCol, orderCol, valueCol, outCol).
+    */
+  def rollingMedianSplit(
+      df: DataFrame,
+      keys: Seq[String],
+      n: Int,
+      tsCol: String = "ts",
+      orderCol: String,
+      valueCol: String = "value",
+      outCol: String = "roll_med",
+      splitSeconds: Long = 30L * 86400L): DataFrame = {
+    val padded = paddedTrailing(df, keys, n, tsCol, orderCol, valueCol, splitSeconds)
+    val wkb = org.apache.spark.sql.expressions.Window
+      .partitionBy((keys :+ "__b").map(col): _*).orderBy(col(tsCol), col(orderCol))
+      .rowsBetween(-(n - 1).toLong, org.apache.spark.sql.expressions.Window.currentRow)
+    padded.withColumn(outCol, percentile(col(valueCol), lit(0.5)).over(wkb))
+      .filter(!col("__pad")).drop("__b", "__pad")
+  }
+
+  /** Hot-series trailing moving average (`Series.rolling(n,
+    * min_periods=1).mean()`) on the same padded-bucket scaffolding.
+    * Output columns: (keys..., tsCol, orderCol, valueCol, outCol).
+    */
+  def movingAvgSplit(
+      df: DataFrame,
+      keys: Seq[String],
+      n: Int,
+      tsCol: String = "ts",
+      orderCol: String,
+      valueCol: String = "value",
+      outCol: String = "moving_avg",
+      splitSeconds: Long = 30L * 86400L): DataFrame = {
+    val padded = paddedTrailing(df, keys, n, tsCol, orderCol, valueCol, splitSeconds)
+    val wkb = org.apache.spark.sql.expressions.Window
+      .partitionBy((keys :+ "__b").map(col): _*).orderBy(col(tsCol), col(orderCol))
+      .rowsBetween(-(n - 1).toLong, org.apache.spark.sql.expressions.Window.currentRow)
+    padded.withColumn(outCol, avg(col(valueCol)).over(wkb))
+      .filter(!col("__pad")).drop("__b", "__pad")
+  }
+
   /** Peak / off-peak energy split — the metering-tariff primitive: sum
     * and count per (keys, is_peak) where peak = weekday with
     * hour ∈ [peakStartHour, peakEndHour). One hash aggregation. `dow`

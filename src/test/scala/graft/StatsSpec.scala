@@ -153,6 +153,47 @@ class StatsSpec extends SparkSpec {
     assert(out(4) === 3.0)  // median(3,1000,2)
   }
 
+  // The padded-bucket law: a trailing-ROWS window over (key, bucket) with
+  // each bucket's last n−1 rows replicated into later buckets must equal
+  // the whole-series window exactly — including across sparse buckets,
+  // where one bucket holds fewer than n−1 rows and the carry must reach
+  // back through several buckets.
+  test("rollingMedianSplit/movingAvgSplit == whole-series window (padding law)") {
+    val rnd = new scala.util.Random(23L)
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    // two keys, irregular spacing: dense bursts + multi-day gaps so 1-day
+    // buckets range from 0 to ~30 rows around an n=24 window
+    val rows = for (k <- Seq("a", "b"); i <- 0 until 400) yield {
+      val gapH = if (i % 37 == 0) 50L else if (rnd.nextDouble() < 0.2) 7L else 1L
+      (k, i.toLong, gapH, rnd.nextDouble() * 100)
+    }
+    val cum = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      var h = 0L
+      rs.sortBy(_._2).map { case (_, i, g, v) => h += g; (k, t0.plusHours(h), i, v) }
+    }.toSeq
+    val df = cum.toDF("key", "ts", "event_id", "value")
+    for (n <- Seq(1, 3, 24)) {
+      val ref = Stats.rollingMedian(df, Seq("key"), n, orderCol = "event_id")
+        .select("key", "event_id", "roll_med").orderBy("key", "event_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      val split = Stats.rollingMedianSplit(df, Seq("key"), n, orderCol = "event_id",
+          splitSeconds = 86400L)
+        .select("key", "event_id", "roll_med").orderBy("key", "event_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(split.toSeq === ref.toSeq, s"n=$n")
+    }
+    val wholeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+    val refAvg = df.withColumn("ma", avg(col("value")).over(wholeW))
+      .select("key", "event_id", "ma").orderBy("key", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val splitAvg = Stats.movingAvgSplit(df, Seq("key"), n = 5, orderCol = "event_id",
+        outCol = "ma", splitSeconds = 86400L)
+      .select("key", "event_id", "ma").orderBy("key", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(splitAvg.toSeq === refAvg.toSeq)
+  }
+
   test("peakOffpeak: weekday 8-20h is peak, weekends never are") {
     // 2024-01-01 is a Monday; 2024-01-06/07 the weekend
     val rows = Seq(
