@@ -62,6 +62,19 @@ class PlanSpec extends SparkSpec {
       s"no (user_id, bucket) exchange found: $partitionings")
   }
 
+  test("q_interpolate/q_rolling_median/q_moving_avg: windows shuffle on (key, bucket)") {
+    for (q <- Seq("q_interpolate", "q_rolling_median", "q_moving_avg")) {
+      val p = plan(q)
+      val partitionings = "hashpartitioning\\(([^)]*)".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      // same acceptance set as the q_ffill pin: the bucket column may
+      // survive as an attribute or be inlined by Catalyst
+      val bucket = "__b#|_groupingexpression#|unix_micros".r
+      assert(partitionings.exists(a => a.contains("user_id#") && bucket.findFirstIn(a).nonEmpty),
+        s"$q: no (user_id, bucket) exchange found: $partitionings")
+    }
+  }
+
   test("q_revenue_join: all dimension joins broadcast, none sort-merge") {
     val p = plan("q_revenue_join")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
