@@ -373,6 +373,42 @@ object Stats {
           stddev_samp(xm) * stddev_samp(ym)).as("acf"))
   }
 
+  /** Hot-series [[autocorr]]: the lag-k pairing runs inside (key, bucket)
+    * over the [[paddedTrailing]] frame (padding = each bucket's last k
+    * rows replicated forward, so `lag(k)` at a bucket head sees its TRUE
+    * predecessor — pad rows' own lags are garbage and are dropped before
+    * the aggregation). The pair set is exactly [[autocorr]]'s; the final
+    * correlation is the same `corr` aggregation, so values match up to
+    * float partial-aggregation order (both forms' sums are
+    * partition-order-dependent at the ulp level — the law test asserts
+    * 1e-9 relative agreement, and n_pairs exactly). The whole-series form
+    * stays the oracle twin; this is the scale path for a monster series.
+    */
+  def autocorrSplit(
+      df: DataFrame,
+      keys: Seq[String],
+      lagK: Int = 1,
+      tsCol: String = "ts",
+      orderCol: String,
+      valueCol: String = "value",
+      splitSeconds: Long = 30L * 86400L): DataFrame = {
+    require(lagK >= 1, s"lagK must be >= 1, got $lagK")
+    val padded = paddedTrailing(df, keys, lagK + 1, tsCol, orderCol, valueCol, splitSeconds)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((keys :+ "__b").map(col): _*).orderBy(col(tsCol), col(orderCol))
+    val lagged = padded
+      .withColumn("__pv", lag(col(valueCol), lagK).over(w))
+      .filter(!col("__pad"))
+    val pairOk = col(valueCol).isNotNull && col("__pv").isNotNull
+    val xm = when(pairOk, col(valueCol))
+    val ym = when(pairOk, col("__pv"))
+    lagged.groupBy(keys.map(col): _*)
+      .agg(
+        count(when(pairOk, 1)).as("n_pairs"),
+        try_divide(covar_samp(xm, ym),
+          stddev_samp(xm) * stddev_samp(ym)).as("acf"))
+  }
+
   /** Fixed-range histogram per series — `value_counts(bins)` with
     * explicit [lo, hi) bounds so every series shares one bin grid
     * (comparable across keys and engines; a data-derived range would need

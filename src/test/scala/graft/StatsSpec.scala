@@ -2,6 +2,7 @@ package graft
 
 import graft.ts.Stats
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Per-series statistical conditioning (ts/Stats.scala): hand-computed
   * EWMA recursion, winsorize clamp bounds, and histogram edge-bin
@@ -192,6 +193,36 @@ class StatsSpec extends SparkSpec {
       .select("key", "event_id", "ma").orderBy("key", "event_id")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(splitAvg.toSeq === refAvg.toSeq)
+  }
+
+  test("autocorrSplit == autocorr (pair set exact, acf to 1e-9)") {
+    val rnd = new scala.util.Random(31L)
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    // irregular gaps + interior nulls so lag pairs cross bucket edges and
+    // the pairwise-complete masking is exercised
+    val rows = for (k <- Seq("a", "b"); i <- 0 until 300) yield {
+      val v: Any = if (rnd.nextDouble() < 0.15) null else Double.box(rnd.nextDouble() * 50 + (i % 7))
+      (k, t0.plusHours(i * 3L + (i % 5)), i.toLong, v)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (k, t, i, v) =>
+        org.apache.spark.sql.Row(k, t, i, v) }),
+      StructType(Seq(
+        StructField("key", StringType), StructField("ts", TimestampNTZType),
+        StructField("event_id", LongType), StructField("value", DoubleType))))
+    for (k <- Seq(1, 3)) {
+      val ref = Stats.autocorr(df, Seq("key"), k, orderCol = "event_id")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val split = Stats.autocorrSplit(df, Seq("key"), k, orderCol = "event_id",
+          splitSeconds = 2L * 86400L)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(split.keySet === ref.keySet)
+      for ((key, (n, acf)) <- ref) {
+        assert(split(key)._1 === n, s"lag=$k key=$key n_pairs")
+        assert(math.abs(split(key)._2 - acf) <= 1e-9 * math.max(1.0, math.abs(acf)),
+          s"lag=$k key=$key: split ${split(key)._2} != whole-series $acf")
+      }
+    }
   }
 
   test("peakOffpeak: weekday 8-20h is peak, weekends never are") {
