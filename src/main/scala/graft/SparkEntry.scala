@@ -217,7 +217,9 @@ object SparkEntry {
     "q_islands" -> ((s, d) => {
       val ev = events(s, d).select(col("user_id"), col("ts"), col("event_id"),
         col("event_type").as("value"))
-      Gaps.constantIslands(ev, Seq("user_id"), "ts", "value", Seq("event_id"))
+      // split form (30-day buckets + boundary run-state carry): identical
+      // islands (GapsSpec law), no single-task series — oracle unchanged
+      Gaps.constantIslandsSplit(ev, Seq("user_id"), "ts", "value", Seq("event_id"))
         .select(col("user_id"), col("run_start"), col("run_end"), col("value"), col("run_len"))
         .orderBy("user_id", "run_start")
     }),

@@ -41,6 +41,69 @@ object Gaps {
       .drop("__grp")
   }
 
+  /** Hot-series [[constantIslands]]: identical output, no whole-series
+    * window task. The gaps-and-islands pattern needs exactly one row of
+    * look-behind (the change flag) plus a prefix count (the island id),
+    * both of which decompose across time buckets:
+    *  - the change flag at a bucket head compares against the PREVIOUS
+    *    bucket's last row, carried through a one-row-per-(key, bucket)
+    *    spine (`lag` over the spine — adjacent spine row IS the previous
+    *    non-empty bucket). The carried value travels in a struct so a
+    *    genuinely-null value is distinguishable from "no previous row".
+    *  - the island id = global running sum of flags = per-bucket local
+    *    prefix + the sum of earlier buckets' flag totals (a second
+    *    metadata-sized spine window).
+    * Islands spanning bucket boundaries reassemble in the final groupBy
+    * (the head row inherits the previous island's id when the value
+    * continues). Every window partitions by (keys, bucket) or runs over
+    * the spine — a monster series parallelizes across buckets.
+    */
+  def constantIslandsSplit(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      tieBreak: Seq[String] = Nil,
+      splitSeconds: Long = 30L * 86400L): DataFrame = {
+    require(splitSeconds > 0, s"splitSeconds must be positive, got $splitSeconds")
+    val bUs = splitSeconds * 1000000L
+    val ord = (col(tsCol) +: tieBreak.map(col))
+    val withB = df.withColumn("__b",
+      floor(unix_micros(col(tsCol).cast("timestamp")) / bUs))
+    // one row per (key, bucket): the bucket's last value (by the same
+    // order), struct-wrapped so null values survive the max_by
+    val lastRow = withB
+      .groupBy((keys.map(col) :+ col("__b")): _*)
+      .agg(max_by(struct(col(valueCol).as("v")), struct(ord: _*)).as("__lastE"))
+    val wspine = Window.partitionBy(keys.map(col): _*).orderBy(col("__b").asc)
+    val carries = lastRow
+      .withColumn("__prevE", lag(col("__lastE"), 1).over(wspine))
+      .select((keys.map(col) :+ col("__b") :+ col("__prevE")): _*)
+    val wkb = Window.partitionBy((keys :+ "__b").map(col): _*).orderBy(ord: _*)
+    val flagged = withB.join(carries, keys :+ "__b", "left")
+      .withColumn("__pE", coalesce(lag(struct(col(valueCol).as("v")), 1).over(wkb), col("__prevE")))
+      .withColumn("__chg",
+        when(col("__pE").isNotNull && (col(valueCol) <=> col("__pE").getField("v")), 0L)
+          .otherwise(1L))
+      .withColumn("__lgrp", sum(col("__chg"))
+        .over(wkb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = flagged.groupBy((keys.map(col) :+ col("__b")): _*)
+      .agg(sum(col("__chg")).as("__tot"))
+    val offsets = totals
+      .withColumn("__off", coalesce(
+        sum(col("__tot")).over(wspine.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((keys.map(col) :+ col("__b") :+ col("__off")): _*)
+    flagged.join(offsets, keys :+ "__b")
+      .withColumn("__grp", col("__off") + col("__lgrp"))
+      .groupBy((keys.map(col) :+ col("__grp")): _*)
+      .agg(
+        min(col(tsCol)).as("run_start"),
+        max(col(tsCol)).as("run_end"),
+        first(col(valueCol)).as(valueCol),
+        count(lit(1)).as("run_len"))
+      .drop("__grp")
+  }
+
   /** Missing-data holes per key over a dense grid
     * (`check_ts_completeness`, utils/timeseries.py:11-65): reindex
     * [start, end] at `freqSecs`, find null runs, widen each hole by

@@ -264,6 +264,35 @@ class GapsSpec extends SparkSpec {
     assert(runs.map(_.getLong(4)).toSeq === Seq(2L, 2L, 1L)) // run_len
   }
 
+  // The run-length carry law: islands computed per (key, bucket) with a
+  // one-row boundary carry + offset spine must equal the whole-series
+  // window exactly — including runs spanning several buckets, null runs
+  // at bucket edges, and the null-value-vs-no-previous-row distinction.
+  test("constantIslandsSplit == constantIslands (boundary run-state law)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(55L)
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    val rows = for (k <- Seq("a", "b"); i <- 0 until 500) yield {
+      // long constant stretches (span 1-day buckets), interleaved nulls
+      val v: Option[String] =
+        if (i % 97 < 9) None
+        else Some("s" + (i / 53))
+      (k, t0.plusHours(i.toLong), i.toLong, v.orNull)
+    }
+    val df = rows.toDF("k", "ts", "event_id", "value")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("k", "run_start", "run_end", "value", "run_len")
+        .orderBy("k", "run_start").collect().map(_.toSeq).toSeq
+    val ref = canon(Gaps.constantIslands(df, Seq("k"), "ts", "value", Seq("event_id")))
+    val split = canon(Gaps.constantIslandsSplit(df, Seq("k"), "ts", "value", Seq("event_id"),
+      splitSeconds = 86400L))
+    assert(split === ref)
+    // degenerate: one bucket
+    val one = canon(Gaps.constantIslandsSplit(df, Seq("k"), "ts", "value", Seq("event_id"),
+      splitSeconds = 365L * 86400L))
+    assert(one === ref)
+  }
+
   test("holes: missing grid slots + absent keys → full range") {
     import spark.implicits._
     val df = Seq(("a", "2024-01-01T00:00", 1.0), ("a", "2024-01-03T00:00", 1.0))
