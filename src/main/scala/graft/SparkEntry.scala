@@ -217,8 +217,18 @@ object SparkEntry {
     "q_islands" -> ((s, d) => {
       val ev = events(s, d).select(col("user_id"), col("ts"), col("event_id"),
         col("event_type").as("value"))
-      // split form (30-day buckets + boundary run-state carry): identical
-      // islands (GapsSpec law), no single-task series — oracle unchanged
+      Gaps.constantIslands(ev, Seq("user_id"), "ts", "value", Seq("event_id"))
+        .select(col("user_id"), col("run_start"), col("run_end"), col("value"), col("run_len"))
+        .orderBy("user_id", "run_start")
+    }),
+
+    // hot-series islands (constantIslandsSplit: per-bucket run-length with
+    // a boundary run-state carry — q_asof_split's precedent: the scale
+    // path gets its own oracle pin, the plain form keeps the benchmark
+    // shape). Same oracle SQL as q_islands; identical output required.
+    "q_islands_split" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("value"))
       Gaps.constantIslandsSplit(ev, Seq("user_id"), "ts", "value", Seq("event_id"))
         .select(col("user_id"), col("run_start"), col("run_end"), col("value"), col("run_len"))
         .orderBy("user_id", "run_start")
@@ -1379,6 +1389,23 @@ object SparkEntry {
          FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
     "q_islands" ->
+      """WITH f AS (
+           SELECT user_id, ts, event_id, event_type AS value,
+                  CASE WHEN event_type IS NOT DISTINCT FROM
+                            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       THEN 0 ELSE 1 END AS chg
+           FROM events),
+         g AS (
+           SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+           FROM f)
+         SELECT user_id, min(ts) AS run_start, max(ts) AS run_end,
+                min(value) AS value, count(*) AS run_len
+         FROM g GROUP BY user_id, grp ORDER BY user_id, run_start""",
+
+    // identical semantics to q_islands — the split form must reproduce the
+    // whole-series window's islands exactly
+    "q_islands_split" ->
       """WITH f AS (
            SELECT user_id, ts, event_id, event_type AS value,
                   CASE WHEN event_type IS NOT DISTINCT FROM

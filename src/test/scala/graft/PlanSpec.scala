@@ -63,7 +63,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_interpolate/q_rolling_median/q_moving_avg: windows shuffle on (key, bucket)") {
-    for (q <- Seq("q_interpolate", "q_rolling_median", "q_moving_avg")) {
+    for (q <- Seq("q_interpolate", "q_rolling_median", "q_moving_avg", "q_islands_split")) {
       val p = plan(q)
       val partitionings = "hashpartitioning\\(([^)]*)".r
         .findAllMatchIn(p).map(_.group(1)).toSeq
