@@ -123,14 +123,23 @@ object Gaps {
       tsCol: String = "ts",
       valueCol: String = "value",
       requestedKeys: Option[DataFrame] = None,
-      minDeltaSecs: Long = 0L): DataFrame = {
+      minDeltaSecs: Long = 0L,
+      splitSeconds: Option[Long] = None): DataFrame = {
     val spark = df.sparkSession
     val grid  = Grid.spine(spark, start, end, freqSecs, inclusiveRight = true, tsCol)
     val keyDf = requestedKeys.getOrElse(df.select(keys.map(col): _*).distinct())
     val dense = keyDf.crossJoin(broadcast(grid))
       .join(df.select((keys.map(col) :+ col(tsCol) :+ col(valueCol)): _*), keys :+ tsCol, "left")
-    val runs = constantIslands(
-      dense.withColumn("__missing", col(valueCol).isNull), keys, tsCol, "__missing")
+    // the window task is bounded by the REQUESTED grid, not the stored
+    // series — fine for the reference's bounded requests; pass
+    // splitSeconds when reindexing an unbounded range (a decade-long 1s
+    // grid is 300M slots per key) and the run-length step parallelizes
+    // across buckets ([[constantIslandsSplit]], identical islands by law)
+    val missingFlag = dense.withColumn("__missing", col(valueCol).isNull)
+    val runs = splitSeconds match {
+      case Some(s) => constantIslandsSplit(missingFlag, keys, tsCol, "__missing", Nil, s)
+      case None    => constantIslands(missingFlag, keys, tsCol, "__missing")
+    }
     val lo = lit(start) // LocalDateTime → TIMESTAMP_NTZ literal, JVM-tz-proof
     val hi = lit(end)
     val sec = expr("make_dt_interval(0, 0, 0, 1)")
@@ -173,12 +182,13 @@ object Gaps {
       marginSecs: Long = 0L,
       tsCol: String = "ts",
       requestedKeys: Option[DataFrame] = None,
-      minDeltaSecs: Long = 0L): DataFrame = {
+      minDeltaSecs: Long = 0L,
+      splitSeconds: Option[Long] = None): DataFrame = {
     require(valueCols.nonEmpty, "holesMulti needs at least one value column")
     val summed = df.withColumn("__vsum",
       valueCols.map(c => coalesce(col(c), lit(0.0))).reduce(_ + _))
     holes(summed, keys, start, end, freqSecs, marginSecs, tsCol, "__vsum",
-      requestedKeys, minDeltaSecs)
+      requestedKeys, minDeltaSecs, splitSeconds)
   }
 
   /** Cluster keys by their missing ranges (reference `find_groups`,

@@ -293,6 +293,21 @@ class GapsSpec extends SparkSpec {
     assert(one === ref)
   }
 
+  test("holes with splitSeconds == holes (same holes through the split islands path)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77L)
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    val rows = for (k <- Seq("a", "b"); i <- 0 until 24 * 20 if rnd.nextDouble() > 0.3)
+      yield (k, t0.plusHours(i.toLong), 1.0)
+    val df = rows.toDF("k", "ts", "value")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("k", "hole_start").collect().map(_.toSeq).toSeq
+    val ref = canon(Gaps.holes(df, Seq("k"), ldt("2024-01-01T00:00"), ldt("2024-01-20T00:00"), 3600L))
+    val split = canon(Gaps.holes(df, Seq("k"), ldt("2024-01-01T00:00"), ldt("2024-01-20T00:00"), 3600L,
+      splitSeconds = Some(86400L)))
+    assert(split === ref && ref.nonEmpty)
+  }
+
   test("holes: missing grid slots + absent keys → full range") {
     import spark.implicits._
     val df = Seq(("a", "2024-01-01T00:00", 1.0), ("a", "2024-01-03T00:00", 1.0))
