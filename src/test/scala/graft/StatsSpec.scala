@@ -177,11 +177,13 @@ class StatsSpec extends SparkSpec {
       val ref = Stats.rollingMedian(df, Seq("key"), n, orderCol = "event_id")
         .select("key", "event_id", "roll_med").orderBy("key", "event_id")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-      val split = Stats.rollingMedianSplit(df, Seq("key"), n, orderCol = "event_id",
-          splitSeconds = 86400L)
-        .select("key", "event_id", "roll_med").orderBy("key", "event_id")
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-      assert(split.toSeq === ref.toSeq, s"n=$n")
+      for (bucketS <- Seq(86400L, 3 * 3600L)) { // day buckets + near-per-row buckets
+        val split = Stats.rollingMedianSplit(df, Seq("key"), n, orderCol = "event_id",
+            splitSeconds = bucketS)
+          .select("key", "event_id", "roll_med").orderBy("key", "event_id")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        assert(split.toSeq === ref.toSeq, s"n=$n bucket=$bucketS")
+      }
     }
     val wholeW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key")).orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)

@@ -287,10 +287,14 @@ class GapsSpec extends SparkSpec {
     val split = canon(Gaps.constantIslandsSplit(df, Seq("k"), "ts", "value", Seq("event_id"),
       splitSeconds = 86400L))
     assert(split === ref)
-    // degenerate: one bucket
+    // degenerate: one bucket, and one-row-per-bucket (every run boundary
+    // crosses a carry)
     val one = canon(Gaps.constantIslandsSplit(df, Seq("k"), "ts", "value", Seq("event_id"),
       splitSeconds = 365L * 86400L))
     assert(one === ref)
+    val perRow = canon(Gaps.constantIslandsSplit(df, Seq("k"), "ts", "value", Seq("event_id"),
+      splitSeconds = 3600L))
+    assert(perRow === ref)
   }
 
   test("holes with splitSeconds == holes (same holes through the split islands path)") {
@@ -511,9 +515,12 @@ class ResampleSpec extends SparkSpec {
     val direct = vals(Resample.interpolate(df, Seq("k")))
     val split  = vals(Resample.interpolateSplit(df, Seq("k"), splitSeconds = 86400L))
     assert(split.toSeq === direct.toSeq)
-    // degenerate: single bucket
+    // degenerate: single bucket, and one-row-per-bucket (every carry path
+    // crosses a boundary)
     val one = vals(Resample.interpolateSplit(df, Seq("k"), splitSeconds = 365L * 86400L))
     assert(one.toSeq === direct.toSeq)
+    val perRow = vals(Resample.interpolateSplit(df, Seq("k"), splitSeconds = 3600L))
+    assert(perRow.toSeq === direct.toSeq)
   }
 
   test("minFreq: exact min step in µs") {
