@@ -133,6 +133,37 @@ object Multimodal {
       }
   }
 
+  final case class EncodedThumb(media_id: Long, mime: String, png: Array[Byte])
+
+  /** Decode → bilinear-resize → PNG-encode in one `mapPartitions` pass:
+    * the thumbnail-generation shape a real media pipeline ships (compressed
+    * bytes out, not raw rasters — a 100 TB corpus of w×h rasters is ~3x
+    * the PNG cost for nothing). Both codec ends are REAL `javax.imageio`;
+    * payloads that don't decode are skipped (flatMap), so audio/video rows
+    * simply produce no thumbnail.
+    */
+  def encodeThumbnails(media: DataFrame, w: Int, h: Int): Dataset[EncodedThumb] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          decodeImage(payload).map { img =>
+            val scaled = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaled, "png", bos)
+            EncodedThumb(id, "image/png", bos.toByteArray)
+          }
+        }
+      }
+  }
+
   /** ==== STUB ==== Frame sampling for video rows: emits `n` evenly-spaced
     * frames per media item (1 row in → n rows out — the flatMap shape a
     * real demuxer needs); frame bytes are a deterministic slice of the

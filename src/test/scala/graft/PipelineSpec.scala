@@ -682,6 +682,15 @@ class MultimodalSpec extends SparkSpec {
       .toDF("media_id", "kind", "mime", "payload")
       .withColumn("width", lit(0)).withColumn("height", lit(0)).withColumn("duration_ms", lit(0L))
     assert(Multimodal.extractFeatures(blob).collect().head.feature.length === 8)
+    // full compressed round-trip: decode -> resize -> PNG encode; the PNG
+    // decodes back at the target size with the expected structure, and
+    // undecodable payloads produce NO thumbnail (flatMap skip)
+    val thumbsPng = Multimodal.encodeThumbnails(media.unionByName(blob), 8, 4).collect()
+    assert(thumbsPng.length === 2) // audio blob skipped
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(thumbsPng.find(_.media_id == 1L).get.png))
+    assert(back.getWidth === 8 && back.getHeight === 4)
+    assert((back.getRGB(0, 0) & 0xFF) < 60 && (back.getRGB(7, 0) & 0xFF) > 190)
   }
 
   test("resize + frame-sample stubs: shapes and flatMap fan-out") {
