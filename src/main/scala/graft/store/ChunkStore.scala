@@ -225,20 +225,55 @@ class ChunkStore(
     * type), and a pre-dtype chunk (null dtype — historically double data)
     * counts AS double, so a series mixing legacy and typed chunks can
     * never be silently truncated by a non-double cast.
+    *
+    * `dropBoundsNa=false` (reference get_ts's flag,
+    * chunk_timeserie_store.py:376,884-885): the reference PERSISTS each
+    * chunk as the full store-freq grid NaN-padded over the chunk span
+    * (`_normalize_index` reindexes [first non-null, last non-null] onto
+    * the chunk calendar, :730-741), so the undropped read returns that
+    * dense grid. This engine stores sparsely (equivalent under the
+    * default) and reconstructs the dense form on demand: the surviving
+    * chunks' calendar span (driver-side literals from the same pruned
+    * read — chunk grids step at fixed freq from a DST-correct local
+    * start, exactly pandas date_range on a tz-aware index), a
+    * spine left-join, then the same inclusive time slice.
     */
   def getTs(
       attrs: Map[String, Any],
       start: Option[java.time.ZonedDateTime] = None,
-      end: Option[java.time.ZonedDateTime] = None): DataFrame = {
+      end: Option[java.time.ZonedDateTime] = None,
+      dropBoundsNa: Boolean = true): DataFrame = {
     requireAllKeys(attrs)
     var df = load().filter(attrFilter(attrs) && !col("is_deleted") && col("ts").isNotNull)
     start.foreach(z => df = df.filter(col("chunk_index") >= chunkOf(z) && col("ts") >= lit(toNtz(z))))
     end.foreach(z => df = df.filter(col("chunk_index") <= chunkOf(z) && col("ts") <= lit(toNtz(z))))
-    val out = df.select(col("ts"), col("value")).orderBy("ts")
-    val dts = df.select(coalesce(col("dtype"), lit("double")).as("dt"))
-      .rdd.aggregate(Set.empty[String])(
-        (s, r) => if (s.size >= 2) s else s + r.getString(0),
-        _ ++ _)
+    val sparse = df.select(col("ts"), col("value"))
+    // ONE metadata-sized job: distinct dtypes (capped at 2) and, for the
+    // dense branch, the pruned chunk-index span — per-partition fold,
+    // no shuffle, dtype/chunk_index column pruning at the scan
+    val (dts, minC, maxC) = df
+      .select(coalesce(col("dtype"), lit("double")).as("dt"), col("chunk_index"))
+      .rdd.aggregate((Set.empty[String], Int.MaxValue, Int.MinValue))(
+        { case ((s, lo, hi), r) =>
+          (if (s.size >= 2) s else s + r.getString(0),
+            math.min(lo, r.getInt(1)), math.max(hi, r.getInt(1))) },
+        { case ((s1, lo1, hi1), (s2, lo2, hi2)) =>
+          (s1 ++ s2, math.min(lo1, lo2), math.max(hi1, hi2)) })
+    val out =
+      if (dropBoundsNa || minC > maxC) sparse.orderBy("ts")
+      else {
+        def chunkStart(i: Int): java.time.LocalDateTime = config.chunkAxis match {
+          case YearAxis      => Grid.chunkStartYearly(i, config.tz)
+          case YearMonthAxis => Grid.chunkStartMonthly(i, config.tz)
+        }
+        var dense = Grid
+          .spine(spark, chunkStart(minC), chunkStart(maxC + 1), config.freqSecs,
+            inclusiveRight = false)
+          .join(sparse, Seq("ts"), "left")
+        start.foreach(z => dense = dense.filter(col("ts") >= lit(toNtz(z))))
+        end.foreach(z => dense = dense.filter(col("ts") <= lit(toNtz(z))))
+        dense.orderBy("ts")
+      }
     if (dts.size == 1 && dts.head != "double")
       out.withColumn("value", col("value").cast(dts.head))
     else out

@@ -100,6 +100,47 @@ class ChunkStoreSpec extends SparkSpec {
     assert(vals.length === 48 && vals.takeRight(24).head === 0.5) // fractions intact
   }
 
+  // Reference get_ts(drop_bounds_na=False) parity: the reference persists
+  // each chunk NaN-padded over the full chunk calendar
+  // (chunk_timeserie_store.py:730-741), so the undropped read returns the
+  // dense store-freq grid over the stored chunk span. We store sparsely
+  // and must reconstruct exactly that.
+  test("getTs dropBoundsNa=false: dense chunk-span grid, NaN bounds as null rows") {
+    val st = newStore(tz = "UTC")
+    val t0 = java.time.LocalDateTime.parse("2024-01-15T00:00")
+    val s = (0 until 24 * 10).map(i => (t0.plusHours(i.toLong), i.toDouble)).toDF("ts", "value")
+    assert(st.setTs(attrs, s, now = now0)) // Jan 15 .. Jan 24 — one chunk (2024-01)
+    val dense = st.getTs(attrs, dropBoundsNa = false).collect()
+    assert(dense.length === 31 * 24) // full January grid
+    assert(dense.head.getAs[java.time.LocalDateTime]("ts") === ldt("2024-01-01T00:00"))
+    assert(dense.head.isNullAt(1) && dense.last.isNullAt(1)) // padded bounds
+    assert(dense(14 * 24).getDouble(1) === 0.0)              // first written point
+    // the default read is unchanged: sparse, trimmed
+    assert(st.getTs(attrs).count() === 24 * 10)
+    // inclusive slice applies on the dense grid (reference _finish_serie
+    // slices AFTER the reindex)
+    val z = java.time.ZoneOffset.UTC
+    val sliced = st.getTs(attrs,
+      start = Some(java.time.ZonedDateTime.of(2024, 1, 10, 0, 0, 0, 0, z)),
+      end = Some(java.time.ZonedDateTime.of(2024, 1, 16, 0, 0, 0, 0, z)),
+      dropBoundsNa = false).collect()
+    assert(sliced.length === 6 * 24 + 1) // inclusive both ends
+    assert(sliced.head.isNullAt(1) && sliced.last.getDouble(1) === 24.0)
+  }
+
+  test("getTs dense grid is DST-correct in a non-UTC store (chunk starts at local midnight)") {
+    val st = newStore(tz = "Europe/Paris")
+    val t0 = java.time.LocalDateTime.parse("2024-03-10T00:00") // UTC wall
+    val s = (0 until 24).map(i => (t0.plusHours(i.toLong), 1.0)).toDF("ts", "value")
+    assert(st.setTs(attrs, s, now = now0))
+    val dense = st.getTs(attrs, dropBoundsNa = false).collect()
+    // March chunk in Paris: local midnight Mar 1 = 23:00 UTC Feb 29; the
+    // month has a spring-forward day, so the grid has 31*24 - 1 slots
+    assert(dense.head.getAs[java.time.LocalDateTime]("ts") === ldt("2024-02-29T23:00"))
+    assert(dense.length === 31 * 24 - 1)
+    assert(dense.last.getAs[java.time.LocalDateTime]("ts") === ldt("2024-03-31T21:00"))
+  }
+
   test("getTs launches exactly one job (dtype probe); returned frame stays lazy") {
     val st = newStore(tz = "UTC")
     val ints = (0 until 48).map(i =>
