@@ -288,7 +288,8 @@ class ChunkStore(
   def yieldManyTs(
       filters: Map[String, Any] = Map.empty,
       start: Option[java.time.ZonedDateTime] = None,
-      end: Option[java.time.ZonedDateTime] = None): DataFrame = {
+      end: Option[java.time.ZonedDateTime] = None,
+      dropBoundsNa: Boolean = true): DataFrame = {
     // Django `__`-lookups accepted (gte/lte/gt/lt/in/isnull): the reference
     // strips lookup suffixes before validating names (`_check_attrs`,
     // chunk_timeserie_store.py:889-899) and forwards the raw dict to
@@ -299,8 +300,35 @@ class ChunkStore(
     var df = load().filter(cond && !col("is_deleted") && col("ts").isNotNull)
     start.foreach(z => df = df.filter(col("chunk_index") >= chunkOf(z) && col("ts") >= lit(ChunkStore.toNtz(z))))
     end.foreach(z => df = df.filter(col("chunk_index") <= chunkOf(z) && col("ts") <= lit(ChunkStore.toNtz(z))))
-    df.select((keys.map(col) :+ col("ts") :+ col("value")): _*)
-      .orderBy((keys.map(col) :+ col("ts")): _*)
+    val sparse = df.select((keys.map(col) :+ col("ts") :+ col("value")): _*)
+    if (dropBoundsNa)
+      return sparse.orderBy((keys.map(col) :+ col("ts")): _*)
+    // dense form (reference yield_many_ts(drop_bounds_na=False),
+    // chunk_timeserie_store.py:459,488-491): per key, the full store-freq
+    // grid over ITS stored chunk span. Scale shape: one row per (key,
+    // chunk) from a per-key span aggregate, each exploding only its own
+    // chunk's grid (bounded by the chunk calendar — the same per-chunk
+    // bound as the reference's blobs), then a left join of the values.
+    // No driver-side collection and no whole-span arrays.
+    val stepSecs = config.freqSecs
+    def startOf(idx: Column): Column = {
+      val local = config.chunkAxis match {
+        case YearAxis      => make_timestamp_ntz(idx, lit(1), lit(1), lit(0), lit(0), lit(0))
+        case YearMonthAxis => make_timestamp_ntz((idx / 12).cast("int"), pmod(idx, lit(12)) + 1,
+          lit(1), lit(0), lit(0), lit(0))
+      }
+      convert_timezone(lit(config.tz), lit("UTC"), local)
+    }
+    val step = expr("make_dt_interval(0, 0, 0, 1)") * stepSecs
+    val grid = df.groupBy(keys.map(col): _*)
+      .agg(min(col("chunk_index")).as("__lo"), max(col("chunk_index")).as("__hi"))
+      .withColumn("__ci", explode(sequence(col("__lo"), col("__hi"))))
+      .withColumn("ts", explode(sequence(startOf(col("__ci")), startOf(col("__ci") + 1) - step, step)))
+      .select((keys.map(col) :+ col("ts")): _*)
+    var dense = grid.join(sparse, keys :+ "ts", "left")
+    start.foreach(z => dense = dense.filter(col("ts") >= lit(ChunkStore.toNtz(z))))
+    end.foreach(z => dense = dense.filter(col("ts") <= lit(ChunkStore.toNtz(z))))
+    dense.orderBy((keys.map(col) :+ col("ts")): _*)
   }
 
   /** Keyed multi-series read in ONE job: `getTs` semantics for a list of

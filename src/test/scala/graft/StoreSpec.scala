@@ -141,6 +141,29 @@ class ChunkStoreSpec extends SparkSpec {
     assert(dense.last.getAs[java.time.LocalDateTime]("ts") === ldt("2024-03-31T21:00"))
   }
 
+  test("yieldManyTs dropBoundsNa=false: per-key dense chunk-span grids in one frame") {
+    val st = newStore(tz = "UTC")
+    val t0 = java.time.LocalDateTime.parse("2024-01-15T00:00")
+    val a = (0 until 24 * 5).map(i => (t0.plusHours(i.toLong), 1.0)).toDF("ts", "value")
+    // second key spans Jan -> Feb (two chunks)
+    val b = (0 until 24 * 25).map(i => (t0.plusHours(i.toLong), 2.0)).toDF("ts", "value")
+    assert(st.setTs(attrs, a, now = now0))
+    assert(st.setTs(Map("version" -> 0, "kind" -> "k2"), b, now = now0))
+    val dense = st.yieldManyTs(dropBoundsNa = false)
+    val byKind = dense.collect().groupBy(_.getAs[String]("kind"))
+    assert(byKind("k1").length === 31 * 24)              // full January
+    assert(byKind("k2").length === (31 + 29) * 24)       // Jan + leap February
+    assert(byKind("k2").count(_.isNullAt(3)) === (31 + 29) * 24 - 24 * 25) // pads are null
+    // sparse default unchanged
+    assert(st.yieldManyTs().count() === 24 * 5 + 24 * 25)
+    // agrees with the single-series dense read
+    val one = st.getTs(attrs, dropBoundsNa = false).collect().map(r =>
+      (r.getAs[java.time.LocalDateTime]("ts"), if (r.isNullAt(1)) null else r.getDouble(1)))
+    val many = byKind("k1").sortBy(_.getAs[java.time.LocalDateTime]("ts").toString).map(r =>
+      (r.getAs[java.time.LocalDateTime]("ts"), if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(many.toSeq === one.toSeq)
+  }
+
   test("getTs launches exactly one job (dtype probe); returned frame stays lazy") {
     val st = newStore(tz = "UTC")
     val ints = (0 until 48).map(i =>
