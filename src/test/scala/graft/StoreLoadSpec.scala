@@ -45,6 +45,12 @@ class StoreLoadSpec extends SparkSpec {
       start = Some(java.time.ZonedDateTime.of(2024, 6, 1, 0, 0, 0, 0, z)),
       end = Some(java.time.ZonedDateTime.of(2024, 6, 30, 23, 0, 0, 0, z)))
     assert(one.count() === 24 * 30)
+    // dense drop_bounds_na=False form at the same size: every key's full
+    // 2024 chunk span (leap year), built by the bounded per-chunk explode
+    val d0 = System.nanoTime()
+    val denseN = st.yieldManyTs(dropBoundsNa = false).count()
+    info(f"dense grid read: ${(System.nanoTime() - d0) / 1e9}%.1fs for $denseN rows")
+    assert(denseN === nSeries.toLong * 366 * 24)
   }
 
   // VersionedStore policy compaction under realistic churn (VERDICT r10
