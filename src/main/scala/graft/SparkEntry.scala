@@ -46,7 +46,10 @@ object SparkEntry {
     * (the conf only changes how NANOS columns surface — a µs file reads as
     * TimestampType either way).
     */
-  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = synchronized {
+    // synchronized: the set→schema-load→restore below is the ONLY
+    // session-conf mutation in the query surface; serializing it makes
+    // every query thread-safe, so Verify can dump queries concurrently
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     val raw =
