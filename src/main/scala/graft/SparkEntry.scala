@@ -1279,12 +1279,13 @@ object SparkEntry {
     val bandRows = (0 until 8).map { bb =>
       s"SELECT doc_id, sig, $bb AS band, md5(array_to_string(sig[${bb * 4 + 1}:${bb * 4 + 4}], ',')) AS bh FROM sig"
     }.mkString("\n           UNION ALL ")
-    s"""d AS MATERIALIZED (
-           SELECT doc_id,
-                  list_distinct(list_transform(
-                    range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 1),
-                    i -> array_to_string((regexp_extract_all(lower(text), '[a-z0-9]+'))[i:i+2], ' '))) AS sh
+    s"""d0 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
            FROM documents),
+         d AS MATERIALIZED (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+           FROM d0),
          ex AS (SELECT doc_id, unnest(sh) AS shingle FROM d WHERE len(sh) > 0),
          hx AS (SELECT doc_id, ${sqlHashMod("shingle")} AS b FROM ex),
          mh AS (SELECT doc_id,
@@ -1853,12 +1854,14 @@ object SparkEntry {
          WHERE rn > 1 ORDER BY doc_id""",
 
     "q_ngram_jaccard" ->
-      """WITH d AS (
-           SELECT doc_id, lang,
-                  list_distinct(list_transform(
-                    range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 1),
-                    i -> array_to_string((regexp_extract_all(lower(text), '[a-z0-9]+'))[i:i+2], ' '))) AS sh
+      """WITH d0 AS (
+           SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
            FROM documents),
+         d AS (
+           SELECT doc_id, lang,
+                  list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+           FROM d0),
          dd AS (SELECT doc_id, lang, sh, len(sh) AS n FROM d WHERE len(sh) > 0),
          -- ex is BOTH sides of the self-join: materialize or DuckDB runs
          -- the shingle extraction twice (13.7s -> 3.6s at sf0.1)
@@ -1887,12 +1890,14 @@ object SparkEntry {
 
     "q_contamination" -> {
       import graft.functions.PortableHash.sqlHashMod
-      s"""WITH d AS (
-           SELECT doc_id,
-                  list_distinct(list_transform(
-                    range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 1),
-                    i -> array_to_string((regexp_extract_all(lower(text), '[a-z0-9]+'))[i:i+2], ' '))) AS sh
+      s"""WITH d0 AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
            FROM documents),
+         d AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+           FROM d0),
          ex AS (SELECT doc_id, unnest(sh) AS shingle FROM d WHERE len(sh) > 0),
          -- hx feeds BOTH join sides: materialize or DuckDB re-runs the
          -- whole shingle+hash pipeline twice (7.1s -> 3.5s at sf0.1)
