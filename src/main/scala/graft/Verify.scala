@@ -31,7 +31,9 @@ object Verify {
     // roughly quarters the t2 gate's Spark wall next to the small jobs'
     // scheduling latency; SPARK_GRAFT_VERIFY_THREADS=1 restores the
     // sequential behavior if ever needed for debugging.
-    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt.max(1)
+    val threads = sys.env.get("SPARK_GRAFT_VERIFY_THREADS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption) // typo'd env → default, not a zero-dump crash
+      .getOrElse(4).max(1)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     try {
       val tasks = SparkEntry.queries

@@ -58,10 +58,14 @@ object Multimodal {
     * ImageIO sniffs magic bytes before parsing, so non-image payloads
     * cost a header check, not a decode attempt.
     */
-  private[pipeline] def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+  private[graft] def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (payload == null || payload.length == 0) None
     else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-    catch { case _: java.io.IOException => None }
+    // NonFatal, not just IOException: the JDK plugin readers throw
+    // unchecked exceptions on payloads whose magic bytes LIE (truncated
+    // JPEG → CMMException / IndexOutOfBounds; real crawls contain these),
+    // and one such row must take the fallback, not kill the job
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** ==== DETERMINISTIC FALLBACK ==== for payloads with no JVM decoder
     * (audio/video; a real build binds javacv here): an 8-float vector
@@ -124,9 +128,13 @@ object Multimodal {
               scaled.getRaster.getDataElements(0, 0, w, h, out)
               Thumbnail(id, w, h, out)
             case None =>
+              // empty/null payloads keep the zeroed buffer (the same
+              // degenerate-input behavior as extractFeatures)
               val out = new Array[Byte](w * h)
-              var i = 0
-              while (i < out.length) { out(i) = payload(i % math.max(payload.length, 1)); i += 1 }
+              if (payload != null && payload.length > 0) {
+                var i = 0
+                while (i < out.length) { out(i) = payload(i % payload.length); i += 1 }
+              }
               Thumbnail(id, w, h, out)
           }
         }

@@ -218,25 +218,36 @@ class ChunkStore(
     * chunk_timeserie_store.py:776: blob values are cast back to the chunk
     * row's recorded dtype) — an int series round-trips as ints. The dtype
     * probe is ONE Spark job at call time (the returned frame itself stays
-    * lazy): a per-partition distinct over only the `dtype` column of the
-    * pruned chunks, folded on the driver — no shuffle, and parquet reads
-    * just the dtype pages under the same pushed filters. Chunks written
-    * with different dtypes fall back to double (one frame, one value
-    * type), and a pre-dtype chunk (null dtype — historically double data)
-    * counts AS double, so a series mixing legacy and typed chunks can
-    * never be silently truncated by a non-double cast.
+    * lazy): a per-partition set fold over only the `dtype` column of the
+    * pruned chunks (capped at two values — the cast decision needs no
+    * more), no shuffle, and parquet reads just the dtype pages under the
+    * same pushed filters. Chunks written with different dtypes
+    * fall back to double (one frame, one value type), and a pre-dtype
+    * chunk (null dtype — historically double data) counts AS double, so a
+    * series mixing legacy and typed chunks can never be silently
+    * truncated by a non-double cast.
     *
     * `dropBoundsNa=false` (reference get_ts's flag,
     * chunk_timeserie_store.py:376,884-885): the reference PERSISTS each
-    * chunk as the full store-freq grid NaN-padded over the chunk span
-    * (`_normalize_index` reindexes [first non-null, last non-null] onto
-    * the chunk calendar, :730-741), so the undropped read returns that
-    * dense grid. This engine stores sparsely (equivalent under the
-    * default) and reconstructs the dense form on demand: the surviving
-    * chunks' calendar span (driver-side literals from the same pruned
-    * read — chunk grids step at fixed freq from a DST-correct local
-    * start, exactly pandas date_range on a tz-aware index), a
-    * spine left-join, then the same inclusive time slice.
+    * chunk as the full store-freq grid NaN-padded over its chunk calendar
+    * (`_normalize_index` + `_chunk`, :707-754), and the undropped read is
+    * `pd.concat` of the surviving chunks' grids (:413) — per STORED chunk,
+    * nothing for an absent chunk. An incremental series whose writes left
+    * a hole (update=True writes for Jan then Mar — no Feb row exists)
+    * comes back with the hole OMITTED, not null-filled. This engine
+    * stores sparsely (equivalent under the default) and reconstructs that
+    * form on demand: the distinct surviving chunk indexes (driver-side —
+    * metadata-sized, same pruned read as the dtype probe) each explode
+    * their own chunk calendar (restarting at the chunk's DST-correct
+    * local start, exactly the reference's per-chunk blob grid), then a
+    * left join of the values and the same inclusive time slice. One
+    * documented divergence: a wholly-null INTERIOR month of a single
+    * write is stored by the reference as an all-NaN blob (its write-span
+    * padding) but dropped here (null rows are never stored), so that
+    * month's slots are absent from our dense read; the reference's own
+    * `yield_many_ts` assumes chunk contiguity (it crashes on a hole,
+    * :488-491), so the stored-chunks-only shape is the one the reference
+    * reliably exhibits.
     */
   def getTs(
       attrs: Map[String, Any],
@@ -248,27 +259,29 @@ class ChunkStore(
     start.foreach(z => df = df.filter(col("chunk_index") >= chunkOf(z) && col("ts") >= lit(toNtz(z))))
     end.foreach(z => df = df.filter(col("chunk_index") <= chunkOf(z) && col("ts") <= lit(toNtz(z))))
     val sparse = df.select(col("ts"), col("value"))
-    // ONE metadata-sized job: distinct dtypes (capped at 2) and, for the
-    // dense branch, the pruned chunk-index span — per-partition fold,
-    // no shuffle, dtype/chunk_index column pruning at the scan
-    val (dts, minC, maxC) = df
-      .select(coalesce(col("dtype"), lit("double")).as("dt"), col("chunk_index"))
-      .rdd.aggregate((Set.empty[String], Int.MaxValue, Int.MinValue))(
-        { case ((s, lo, hi), r) =>
-          (if (s.size >= 2) s else s + r.getString(0),
-            math.min(lo, r.getInt(1)), math.max(hi, r.getInt(1))) },
-        { case ((s1, lo1, hi1), (s2, lo2, hi2)) =>
-          (s1 ++ s2, math.min(lo1, lo2), math.max(hi1, hi2)) })
+    // ONE metadata-sized job either way (per-partition fold, no shuffle —
+    // a distinct+limit plan costs extra AQE jobs): the sparse path probes
+    // only the dtype column (set capped at 2 — the cast decision needs no
+    // more); the dense path also folds the distinct chunk indexes,
+    // bounded by the series' chunk count
+    val dt = coalesce(col("dtype"), lit("double")).as("dt")
+    val (dts, chunks) =
+      if (dropBoundsNa)
+        (df.select(dt).rdd.aggregate(Set.empty[String])(
+          (s, r) => if (s.size >= 2) s else s + r.getString(0), _ ++ _),
+          Set.empty[Int])
+      else
+        df.select(dt, col("chunk_index"))
+          .rdd.aggregate((Set.empty[String], Set.empty[Int]))(
+            { case ((s, c), r) =>
+              (if (s.size >= 2) s else s + r.getString(0), c + r.getInt(1)) },
+            { case ((s1, c1), (s2, c2)) => (s1 ++ s2, c1 ++ c2) })
     val out =
-      if (dropBoundsNa || minC > maxC) sparse.orderBy("ts")
+      if (dropBoundsNa || chunks.isEmpty) sparse.orderBy("ts")
       else {
-        def chunkStart(i: Int): java.time.LocalDateTime = config.chunkAxis match {
-          case YearAxis      => Grid.chunkStartYearly(i, config.tz)
-          case YearMonthAxis => Grid.chunkStartMonthly(i, config.tz)
-        }
-        var dense = Grid
-          .spine(spark, chunkStart(minC), chunkStart(maxC + 1), config.freqSecs,
-            inclusiveRight = false)
+        import spark.implicits._
+        var dense = chunks.toSeq.sorted.toDF("__ci")
+          .select(explode(chunkCalendar(col("__ci"))).as("ts"))
           .join(sparse, Seq("ts"), "left")
         start.foreach(z => dense = dense.filter(col("ts") >= lit(toNtz(z))))
         end.foreach(z => dense = dense.filter(col("ts") <= lit(toNtz(z))))
@@ -277,6 +290,26 @@ class ChunkStore(
     if (dts.size == 1 && dts.head != "double")
       out.withColumn("value", col("value").cast(dts.head))
     else out
+  }
+
+  /** One chunk's store-freq calendar as an in-plan timestamp sequence —
+    * the reference's per-chunk blob grid (`_normalize_index` date_range
+    * sliced by `_chunk`, chunk_timeserie_store.py:735-754): inclusive of
+    * the chunk's DST-correct local start, exclusive of the next chunk's.
+    * Shared by both dense (`dropBoundsNa=false`) read forms so the
+    * single- and multi-series grids can never diverge.
+    */
+  private def chunkCalendar(ci: Column): Column = {
+    val step = expr("make_dt_interval(0, 0, 0, 1)") * config.freqSecs
+    def startOf(idx: Column): Column = {
+      val local = config.chunkAxis match {
+        case YearAxis      => make_timestamp_ntz(idx, lit(1), lit(1), lit(0), lit(0), lit(0))
+        case YearMonthAxis => make_timestamp_ntz((idx / 12).cast("int"), pmod(idx, lit(12)) + 1,
+          lit(1), lit(0), lit(0), lit(0))
+      }
+      convert_timezone(lit(config.tz), lit("UTC"), local)
+    }
+    sequence(startOf(ci), startOf(ci + 1) - step, step)
   }
 
   /** Streaming grouped read (reference `yield_many_ts`,
@@ -304,26 +337,15 @@ class ChunkStore(
     if (dropBoundsNa)
       return sparse.orderBy((keys.map(col) :+ col("ts")): _*)
     // dense form (reference yield_many_ts(drop_bounds_na=False),
-    // chunk_timeserie_store.py:459,488-491): per key, the full store-freq
-    // grid over ITS stored chunk span. Scale shape: one row per (key,
-    // chunk) from a per-key span aggregate, each exploding only its own
-    // chunk's grid (bounded by the chunk calendar — the same per-chunk
-    // bound as the reference's blobs), then a left join of the values.
-    // No driver-side collection and no whole-span arrays.
-    val stepSecs = config.freqSecs
-    def startOf(idx: Column): Column = {
-      val local = config.chunkAxis match {
-        case YearAxis      => make_timestamp_ntz(idx, lit(1), lit(1), lit(0), lit(0), lit(0))
-        case YearMonthAxis => make_timestamp_ntz((idx / 12).cast("int"), pmod(idx, lit(12)) + 1,
-          lit(1), lit(0), lit(0), lit(0))
-      }
-      convert_timezone(lit(config.tz), lit("UTC"), local)
-    }
-    val step = expr("make_dt_interval(0, 0, 0, 1)") * stepSecs
-    val grid = df.groupBy(keys.map(col): _*)
-      .agg(min(col("chunk_index")).as("__lo"), max(col("chunk_index")).as("__hi"))
-      .withColumn("__ci", explode(sequence(col("__lo"), col("__hi"))))
-      .withColumn("ts", explode(sequence(startOf(col("__ci")), startOf(col("__ci") + 1) - step, step)))
+    // chunk_timeserie_store.py:459,488-491): per key, each STORED chunk's
+    // own store-freq grid (matching the get_ts concat of per-chunk blob
+    // grids — an absent middle chunk contributes nothing; see the getTs
+    // scaladoc for the hole semantics). Scale shape: one row per distinct
+    // (key, chunk), each exploding only its own chunk's calendar (the
+    // same per-chunk bound as the reference's blobs), then a left join of
+    // the values. No driver-side collection and no whole-span arrays.
+    val grid = df.select((keys.map(col) :+ col("chunk_index").as("__ci")): _*).distinct()
+      .withColumn("ts", explode(chunkCalendar(col("__ci"))))
       .select((keys.map(col) :+ col("ts")): _*)
     var dense = grid.join(sparse, keys :+ "ts", "left")
     start.foreach(z => dense = dense.filter(col("ts") >= lit(ChunkStore.toNtz(z))))

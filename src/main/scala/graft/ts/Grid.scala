@@ -95,23 +95,6 @@ object Grid {
     (start.withZoneSameInstant(z).getYear, end.withZoneSameInstant(z).getYear)
   }
 
-  /** Engine-UTC wall time of a monthly chunk's start — local midnight on
-    * the 1st in the store tz, converted to the NTZ convention (the
-    * inverse of [[chunkIndexMonthly]]; DST-correct because the conversion
-    * goes through the zone rules). `chunkStartMonthly(idx + 1, tz)` is
-    * the chunk's exclusive end — the reference's chunk grid extent
-    * (chunk_timeserie_store.py:735-740: MonthEnd + Day, inclusive left).
-    */
-  def chunkStartMonthly(index: Int, tz: String): java.time.LocalDateTime =
-    java.time.ZonedDateTime.of(index / 12, index % 12 + 1, 1, 0, 0, 0, 0,
-        java.time.ZoneId.of(tz))
-      .withZoneSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime
-
-  /** Yearly sibling of [[chunkStartMonthly]] (index = local year). */
-  def chunkStartYearly(index: Int, tz: String): java.time.LocalDateTime =
-    java.time.ZonedDateTime.of(index, 1, 1, 0, 0, 0, 0, java.time.ZoneId.of(tz))
-      .withZoneSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime
-
   /** Reindex values onto the dense grid: per distinct key tuple, a LEFT
     * join from the calendar spine to the observations — missing grid slots
     * surface as NULL `value` (the reference's NaN padding,

@@ -238,12 +238,19 @@ object Stats {
       .withColumn("__pad", lit(false))
     if (n == 1) return withB // frame is the row itself — nothing to carry
     val w = org.apache.spark.sql.expressions.Window
-    val tails = withB.groupBy((keys.map(col) :+ col("__b")): _*)
+    // each bucket's last n−1 rows: rank from the bucket END and keep the
+    // top n−1 BEFORE aggregating, so the collect_list buffer holds at
+    // most n−1 structs — never the whole bucket (a 30-day bucket of a
+    // 1 s series is ~2.6M rows; materializing it per aggregation buffer
+    // would OOM exactly the monster series this split exists for)
+    val wDesc = w.partitionBy((keys :+ "__b").map(col): _*)
+      .orderBy(col(tsCol).desc, col(orderCol).desc)
+    val tails = withB
+      .withColumn("__rn", row_number().over(wDesc))
+      .filter(col("__rn") <= n - 1)
+      .groupBy((keys.map(col) :+ col("__b")): _*)
       .agg(sort_array(collect_list(struct(col(tsCol), col(orderCol), col(valueCol))))
-        .as("__rows"))
-      .withColumn("__tail",
-        slice(col("__rows"), greatest(size(col("__rows")) - (n - 1) + 1, lit(1)), lit(n - 1)))
-      .drop("__rows")
+        .as("__tail"))
     val wPrev = w.partitionBy(keys.map(col): _*).orderBy(col("__b").asc)
       .rowsBetween(w.unboundedPreceding, -1)
     val pads = tails

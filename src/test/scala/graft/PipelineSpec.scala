@@ -693,6 +693,26 @@ class MultimodalSpec extends SparkSpec {
     assert((back.getRGB(0, 0) & 0xFF) < 60 && (back.getRGB(7, 0) & 0xFF) > 190)
   }
 
+  test("malformed/empty payloads: corrupt magic bytes fall back, empty payload zero-fills") {
+    // magic bytes LIE: a PNG signature followed by garbage makes the JDK
+    // plugin reader throw an unchecked exception mid-parse — the row must
+    // take the deterministic fallback, not kill the task
+    val pngSig = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    val corrupt = pngSig ++ Array.fill[Byte](24)(0x7F)
+    assert(Multimodal.decodeImage(corrupt).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+    val media = Seq((1L, "image", "image/png", corrupt),
+        (2L, "image", "image/png", Array.emptyByteArray))
+      .toDF("media_id", "kind", "mime", "payload")
+      .withColumn("width", lit(0)).withColumn("height", lit(0))
+      .withColumn("duration_ms", lit(0L))
+    val thumbs = Multimodal.resize(media, 8, 4).collect().map(t => t.media_id -> t).toMap
+    assert(thumbs(1L).pixels.length === 32)           // fallback tiling
+    assert(thumbs(2L).pixels.forall(_ === 0.toByte))  // empty payload → zeroed buffer
+    assert(Multimodal.encodeThumbnails(media, 8, 4).collect().isEmpty) // both skipped
+  }
+
   test("resize + frame-sample stubs: shapes and flatMap fan-out") {
     val ids = (0L until 9L).toDF("doc_id")
     val media = Multimodal.syntheticMedia(ids, "doc_id")

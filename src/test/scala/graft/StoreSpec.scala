@@ -164,6 +164,28 @@ class ChunkStoreSpec extends SparkSpec {
     assert(many.toSeq === one.toSeq)
   }
 
+  test("dense reads grid STORED chunks only: an incremental hole stays a hole") {
+    // reference parity (chunk_timeserie_store.py:406-413): get_ts concats
+    // the surviving chunks' per-chunk grids — a middle chunk that was
+    // never written (update=True appends for Jan then Mar) contributes
+    // NOTHING; the hole must come back omitted, not null-filled
+    val st = newStore(tz = "UTC")
+    val jan = (0 until 24 * 5).map(i =>
+      (java.time.LocalDateTime.parse("2024-01-15T00:00").plusHours(i.toLong), 1.0)).toDF("ts", "value")
+    val mar = (0 until 24 * 5).map(i =>
+      (java.time.LocalDateTime.parse("2024-03-10T00:00").plusHours(i.toLong), 3.0)).toDF("ts", "value")
+    assert(st.setTs(attrs, jan, now = now0))
+    assert(st.setTs(attrs, mar, update = true, now = now0))
+    val dense = st.getTs(attrs, dropBoundsNa = false).collect()
+    assert(dense.length === (31 + 31) * 24) // Jan + Mar grids, NO February
+    val months = dense.map(_.getAs[java.time.LocalDateTime]("ts").getMonthValue).toSet
+    assert(months === Set(1, 3))
+    // multi-series read agrees
+    val many = st.yieldManyTs(dropBoundsNa = false).collect()
+    assert(many.length === (31 + 31) * 24)
+    assert(many.map(_.getAs[java.time.LocalDateTime]("ts").getMonthValue).toSet === Set(1, 3))
+  }
+
   test("getTs launches exactly one job (dtype probe); returned frame stays lazy") {
     val st = newStore(tz = "UTC")
     val ints = (0 until 48).map(i =>

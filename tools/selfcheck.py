@@ -58,7 +58,11 @@ def check_fixture_schemas(sf_dir):
                 lo, hi = _dk.connect().execute(
                     f"SELECT min(ts), max(ts) FROM read_parquet('{p}')").fetchone()
                 ns_lo, ns_hi = 1_577_836_800 * 10**9, 1_893_456_000 * 10**9  # 2020..2030 in ns
-                if not (ns_lo <= lo and hi <= ns_hi):
+                if lo is None or hi is None:
+                    problems.append(
+                        f"events.ts int64 has no non-null values — cannot "
+                        f"verify the nanos magnitude; fixture looks empty")
+                elif not (ns_lo <= lo and hi <= ns_hi):
                     problems.append(
                         f"events.ts int64 values [{lo}, {hi}] are not in the "
                         f"2020-2030 NANOSECONDS range [{ns_lo}, {ns_hi}] — the "
