@@ -31,9 +31,12 @@ import org.apache.spark.sql.types._
   * (reference ChunkQuerySet.delete :30-52, EMPTY_DATA :27) so incremental
   * sync can propagate deletions.
   *
-  * Concurrency: single-writer per store (the reference's row-lock upsert
-  * is replaced by staged-write + dynamic partition overwrite; documented
-  * non-goal, SURVEY.md §4).
+  * Concurrency: one writer at a time per store, enforced by an advisory
+  * [[WriterLock]] around every mutator (the reference's row-lock upsert,
+  * `select_for_update` at chunk_timeserie_store.py:789, re-expressed at
+  * store granularity over the staged-overwrite protocol). Readers never
+  * block — they only ever see fully-committed parquet. Disable via
+  * `StoreConfig(lockWrites = false)` for single-writer deployments.
   */
 class ChunkStore(
     val spark: SparkSession,
@@ -44,6 +47,16 @@ class ChunkStore(
   import ChunkStore._
 
   val keys: Seq[String] = keySchema.fields.map(_.name).toSeq
+
+  /** Serialize store mutations — the reference's transactional row lock
+    * (`select_for_update`, chunk_timeserie_store.py:786-813) re-expressed
+    * at store granularity over the staged-overwrite protocol (see
+    * [[WriterLock]]). Reentrant, so composed mutators (`setTs(replace)` →
+    * tombstone path, `compactIfNeeded` → `compact`) lock once. No-op when
+    * `config.lockWrites` is off (single-writer deployments).
+    */
+  private def locked[T](f: => T): T =
+    if (config.lockWrites) WriterLock.withLock(path)(f) else f
 
   private def chunkIndexCol(ts: Column): Column = config.chunkAxis match {
     case YearAxis      => Grid.chunkIndexYearly(ts, config.tz)
@@ -134,7 +147,7 @@ class ChunkStore(
       series: DataFrame,
       update: Boolean = false,
       replace: Boolean = false,
-      now: java.time.LocalDateTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)): Boolean = {
+      now: java.time.LocalDateTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)): Boolean = locked {
     require(!(update && replace), "update and replace are mutually exclusive")
     requireAllKeys(attrs)
     if (config.syncEnabled && !update && !replace)
@@ -160,7 +173,7 @@ class ChunkStore(
     */
   def setManyTs(
       many: DataFrame,
-      now: java.time.LocalDateTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)): Unit = {
+      now: java.time.LocalDateTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)): Unit = locked {
     if (config.syncEnabled)
       throw new IllegalStateException("set_many_ts is forbidden on a sync-enabled store")
     val s = many
@@ -185,14 +198,18 @@ class ChunkStore(
     */
   def upsertManyTs(
       rows: DataFrame,
-      now: java.time.LocalDateTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)): Unit = {
+      now: java.time.LocalDateTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)): Unit = locked {
     val srcDtype = rows.schema("value").dataType.simpleString
     val s = rows
       .withColumn("dtype", lit(srcDtype))
       .withColumn("ts", col("ts").cast(TimestampNTZType))
       .withColumn("value", col("value").cast(DoubleType))
       .filter(col("value").isNotNull && !isnan(col("value")) && col("ts").isNotNull)
-    if (s.isEmpty) return
+    if (s.isEmpty) ()
+    else upsertManyTsNonEmpty(s, srcDtype, now)
+  }
+
+  private def upsertManyTsNonEmpty(s: DataFrame, srcDtype: String, now: java.time.LocalDateTime): Unit = {
     val newRows  = finishRows(s, now)
     val affected = newRows.select("chunk_index").distinct().collect().map(_.getInt(0)).toSeq
     val cur      = load().filter(col("chunk_index").isin(affected: _*))
@@ -382,12 +399,14 @@ class ChunkStore(
     * append/update. Returns the number of partitions compacted. Run it as
     * maintenance after many incremental writes; readers see the same rows.
     */
-  def compact(partitions: Option[Seq[Int]] = None): Int = {
+  def compact(partitions: Option[Seq[Int]] = None): Int = locked {
     val parts = partitions.getOrElse(
       load().select("chunk_index").distinct().collect().map(_.getInt(0)).toSeq)
-    if (parts.isEmpty) return 0
-    overwritePartitions(load().filter(col("chunk_index").isin(parts: _*)), parts)
-    parts.length
+    if (parts.isEmpty) 0
+    else {
+      overwritePartitions(load().filter(col("chunk_index").isin(parts: _*)), parts)
+      parts.length
+    }
   }
 
   /** Policy form of [[compact]]: rewrite only the chunk partitions whose
@@ -398,7 +417,7 @@ class ChunkStore(
     * call, not a write hook: schedule it after bulk loads / on a timer
     * next to a streaming ingest. Returns the partitions compacted.
     */
-  def compactIfNeeded(maxFilesPerPartition: Int = 8): Seq[Int] = {
+  def compactIfNeeded(maxFilesPerPartition: Int = 8): Seq[Int] = locked {
     require(maxFilesPerPartition >= 1, "maxFilesPerPartition must be >= 1")
     val parts = Option(new java.io.File(path).listFiles()).toSeq.flatten
       .filter(d => d.isDirectory && d.getName.startsWith("chunk_index="))
@@ -478,27 +497,28 @@ class ChunkStore(
   def delete(
       filters: Map[String, Any],
       keepTracking: Boolean = true,
-      now: java.time.LocalDateTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)): Unit = {
+      now: java.time.LocalDateTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)): Unit = locked {
     if (!keepTracking && config.syncEnabled)
       throw new IllegalStateException("hard delete is forbidden on a sync-enabled store")
     val cur = load()
     val hit = attrFilter(filters)
     val affected = cur.filter(hit).select("chunk_index").distinct().collect().map(_.getInt(0))
-    if (affected.isEmpty) return
-    val kept = cur.filter(col("chunk_index").isin(affected.toSeq: _*)).filter(!hit)
-    val content =
-      if (!keepTracking) kept
-      else {
-        val tombs = cur.filter(hit)
-          .select((keys.map(col) :+ col("chunk_index")): _*).distinct()
-          .withColumn("ts", lit(null).cast(TimestampNTZType))
-          .withColumn("value", lit(null).cast(DoubleType))
-          .withColumn("dtype", lit(null).cast(StringType))
-          .withColumn("is_deleted", lit(true))
-          .withColumn("updated_at", lit(now))
-        kept.unionByName(tombs.select(schema.fieldNames.map(col): _*))
-      }
-    overwritePartitions(content, affected.toSeq)
+    if (affected.nonEmpty) {
+      val kept = cur.filter(col("chunk_index").isin(affected.toSeq: _*)).filter(!hit)
+      val content =
+        if (!keepTracking) kept
+        else {
+          val tombs = cur.filter(hit)
+            .select((keys.map(col) :+ col("chunk_index")): _*).distinct()
+            .withColumn("ts", lit(null).cast(TimestampNTZType))
+            .withColumn("value", lit(null).cast(DoubleType))
+            .withColumn("dtype", lit(null).cast(StringType))
+            .withColumn("is_deleted", lit(true))
+            .withColumn("updated_at", lit(now))
+          kept.unionByName(tombs.select(schema.fieldNames.map(col): _*))
+        }
+      overwritePartitions(content, affected.toSeq)
+    }
   }
 
   // ---- write-path internals -------------------------------------------

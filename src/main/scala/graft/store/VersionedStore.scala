@@ -25,7 +25,18 @@ class VersionedStore(
     val spark: SparkSession,
     val path: String,
     val numBuckets: Int = 32,
-    val extraSchema: StructType = StructType(Nil)) {
+    val extraSchema: StructType = StructType(Nil),
+    val lockWrites: Boolean = true) {
+
+  /** Serialize store mutations (reference row-lock parity; the same
+    * [[WriterLock]] protocol as ChunkStore — reentrant, so `setManyLc` →
+    * `setLc` locks once). The max-version probe + append in `setLc` is a
+    * read-modify-write exactly like the reference's locked upsert
+    * (hostore.py:354-366): without exclusion two concurrent versioned
+    * writes could claim the same version number.
+    */
+  private def locked[T](f: => T): T =
+    if (lockWrites) WriterLock.withLock(path)(f) else f
 
   /** User-declared extra business attributes (the reference's subclass
     * fields, set via `attributes_to_set` — hostore.py:326,354-366).
@@ -82,14 +93,24 @@ class VersionedStore(
       versioning: Boolean = false,
       now: java.time.LocalDateTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC),
       versioningBy: Seq[String] = Seq("prm"),
-      attributesToSet: Map[String, Any] = Map.empty): Boolean = {
+      attributesToSet: Map[String, Any] = Map.empty): Boolean = locked {
     require(versioningBy.contains("prm"), "'prm' is mandatory in versioningBy (hostore.py:356)")
     val unknown = attributesToSet.keySet.filterNot(extraKeys.contains)
     require(unknown.isEmpty, s"attributesToSet not in extraSchema: ${unknown.mkString(",")}")
     val s = series
       .select(col("ts").cast(TimestampNTZType).as("ts"), col("value").cast(DoubleType).as("value"))
       .filter(col("ts").isNotNull && col("value").isNotNull && !isnan(col("value")))
-    if (s.isEmpty) return false
+    if (s.isEmpty) false else setLcNonEmpty(prm, clientId, s, versioning, now, versioningBy, attributesToSet)
+  }
+
+  private def setLcNonEmpty(
+      prm: String,
+      clientId: Int,
+      s: DataFrame,
+      versioning: Boolean,
+      now: java.time.LocalDateTime,
+      versioningBy: Seq[String],
+      attributesToSet: Map[String, Any]): Boolean = {
     val version: Int =
       if (!versioning) 0
       else {
@@ -141,18 +162,20 @@ class VersionedStore(
     * given (default: all) bucket partitions through the staged-overwrite
     * protocol — each comes out as one file. Readers see the same rows.
     */
-  def compact(buckets: Option[Seq[Int]] = None): Int = {
+  def compact(buckets: Option[Seq[Int]] = None): Int = locked {
     val bs = buckets.getOrElse(listBucketPartitions())
-    if (bs.isEmpty) return 0
-    overwriteBuckets(load().filter(col("bucket").isin(bs: _*)), bs)
-    bs.length
+    if (bs.isEmpty) 0
+    else {
+      overwriteBuckets(load().filter(col("bucket").isin(bs: _*)), bs)
+      bs.length
+    }
   }
 
   /** Policy form: rewrite only buckets whose parquet-file count exceeds
     * `maxFilesPerBucket`, from a cheap directory listing — no data scan
     * for buckets already compact. Returns the buckets compacted.
     */
-  def compactIfNeeded(maxFilesPerBucket: Int = 8): Seq[Int] = {
+  def compactIfNeeded(maxFilesPerBucket: Int = 8): Seq[Int] = locked {
     require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
     val bs = Option(new java.io.File(path).listFiles()).toSeq.flatten
       .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
@@ -241,7 +264,9 @@ class VersionedStore(
       clientId: Int,
       versioning: Boolean = false,
       now: java.time.LocalDateTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)): Map[String, Boolean] =
-    series.map { case (prm, df) => prm -> setLc(prm, clientId, df, versioning, now) }
+    locked { // one lock for the whole batch; inner setLc re-enters
+      series.map { case (prm, df) => prm -> setLc(prm, clientId, df, versioning, now) }
+    }
 
   /** Per-prm missing periods over the version-combined data in [sd, ed]
     * at `freqSecs` (reference `find_holes`, hostore.py:162-216): absent
@@ -390,7 +415,7 @@ class VersionedStore(
     * hostore.py:396-432). With a prm list only the prms' bucket partitions
     * are rewritten; a store-wide clear (no prms) rewrites every bucket.
     */
-  def clear(clientId: Int, prms: Option[Seq[String]] = None, version: Option[Int] = None): Unit = {
+  def clear(clientId: Int, prms: Option[Seq[String]] = None, version: Option[Int] = None): Unit = locked {
     var hit: Column = col("client_id") === clientId
     prms.foreach(ps => hit = hit && col("prm").isin(ps: _*))
     version.foreach(v => hit = hit && col("version") === v)
@@ -399,9 +424,10 @@ class VersionedStore(
       case None =>
         load().select("bucket").distinct().collect().map(_.getInt(0)).toSeq
     }
-    if (affected.isEmpty) return
-    val content = load().filter(col("bucket").isin(affected: _*)).filter(!hit)
-    overwriteBuckets(content, affected)
+    if (affected.nonEmpty) {
+      val content = load().filter(col("bucket").isin(affected: _*)).filter(!hit)
+      overwriteBuckets(content, affected)
+    }
   }
 
   /** Staged rewrite of a set of bucket partitions (same protocol as

@@ -204,12 +204,20 @@ object Sync {
     val badRows = batch.filter(col("chunk_index").isNull)
     if (!badRows.isEmpty)
       throw new IllegalArgumentException("import_chunks: chunk_index missing — whole batch rejected")
-    val affected = batch.select("chunk_index").distinct().collect().map(_.getInt(0)).toSeq
-    val cur      = store.load().filter(col("chunk_index").isin(affected: _*))
-    val joinCols = keys :+ "chunk_index"
-    val untouched = cur.join(broadcast(batch.select(joinCols.map(col): _*).distinct()), joinCols, "left_anti")
-    store.overwriteChunkPartitions(
-      untouched.unionByName(batch.select(store.schema.fieldNames.map(col): _*)), affected)
+    // Mutates outside the store's public mutators (direct partition
+    // overwrite), so it takes the writer lock itself — the atomic-batch
+    // guarantee (reference transaction.atomic, chunk_timeserie_store.py
+    // :633-695) must hold against concurrent local writers too.
+    def doImport(): Unit = {
+      val affected = batch.select("chunk_index").distinct().collect().map(_.getInt(0)).toSeq
+      val cur      = store.load().filter(col("chunk_index").isin(affected: _*))
+      val joinCols = keys :+ "chunk_index"
+      val untouched = cur.join(broadcast(batch.select(joinCols.map(col): _*).distinct()), joinCols, "left_anti")
+      store.overwriteChunkPartitions(
+        untouched.unionByName(batch.select(store.schema.fieldNames.map(col): _*)), affected)
+    }
+    if (store.config.lockWrites) graft.store.WriterLock.withLock(store.path)(doImport())
+    else doImport()
   }
 
   /** Full pull (reference `TimeseriesChunkStoreSyncClient.pull`,
