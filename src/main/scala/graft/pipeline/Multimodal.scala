@@ -13,12 +13,19 @@ import org.apache.spark.sql.types._
   *    [[resize]] is a true decode + bilinear rescale and
   *    [[extractFeatures]] computes pixel-luminance features whenever the
   *    payload parses as an image.
-  *  - AUDIO/VIDEO have no JVM-native codec (a real build would bind
-  *    javacv/ffmpeg over JNI — unavailable offline, and the reference has
-  *    no media surface at all): those payloads, and any undecodable blob,
-  *    take a clearly-marked DETERMINISTIC FALLBACK so the distributed
-  *    plumbing — schema, batching, 1→n flatMap demux shape, per-partition
-  *    codec amortization via `mapPartitions` (the Scala analogue of
+  *  - AUDIO decodes for real via `javax.sound.sampled` (WAV/AIFF/AU
+  *    container parsing + PCM frame decode — the readers the JDK ships).
+  *    [[decodeAudio]] yields mono-mixed float samples; [[audioStats]]
+  *    measures duration/rate/RMS/peak from actual samples and
+  *    [[extractFeatures]] computes per-band RMS energy whenever the
+  *    payload parses as audio.
+  *  - COMPRESSED audio (mp3/aac) and VIDEO have no JVM-native codec (a
+  *    real build would bind javacv/ffmpeg over JNI — unavailable
+  *    offline, and the reference has no media surface at all): those
+  *    payloads, and any undecodable blob, take a clearly-marked
+  *    DETERMINISTIC FALLBACK so the distributed plumbing — schema,
+  *    batching, 1→n flatMap demux shape, per-partition codec
+  *    amortization via `mapPartitions` (the Scala analogue of
   *    `mapInPandas`) — is fully exercised and oracle-pinned either way.
   */
 object Multimodal {
@@ -67,8 +74,112 @@ object Multimodal {
     // and one such row must take the fallback, not kill the job
     catch { case scala.util.control.NonFatal(_) => None }
 
+  /** A REAL decoded audio clip: mono-mixed float samples in [-1, 1]. */
+  final case class AudioClip(sampleRate: Float, channels: Int, samples: Array[Float]) {
+    def durationMs: Long =
+      if (sampleRate <= 0) 0L else (samples.length * 1000.0 / sampleRate).toLong
+  }
+
+  /** REAL audio decode: `javax.sound.sampled` container parsing (WAV/
+    * AIFF/AU — the JDK's readers) + PCM frame decode, mono-mixed by
+    * channel averaging. Non-PCM encodings (a-law/µ-law) are converted
+    * through the JDK's codec chain to 16-bit signed first. None for
+    * anything without a JDK reader (mp3/aac/video/blobs) — the caller
+    * then takes the deterministic fallback. Cheap rejection: the readers
+    * sniff container magic before parsing frames.
+    */
+  private[graft] def decodeAudio(payload: Array[Byte]): Option[AudioClip] =
+    if (payload == null || payload.length < 12) None
+    else try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val raw = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val src = raw.getFormat
+        val pcm = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          src.getChannels * 2, src.getSampleRate, false)
+        val in = if (src.matches(pcm)) raw else AudioSystem.getAudioInputStream(pcm, raw)
+        try {
+          val bytes = in.readAllBytes()
+          val ch = pcm.getChannels
+          val nFrames = bytes.length / (2 * ch)
+          val samples = new Array[Float](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0.0f
+            var c = 0
+            while (c < ch) {
+              val o = (f * ch + c) * 2
+              val s = ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort
+              acc += s / 32768.0f
+              c += 1
+            }
+            samples(f) = acc / ch
+            f += 1
+          }
+          Some(AudioClip(pcm.getSampleRate, ch, samples))
+        } finally in.close()
+      } finally raw.close()
+    } catch {
+      // UnsupportedAudioFileException for foreign containers; unchecked
+      // errors for containers whose headers LIE (truncated/corrupt WAV)
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** 8-float feature from REAL decoded audio: RMS energy of 8 equal time
+    * bands — the audio twin of [[imageFeature]]'s 8 vertical luminance
+    * bands (deterministic, duration-independent; the real-build seam for
+    * a learned audio embedding).
+    */
+  private def audioFeature(clip: AudioClip): Array[Float] = {
+    val n = clip.samples.length
+    if (n == 0) return new Array[Float](8)
+    val sums = new Array[Double](8)
+    val counts = new Array[Long](8)
+    var i = 0
+    while (i < n) {
+      val b = (i * 8L / n).toInt
+      val s = clip.samples(i)
+      sums(b) += s.toDouble * s
+      counts(b) += 1
+      i += 1
+    }
+    Array.tabulate(8)(b => if (counts(b) == 0) 0f else math.sqrt(sums(b) / counts(b)).toFloat)
+  }
+
+  final case class AudioStats(
+      media_id: Long, sample_rate: Double, channels: Int, n_samples: Long,
+      duration_ms: Long, rms: Double, peak: Double)
+
+  /** Measured audio statistics — duration/rate from the DECODED stream
+    * (not trusted metadata), RMS and peak from actual samples. One
+    * `mapPartitions` pass; rows that don't parse as audio produce no
+    * output (flatMap), mirroring [[encodeThumbnails]] for images.
+    */
+  def audioStats(media: DataFrame): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          decodeAudio(payload).map { clip =>
+            var peak = 0.0; var sq = 0.0
+            var i = 0
+            while (i < clip.samples.length) {
+              val s = clip.samples(i).toDouble
+              peak = math.max(peak, math.abs(s)); sq += s * s
+              i += 1
+            }
+            val n = clip.samples.length
+            AudioStats(id, clip.sampleRate.toDouble, clip.channels, n.toLong,
+              clip.durationMs, if (n == 0) 0.0 else math.sqrt(sq / n), peak)
+          }
+        }
+      }
+  }
+
   /** ==== DETERMINISTIC FALLBACK ==== for payloads with no JVM decoder
-    * (audio/video; a real build binds javacv here): an 8-float vector
+    * (compressed audio/video; a real build binds javacv here): an 8-float vector
     * folded from the payload bytes, so the distributed plumbing behaves
     * identically whether or not the payload decodes.
     */
@@ -197,9 +308,10 @@ object Multimodal {
     * init happens once per partition, rows stream through (the Scala
     * equivalent of a batched `mapInPandas` UDF). Input must have
     * `mediaSchema` columns. Payloads that decode as images get REAL
-    * pixel-luminance features ([[imageFeature]]); everything else falls
-    * back to the byte-fold. `n_bytes`/`byte_mean` are payload stats in
-    * both paths (schema identical).
+    * pixel-luminance features ([[imageFeature]]); payloads that decode as
+    * audio get REAL per-band RMS energy ([[audioFeature]]); everything
+    * else falls back to the byte-fold. `n_bytes`/`byte_mean` are payload
+    * stats in all paths (schema identical).
     */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -208,7 +320,9 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition codec setup would go here (once, not per row)
         rows.map { case (id, kind, payload) =>
-          val feat = decodeImage(payload).map(imageFeature).getOrElse(decodeStub(payload))
+          val feat = decodeImage(payload).map(imageFeature)
+            .orElse(decodeAudio(payload).map(audioFeature))
+            .getOrElse(decodeStub(payload))
           val bytes = payload.length
           val mean = if (bytes == 0) 0.0 else payload.map(b => (b & 0xFF).toDouble).sum / bytes
           MediaFeatures(id, kind, bytes, mean, feat)

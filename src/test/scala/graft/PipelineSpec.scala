@@ -713,6 +713,62 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.encodeThumbnails(media, 8, 4).collect().isEmpty) // both skipped
   }
 
+  /** PCM16LE WAV bytes via the JDK's own writer — a sine at `amp`. */
+  private def wavSine(sampleRateHz: Int, nSamples: Int, amp: Double, channels: Int = 1): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRateHz.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](nSamples * 2 * channels)
+    var i = 0
+    while (i < nSamples) {
+      val s = (math.sin(2 * math.Pi * 440.0 * i / sampleRateHz) * amp * 32767).toInt.toShort
+      var c = 0
+      while (c < channels) {
+        val o = (i * channels + c) * 2
+        pcm(o) = (s & 0xFF).toByte; pcm(o + 1) = ((s >> 8) & 0xFF).toByte
+        c += 1
+      }
+      i += 1
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real audio decode: WAV parses to samples, stats measured from PCM, not metadata") {
+    // 0.5s at 8kHz, sine amplitude 0.5 → RMS ≈ 0.5/√2, peak ≈ 0.5
+    val wav = wavSine(8000, 4000, 0.5)
+    val clip = Multimodal.decodeAudio(wav).get
+    assert(clip.sampleRate === 8000f && clip.channels === 1)
+    assert(clip.samples.length === 4000)
+    assert(clip.durationMs === 500L)
+    val media = Seq((1L, "audio", "audio/wav", wav)).toDF("media_id", "kind", "mime", "payload")
+      .withColumn("width", lit(0)).withColumn("height", lit(0))
+      .withColumn("duration_ms", lit(999999L)) // metadata LIES; stats must measure
+    val st = Multimodal.audioStats(media).collect().head
+    assert(st.duration_ms === 500L, "duration from decoded samples, not the metadata column")
+    assert(math.abs(st.rms - 0.5 / math.sqrt(2)) < 0.01, s"sine RMS = a/sqrt(2), got ${st.rms}")
+    assert(math.abs(st.peak - 0.5) < 0.01)
+    // feature path: steady sine → all 8 RMS bands ≈ equal ≈ overall RMS
+    val feat = Multimodal.extractFeatures(media).collect().head.feature
+    assert(feat.length === 8)
+    assert(feat.forall(b => math.abs(b - 0.5 / math.sqrt(2)) < 0.02), feat.mkString(","))
+  }
+
+  test("stereo WAV mono-mixes; garbage and truncated payloads fall back to None") {
+    val stereo = Multimodal.decodeAudio(wavSine(8000, 1000, 0.5, channels = 2)).get
+    assert(stereo.channels === 2 && stereo.samples.length === 1000)
+    assert(Multimodal.decodeAudio(Array.fill[Byte](64)(0x42)).isEmpty)
+    // RIFF magic that LIES (truncated header) must reject, not throw
+    val lying = "RIFF".getBytes ++ Array.fill[Byte](8)(0x01)
+    assert(Multimodal.decodeAudio(lying).isEmpty)
+    assert(Multimodal.decodeAudio(null).isEmpty)
+    assert(Multimodal.decodeAudio(Array.emptyByteArray).isEmpty)
+    // non-audio rows produce no audioStats rows (flatMap demux)
+    val media = Seq((1L, "image", "x", Array.fill[Byte](32)(0x33))).toDF("media_id", "kind", "mime", "payload")
+    assert(Multimodal.audioStats(media).collect().isEmpty)
+  }
+
   test("resize + frame-sample stubs: shapes and flatMap fan-out") {
     val ids = (0L until 9L).toDF("doc_id")
     val media = Multimodal.syntheticMedia(ids, "doc_id")
