@@ -55,7 +55,7 @@ class ChunkStore(
     * tombstone path, `compactIfNeeded` → `compact`) lock once. No-op when
     * `config.lockWrites` is off (single-writer deployments).
     */
-  private def locked[T](f: => T): T =
+  private[graft] def locked[T](f: => T): T =
     if (config.lockWrites) WriterLock.withLock(path)(f) else f
 
   private def chunkIndexCol(ts: Column): Column = config.chunkAxis match {

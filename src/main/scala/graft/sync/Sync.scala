@@ -205,10 +205,11 @@ object Sync {
     if (!badRows.isEmpty)
       throw new IllegalArgumentException("import_chunks: chunk_index missing — whole batch rejected")
     // Mutates outside the store's public mutators (direct partition
-    // overwrite), so it takes the writer lock itself — the atomic-batch
-    // guarantee (reference transaction.atomic, chunk_timeserie_store.py
-    // :633-695) must hold against concurrent local writers too.
-    def doImport(): Unit = {
+    // overwrite), so it takes the store's writer lock itself — the
+    // atomic-batch guarantee (reference transaction.atomic,
+    // chunk_timeserie_store.py:633-695) must hold against concurrent
+    // local writers too.
+    store.locked {
       val affected = batch.select("chunk_index").distinct().collect().map(_.getInt(0)).toSeq
       val cur      = store.load().filter(col("chunk_index").isin(affected: _*))
       val joinCols = keys :+ "chunk_index"
@@ -216,8 +217,6 @@ object Sync {
       store.overwriteChunkPartitions(
         untouched.unionByName(batch.select(store.schema.fieldNames.map(col): _*)), affected)
     }
-    if (store.config.lockWrites) graft.store.WriterLock.withLock(store.path)(doImport())
-    else doImport()
   }
 
   /** Full pull (reference `TimeseriesChunkStoreSyncClient.pull`,

@@ -21,8 +21,25 @@ class WriterLockSpec extends SparkSpec {
       assert(Files.exists(lf), "lock file present while held")
       val content = new String(Files.readAllBytes(lf), "UTF-8")
       assert(content.contains("owner"), s"lock carries owner metadata: $content")
+      assert(content.contains("token"), s"lock carries an acquisition token: $content")
     }
     assert(!Files.exists(lf), "lock file removed on release")
+    assert(!WriterLock.isTracked(p), "in-process holder evicted after release (no leak)")
+  }
+
+  test("release never deletes a successor's lock (token-verified release)") {
+    val p = freshPath("wl-token")
+    val lf = WriterLock.lockFile(p)
+    WriterLock.withLock(p) {
+      // simulate a lease break during a long pause: someone replaced our
+      // lock file with THEIR lock — our release must leave it in place
+      Files.write(lf, """{"owner":"successor:1","token":"their-token"}""".getBytes("UTF-8"))
+    }
+    try {
+      assert(Files.exists(lf), "successor's lock survives our release")
+      assert(new String(Files.readAllBytes(lf), "UTF-8").contains("successor"),
+        "successor's content untouched")
+    } finally Files.deleteIfExists(lf)
   }
 
   test("withLock is reentrant on the holding thread") {
