@@ -32,10 +32,19 @@ import org.apache.spark.sql.types._
 class TimeseriesStore(
     val spark: SparkSession,
     val path: String,
-    val keySchema: StructType) {
+    val keySchema: StructType,
+    val lockWrites: Boolean = true) {
 
   val keys: Seq[String] = keySchema.fields.map(_.name).toSeq
   require(keys.nonEmpty, "TimeseriesStore needs at least one business key")
+
+  /** Serialize store mutations (reference row-lock parity; the same
+    * [[WriterLock]] protocol as ChunkStore). The exists-probe +
+    * combine-first + partition overwrite in `setTs` is a
+    * read-modify-write exactly like the reference's locked upsert.
+    */
+  private def locked[T](f: => T): T =
+    if (lockWrites) WriterLock.withLock(path)(f) else f
 
   def schema: StructType = StructType(
     keySchema.fields.toSeq ++ Seq(
@@ -74,14 +83,18 @@ class TimeseriesStore(
       attrs: Map[String, Any],
       series: DataFrame,
       update: Boolean = false,
-      replace: Boolean = false): Boolean = {
+      replace: Boolean = false): Boolean = locked {
     if (update && replace)
       throw new IllegalArgumentException("update and replace are mutually exclusive")
     requireAllKeys(attrs)
     val s = series
       .select(col("ts").cast(TimestampNTZType).as("ts"), col("value").cast(DoubleType).as("value"))
       .filter(col("value").isNotNull && !isnan(col("value")) && col("ts").isNotNull)
-    if (s.isEmpty) return false
+    if (s.isEmpty) false else setTsNonEmpty(attrs, s, update, replace)
+  }
+
+  private def setTsNonEmpty(
+      attrs: Map[String, Any], s: DataFrame, update: Boolean, replace: Boolean): Boolean = {
     val content =
       if (!exists(attrs)) s
       else if (update) {
@@ -116,7 +129,7 @@ class TimeseriesStore(
     * new series directory in a single job — the shape that matters when
     * backfilling millions of series.
     */
-  def setManyTs(many: DataFrame): Unit = {
+  def setManyTs(many: DataFrame): Unit = locked {
     // key validation on the RAW batch, BEFORE row normalization — a
     // null-keyed row must refuse the batch even when its value is also
     // null/NaN (setTs parity: requireAllKeys runs before the series
@@ -177,7 +190,7 @@ class TimeseriesStore(
     * each matched series is one partition directory — a directory drop,
     * no rewrite of anything else.
     */
-  def clear(filters: Map[String, Any]): Unit = {
+  def clear(filters: Map[String, Any]): Unit = locked {
     val unknown = Lookups.baseFields(filters).filterNot(keys.contains)
     require(unknown.isEmpty, s"Unknown attribute(s) ${unknown.mkString(",")}")
     val cond = Lookups.compile(filters).getOrElse(lit(true))
