@@ -1080,6 +1080,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DSIR (Xie et al. 2023): importance scores of every corpus doc
+    // against a target distribution (here: the doc_id%7==0 slice standing
+    // in for a trusted corpus), hashed uni+bigram features, micro-unit
+    // deterministic aggregation
+    "q_dsir_scores" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Curation.dsirScores(docs, docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", numBuckets = 4096)
+        .select(col("doc_id"), col("n_features"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    // Gumbel-top-k importance resampling over the DSIR scores —
+    // deterministic (hash-derived noise), ∝ exp(score) without replacement
+    "q_dsir_sample" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val scored = Curation.dsirScores(docs, docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", numBuckets = 4096)
+      Curation.dsirSample(scored, "doc_id", "score", n = 100)
+        .select(col("doc_id"), round(col("score"), 6).as("score"),
+          round(col("gumbel_key"), 6).as("gumbel_key"))
+        .orderBy("doc_id")
+    }),
+
     // clustering — deterministic k-means over embeddings (Lloyd's, 2
     // iterations, md5-seeded init, quantized centroids)
     "q_kmeans" -> ((s, d) => {
@@ -2611,6 +2636,34 @@ object SparkEntry {
            FROM documents)
          WHERE rank <= 10 ORDER BY doc_id""",
 
+    // DSIR twins share the hashed-feature + micro-unit-λ CTE chain; the
+    // per-doc score is an integer sum (order-independent, engine-exact),
+    // only the final projection divides back to a double
+    "q_dsir_scores" -> {
+      import graft.functions.PortableHash.sqlHash60
+      s"""WITH $dsirCtes
+         SELECT d.doc_id,
+                CAST(coalesce(nf, 0) AS BIGINT) AS n_features,
+                round(CAST(coalesce(s_micro, 0) AS DOUBLE) / 1000000.0, 6) AS score
+         FROM documents d LEFT JOIN sc USING (doc_id)
+         ORDER BY doc_id"""
+    },
+
+    "q_dsir_sample" -> {
+      import graft.functions.PortableHash.sqlHashMod
+      s"""WITH $dsirCtes,
+         keyed AS (
+           SELECT d.doc_id,
+                  CAST(coalesce(s_micro, 0) AS DOUBLE) / 1000000.0 AS sc0,
+                  CAST(coalesce(s_micro, 0) AS DOUBLE) / 1000000.0
+                    - ln(-ln(CAST(${sqlHashMod("'dsir:' || CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+                             / 2147483648.0)) AS k
+           FROM documents d LEFT JOIN sc USING (doc_id)),
+         top AS (SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT 100)
+         SELECT doc_id, round(sc0, 6) AS score, round(k, 6) AS gumbel_key
+         FROM top ORDER BY doc_id"""
+    },
+
     "q_kmeans" -> kmeansOracleSql(k = 8, iters = 2, dim = 64),
 
     "q_kmeans_inertia" ->
@@ -2990,6 +3043,45 @@ object SparkEntry {
                   CASE WHEN ma > 0 THEN list_transform(v0, x -> round(x / (ma / 127)))
                        ELSE list_transform(v0, x -> 0.0) END AS v
            FROM qz_ma)"""
+
+  /** Shared CTE chain of the DSIR twins (q_dsir_scores / q_dsir_sample):
+    * hashed uni+bigram feature buckets (MATERIALIZED — feeds the raw
+    * counts, target counts, totals, AND per-doc counts), Laplace-smoothed
+    * per-bucket log-ratios quantized to integer micro-units, per-doc
+    * integer score sums. Mirrors Curation.featureBuckets/dsirLogRatios/
+    * dsirScores with target = the doc_id%7==0 slice and B = 4096.
+    */
+  private lazy val dsirCtes: String = {
+    import graft.functions.PortableHash.sqlHash60
+    s"""d0 AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         f0 AS (
+           SELECT doc_id,
+                  list_concat(toks,
+                    CASE WHEN len(toks) >= 2
+                         THEN list_transform(range(1, len(toks)),
+                                i -> array_to_string(toks[i:i+1], ' '))
+                         ELSE CAST([] AS VARCHAR[]) END) AS feats
+           FROM d0),
+         fb AS MATERIALIZED (
+           SELECT doc_id, (${sqlHash60("f")} % 4096) AS b
+           FROM (SELECT doc_id, unnest(feats) AS f FROM f0)),
+         cc AS (SELECT b, count(*) AS cq FROM fb GROUP BY b),
+         tc AS (SELECT b, count(*) AS cp FROM fb WHERE doc_id % 7 = 0 GROUP BY b),
+         tot AS (SELECT (SELECT count(*) FROM fb) AS tq,
+                        (SELECT count(*) FROM fb WHERE doc_id % 7 = 0) AS tp),
+         lam AS (
+           SELECT cc.b,
+                  CAST(round((ln(CAST(coalesce(cp, 0) + 1 AS DOUBLE) / (tp + 4096))
+                            - ln(CAST(cq + 1 AS DOUBLE) / (tq + 4096))) * 1000000.0) AS BIGINT)
+                    AS lam_micro
+           FROM cc LEFT JOIN tc ON cc.b = tc.b CROSS JOIN tot),
+         pd AS (SELECT doc_id, b, count(*) AS n FROM fb GROUP BY 1, 2),
+         sc AS (
+           SELECT doc_id, sum(n * lam_micro) AS s_micro, sum(n) AS nf
+           FROM pd JOIN lam ON pd.b = lam.b GROUP BY doc_id)"""
+  }
 
   private def kmeansCtes(k: Int, iters: Int, dim: Int): String =
     kmeansCtes(k, iters, dim, floatDvCte)

@@ -379,4 +379,126 @@ object Curation {
           .cast("long"))
       .drop("__cuts")
   }
+
+  // ---- DSIR: data selection via importance resampling -------------------
+
+  /** Hashed bag-of-n-gram features: one row per (doc, bucket) feature
+    * OCCURRENCE (unigrams + word bigrams, [[TextAnalysis.tokens]]
+    * tokenization — the one policy project-wide), bucketed by the
+    * engine-portable 60-bit hash mod `numBuckets`. The feature space of
+    * DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): hashed n-grams make the bag model
+    * fixed-width regardless of vocabulary, so the distribution estimate
+    * is a `numBuckets`-row aggregate at any corpus size.
+    */
+  private def featureBuckets(
+      df: DataFrame, idCol: String, textCol: String, numBuckets: Int): DataFrame = {
+    // tokenization bound ONCE as a lambda variable (CSE cannot reach
+    // lambda bodies — same guard as Dedup.shingles)
+    val feats = flatten(transform(array(TextAnalysis.tokens(lower(col(textCol)))), ws =>
+      concat(ws,
+        when(size(ws) >= 2,
+          transform(sequence(lit(1), size(ws) - 1),
+            i => concat_ws(" ", slice(ws, i, lit(2)))))
+          .otherwise(array().cast("array<string>")))))
+    df.select(col(idCol).as("id"), explode(feats).as("__f"))
+      .select(col("id"),
+        pmod(graft.functions.PortableHash.hash60(col("__f")), lit(numBuckets.toLong)).as("bucket"))
+  }
+
+  /** Per-bucket importance log-ratios ln(p̂_b / q̂_b) between the TARGET
+    * distribution (what we want the training mix to look like — e.g. a
+    * trusted high-quality corpus) and the RAW corpus distribution, with
+    * Laplace smoothing. Output: (bucket, lam_micro) for every bucket the
+    * raw corpus occupies — `numBuckets`-bounded, broadcastable at any
+    * corpus size.
+    *
+    * Determinism: the ratio is quantized to integer MICRO-UNITS here
+    * (one `round` per bucket — a single-row computation, not an
+    * aggregation), so the downstream per-document score is an integer
+    * sum — associative-commutative-exact, bit-identical at any partition
+    * count (the q_kmeans_inertia lesson).
+    */
+  def dsirLogRatios(
+      corpus: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = 4096): DataFrame =
+    logRatiosFrom(
+      featureBuckets(corpus, idCol, textCol, numBuckets)
+        .groupBy("bucket").agg(count(lit(1)).as("cq")),
+      target, idCol, textCol, numBuckets)
+
+  /** λ table from a pre-aggregated raw-side (bucket, cq) frame — lets
+    * [[dsirScores]] derive the raw distribution from its per-doc
+    * aggregation instead of scanning the corpus text a second time.
+    */
+  private def logRatiosFrom(
+      cf: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int): DataFrame = {
+    val tf = featureBuckets(target, idCol, textCol, numBuckets)
+      .groupBy("bucket").agg(count(lit(1)).as("cp"))
+    val totQ = cf.agg(sum(col("cq")).as("tq"))
+    val totP = tf.agg(coalesce(sum(col("cp")), lit(0L)).as("tp"))
+    val b = lit(numBuckets.toLong)
+    cf.join(tf, Seq("bucket"), "left")
+      .crossJoin(broadcast(totQ)).crossJoin(broadcast(totP))
+      .withColumn("lam_micro",
+        round((log((coalesce(col("cp"), lit(0L)) + lit(1L)).cast("double") / (col("tp") + b))
+             - log((col("cq") + lit(1L)).cast("double") / (col("tq") + b))) * lit(1000000.0))
+          .cast("long"))
+      .select("bucket", "lam_micro")
+  }
+
+  /** DSIR importance score per corpus document: the log importance
+    * weight of the doc under the hashed bag-of-n-grams model,
+    * `Σ_features λ_bucket(feature)` — high where the doc looks like the
+    * target distribution, low where it looks like the raw corpus.
+    * Output: (idCol, n_features, score), every corpus row present
+    * (feature-less docs score 0).
+    *
+    * Scale shape: the corpus text is read ONCE — the raw bucket
+    * distribution rolls up from the same per-(doc, bucket) aggregation
+    * that feeds the scores (the shared subplan reuses one exchange), the
+    * target side is its own (smaller) scan, and the λ table is
+    * ≤ `numBuckets` rows, broadcast. The per-doc aggregation is map-side
+    * combinable; no shuffle ever carries text.
+    */
+  def dsirScores(
+      corpus: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = 4096): DataFrame = {
+    val perDocCounts = featureBuckets(corpus, idCol, textCol, numBuckets)
+      .groupBy("id", "bucket").agg(count(lit(1)).as("n"))
+    val cf = perDocCounts.groupBy("bucket").agg(sum(col("n")).as("cq"))
+    val lam = logRatiosFrom(cf, target, idCol, textCol, numBuckets)
+    val perDoc = perDocCounts
+      .join(broadcast(lam), Seq("bucket"))
+      .groupBy("id").agg(
+        sum(col("n") * col("lam_micro")).as("__s_micro"),
+        sum(col("n")).as("n_features"))
+    corpus.select(col(idCol)).distinct()
+      .join(perDoc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        (coalesce(col("__s_micro"), lit(0L)).cast("double") / 1000000.0).as("score"))
+  }
+
+  /** Importance RESAMPLING via the Gumbel-top-k trick: `n` documents
+    * sampled without replacement with probability ∝ exp(score), exactly
+    * (Vieira 2014) — key = score + Gumbel noise, take the top n. The
+    * noise is DETERMINISTIC (engine-portable hash of the salted id →
+    * uniform → −ln(−ln u)), so the sample is reproducible and
+    * oracle-checkable. Top-n is `orderBy.limit` — Spark plans
+    * TakeOrderedAndProject (per-partition heaps + driver merge of n),
+    * never a global sort.
+    */
+  def dsirSample(
+      scored: DataFrame, idCol: String, scoreCol: String, n: Int,
+      salt: String = "dsir"): DataFrame = {
+    import graft.functions.PortableHash
+    val u = (PortableHash.hashMod(concat(lit(salt + ":"), col(idCol).cast("string"))) + lit(1L))
+      .cast("double") / lit((PortableHash.P + 1).toDouble)
+    scored
+      .withColumn("gumbel_key", col(scoreCol) + -log(-log(u)))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(n)
+  }
 }

@@ -931,6 +931,57 @@ class CurationSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
 
+  test("dsirScores: target-like docs score above raw-like docs; zero-token doc scores 0") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox runs through the green field"),
+      (3L, "stock market prices fell sharply amid trading volume"),
+      (4L, "market prices and trading volume moved sharply today"),
+      (5L, "   ")).toDF("id", "text") // tokenless
+    // target distribution = the fox documents
+    val target = corpus.filter(col("id") <= 2)
+    val s = Curation.dsirScores(corpus, target, "id", "text", numBuckets = 256)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(s(5L) === ((0L, 0.0)), "tokenless doc present with zero score")
+    assert(s(1L)._2 > 0 && s(2L)._2 > 0, s"target-like docs score positive: $s")
+    assert(s(3L)._2 < 0 && s(4L)._2 < 0, s"raw-only docs score negative: $s")
+    assert(math.min(s(1L)._2, s(2L)._2) > math.max(s(3L)._2, s(4L)._2))
+    // n_features = tokens + bigrams
+    assert(s(1L)._1 === 9L + 8L)
+  }
+
+  test("dsirScores: target == corpus makes every log-ratio (hence score) exactly 0") {
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("id", "text")
+    val s = Curation.dsirScores(corpus, corpus, "id", "text", numBuckets = 64).collect()
+    assert(s.forall(_.getDouble(2) === 0.0), s.mkString(","))
+  }
+
+  test("dsirScores is bit-identical across partition counts (micro-unit integer sum)") {
+    val docs = (0L until 60L).map(i =>
+      (i, s"tok${i % 7} tok${i % 11} tok${i % 13} tok${i % 3} tok${i % 5}")).toDF("id", "text")
+    val target = docs.filter(col("id") % 4 === 0)
+    def run(n: Int) =
+      Curation.dsirScores(docs.repartition(n), target.repartition(n), "id", "text", 512)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(run(1) === run(7))
+  }
+
+  test("dsirSample: deterministic, exp(score)-weighted, dominant doc always survives") {
+    val scored = ((1L to 40L).map(i => (i, 0.0)) :+ (99L, 100.0))
+      .toDF("id", "score")
+    val a = Curation.dsirSample(scored, "id", "score", n = 10).collect().map(_.getLong(0)).toSet
+    val b = Curation.dsirSample(scored, "id", "score", n = 10).collect().map(_.getLong(0)).toSet
+    assert(a === b, "hash-derived Gumbel noise is deterministic")
+    assert(a.contains(99L), "score +100 dominates any Gumbel draw (spread < 25)")
+    assert(a.size === 10)
+    // n >= rows returns everything
+    assert(Curation.dsirSample(scored, "id", "score", n = 1000).count() === 41L)
+    // a different salt reshuffles the zero-score ties
+    val c = Curation.dsirSample(scored, "id", "score", n = 10, salt = "other")
+      .collect().map(_.getLong(0)).toSet
+    assert(c !== a, "salt changes the draw")
+  }
+
   test("mixWeights: weights sum to 1; alpha=1 is proportional; alpha<1 upsamples the tail") {
     val df = Seq(
       ("big", "a b c d e f g h"), ("big", "i j k l m n o p"),

@@ -16,6 +16,19 @@ class PlanSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  test("q_dsir_scores: λ table joins broadcast; no shuffle ever carries text") {
+    val p = plan("q_dsir_scores")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "bucket λ / totals reach the per-doc side as broadcasts")
+    // the wide exchanges must carry (id|bucket)-shaped rows, never the
+    // document text: a text column in an Exchange means the feature
+    // explosion happened after a shuffle instead of at the scan
+    val exchanges = p.split("\n").filter(_.contains("hashpartitioning("))
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("q_scan_filter: literal predicates reach the parquet scan") {
     val p = plan("q_scan_filter")
     assert(p.contains("PushedFilters"), p.take(500))
