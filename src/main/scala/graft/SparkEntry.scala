@@ -3052,20 +3052,25 @@ object SparkEntry {
     * dsirScores with target = the doc_id%7==0 slice and B = 4096.
     */
   private lazy val dsirCtes: String = {
-    import graft.functions.PortableHash.sqlHash60
+    import graft.functions.PortableHash.{sqlHashMod, P}
     s"""d0 AS (
            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
            FROM documents),
+         -- ONE md5 per token; the bigram hash derives arithmetically
+         -- ((h1*31 + h2) mod P), mirroring Curation.featureBuckets
+         h0 AS (
+           SELECT doc_id, list_transform(toks, t -> ${sqlHashMod("t")}) AS hs
+           FROM d0),
          f0 AS (
            SELECT doc_id,
-                  list_concat(toks,
-                    CASE WHEN len(toks) >= 2
-                         THEN list_transform(range(1, len(toks)),
-                                i -> array_to_string(toks[i:i+1], ' '))
-                         ELSE CAST([] AS VARCHAR[]) END) AS feats
-           FROM d0),
+                  list_concat(hs,
+                    CASE WHEN len(hs) >= 2
+                         THEN list_transform(range(1, len(hs)),
+                                i -> (hs[i] * 31 + hs[i + 1]) % $P)
+                         ELSE CAST([] AS BIGINT[]) END) AS feats
+           FROM h0),
          fb AS MATERIALIZED (
-           SELECT doc_id, (${sqlHash60("f")} % 4096) AS b
+           SELECT doc_id, (f % 4096) AS b
            FROM (SELECT doc_id, unnest(feats) AS f FROM f0)),
          cc AS (SELECT b, count(*) AS cq FROM fb GROUP BY b),
          tc AS (SELECT b, count(*) AS cp FROM fb WHERE doc_id % 7 = 0 GROUP BY b),

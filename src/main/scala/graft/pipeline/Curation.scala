@@ -393,17 +393,24 @@ object Curation {
     */
   private def featureBuckets(
       df: DataFrame, idCol: String, textCol: String, numBuckets: Int): DataFrame = {
-    // tokenization bound ONCE as a lambda variable (CSE cannot reach
-    // lambda bodies — same guard as Dedup.shingles)
-    val feats = flatten(transform(array(TextAnalysis.tokens(lower(col(textCol)))), ws =>
-      concat(ws,
-        when(size(ws) >= 2,
-          transform(sequence(lit(1), size(ws) - 1),
-            i => concat_ws(" ", slice(ws, i, lit(2)))))
-          .otherwise(array().cast("array<string>")))))
-    df.select(col(idCol).as("id"), explode(feats).as("__f"))
-      .select(col("id"),
-        pmod(graft.functions.PortableHash.hash60(col("__f")), lit(numBuckets.toLong)).as("bucket"))
+    import graft.functions.PortableHash
+    // ONE md5 per token (the rolling-hash trick the winnow fingerprints
+    // use): the bigram hash derives arithmetically from the two token
+    // hashes — (h1*31 + h2) mod P — instead of md5-ing a concatenated
+    // 2-token string, halving digest work and skipping the string build
+    // on the hot path. The token-hash array is bound ONCE as a lambda
+    // variable (CSE cannot reach lambda bodies — same guard as
+    // Dedup.shingles).
+    val hs0 = transform(TextAnalysis.tokens(lower(col(textCol))),
+      t => PortableHash.hashMod(t))
+    val feats = flatten(transform(array(hs0), hs =>
+      concat(hs,
+        when(size(hs) >= 2,
+          zip_with(slice(hs, lit(1), size(hs) - 1), slice(hs, lit(2), size(hs) - 1),
+            (a, c) => pmod(a * lit(31L) + c, lit(PortableHash.P))))
+          .otherwise(array().cast("array<long>")))))
+    df.select(col(idCol).as("id"), explode(feats).as("__h"))
+      .select(col("id"), pmod(col("__h"), lit(numBuckets.toLong)).as("bucket"))
   }
 
   /** Per-bucket importance log-ratios ln(p̂_b / q̂_b) between the TARGET
@@ -474,11 +481,17 @@ object Curation {
       .groupBy("id").agg(
         sum(col("n") * col("lam_micro")).as("__s_micro"),
         sum(col("n")).as("n_features"))
-    corpus.select(col(idCol)).distinct()
-      .join(perDoc.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_features"), lit(0L)).as("n_features"),
-        (coalesce(col("__s_micro"), lit(0L)).cast("double") / 1000000.0).as("score"))
+      .select(col("id").as(idCol), col("n_features"),
+        (col("__s_micro").cast("double") / 1000000.0).as("score"))
+    // feature-less docs = docs with zero tokens (features ⊇ unigrams):
+    // a cheap filter on the corpus, UNIONed in rather than left-joined —
+    // an outer join whose right side is unreferenced is (correctly)
+    // eliminated by the optimizer under count(), which would let a
+    // throughput probe skip the whole scoring subtree
+    val tokenless = corpus
+      .where(size(TextAnalysis.tokens(lower(col(textCol)))) === 0)
+      .select(col(idCol), lit(0L).as("n_features"), lit(0.0).as("score"))
+    perDoc.unionByName(tokenless)
   }
 
   /** Importance RESAMPLING via the Gumbel-top-k trick: `n` documents
