@@ -733,6 +733,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C4 heuristic cleaning (Raffel et al. 2020 §2.2) over manufactured
+    // lines — line retention (terminal punctuation, ≥5 words, no
+    // "javascript") + page drops (lorem ipsum / brace / <3 kept lines)
+    "q_c4_filters" -> ((s, d) => {
+      val lined = table(s, d, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), " (a|the) ", "\n").as("text"))
+      TextAnalysis.c4Filters(lined, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("total_lines"), col("kept_lines"),
+          col("has_lorem"), col("has_brace"), col("keep_doc"), col("kept_text"))
+        .orderBy("doc_id")
+    }),
+
     // text analysis — PII redaction (emails + digit runs → typed tokens)
     "q_redact" -> ((s, d) => {
       table(s, d, "documents")
@@ -1992,6 +2004,32 @@ object SparkEntry {
          LEFT JOIN d5 ON d5.doc_id = tot.doc_id
          ORDER BY tot.doc_id"""
     },
+
+    "q_c4_filters" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_replace(text, ' (a|the) ', chr(10), 'g') AS text
+           FROM documents),
+         a AS (
+           SELECT doc_id,
+                  list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                                x -> trim(x)), x -> x <> '') AS lines,
+                  contains(lower(coalesce(text, '')), 'lorem ipsum') AS has_lorem,
+                  contains(coalesce(text, ''), '{') AS has_brace
+           FROM t),
+         b AS (
+           SELECT doc_id, lines, has_lorem, has_brace,
+                  list_filter(lines, l ->
+                    regexp_matches(l, '[.!?"]$')
+                    AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+                    AND NOT contains(lower(l), 'javascript')) AS kept
+           FROM a)
+         SELECT doc_id,
+                CAST(len(lines) AS BIGINT) AS total_lines,
+                CAST(len(kept) AS BIGINT) AS kept_lines,
+                has_lorem, has_brace,
+                (len(kept) >= 3 AND NOT has_lorem AND NOT has_brace) AS keep_doc,
+                coalesce(array_to_string(kept, chr(10)), '') AS kept_text
+         FROM b ORDER BY doc_id""",
 
     "q_gopher_lines" ->
       """WITH t AS (

@@ -347,6 +347,49 @@ object TextAnalysis {
         frac(col("__bul"), col("total_lines")).as("bullet_line_frac"))
   }
 
+  /** C4 heuristic cleaning (Raffel et al. 2020 §2.2): line-level
+    * retention — keep only lines that end in terminal punctuation
+    * (. ! ? "), contain ≥ 5 whitespace words, and don't mention
+    * "javascript" — plus the page-level drops: any page containing
+    * "lorem ipsum" or a curly brace (code), or retaining fewer than 3
+    * lines (standing in for C4's "fewer than 3 sentences" — the kept
+    * lines all end in terminal punctuation, so each carries ≥ 1
+    * sentence). The bad-word page drop is the same doc-level predicate
+    * shape over a wordlist (plug one into `exists(lines, ...)`); no
+    * canonical list ships here.
+    *
+    * Everything is per-row ARRAY computation (split → filter → rejoin):
+    * no explode, no shuffle, one codegen'd projection over the scan —
+    * at 100 TB this is a pure map stage. Output one row per input doc:
+    * (id, total_lines, kept_lines, has_lorem, has_brace, keep_doc,
+    * kept_text).
+    */
+  def c4Filters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val lines = filter(
+      transform(split(txt, java.util.regex.Pattern.quote(sep)), l => trim(l)),
+      l => l =!= "")
+    val keptLines = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, " "), w => w =!= "")) >= 5 &&
+        !lower(l).contains("javascript"))
+    df.select(
+        col(idCol).as("id"),
+        size(lines).cast("long").as("total_lines"),
+        size(keptLines).cast("long").as("kept_lines"),
+        lower(txt).contains("lorem ipsum").as("has_lorem"),
+        txt.contains("{").as("has_brace"),
+        concat_ws(sep, keptLines).as("kept_text"))
+      .withColumn("keep_doc",
+        col("kept_lines") >= 3 && !col("has_lorem") && !col("has_brace"))
+      .select("id", "total_lines", "kept_lines", "has_lorem", "has_brace",
+        "keep_doc", "kept_text")
+  }
+
   /** PII redaction: replace e-mail addresses and digit runs with typed
     * placeholder tokens — a narrow per-row projection (codegen'd
     * `regexp_replace`, no shuffle, composes with any scan). The patterns

@@ -513,6 +513,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("dup_5gram_char_frac") === 1.0)
   }
 
+  test("c4Filters: line retention rules and page-level drops, hand-computed") {
+    val docs = Seq(
+      // 3 good lines → kept; short line and no-terminal line dropped
+      (1L, "one two three four five six.\nshort line here.\nanother line with five words!\nthis line has no terminal punct\nfinal line of five words?"),
+      // lorem ipsum page-drop despite good lines
+      (2L, "one two three four five six.\nLorem Ipsum dolor sit amet here.\nanother line with five words!"),
+      // brace page-drop
+      (3L, "function f() { return 1; }\none two three four five six.\nanother line with five words!\nfinal line of five words?"),
+      // javascript LINE drop (not page drop) → only 2 kept → <3 → dropped
+      (4L, "enable javascript to view this content.\none two three four five six.\nanother line with five words!"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.c4Filters(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getBoolean(3), x.getBoolean(4), x.getBoolean(5), x.getString(6))).toMap
+    assert(r(1L)._1 === 5L && r(1L)._2 === 3L && r(1L)._5 === true)
+    assert(r(1L)._6 ===
+      "one two three four five six.\nanother line with five words!\nfinal line of five words?")
+    assert(r(2L)._3 === true && r(2L)._5 === false, "lorem ipsum drops the page")
+    assert(r(3L)._4 === true && r(3L)._5 === false, "curly brace drops the page")
+    assert(r(4L)._2 === 2L && r(4L)._5 === false,
+      "javascript drops the LINE; the page then fails the >=3 kept-lines gate")
+    assert(r(5L) === ((0L, 0L, false, false, false, "")), "null text → empty, not a crash")
+  }
+
   test("gopherLineStats: hand-computed dup/ellipsis/bullet line fractions") {
     // trimmed non-empty lines: menu ×3, home, "• item one", "last line..."
     val text = "menu\nhome\nmenu\n• item one\nlast line...\n\n  \nmenu"
