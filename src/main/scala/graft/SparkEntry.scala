@@ -1175,6 +1175,15 @@ object SparkEntry {
 
     // similarity — symmetric int8 embedding quantization (ANN storage
     // trim), exploded per dimension so the oracle compares scalars
+    // exact upper-triangle embedding covariance (PCA/whitening input):
+    // per-row generated products, micro-unit decimal sums — the only
+    // data-side statistic PCA needs (the eigen solve is d×d, driver-side)
+    "q_embed_cov" -> ((s, d) => {
+      Similarity.embeddingCovariance(table(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("i"), col("j"), col("n"), round(col("cov"), 9).as("cov"))
+        .orderBy("i", "j")
+    }),
+
     "q_quantize_embed" -> ((s, d) => {
       Similarity.quantizeInt8(table(s, d, "embeddings"), "vec_id", "embedding")
         .select(col("id").as("vec_id"), round(col("scale"), 9).as("scale"),
@@ -2807,6 +2816,29 @@ object SparkEntry {
          SELECT query_id, vec_id, round(cos, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
          FROM rr WHERE rank <= 5 ORDER BY query_id, rank"""
     },
+
+    "q_embed_cov" ->
+      """WITH e AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+           FROM embeddings),
+         p AS (
+           SELECT unnest(flatten(list_transform(range(0, len(q)), i ->
+                    list_transform(range(i, len(q)), j ->
+                      struct_pack(i := i, j := j,
+                        qxy := q[i+1] * q[j+1],
+                        qx := q[i+1], qy := q[j+1]))))) AS s
+           FROM e),
+         g AS (
+           SELECT s.i AS i, s.j AS j, count(*) AS n,
+                  sum(s.qxy) AS sxy, sum(s.qx) AS sx, sum(s.qy) AS sy
+           FROM p GROUP BY 1, 2)
+         SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, CAST(n AS BIGINT) AS n,
+                round((CAST(sxy AS DOUBLE) / 1000000000000.0
+                      - (CAST(sx AS DOUBLE) / 1000000.0) * (CAST(sy AS DOUBLE) / 1000000.0)
+                        / n) / n, 9) AS cov
+         FROM g ORDER BY i, j""",
 
     "q_quantize_embed" ->
       """WITH dv AS (

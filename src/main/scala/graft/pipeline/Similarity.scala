@@ -435,4 +435,119 @@ object Similarity {
         sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
       .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
   }
+
+  // ---- covariance + PCA (the IVF/whitening preprocessing path) ---------
+
+  /** Exact upper-triangle covariance of the embedding column, long form
+    * (i, j, n, cov) for i ≤ j — the d×d statistic behind PCA/whitening.
+    *
+    * Shape: each row emits its own d(d+1)/2 upper-triangle products as
+    * ONE generated array (no self-join — the d² work stays inside
+    * whole-stage codegen next to the scan), then a single (i, j)
+    * aggregation of at most d² groups. Components are quantized to
+    * integer micro-units BEFORE summing and the sums run in
+    * decimal(38,0) — associative-commutative-EXACT at any partition
+    * count or corpus size (no long overflow, the q_kmeans_inertia
+    * lesson), with the covariance derived by deterministic IEEE
+    * divisions at the very end.
+    */
+  def embeddingCovariance(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = transform(col(vecCol), x => round(x.cast("double") * 1e6).cast("long"))
+    df.select(col(idCol).as("id"), q.as("__q"))
+      .select(explode(flatten(transform(sequence(lit(0), size(col("__q")) - 1), i =>
+        transform(sequence(i, size(col("__q")) - 1), j =>
+          struct(
+            i.cast("long").as("i"),
+            j.cast("long").as("j"),
+            (element_at(col("__q"), i + 1) * element_at(col("__q"), j + 1)).as("qxy"),
+            element_at(col("__q"), i + 1).as("qx"),
+            element_at(col("__q"), j + 1).as("qy")))))).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.qxy"), col("p.qx"), col("p.qy"))
+      .groupBy("i", "j").agg(
+        count(lit(1)).as("n"),
+        sum(col("qxy").cast("decimal(38,0)")).as("__sxy"),
+        sum(col("qx").cast("decimal(38,0)")).as("__sx"),
+        sum(col("qy").cast("decimal(38,0)")).as("__sy"))
+      .select(col("i"), col("j"), col("n"),
+        ((col("__sxy").cast("double") / 1e12
+          - (col("__sx").cast("double") / 1e6) * (col("__sy").cast("double") / 1e6)
+            / col("n")) / col("n")).as("cov"))
+  }
+
+  /** Driver-side PCA from a collected covariance frame: cyclic Jacobi
+    * eigen-solver on the d×d matrix (d is the EMBEDDING width — 64-1024;
+    * the corpus never touches the driver, only the d² statistic), top-k
+    * eigenvectors by eigenvalue. Returns (eigenvalues, basis rows),
+    * basis orthonormal, eigenvalues descending.
+    */
+  def pcaBasis(cov: DataFrame, k: Int): (Array[Double], Array[Array[Double]]) = {
+    val rows = cov.select("i", "j", "cov").collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+    val d = rows.map(_._2).max + 1
+    val a = Array.ofDim[Double](d, d)
+    rows.foreach { case (i, j, c) => a(i)(j) = c; a(j)(i) = c }
+    val v = Array.tabulate(d, d)((r, c) => if (r == c) 1.0 else 0.0)
+    // cyclic Jacobi: rotate away the largest off-diagonal until negligible
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-12 && sweep < 100) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var r = p + 1
+        while (r < d) {
+          off = math.max(off, math.abs(a(p)(r)))
+          if (math.abs(a(p)(r)) > 1e-14) {
+            val theta = 0.5 * math.atan2(2 * a(p)(r), a(r)(r) - a(p)(p))
+            val (c, s) = (math.cos(theta), math.sin(theta))
+            var k2 = 0
+            while (k2 < d) { // rotate rows/cols p and r of A
+              val (akp, akr) = (a(k2)(p), a(k2)(r))
+              a(k2)(p) = c * akp - s * akr
+              a(k2)(r) = s * akp + c * akr
+              k2 += 1
+            }
+            k2 = 0
+            while (k2 < d) {
+              val (apk, ark) = (a(p)(k2), a(r)(k2))
+              a(p)(k2) = c * apk - s * ark
+              a(r)(k2) = s * apk + c * ark
+              val (vkp, vkr) = (v(k2)(p), v(k2)(r))
+              v(k2)(p) = c * vkp - s * vkr
+              v(k2)(r) = s * vkp + c * vkr
+              k2 += 1
+            }
+          }
+          r += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i)).take(k)
+    (order.map(i => a(i)(i)).toArray, order.map(i => (0 until d).map(r => v(r)(i)).toArray).toArray)
+  }
+
+  /** Project embeddings onto a PCA basis (optionally mean-centered):
+    * basis rows become LITERAL arrays in the plan — like the k-means
+    * centroid assignment, no join, no shuffle, pure codegen'd projection.
+    * Output: (idCol, proj: array<double>) with proj(k) = ⟨x − μ, b_k⟩.
+    */
+  def projectEmbeddings(
+      df: DataFrame, idCol: String, vecCol: String,
+      basis: Array[Array[Double]], mean: Option[Array[Double]] = None): DataFrame = {
+    val x = transform(col(vecCol), v => v.cast("double"))
+    val centered = mean match {
+      case Some(m) =>
+        val mLit = array(m.map(lit): _*)
+        zip_with(x, mLit, (a, b) => a - b)
+      case None => x
+    }
+    val proj = array(basis.map { b =>
+      val bLit = array(b.map(lit): _*)
+      aggregate(zip_with(centered, bLit, (a, c) => a * c), lit(0.0), (acc, t) => acc + t)
+    }: _*)
+    df.select(col(idCol), proj.as("proj"))
+  }
 }

@@ -271,6 +271,68 @@ class VectorExprSpec extends SparkSpec {
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
+  import graft.pipeline.Similarity
+
+  test("embeddingCovariance: hand-computed 2-d population covariance") {
+    val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 6.0f)), (3L, Array(5.0f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val c = Similarity.embeddingCovariance(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(c.keySet === Set((0L, 0L), (0L, 1L), (1L, 1L)), "upper triangle only")
+    assert(c((0L, 0L))._1 === 3L)
+    assert(math.abs(c((0L, 0L))._2 - 8.0 / 3) < 1e-9)
+    assert(math.abs(c((0L, 1L))._2 - 16.0 / 3) < 1e-9)
+    assert(math.abs(c((1L, 1L))._2 - 32.0 / 3) < 1e-9)
+  }
+
+  test("embeddingCovariance is bit-identical across partition counts (decimal micro sums)") {
+    val df = (0L until 50L).map(i =>
+      (i, Array.tabulate(6)(d => ((i * 7 + d * 3) % 11 - 5).toFloat / 3f))).toDF("vec_id", "embedding")
+    def run(n: Int) = Similarity.embeddingCovariance(df.repartition(n), "vec_id", "embedding")
+      .orderBy("i", "j").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(run(1) === run(8))
+  }
+
+  test("pcaBasis + projectEmbeddings: collinear 2-d data → one component carries all variance") {
+    val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 6.0f)), (3L, Array(5.0f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val cov = Similarity.embeddingCovariance(df, "vec_id", "embedding")
+    val (lams, basis) = Similarity.pcaBasis(cov, k = 2)
+    assert(math.abs(lams(0) - 40.0 / 3) < 1e-6, s"top eigenvalue = total variance: ${lams.toSeq}")
+    assert(math.abs(lams(1)) < 1e-9, "second component empty for collinear data")
+    val b0 = basis(0)
+    assert(math.abs(math.abs(b0(0)) - 1 / math.sqrt(5)) < 1e-6 &&
+      math.abs(math.abs(b0(1)) - 2 / math.sqrt(5)) < 1e-6, b0.toSeq.toString)
+    // orthonormal
+    assert(math.abs(b0.map(x => x * x).sum - 1.0) < 1e-9)
+    assert(math.abs(b0.zip(basis(1)).map { case (a, b) => a * b }.sum) < 1e-9)
+    val proj = Similarity.projectEmbeddings(df, "vec_id", "embedding", basis,
+        mean = Some(Array(3.0, 6.0)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(math.abs(math.abs(proj(1L)(0)) - 2 * math.sqrt(5)) < 1e-5)
+    assert(math.abs(proj(2L)(0)) < 1e-9)
+    assert(proj.values.forall(p => math.abs(p(1)) < 1e-6), "residual component ~0")
+  }
+
+  test("pcaBasis laws at d=5: eigen equation, orthonormality, trace preservation") {
+    val df = (0L until 40L).map(i =>
+      (i, Array.tabulate(5)(d => math.sin(i * (d + 1) * 0.7).toFloat + (if (d == 0) 2f * i % 3 else 0f))))
+      .toDF("vec_id", "embedding")
+    val covDf = Similarity.embeddingCovariance(df, "vec_id", "embedding")
+    val rows = covDf.collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(3)))
+    val a = Array.ofDim[Double](5, 5)
+    rows.foreach { case (i, j, c) => a(i)(j) = c; a(j)(i) = c }
+    val (lams, basis) = Similarity.pcaBasis(covDf, k = 5)
+    assert(lams.sorted.reverse.toSeq === lams.toSeq, "eigenvalues descending")
+    assert(math.abs(lams.sum - (0 until 5).map(i => a(i)(i)).sum) < 1e-8, "trace preserved")
+    basis.zip(lams).foreach { case (v, lam) =>
+      val av = (0 until 5).map(r => (0 until 5).map(c => a(r)(c) * v(c)).sum)
+      av.zip(v).foreach { case (x, y) => assert(math.abs(x - lam * y) < 1e-7, s"A·v=λv: $x vs ${lam * y}") }
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+    }
+    for (p <- basis.indices; q <- basis.indices if p < q)
+      assert(math.abs(basis(p).zip(basis(q)).map { case (x, y) => x * y }.sum) < 1e-9)
+  }
 
   private def vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f)),
