@@ -2823,22 +2823,37 @@ object SparkEntry {
                   list_transform(embedding,
                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
            FROM embeddings),
+         d1 AS (
+           SELECT i, sum(qx) AS sx
+           FROM (SELECT unnest(range(0, len(q))) AS i, unnest(q) AS qx FROM e)
+           GROUP BY i),
+         -- pure-long-array hot path; (i, j) decoded from the flattened
+         -- position (exact: IEEE sqrt of perfect squares) — mirrors
+         -- Similarity.embeddingCovariance
          p AS (
-           SELECT unnest(flatten(list_transform(range(0, len(q)), i ->
-                    list_transform(range(i, len(q)), j ->
-                      struct_pack(i := i, j := j,
-                        qxy := q[i+1] * q[j+1],
-                        qx := q[i+1], qy := q[j+1]))))) AS s
+           SELECT unnest(range(0, len(q) * (len(q) + 1) // 2)) AS pos,
+                  unnest(flatten(list_transform(range(0, len(q)), i ->
+                    list_transform(range(i, len(q)), j -> q[i+1] * q[j+1])))) AS qxy
            FROM e),
-         g AS (
-           SELECT s.i AS i, s.j AS j, count(*) AS n,
-                  sum(s.qxy) AS sxy, sum(s.qx) AS sx, sum(s.qy) AS sy
-           FROM p GROUP BY 1, 2)
-         SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, CAST(n AS BIGINT) AS n,
+         g AS (SELECT pos, count(*) AS n, sum(qxy) AS sxy FROM p GROUP BY pos),
+         t AS (SELECT max(pos) + 1 AS T FROM g),
+         ix AS (
+           SELECT pos, n, sxy, T,
+                  T - 1 - pos AS rev,
+                  CAST(floor((sqrt(CAST(T - 1 - pos AS DOUBLE) * 8 + 1) - 1) / 2) AS BIGINT) AS r,
+                  CAST(floor((sqrt(CAST(T AS DOUBLE) * 8 + 1) - 1) / 2) AS BIGINT) AS d
+           FROM g CROSS JOIN t),
+         f AS (
+           SELECT d - 1 - r AS i,
+                  d - 1 - (rev - CAST(r * (r + 1) / 2 AS BIGINT)) AS j,
+                  n, sxy
+           FROM ix)
+         SELECT CAST(f.i AS BIGINT) AS i, CAST(f.j AS BIGINT) AS j, CAST(n AS BIGINT) AS n,
                 round((CAST(sxy AS DOUBLE) / 1000000000000.0
-                      - (CAST(sx AS DOUBLE) / 1000000.0) * (CAST(sy AS DOUBLE) / 1000000.0)
+                      - (CAST(a.sx AS DOUBLE) / 1000000.0) * (CAST(b.sx AS DOUBLE) / 1000000.0)
                         / n) / n, 9) AS cov
-         FROM g ORDER BY i, j""",
+         FROM f JOIN d1 a ON f.i = a.i JOIN d1 b ON f.j = b.i
+         ORDER BY i, j""",
 
     "q_quantize_embed" ->
       """WITH dv AS (

