@@ -745,6 +745,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus analytics — Zipf-law fit over the vocabulary (slope of
+    // ln freq vs ln rank; corpus-health / synthetic-text detector).
+    // Regression sums in exact integer micro-units (decimal 38,0).
+    "q_zipf" -> ((s, d) => {
+      TextAnalysis.zipfFit(table(s, d, "documents"), "text")
+    }),
+
+    // corpus analytics — per-doc n-gram novelty: fraction of a doc's
+    // distinct trigram shingles with corpus document-frequency 1
+    // (diversity weighting / inverse-boilerplate signal)
+    "q_novelty" -> ((s, d) => {
+      TextAnalysis.novelty(table(s, d, "documents"), "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_novel"),
+          col("novelty"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus analytics — cross-source overlap matrix: estimated Jaccard
+    // between whole sub-corpora from per-source union MinHash signatures
+    // (one explode + one group agg; pairwise over the few groups only)
+    "q_source_sim" -> ((s, d) => {
+      Dedup.minhashGroupSim(table(s, d, "documents"), "source", "text",
+          n = 3, numHashes = 32)
+        .orderBy("grp_a", "grp_b")
+    }),
+
     // text analysis — PII redaction (emails + digit runs → typed tokens)
     "q_redact" -> ((s, d) => {
       table(s, d, "documents")
@@ -1182,6 +1208,30 @@ object SparkEntry {
       Similarity.embeddingCovariance(table(s, d, "embeddings"), "vec_id", "embedding")
         .select(col("i"), col("j"), col("n"), round(col("cov"), 9).as("cov"))
         .orderBy("i", "j")
+    }),
+
+    // similarity — the PCA path exercised END-TO-END: exact covariance →
+    // driver-side Jacobi basis (top-48 of 64: 86% variance on the
+    // near-isotropic synthetic fixture; real text embeddings are low-rank
+    // and would reduce much harder) → literal-array projection → exact
+    // top-k in the reduced space. No DuckDB twin (the eigen solve is not
+    // SQL-expressible; the driver records the weaker rows-only check) —
+    // the correctness pin is PipelineSpec: full-basis rotation preserves
+    // the exact top-k, recall grows with retained variance, ≥0.5 at this
+    // k, and everything is bit-deterministic (exact covariance -> same
+    // basis every run). Cosine in the projected space is
+    // basis-sign-invariant (a flipped eigenvector negates that coordinate
+    // of BOTH sides).
+    "q_pca_topk" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val cov = Similarity.embeddingCovariance(emb, "vec_id", "embedding")
+      val (_, basis) = Similarity.pcaBasis(cov, 48)
+      val proj = Similarity.projectEmbeddings(emb, "vec_id", "embedding", basis)
+      Similarity.bruteForceTopK(proj.filter(col("vec_id") < 10), proj,
+          vecCol = "proj", k = 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos_sim"), 6).as("cos_sim"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
     }),
 
     "q_quantize_embed" -> ((s, d) => {
@@ -2039,6 +2089,86 @@ object SparkEntry {
                 (len(kept) >= 3 AND NOT has_lorem AND NOT has_brace) AS keep_doc,
                 coalesce(array_to_string(kept, chr(10)), '') AS kept_text
          FROM b ORDER BY doc_id""",
+
+    // Zipf fit: exact integer micro-unit regression sums (HUGEINT covers
+    // the decimal(38,0) Spark side), then the identical fixed chain of
+    // double ops — ln() quantized per vocab row before any summation
+    "q_zipf" ->
+      """WITH tk AS (
+           SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+         f AS (SELECT tok, count(*) AS freq FROM tk GROUP BY tok),
+         r AS (SELECT tok, freq,
+                      row_number() OVER (ORDER BY freq DESC, tok ASC) AS rnk
+               FROM f),
+         q AS (SELECT freq,
+                      CAST(round(ln(CAST(rnk AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+                      CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS y
+               FROM r),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+                      CAST(sum(freq) AS BIGINT) AS total_tokens,
+                      CAST(sum(x) AS DOUBLE) / 1e6 AS sx,
+                      CAST(sum(y) AS DOUBLE) / 1e6 AS sy,
+                      CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) / 1e12 AS sxy,
+                      CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) / 1e12 AS sxx
+               FROM q),
+         s AS (SELECT vocab_size, total_tokens, sx, sy,
+                      (vocab_size * sxy - sx * sy)
+                        / (vocab_size * sxx - sx * sx) AS slope
+               FROM a)
+         SELECT vocab_size, total_tokens,
+                round(slope, 6) AS slope,
+                round((sy - slope * sx) / vocab_size, 6) AS intercept
+         FROM s""",
+
+    "q_novelty" ->
+      """WITH d0 AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         d AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+           FROM d0),
+         dd AS MATERIALIZED (
+           SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n_shingles
+           FROM d WHERE len(sh) > 0),
+         ex AS (SELECT doc_id, unnest(sh) AS shingle FROM dd),
+         s AS (SELECT shingle, count(*) AS dfc, min(doc_id) AS only_doc
+               FROM ex GROUP BY 1),
+         nv AS (SELECT only_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+               FROM s WHERE dfc = 1 GROUP BY 1)
+         SELECT dd.doc_id, dd.n_shingles,
+                CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+                round(CAST(coalesce(nv.n_novel, 0) AS DOUBLE) / dd.n_shingles, 6) AS novelty
+         FROM dd LEFT JOIN nv USING (doc_id) ORDER BY doc_id""",
+
+    // per-source union MinHash: min over the whole sub-corpus of each
+    // permuted shingle hash == the signature of the union shingle set
+    "q_source_sim" -> {
+      import graft.functions.PortableHash.{P, permConsts, sqlHashMod}
+      val consts = permConsts(32)
+      val minCols = consts.zipWithIndex.map { case ((a, b), i) =>
+        s"min((b*$a + $b) % $P) AS h$i" }.mkString(",\n                  ")
+      val sigList = (0 until 32).map(i => s"h$i").mkString("[", ", ", "]")
+      s"""WITH d0 AS (
+           SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         d AS (
+           SELECT source, list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' ')) AS sh
+           FROM d0),
+         ex AS (SELECT source, unnest(sh) AS shingle FROM d WHERE len(sh) > 0),
+         hx AS (SELECT source, ${sqlHashMod("shingle")} AS b FROM ex),
+         mh AS (SELECT source,
+                  $minCols
+                FROM hx GROUP BY source),
+         sig AS MATERIALIZED (SELECT source, $sigList AS sig FROM mh)
+         SELECT a.source AS grp_a, b.source AS grp_b,
+                round(CAST(list_sum(list_transform(range(1, 33),
+                  i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32, 6) AS est_jaccard
+         FROM sig a JOIN sig b ON a.source < b.source
+         ORDER BY grp_a, grp_b"""
+    },
 
     "q_gopher_lines" ->
       """WITH t AS (

@@ -285,6 +285,52 @@ object Dedup {
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** Corpus-overlap matrix: estimated Jaccard similarity between the
+    * shingle SETS of whole sub-corpora (source, language, crawl snapshot
+    * …) from per-group MinHash signatures — the curation-level "how much
+    * does source A repeat source B" statistic that decides whether two
+    * feeds are worth ingesting separately.
+    *
+    * The union-set signature needs no per-group set materialization:
+    * min over a group's docs of each permuted shingle hash IS the
+    * signature of the union of their shingle sets, so the whole thing is
+    * one explode + one (group) aggregation — shuffle carries (group,
+    * 60-bit hash) pairs, output is one row per group. Pairwise
+    * comparison then runs over the handful of groups (broadcast
+    * self-join, no corpus involvement). Per-doc duplicate shingles can't
+    * skew the min, so no distinct pass is needed.
+    *
+    * Output: (grp_a, grp_b, est_jaccard) for grp_a < grp_b, the match
+    * fraction of `numHashes` signature components (standard MinHash
+    * estimator, ±1/√H), rounded to 6 dp.
+    */
+  def minhashGroupSim(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 32): DataFrame = {
+    import graft.functions.PortableHash
+    val ex = df.select(col(groupCol).as("grp"),
+        explode(shingles(col(textCol), n)).as("shingle"))
+      .withColumn("__b", PortableHash.hashMod(col("shingle")))
+    val consts = PortableHash.permConsts(numHashes)
+    val mins = consts.zipWithIndex.map { case ((a, b), i) =>
+      min(PortableHash.perm(col("__b"), a, b)).as(s"h$i") }
+    val sig = ex.groupBy("grp").agg(mins.head, mins.tail: _*)
+      .select(col("grp"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+      .localCheckpoint() // one row per group; both join sides read it —
+                         // don't re-run the corpus pass per side
+    val l = sig.select(col("grp").as("grp_a"), col("sig").as("__sa"))
+    val r = sig.select(col("grp").as("grp_b"), col("sig").as("__sb"))
+    l.join(broadcast(r), col("grp_a") < col("grp_b"))
+      .withColumn("est_jaccard", round(
+        size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes, 6))
+      .select("grp_a", "grp_b", "est_jaccard")
+  }
+
   /** MinHash+LSH candidate pairs: split the signature into `bands` bands
     * of `rows` hashes, bucket-join on (band_idx, band_hash) — docs sharing
     * any band collide. The shuffle key is the band hash (short), the

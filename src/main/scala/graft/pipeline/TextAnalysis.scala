@@ -478,4 +478,89 @@ object TextAnalysis {
     } :+ count(lit(1)).as("n_docs") :+ avg(col(valueCol)).as("mean")
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Zipf-law fit of the corpus vocabulary: least-squares slope/intercept
+    * of ln(freq) against ln(rank) — the standard corpus-health statistic
+    * (natural text sits near slope −1; templated or synthetic corpora
+    * drift off it).
+    *
+    * Scale shape: the corpus collapses to its VOCABULARY in the first
+    * token aggregation (map-side combine; the shuffle carries (token,
+    * count) pairs, never documents), so the global rank window runs over
+    * vocabulary cardinality — bounded ~10⁷ even at web scale, a
+    * metadata-sized single sort, while the 100 TB of text stays in the
+    * distributed scan. Determinism: ln() values are quantized to integer
+    * micro-units per VOCAB ROW (deterministic per value), and all four
+    * regression sums run in decimal(38,0) — exact at any partition
+    * count; the slope falls out of one fixed sequence of IEEE ops at the
+    * end (the q_kmeans_inertia lesson applied to regression).
+    *
+    * Output (one row): (vocab_size, total_tokens, slope, intercept),
+    * slope/intercept rounded to 6 dp.
+    */
+  def zipfFit(df: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = df
+      .select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val ranked = freq.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("tok").asc)).cast("long"))
+    val q = ranked
+      .withColumn("__x", round(log(col("rank").cast("double")) * 1e6, 0).cast("long"))
+      .withColumn("__y", round(log(col("freq").cast("double")) * 1e6, 0).cast("long"))
+    val sums = q.agg(
+      count(lit(1)).as("vocab_size"),
+      sum(col("freq")).as("total_tokens"),
+      sum(col("__x").cast("decimal(38,0)")).as("__sx"),
+      sum(col("__y").cast("decimal(38,0)")).as("__sy"),
+      sum(col("__x").cast("decimal(38,0)") * col("__y")).as("__sxy"),
+      sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__sxx"))
+    // exact integer sums -> one fixed chain of double ops (both engines
+    // run the identical expression tree on identical inputs)
+    val n = col("vocab_size").cast("double")
+    val sx = col("__sx").cast("double") / 1e6
+    val sy = col("__sy").cast("double") / 1e6
+    val sxy = col("__sxy").cast("double") / 1e12
+    val sxx = col("__sxx").cast("double") / 1e12
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    sums.select(
+      col("vocab_size"), col("total_tokens"),
+      round(slope, 6).as("slope"),
+      round((sy - slope * sx) / n, 6).as("intercept"))
+  }
+
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * shingles that occur in NO other document (corpus document-frequency
+    * 1) — the inverse of boilerplate, a direct diversity-weighting /
+    * dedup-triage signal (novelty 1.0 = entirely unique content,
+    * novelty ~0 = the document is assembled from corpus-common n-grams).
+    *
+    * Scale shape: two aggregations over the exploded shingle stream —
+    * (shingle → df, owning doc for df=1) then (doc → novel count) — both
+    * shuffles carry hashes/ids only, never text bodies; the join back to
+    * per-doc totals is id-keyed. The text is scanned twice (totals +
+    * explode) rather than checkpointing the corpus-scale exploded frame
+    * — at 100 TB a second scan-bound pass beats materializing shingles.
+    *
+    * Output: (id, n_shingles, n_novel, novelty) for docs with ≥1
+    * shingle, novelty rounded to 6 dp.
+    */
+  def novelty(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+      explode(Dedup.shingles(col(textCol), n)).as("shingle"))
+    val dfc = ex.groupBy("shingle")
+      .agg(count(lit(1)).as("__df"), min(col("id")).as("__only"))
+    // shingles are per-doc distinct (Dedup.shingles), so corpus count ==
+    // document frequency, and a df=1 shingle's min(id) IS its owner
+    val novel = dfc.filter(col("__df") === 1)
+      .groupBy(col("__only").as("id")).agg(count(lit(1)).as("n_novel"))
+    val totals = df.select(col(idCol).as("id"),
+        size(Dedup.shingles(col(textCol), n)).cast("long").as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+    totals.join(novel, Seq("id"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+      .select("id", "n_shingles", "n_novel", "novelty")
+  }
 }
