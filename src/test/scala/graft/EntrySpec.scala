@@ -13,8 +13,11 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
     val rowsOnly = q.diff(o)
-    assert(rowsOnly === Set.empty[String],
-      s"unexpected rows-only queries: $rowsOnly")
+    // q_pca_topk is deliberately twin-less: the driver-side Jacobi eigen
+    // solve is not SQL-expressible in DuckDB; PipelineSpec pins it by law
+    // (full-basis rotation invariance, recall-vs-variance, determinism)
+    assert(rowsOnly === Set("q_pca_topk"),
+      s"unexpected rows-only queries: ${rowsOnly - "q_pca_topk"}")
   }
 
   test("simhash column form and corpus form agree") {
