@@ -440,18 +440,124 @@ object Similarity {
 
   /** Exact upper-triangle covariance of the embedding column, long form
     * (i, j, n, cov) for i ≤ j — the d×d statistic behind PCA/whitening.
-    *
-    * Shape: each row emits its own d(d+1)/2 upper-triangle products as
-    * ONE generated array (no self-join — the d² work stays inside
-    * whole-stage codegen next to the scan), then a single (i, j)
-    * aggregation of at most d² groups. Components are quantized to
-    * integer micro-units BEFORE summing and the sums run in
-    * decimal(38,0) — associative-commutative-EXACT at any partition
-    * count or corpus size (no long overflow, the q_kmeans_inertia
-    * lesson), with the covariance derived by deterministic IEEE
+    * Components are quantized to integer micro-units BEFORE summing and
+    * every sum is exact integer arithmetic — associative-commutative-
+    * EXACT at any partition count or corpus size (the q_kmeans_inertia
+    * lesson), with the covariance derived by one fixed chain of IEEE
     * divisions at the very end.
+    *
+    * Shape: this is the ONE place the engine drops to `mapPartitions`
+    * (SURVEY §2.10 tier (d)) — the per-row work is d(d+1)/2 = 2080
+    * products into a SHARED accumulator, which Catalyst can only express
+    * by materializing 2080 (pos, product) rows per input row for the
+    * hash aggregate (measured 18 s vs 0.2 s at the 10× fixture: 40M-row
+    * explode + decimal buffer adds vs primitive long fused
+    * multiply-adds). One imperative pass per partition; each partition
+    * emits one (count, d, d²) partial — the corpus never moves, and the
+    * driver sees only d²-sized statistics. [[embeddingCovarianceExpr]]
+    * keeps the declarative twin this is law-tested bit-identical to.
     */
   def embeddingCovariance(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.{Row, types => T}
+    // one imperative pass per partition: quantize each component to
+    // integer micro-units (HALF_UP via BigDecimal.valueOf — the exact
+    // rounding Catalyst's round() performs, so this is bit-identical to
+    // [[embeddingCovarianceExpr]]), accumulate d first moments and
+    // d(d+1)/2 upper-triangle products in PRIMITIVE LONG arrays, and
+    // flush to BigInt accumulators BEFORE any overflow is possible (the
+    // per-row capacity bound max(m², m) is tracked against 4e18): exact
+    // at any row count, any partitioning, any value magnitude. The
+    // corpus never leaves the executors — each partition emits one
+    // (count, d, d² BigInt) partial, combined pairwise by exact integer
+    // addition (treeReduce, order-free).
+    val partials = df
+      .select(transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .rdd.mapPartitions { it =>
+        var d = -1
+        var n = 0L
+        var dimL: Array[Long] = null; var pairL: Array[Long] = null
+        var dimB: Array[BigInt] = null; var pairB: Array[BigInt] = null
+        var cap = 0L
+        def flush(): Unit = {
+          var i = 0
+          while (i < dimL.length) { dimB(i) += dimL(i); dimL(i) = 0L; i += 1 }
+          i = 0
+          while (i < pairL.length) { pairB(i) += pairL(i); pairL(i) = 0L; i += 1 }
+          cap = 0L
+        }
+        it.foreach { row =>
+          val v = row.getSeq[Double](0)
+          if (d < 0) {
+            d = v.length
+            dimL = new Array[Long](d); pairL = new Array[Long](d * (d + 1) / 2)
+            dimB = Array.fill(d)(BigInt(0)); pairB = Array.fill(d * (d + 1) / 2)(BigInt(0))
+          }
+          require(v.length == d,
+            s"embeddingCovariance: ragged vector widths ($d vs ${v.length})")
+          val q = new Array[Long](d)
+          var m = 0L
+          var i = 0
+          while (i < d) {
+            q(i) = java.math.BigDecimal.valueOf(v(i) * 1e6)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+            if (math.abs(q(i)) > m) m = math.abs(q(i))
+            i += 1
+          }
+          val rowBound = math.max(m * m, m)
+          if (cap > 4000000000000000000L - rowBound) flush()
+          cap += rowBound
+          var k = 0
+          i = 0
+          while (i < d) {
+            dimL(i) += q(i)
+            var j = i
+            val qi = q(i)
+            while (j < d) { pairL(k) += qi * q(j); k += 1; j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (d < 0) Iterator.empty
+        else { flush(); Iterator.single((n, dimB, pairB)) }
+      }
+    val schema = T.StructType(Seq(
+      T.StructField("i", T.LongType, nullable = false),
+      T.StructField("j", T.LongType, nullable = false),
+      T.StructField("n", T.LongType, nullable = false),
+      T.StructField("cov", T.DoubleType, nullable = false)))
+    if (partials.isEmpty()) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    val (n, dims, pairs) = partials.treeReduce({ case ((n1, d1, p1), (n2, d2, p2)) =>
+      require(d1.length == d2.length,
+        s"embeddingCovariance: ragged vector widths across partitions (${d1.length} vs ${d2.length})")
+      var i = 0
+      while (i < d1.length) { d1(i) += d2(i); i += 1 }
+      i = 0
+      while (i < p1.length) { p1(i) += p2(i); i += 1 }
+      (n1 + n2, d1, p1)
+    }, depth = 2)
+    val d = dims.length
+    // the same fixed chain of IEEE ops as the declarative form:
+    // ((sxy/1e12) − (sx/1e6)·(sy/1e6)/n) / n, with BigInt→double the
+    // identical correctly-rounded conversion decimal(38,0)→double does
+    val rows = for {
+      i <- 0 until d; j <- i until d
+    } yield {
+      val k = i * d - i * (i - 1) / 2 + (j - i) // upper-triangle row-major
+      val cov = (pairs(k).toDouble / 1e12
+        - (dims(i).toDouble / 1e6) * (dims(j).toDouble / 1e6) / n) / n
+      Row(i.toLong, j.toLong, n, cov)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Declarative (pure-Catalyst) twin of [[embeddingCovariance]] — the
+    * formulation the DuckDB oracle mirrors term for term, kept as the
+    * cross-check the law tests pin the imperative pass against
+    * (bit-identical output at any partition count).
+    */
+  private[graft] def embeddingCovarianceExpr(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val q = transform(col(vecCol), x => round(x.cast("double") * 1e6).cast("long"))
     val qdf = df.select(col(idCol).as("id"), q.as("__q"))
     // per-dim first-moment sums from a d-sized explode — the d²-sized
@@ -549,21 +655,30 @@ object Similarity {
     * basis rows become LITERAL arrays in the plan — like the k-means
     * centroid assignment, no join, no shuffle, pure codegen'd projection.
     * Output: (idCol, proj: array<double>) with proj(k) = ⟨x − μ, b_k⟩.
+    *
+    * Each component is the NATIVE [[graft.functions.VectorExpressions
+    * .dot_product]] (tight primitive codegen loop), not an interpreted
+    * `aggregate(zip_with(...))` fold — at the 10× fixture the HOF form
+    * spent ~2/3 of q_pca_topk's wall in per-element interpretation.
+    * Bit-identical values: both widen to double before multiplying and
+    * sum left-to-right. The centered source is BOUND as a lambda
+    * variable (evaluated once per row); referencing it directly in all
+    * k dot products would let CollapseProject re-evaluate the centering
+    * k times (CSE never reaches inside the expression forest).
     */
   def projectEmbeddings(
       df: DataFrame, idCol: String, vecCol: String,
       basis: Array[Array[Double]], mean: Option[Array[Double]] = None): DataFrame = {
-    val x = transform(col(vecCol), v => v.cast("double"))
-    val centered = mean match {
+    def dots(src: Column): Column =
+      array(basis.map(b => dot(src, array(b.map(lit): _*))): _*)
+    val proj = mean match {
       case Some(m) =>
         val mLit = array(m.map(lit): _*)
-        zip_with(x, mLit, (a, b) => a - b)
-      case None => x
+        val centered = zip_with(transform(col(vecCol), v => v.cast("double")),
+          mLit, (a, b) => a - b)
+        flatten(transform(array(centered), c => dots(c)))
+      case None => dots(col(vecCol)) // float array widens inside dot_product
     }
-    val proj = array(basis.map { b =>
-      val bLit = array(b.map(lit): _*)
-      aggregate(zip_with(centered, bLit, (a, c) => a * c), lit(0.0), (acc, t) => acc + t)
-    }: _*)
     df.select(col(idCol), proj.as("proj"))
   }
 }

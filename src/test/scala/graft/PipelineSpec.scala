@@ -308,6 +308,35 @@ class SimilaritySpec extends SparkSpec {
     assert(run(1) === run(8))
   }
 
+  test("embeddingCovariance imperative pass == declarative Catalyst twin, bit-for-bit") {
+    // values engineered to sit near rounding boundaries (x.5 micro-units
+    // after the float->double widening) so any drift between
+    // BigDecimal.valueOf HALF_UP and Catalyst round() would surface
+    val tricky = (0L until 60L).map(i =>
+      (i, Array.tabulate(7)(d => ((i * 13 + d * 5) % 17 - 8).toFloat / 7f + 0.0000005f)))
+      .toDF("vec_id", "embedding")
+    def dump(f: org.apache.spark.sql.DataFrame) =
+      f.orderBy("i", "j").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(dump(Similarity.embeddingCovariance(tricky.repartition(5), "vec_id", "embedding")) ===
+      dump(Similarity.embeddingCovarianceExpr(tricky.repartition(5), "vec_id", "embedding")))
+    // and on the real fixture, the exact frame q_embed_cov's oracle pins
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert(dump(Similarity.embeddingCovariance(emb, "vec_id", "embedding")) ===
+      dump(Similarity.embeddingCovarianceExpr(emb, "vec_id", "embedding")))
+  }
+
+  test("embeddingCovariance: empty input and ragged widths") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.embeddingCovariance(empty, "vec_id", "embedding").count() === 0L)
+    val ragged = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding").repartition(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      Similarity.embeddingCovariance(ragged, "vec_id", "embedding").count()
+    }
+    assert(e.getMessage.contains("ragged") || e.getCause != null)
+  }
+
   test("pcaBasis + projectEmbeddings: collinear 2-d data → one component carries all variance") {
     val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 6.0f)), (3L, Array(5.0f, 10.0f)))
       .toDF("vec_id", "embedding")
