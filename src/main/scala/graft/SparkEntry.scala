@@ -407,6 +407,38 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // resample — period OHLC downsampling (pandas resample().ohlc());
+    // open/close via the (ts, value) min/max-struct trick, one agg
+    "q_ohlc" -> ((s, d) => {
+      Resample.ohlc(events(s, d).filter(col("user_id") < 50), Seq("user_id"), "hour")
+        .select(col("user_id"), col("period"),
+          round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+          round(col("low"), 6).as("low"), round(col("close"), 6).as("close"), col("n"))
+        .orderBy("user_id", "period")
+    }),
+
+    // stats — cumulative-meter consumption deltas with counter-reset
+    // handling (Prometheus increase() semantics; first reading null)
+    "q_counter_delta" -> ((s, d) => {
+      Stats.counterDelta(events(s, d).filter(col("user_id") < 20), Seq("user_id"),
+          orderCol = "event_id")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value"), 6).as("value"), round(col("delta"), 6).as("delta"),
+          col("is_reset"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // stats — CUSUM change-point detection per series (Page 1954) as
+    // prefix-sum-minus-running-min window algebra; drift terms in exact
+    // integer micro-units scaled by n (no float mean, the inertia lesson)
+    "q_cusum" -> ((s, d) => {
+      Stats.cusum(events(s, d).filter(col("user_id") < 20), Seq("user_id"),
+          slack = 25.0, threshold = 200.0)
+        .select(col("user_id"), col("ts"), col("value"),
+          col("cusum_hi"), col("cusum_lo"), col("alarm"))
+        .orderBy("user_id", "ts", "value")
+    }),
+
     // stats — weekly seasonal residuals (dow × hod profile, the
     // load-curve shape primitive); dow is 0=Sunday in both engines
     "q_deseasonalize" -> ((s, d) => {
@@ -1715,6 +1747,65 @@ object SparkEntry {
          WHERE e.user_id < 20
            AND abs(e.value - mad.m) > 3.5 * 1.4826 * mad.d
          ORDER BY e.event_id""",
+
+    "q_ohlc" ->
+      """WITH b AS (
+           SELECT user_id, date_trunc('hour', ts) AS period, ts, value
+           FROM events WHERE user_id < 50 AND value IS NOT NULL),
+         g AS (
+           SELECT user_id, period,
+                  list(value ORDER BY ts, value) AS vs,
+                  max(value) AS high, min(value) AS low,
+                  count(*) AS n
+           FROM b GROUP BY 1, 2)
+         SELECT user_id, period,
+                round(vs[1], 6) AS open, round(high, 6) AS high,
+                round(low, 6) AS low, round(vs[len(vs)], 6) AS close,
+                CAST(n AS BIGINT) AS n
+         FROM g ORDER BY user_id, period""",
+
+    "q_counter_delta" ->
+      """WITH w AS (
+           SELECT user_id, event_id, ts, value,
+                  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events WHERE user_id < 20)
+         SELECT user_id, event_id, ts, round(value, 6) AS value,
+                round(CASE WHEN prev IS NULL THEN NULL
+                           WHEN value < prev THEN value
+                           ELSE value - prev END, 6) AS delta,
+                (prev IS NOT NULL AND value < prev) AS is_reset
+         FROM w ORDER BY user_id, event_id""",
+
+    // CUSUM: HUGEINT window sums mirror Spark's decimal(38,0) — every
+    // drift term is n·x − Σx − n·slack in integer micro-units; the one
+    // float division per row comes last, in the same fixed op order
+    "q_cusum" ->
+      """WITH b AS (
+           SELECT user_id, ts, value,
+                  CAST(round(value * 1e6) AS HUGEINT) AS xq
+           FROM events WHERE user_id < 20),
+         s1 AS (
+           SELECT user_id, ts, value, xq,
+                  count(*) OVER (PARTITION BY user_id) AS n,
+                  sum(xq) OVER (PARTITION BY user_id) AS sq
+           FROM b),
+         s2 AS (
+           SELECT *, xq * n - sq - 25000000 * n AS ehi,
+                     sq - xq * n - 25000000 * n AS elo
+           FROM s1),
+         s3 AS (
+           SELECT *, sum(ehi) OVER w AS phi, sum(elo) OVER w AS plo
+           FROM s2
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, value ROWS UNBOUNDED PRECEDING)),
+         s4 AS (
+           SELECT *, least(min(phi) OVER w, 0) AS mhi, least(min(plo) OVER w, 0) AS mlo
+           FROM s3
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, value ROWS UNBOUNDED PRECEDING))
+         SELECT user_id, ts, value,
+                CAST(((phi - mhi) * 2 + n) // (n * 2) AS DOUBLE) / 1e6 AS cusum_hi,
+                CAST(((plo - mlo) * 2 + n) // (n * 2) AS DOUBLE) / 1e6 AS cusum_lo,
+                (phi - mhi > 200000000 * n OR plo - mlo > 200000000 * n) AS alarm
+         FROM s4 ORDER BY user_id, ts, value""",
 
     "q_deseasonalize" ->
       """WITH prof AS (

@@ -310,4 +310,32 @@ object Resample {
           .otherwise(col(featCol) * col(refCol) / col("__mr")))
       .drop("__mr")
   }
+
+  /** Period OHLC downsampling — pandas `resample(unit).ohlc()` over the
+    * long form: per (keys…, period) the first/max/min/last values plus
+    * the sample count. One aggregation; open/close ride the same
+    * min/max-struct trick as [[upsampleWithProfile]]'s first_ref (the
+    * (ts, value) struct orders lexicographically, so duplicate
+    * timestamps tie-break identically in Spark and the DuckDB twin's
+    * `list(value ORDER BY ts, value)`). The shuffle carries one row per
+    * period per key; nothing buffers more than its aggregation state.
+    *
+    * Output: (keys…, period, open, high, low, close, n).
+    */
+  def ohlc(
+      df: DataFrame,
+      keys: Seq[String],
+      unit: String,
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val grpKeys = keys.map(col) :+ date_trunc(unit, col(tsCol)).as("period")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(grpKeys: _*)
+      .agg(
+        min(struct(col(tsCol), col(valueCol).as("__v"))).getField("__v").as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max(struct(col(tsCol), col(valueCol).as("__v"))).getField("__v").as("close"),
+        count(lit(1)).as("n"))
+  }
 }

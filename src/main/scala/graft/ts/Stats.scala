@@ -444,4 +444,110 @@ object Stats {
       .withColumn("bin_lo", lit(lo) + col("bin") * width)
       .select((keys.map(col) :+ col("bin") :+ col("bin_lo") :+ col("n")): _*)
   }
+
+  /** Two-sided CUSUM change-point detection (Page 1954) per series,
+    * against the series' own mean: the classic sequential recursion
+    * S_i = max(0, S_{i−1} + (x_i − μ − slack)) re-expressed as WINDOW
+    * algebra — S_i = P_i − min(0, min_{j≤i} P_j) where P is the prefix
+    * sum of the drift terms — so no per-series driver loop, no UDAF:
+    * one Exchange+Sort per key serves the full-frame aggregates, both
+    * prefix sums, and both running minima.
+    *
+    * Exactness: every term is integer micro-units SCALED BY n (the
+    * per-series count), so μ never becomes a float — the drift term is
+    * n·x_i − Σx − n·slack in decimal(38,0), and the single float
+    * division happens per OUTPUT row at the very end. Bit-identical at
+    * any parallelism and to the DuckDB twin (HUGEINT window sums).
+    *
+    * Output: (keys…, tsCol, valueCol, cusum_hi, cusum_lo, alarm) —
+    * cusum values in input units (6 dp), alarm = either side exceeding
+    * `threshold`. Whole-series cumulative windows serialize one task
+    * per key — same documented bound as interpolate/autocorr; the
+    * bucket-carry split pattern applies if a monster series needs it
+    * (prefix sums and running minima both carry across buckets).
+    */
+  def cusum(
+      df: DataFrame,
+      keys: Seq[String],
+      slack: Double,
+      threshold: Double,
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    require(slack >= 0 && threshold > 0,
+      s"need slack >= 0 and threshold > 0, got $slack, $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val kcols = keys.map(col)
+    val wAll = Window.partitionBy(kcols: _*)
+    val wCum = Window.partitionBy(kcols: _*).orderBy(col(tsCol), col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = "decimal(38,0)"
+    val slackQ = BigDecimal(slack * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val thrQ = BigDecimal(threshold * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val s1 = df
+      .withColumn("__xq", round(col(valueCol) * 1e6, 0).cast(dec))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__sum", sum(col("__xq")).over(wAll))
+    val s2 = s1
+      .withColumn("__ehi",
+        col("__xq") * col("__n") - col("__sum") - lit(slackQ).cast(dec) * col("__n"))
+      .withColumn("__elo",
+        col("__sum") - col("__xq") * col("__n") - lit(slackQ).cast(dec) * col("__n"))
+    val s3 = s2
+      .withColumn("__phi", sum(col("__ehi")).over(wCum))
+      .withColumn("__plo", sum(col("__elo")).over(wCum))
+    val s4 = s3
+      .withColumn("__mhi", least(min(col("__phi")).over(wCum), lit(0).cast(dec)))
+      .withColumn("__mlo", least(min(col("__plo")).over(wCum), lit(0).cast(dec)))
+    val hN = lit(thrQ).cast(dec) * col("__n")
+    // the 6-dp output is computed by EXACT integer half-up division
+    // ((2S + n) div 2n in micro units) — a float `round(S/n/1e6, 6)`
+    // lands on .5 boundaries where the two engines' round() disagree by
+    // one ulp (observed on the fixture). The long casts bound a single
+    // series at ~9e9 rows × unit values (ANSI throws loudly beyond).
+    def micro6(s: String): org.apache.spark.sql.Column = expr(
+      s"(CAST($s AS BIGINT) * 2 + CAST(__n AS BIGINT)) div (CAST(__n AS BIGINT) * 2)")
+    s4
+      .withColumn("__shi", col("__phi") - col("__mhi"))
+      .withColumn("__slo", col("__plo") - col("__mlo"))
+      .select(kcols ++ Seq(col(tsCol), col(valueCol),
+        (micro6("__shi").cast("double") / 1e6).as("cusum_hi"),
+        (micro6("__slo").cast("double") / 1e6).as("cusum_lo"),
+        (col("__shi") > hN || col("__slo") > hN).as("alarm")): _*)
+  }
+
+  /** Cumulative-meter consumption deltas with counter-reset handling —
+    * the metering primitive of the reference's energy-series domain:
+    * delta_i = x_i − x_{i−1}, and a NEGATIVE delta means the counter
+    * reset (rollover, meter swap), in which case the reading itself is
+    * the consumption since the reset (Prometheus `increase()`
+    * semantics). First reading of a series has no delta (null, not 0 —
+    * an unknown baseline is not zero consumption).
+    *
+    * One `lag` window per key — distributes across series; the delta is
+    * a single IEEE subtraction of input doubles (no accumulation, so no
+    * float-order hazard; both engines compute the identical value).
+    *
+    * Output: (keys…, orderCol, tsCol, valueCol, delta, is_reset).
+    */
+  def counterDelta(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(orderCol))
+    val prev = lag(col(valueCol), 1).over(w)
+    df
+      .withColumn("__prev", prev)
+      .withColumn("is_reset",
+        col("__prev").isNotNull && col(valueCol) < col("__prev"))
+      .withColumn("delta",
+        when(col("__prev").isNull, lit(null).cast("double"))
+          .when(col("is_reset"), col(valueCol))
+          .otherwise(col(valueCol) - col("__prev")))
+      .select(keys.map(col) ++ Seq(col(orderCol), col(tsCol), col(valueCol),
+        col("delta"), col("is_reset")): _*)
+  }
 }

@@ -279,4 +279,70 @@ class StatsSpec extends SparkSpec {
     val rc = Stats.autocorr(const, Seq("key"), lagK = 1, orderCol = "event_id").head()
     assert(rc.isNullAt(rc.fieldIndex("acf")))
   }
+
+  test("cusum: window algebra == the sequential Page recursion; alarm fires on the shifted regime") {
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    // a regime shift at i=10: mean 1.0 then mean 5.0
+    val vals = (Seq.fill(10)(1.0) ++ Seq.fill(10)(5.0)).zipWithIndex
+    val df = vals.map { case (v, i) => ("k", t0.plusHours(i.toLong), v + (i % 3) * 0.1) }
+      .toDF("key", "ts", "value")
+    val slack = 0.5; val threshold = 1.5
+    val got = Stats.cusum(df, Seq("key"), slack = slack, threshold = threshold)
+      .orderBy("ts").collect()
+      .map(r => (r.getAs[Double]("cusum_hi"), r.getAs[Double]("cusum_lo"), r.getAs[Boolean]("alarm")))
+    // driver-side reference: the classic recursion on the same micro-int
+    // scaled terms (exactly what the window algebra must reproduce)
+    val xs = df.orderBy("ts").collect().map(_.getAs[Double]("value"))
+    val xq = xs.map(v => BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val n = xq.length.toLong; val sum = xq.sum
+    val sQ = math.round(slack * 1e6); val hQ = math.round(threshold * 1e6)
+    var shi = BigInt(0); var slo = BigInt(0)
+    val ref = xq.map { q =>
+      shi = (shi + (BigInt(q) * n - sum - BigInt(sQ) * n)).max(0)
+      slo = (slo + (BigInt(sum) - BigInt(q) * n - BigInt(sQ) * n)).max(0)
+      def out(s: BigInt): Double = ((s * 2 + n) / (n * 2)).toDouble / 1e6
+      (out(shi), out(slo), shi > BigInt(hQ) * n || slo > BigInt(hQ) * n)
+    }
+    assert(got.toSeq === ref.toSeq)
+    // two-sided against the GLOBAL mean: regime 1 sits below μ (lower
+    // side accumulates), regime 2 above (upper side) — the hi cusum is
+    // flat through regime 1 and grows monotonically to an alarm by the
+    // end of regime 2
+    assert(got.take(10).forall(_._1 === 0.0), "hi side moved in the below-mean regime")
+    assert(got.last._3 && got.last._1 > threshold, "regime shift not detected on the hi side")
+    // partitioning-independent (exact integer window sums)
+    val many = (0L until 200L).flatMap(i => Seq(("a" + i % 7, t0.plusMinutes(i), math.sin(i * 0.7) * 50)))
+      .toDF("key", "ts", "value")
+    def run(p: Int) = Stats.cusum(many.repartition(p), Seq("key"), slack = 5, threshold = 20)
+      .orderBy("key", "ts").collect().toSeq
+    assert(run(1) === run(8))
+  }
+
+  test("counterDelta: plain deltas, reset uses the reading, first row null-delta") {
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    val df = Seq(10.0, 12.0, 3.0, 7.0).zipWithIndex
+      .map { case (v, i) => ("m", i.toLong, t0.plusHours(i.toLong), v) }
+      .toDF("key", "event_id", "ts", "value")
+    val got = Stats.counterDelta(df, Seq("key"), orderCol = "event_id")
+      .orderBy("event_id").collect()
+      .map(r => (Option(r.getAs[java.lang.Double]("delta")).map(_.toDouble), r.getAs[Boolean]("is_reset")))
+    assert(got.toSeq === Seq((None, false), (Some(2.0), false), (Some(3.0), true), (Some(4.0), false)))
+  }
+
+  test("ohlc: per-period first/high/low/close; duplicate-ts ties break by value; nulls dropped") {
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    val rows = Seq(
+      ("k", t0.plusMinutes(10), Some(5.0)), ("k", t0.plusMinutes(20), Some(2.0)),
+      ("k", t0.plusMinutes(30), Some(9.0)), ("k", t0.plusMinutes(30), None),
+      // second hour: duplicate-ts open tie -> lower value wins the struct sort
+      ("k", t0.plusMinutes(70), Some(3.0)), ("k", t0.plusMinutes(70), Some(1.0)),
+      ("k", t0.plusMinutes(80), Some(4.0)))
+      .map { case (k, ts, v) => (k, ts, v.map(Double.box).orNull) }
+      .toDF("key", "ts", "value")
+    val got = graft.ts.Resample.ohlc(rows, Seq("key"), "hour")
+      .orderBy("period").collect()
+      .map(r => (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"), r.getAs[Long]("n")))
+    assert(got.toSeq === Seq((5.0, 9.0, 2.0, 9.0, 3L), (1.0, 4.0, 1.0, 4.0, 3L)))
+  }
 }
