@@ -243,4 +243,49 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Join"), s"$q must not join\n" + p.take(400))
     }
   }
+
+  test("q_zipf plan: rank window runs over the VOCAB aggregate, never the corpus") {
+    val p = plan("q_zipf")
+    // the corpus must collapse to (tok, count) with a partial aggregate
+    // BEFORE its exchange (map-side combine), and the single-partition
+    // rank window must sit above that aggregation — a window whose input
+    // still carries text would be the corpus-wide sort this design avoids
+    assert(p.contains("partial_count"), "token count must combine map-side\n" + p.take(800))
+    val winInput = "\\(\\d+\\) Window\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1))
+    assert(winInput.nonEmpty, "expected a Window detail block\n" + p.take(800))
+    assert(!winInput.get.contains("text#"),
+      s"window input must be the vocab aggregate, not document text: ${winInput.get}")
+    // SinglePartition exchange feeding the global rank is expected and
+    // bounded by vocab cardinality — pin that it exists so a refactor
+    // can't silently repartition the ranked fit
+    assert(p.contains("SinglePartition"), p.take(800))
+  }
+
+  test("q_novelty / q_source_sim plans: shuffles carry shingle hashes and ids, never text") {
+    // q_source_sim's corpus pass is consumed by the signature
+    // localCheckpoint (one group row per source), so its FINAL plan may
+    // legitimately show no exchange at all — the pin is only that text
+    // never crosses one in either query's visible plan
+    val novelty = plan("q_novelty")
+    val nx = novelty.split("\n").filter(_.contains("hashpartitioning("))
+    assert(nx.nonEmpty, "q_novelty expected hash exchanges")
+    for ((q, p) <- Seq("q_novelty" -> novelty, "q_source_sim" -> plan("q_source_sim"))) {
+      val exchanges = p.split("\n").filter(_.contains("hashpartitioning("))
+      assert(!exchanges.exists(_.contains("text#")),
+        s"$q: document text crossed a shuffle:\n${exchanges.mkString("\n")}")
+    }
+  }
+
+  test("q_cusum plan: ONE key exchange serves every window layer; no join") {
+    val p = plan("q_cusum")
+    assert(!p.contains("Join"), "cusum is windows-only\n" + p.take(600))
+    // all four window layers (full-frame aggs, prefix sums, running
+    // minima) share the (user_id) partitioning: exactly one data-wide
+    // hashpartitioning exchange
+    val exchanges = p.split("\n").filter(_.contains("hashpartitioning("))
+      .filter(_.contains("user_id#"))
+    assert(exchanges.length == 1,
+      s"expected exactly one user_id exchange, got ${exchanges.length}:\n${exchanges.mkString("\n")}")
+  }
 }
