@@ -777,6 +777,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // pipeline — context-window chunking (token windows of 40, stride
+    // 30); chunks generated inside one lambda, only slices survive
+    "q_chunk_docs" -> ((s, d) => {
+      TextAnalysis.chunkDocs(table(s, d, "documents"), "doc_id", "text",
+          window = 40, stride = 30)
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("n_tokens"),
+          col("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // pipeline — split-leakage audit: near-dup pairs (MinHash LSH)
+    // crossing a deterministic hash train/valid/test split
+    "q_split_leakage" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val splits = Sampling.shardAssign(docs, "doc_id", numShards = 10, salt = "split")
+        .withColumn("split",
+          when(col("shard") < 8, "train").when(col("shard") === 8, "valid").otherwise("test"))
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 4, minSim = 0.5).select("id_a", "id_b")
+      Curation.splitLeakage(splits, "doc_id", "split", pairs)
+        .orderBy("split_a", "split_b")
+    }),
+
     // corpus analytics — Zipf-law fit over the vocabulary (slope of
     // ln freq vs ln rank; corpus-health / synthetic-text detector).
     // Regression sums in exact integer micro-units (decimal 38,0).
@@ -2180,6 +2203,46 @@ object SparkEntry {
                 (len(kept) >= 3 AND NOT has_lorem AND NOT has_brace) AS keep_doc,
                 coalesce(array_to_string(kept, chr(10)), '') AS kept_text
          FROM b ORDER BY doc_id""",
+
+    // context chunking: k-th chunk = toks[k·s+1 : k·s+w] (1-based
+    // end-inclusive slice); chunk count 1 + ceil((n−w)⁺/s) via integer
+    // floor-div, zero for empty docs
+    "q_chunk_docs" ->
+      """WITH d0 AS (
+           SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+           FROM documents),
+         d1 AS (
+           SELECT doc_id, toks,
+                  CASE WHEN len(toks) = 0 THEN 0
+                       ELSE 1 + (GREATEST(len(toks) - 40, 0) + 29) // 30 END AS nc
+           FROM d0),
+         ex AS (
+           SELECT doc_id, toks, unnest(range(0, nc)) AS k FROM d1)
+         SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+                CAST(len(toks[k*30+1 : k*30+40]) AS BIGINT) AS n_tokens,
+                array_to_string(toks[k*30+1 : k*30+40], ' ') AS chunk_text
+         FROM ex ORDER BY doc_id, chunk_idx""",
+
+    "q_split_leakage" -> {
+      import graft.functions.PortableHash.sqlHashMod
+      val shard = s"(${sqlHashMod("('split:' || CAST(doc_id AS VARCHAR))")} % 10)"
+      s"""WITH $minhashSimsCtes,
+         p AS (SELECT id_a, id_b FROM sims WHERE sig_sim >= 0.5),
+         sp AS (
+           SELECT doc_id,
+                  CASE WHEN $shard < 8 THEN 'train'
+                       WHEN $shard = 8 THEN 'valid'
+                       ELSE 'test' END AS split
+           FROM documents),
+         x AS (
+           SELECT sa.split AS s_a, sb.split AS s_b
+           FROM p JOIN sp sa ON sa.doc_id = p.id_a
+                  JOIN sp sb ON sb.doc_id = p.id_b
+           WHERE sa.split <> sb.split)
+         SELECT least(s_a, s_b) AS split_a, greatest(s_a, s_b) AS split_b,
+                count(*) AS n_pairs
+         FROM x GROUP BY 1, 2 ORDER BY split_a, split_b"""
+    },
 
     // Zipf fit: exact integer micro-unit regression sums (HUGEINT covers
     // the decimal(38,0) Spark side), then the identical fixed chain of

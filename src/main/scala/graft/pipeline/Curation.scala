@@ -514,4 +514,35 @@ object Curation {
       .orderBy(col("gumbel_key").desc, col(idCol))
       .limit(n)
   }
+
+  /** Train/val/test split-leakage audit: count the near-duplicate pairs
+    * whose endpoints landed in DIFFERENT splits — the check that keeps
+    * an eval set honest (a test doc whose near-dup sits in train is a
+    * leaked answer). `splits` is any (id, split) frame — typically a
+    * hash-split via [[Sampling.shardAssign]]; `pairs` any (id_a, id_b)
+    * near-dup pair frame (MinHash LSH, winnow, embedding blocks …) —
+    * decoupled so the audit composes with every dedup family in the
+    * engine.
+    *
+    * The pair frame is candidate-bounded (LSH-banded upstream), so both
+    * joins are id-keyed on pair-cardinality data; the output is one row
+    * per unordered split pair. The (split_a, split_b) label is
+    * normalized (least/greatest) so a train↔test pair counts once
+    * regardless of id orientation.
+    */
+  def splitLeakage(
+      splits: DataFrame,
+      idCol: String,
+      splitCol: String,
+      pairs: DataFrame): DataFrame = {
+    val s = splits.select(col(idCol), col(splitCol))
+    val joined = pairs
+      .join(s.select(col(idCol).as("id_a"), col(splitCol).as("__sa")), Seq("id_a"))
+      .join(s.select(col(idCol).as("id_b"), col(splitCol).as("__sb")), Seq("id_b"))
+      .filter(col("__sa") =!= col("__sb"))
+    joined
+      .groupBy(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

@@ -529,6 +529,46 @@ object TextAnalysis {
       round((sy - slope * sx) / n, 6).as("intercept"))
   }
 
+  /** Context-window chunking: split each document into token windows of
+    * `window` tokens advancing by `stride` (overlap = window − stride) —
+    * the step every pre-training pipeline runs between cleaning and
+    * packing. Chunk starts are 0, stride, …, covering the tail (the last
+    * chunk may be short; a doc shorter than one window yields one chunk;
+    * an empty doc yields none).
+    *
+    * Pure per-row array computation inside ONE lambda — only the chunk
+    * SLICES survive into the exploded output (total ≈ tokens × window ∕
+    * stride, the inherent overlap factor). Exploding start offsets and
+    * slicing afterwards instead would drag the full token array along
+    * per chunk row — quadratic in document length. No shuffle; composes
+    * with any scan.
+    *
+    * Output: (id, chunk_idx, n_tokens, chunk_text).
+    */
+  def chunkDocs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val chunkType = "array<struct<chunk_idx:bigint,n_tokens:bigint,chunk_text:string>>"
+    val chunks = flatten(transform(array(tokens(col(textCol))), ws =>
+      when(size(ws) >= 1,
+        transform(
+          sequence(lit(0L),
+            floor((greatest(size(ws) - window, lit(0)).cast("double") + (stride - 1)) / stride)
+              .cast("long")),
+          k => struct(
+            k.as("chunk_idx"),
+            size(slice(ws, (k * stride + 1).cast("int"), lit(window))).cast("long").as("n_tokens"),
+            concat_ws(" ", slice(ws, (k * stride + 1).cast("int"), lit(window))).as("chunk_text"))))
+        .otherwise(array().cast(chunkType))))
+    df.select(col(idCol).as("id"), explode(chunks).as("__c"))
+      .select(col("id"), col("__c.chunk_idx"), col("__c.n_tokens"), col("__c.chunk_text"))
+  }
+
   /** Per-document n-gram novelty: the fraction of a document's distinct
     * shingles that occur in NO other document (corpus document-frequency
     * 1) — the inverse of boilerplate, a direct diversity-weighting /

@@ -731,6 +731,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("chunkDocs: stride windows cover the tail; short doc one chunk; empty doc none") {
+    val df = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens, w=4 s=3 -> 3 chunks
+      (2L, "a b c"),                          // shorter than one window
+      (3L, ""))                               // no chunks
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(df, "doc_id", "text", window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(c => (c._1, c._2))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 4L, "t3 t4 t5 t6"),
+      (1L, 2L, 4L, "t6 t7 t8 t9"),
+      (2L, 0L, 3L, "a b c")))
+    // coverage law on random lengths: every token index appears in some chunk,
+    // and consecutive chunks overlap by exactly window - stride (except the tail)
+    for (n <- Seq(1, 4, 5, 11, 23)) {
+      val text = (0 until n).map("w" + _).mkString(" ")
+      val chunks = TextAnalysis.chunkDocs(Seq((9L, text)).toDF("doc_id", "text"), "doc_id", "text", 5, 2)
+        .collect().map(r => (r.getLong(1), r.getString(3).split(" ").toSeq)).sortBy(_._1)
+      val covered = chunks.flatMap { case (k, ws) => ws }.toSet
+      assert(covered === (0 until n).map("w" + _).toSet, s"n=$n coverage")
+      chunks.foreach { case (k, ws) =>
+        assert(ws.head === "w" + (k * 2), s"n=$n chunk $k start")
+      }
+    }
+  }
+
   test("novelty: hand-computed df=1 fractions; all-shared doc scores 0") {
     val df = Seq(
       (1L, "x y z"), // bigrams {x y, y z}: "y z" unique -> 1/2
@@ -1131,6 +1159,17 @@ class CurationSpec extends SparkSpec {
   import graft.pipeline.{Clustering, Curation, TextAnalysis}
   import spark.implicits._
   import org.apache.spark.sql.functions._
+
+  test("splitLeakage: cross-split pairs counted once per unordered label; same-split excluded") {
+    val splits = Seq((1L, "train"), (2L, "test"), (3L, "train"), (4L, "valid"), (5L, "valid"))
+      .toDF("id", "split")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Curation.splitLeakage(splits, "id", "split", pairs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // (1,2) is train->test and (2,3) test->train: both normalize to the
+    // same unordered label; the same-split (4,5) pair never counts
+    assert(got === Seq(("test", "train", 2L)))
+  }
 
   test("dsirScores: target-like docs score above raw-like docs; zero-token doc scores 0") {
     val corpus = Seq(
