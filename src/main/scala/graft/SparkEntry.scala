@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Clustering, Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Classifier, Clustering, Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.ts.{Combine, Gaps, Grid, Intervals, Resample, Stats}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -774,6 +774,36 @@ object SparkEntry {
       TextAnalysis.c4Filters(lined, "doc_id", "text")
         .select(col("id").as("doc_id"), col("total_lines"), col("kept_lines"),
           col("has_lorem"), col("has_brace"), col("keep_doc"), col("kept_text"))
+        .orderBy("doc_id")
+    }),
+
+    // pipeline — fastText-style hashed linear classifier TRAINED in the
+    // engine (2 full-batch GD steps, exact-integer aggregations; the
+    // k-means literal-weights pattern applied to gradient descent).
+    // The label is length (n_chars >= 250): the one text property this
+    // synthetic fixture's single shared vocabulary makes LEARNABLE — a
+    // lang label here is random w.r.t. the text (ClassifierSpec proves
+    // real separation on constructed vocabulary instead)
+    "q_logreg_train" -> ((s, d) => {
+      val docs = table(s, d, "documents").withColumn("is_long", col("n_chars") >= 250)
+      Classifier.trainLogReg(docs, "doc_id", "text", "is_long",
+          numBuckets = 256, iters = 12, lr = 3.0)
+        .select(col("bucket"), col("w_micro"),
+          (col("w_micro").cast("double") / 1e6).as("weight"))
+        .orderBy("bucket")
+    }),
+
+    // pipeline — the trained classifier applied back over the corpus:
+    // margin (exact micro units), calibrated p, hard prediction vs label
+    "q_logreg_score" -> ((s, d) => {
+      val docs = table(s, d, "documents").withColumn("is_long", col("n_chars") >= 250)
+      val w = Classifier.trainLogReg(docs, "doc_id", "text", "is_long",
+          numBuckets = 256, iters = 12, lr = 3.0)
+        .orderBy("bucket").collect().map(_.getLong(1))
+      Classifier.scoreLogReg(docs, "doc_id", "text", w)
+        .join(docs.select(col("doc_id").as("id"), col("is_long")), Seq("id"))
+        .select(col("id").as("doc_id"), col("margin"), col("p"),
+          col("predicted"), col("is_long").as("label"))
         .orderBy("doc_id")
     }),
 
@@ -2204,6 +2234,32 @@ object SparkEntry {
                 coalesce(array_to_string(kept, chr(10)), '') AS kept_text
          FROM b ORDER BY doc_id""",
 
+    // the trained classifier, replayed: 2 unrolled GD iterations with
+    // the identical exact-integer arithmetic (HUGEINT gradient sums,
+    // micro-unit weights, 6-dp sigmoids) — w0=0 makes iteration 1's
+    // probabilities exactly 0.5
+    "q_logreg_train" ->
+      s"""WITH ${logregCtes(iters = 12, lr = 3.0)}
+         SELECT r.range AS bucket,
+                CAST(coalesce(wf.w, 0) AS BIGINT) AS w_micro,
+                CAST(coalesce(wf.w, 0) AS DOUBLE) / 1e6 AS weight
+         FROM range(257) r LEFT JOIN wf ON wf.b = r.range
+         ORDER BY bucket""",
+
+    "q_logreg_score" ->
+      s"""WITH ${logregCtes(iters = 12, lr = 3.0)},
+         mf AS (
+           SELECT pd.doc_id,
+                  CAST(sum(CAST(pd.cnt AS HUGEINT) * coalesce(wf.w, 0)) AS DOUBLE) / 1e6 AS m
+           FROM pd LEFT JOIN wf USING (b) GROUP BY pd.doc_id)
+         SELECT d.doc_id,
+                coalesce(mf.m, 0.0) AS margin,
+                round(1.0 / (1.0 + exp(-(coalesce(mf.m, 0.0)))), 6) AS p,
+                (round(1.0 / (1.0 + exp(-(coalesce(mf.m, 0.0)))), 6) >= 0.5) AS predicted,
+                (d.n_chars >= 250) AS label
+         FROM documents d LEFT JOIN mf USING (doc_id)
+         ORDER BY d.doc_id""",
+
     // context chunking: k-th chunk = toks[k·s+1 : k·s+w] (1-based
     // end-inclusive slice); chunk count 1 + ceil((n−w)⁺/s) via integer
     // floor-div, zero for empty docs
@@ -3420,6 +3476,71 @@ object SparkEntry {
     * integer score sums. Mirrors Curation.featureBuckets/dsirLogRatios/
     * dsirScores with target = the doc_id%7==0 slice and B = 4096.
     */
+  /** Unrolled logistic-regression training (Classifier.trainLogReg
+    * twin): hashed uni+bigram buckets (B=256, the DSIR feature
+    * machinery) plus the intercept bucket 256 (hit once per doc),
+    * per-doc residuals quantized to integer micro-units, HUGEINT
+    * gradient sums, weight updates rounded to micro-units — the same
+    * exact-integer arithmetic Spark runs, so the learned weights match
+    * bit for bit. `iters` GD steps are emitted as unrolled CTE blocks;
+    * the final weights CTE is always `wf`.
+    */
+  private def logregCtes(iters: Int, lr: Double, B: Int = 256): String = {
+    import graft.functions.PortableHash.{sqlHashMod, P}
+    val header = s"""d0 AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         h0 AS (
+           SELECT doc_id, list_transform(toks, t -> ${sqlHashMod("t")}) AS hs
+           FROM d0),
+         f0 AS (
+           SELECT doc_id,
+                  list_concat(hs,
+                    CASE WHEN len(hs) >= 2
+                         THEN list_transform(range(1, len(hs)),
+                                i -> (hs[i] * 31 + hs[i + 1]) % $P)
+                         ELSE CAST([] AS BIGINT[]) END) AS feats
+           FROM h0),
+         fb AS (SELECT doc_id, (f % $B) AS b
+                FROM (SELECT doc_id, unnest(feats) AS f FROM f0)),
+         -- bucket $B is the intercept: one hit per document
+         pd AS MATERIALIZED (
+           SELECT doc_id, b, count(*) AS cnt FROM fb GROUP BY 1, 2
+           UNION ALL SELECT doc_id, $B AS b, 1 AS cnt FROM documents),
+         lab AS (SELECT doc_id, CASE WHEN n_chars >= 250 THEN 1.0 ELSE 0.0 END AS y
+                 FROM documents),
+         nn AS (SELECT count(*) AS n FROM documents)"""
+    val steps = (1 to iters).map { k =>
+      val resid =
+        if (k == 1)
+          s"""r1 AS (SELECT doc_id, CAST(round((0.5 - y) * 1e6) AS BIGINT) AS rm FROM lab)"""
+        else
+          s"""m$k AS (SELECT pd.doc_id,
+                       CAST(sum(CAST(pd.cnt AS HUGEINT) * w${k - 1}.w) AS DOUBLE) / 1e6 AS m
+                FROM pd JOIN w${k - 1} USING (b) GROUP BY pd.doc_id),
+         r$k AS (SELECT lab.doc_id,
+                       CAST(round((round(1.0 / (1.0 + exp(-(coalesce(m, 0.0)))), 6) - y)
+                                  * 1e6) AS BIGINT) AS rm
+                FROM lab LEFT JOIN m$k ON m$k.doc_id = lab.doc_id)"""
+      val update =
+        if (k == 1)
+          s"""w1 AS MATERIALIZED (
+           SELECT b, 0 - CAST(round($lr * CAST(g AS DOUBLE) / n) AS BIGINT) AS w
+           FROM g1 CROSS JOIN nn)"""
+        else
+          s"""w$k AS MATERIALIZED (
+           SELECT w${k - 1}.b, w${k - 1}.w - CAST(round($lr * CAST(g$k.g AS DOUBLE) / n) AS BIGINT) AS w
+           FROM w${k - 1} JOIN g$k ON w${k - 1}.b = g$k.b CROSS JOIN nn)"""
+      s"""$resid,
+         g$k AS (SELECT b, sum(CAST(pd.cnt AS HUGEINT) * rm) AS g
+                FROM pd JOIN r$k USING (doc_id) GROUP BY b),
+         $update"""
+    }.mkString(",\n         ")
+    s"""$header,
+         $steps,
+         wf AS (SELECT * FROM w$iters)"""
+  }
+
   private lazy val dsirCtes: String = {
     import graft.functions.PortableHash.{sqlHashMod, P}
     s"""d0 AS (

@@ -1,0 +1,138 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-engine hashed linear classifier — the fastText-style quality/
+  * language gate every pre-training pipeline fronts its corpus with
+  * (predict a binary label from a hashed bag of uni+bigram features),
+  * trained by full-batch gradient descent INSIDE the engine.
+  *
+  * Shape per iteration (the k-means pattern applied to GD): the weight
+  * vector is `numBuckets` values, collected to the driver and embedded
+  * as an ARRAY LITERAL in the next pass — margins are a pure codegen'd
+  * projection over the per-(doc, bucket) count table (no join), and the
+  * gradient is ONE bucket aggregation. The corpus text is read once
+  * (the feature explode is checkpointed — at most one (doc, bucket,
+  * cnt) row per doc-bucket pair); nothing doc-sized ever reaches the
+  * driver.
+  *
+  * Determinism (the q_kmeans_inertia discipline, applied to training):
+  * every aggregation is exact-integer — the margin is Σ cnt·w_micro in
+  * decimal(38,0); the per-doc residual is quantized to integer
+  * micro-units BEFORE the gradient sum (probabilities are rounded to
+  * 6 dp, so (p − y)·1e6 is exact); the weight update is one fixed
+  * double chain rounded back to micro-units on the driver. Training is
+  * bit-reproducible at any partition count, and the DuckDB oracle
+  * replays the identical unrolled iterations.
+  */
+object Classifier {
+
+  /** Hashed bag-of-features counts: (id, bucket, cnt) — one row per
+    * occupied bucket per doc, via the DSIR uni+bigram bucket machinery
+    * (one md5 per token, bigram hashes derived arithmetically).
+    */
+  def features(df: DataFrame, idCol: String, textCol: String, numBuckets: Int): DataFrame =
+    Curation.featureBuckets(df, idCol, textCol, numBuckets)
+      .groupBy("id", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** [[features]] plus the intercept: virtual bucket `numBuckets` hit
+    * once by EVERY doc (so the weight vector has numBuckets+1 entries
+    * and a doc with no text features still carries the bias row).
+    */
+  private def featuresWithBias(
+      df: DataFrame, idCol: String, textCol: String, numBuckets: Int): DataFrame =
+    features(df, idCol, textCol, numBuckets).unionByName(
+      df.select(col(idCol).as("id"), lit(numBuckets.toLong).as("bucket"), lit(1L).as("cnt")))
+
+  /** σ(m) rounded to 6 dp — the one transcendental in the loop, applied
+    * to a micro-quantized margin and re-quantized immediately (the
+    * rounding keeps the two engines' exp() in lockstep, same policy as
+    * the TF-IDF/perplexity/DSIR twins).
+    */
+  private def sigmoid6(m: Column): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-m)), 6)
+
+  /** Margin of each doc under micro-unit weights embedded as an array
+    * literal: Σ cnt·w_micro exactly (decimal), divided once to double.
+    * Docs with no features get margin 0 via the left join in callers.
+    */
+  private def marginCol(wMicro: Array[Long]): Column = {
+    val wLit = array(wMicro.map(lit): _*)
+    (sum((col("cnt") * element_at(wLit, (col("bucket") + 1).cast("int")))
+      .cast("decimal(38,0)")).cast("double") / 1e6)
+  }
+
+  /** Train `iters` full-batch GD steps of logistic regression on
+    * `labelCol` (boolean/0-1) over hashed text features. Returns the
+    * weight table (bucket, w_micro, weight) for every bucket, weight =
+    * w_micro / 1e6 (so 6-dp exact).
+    */
+  def trainLogReg(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      numBuckets: Int = 256,
+      iters: Int = 2,
+      lr: Double = 0.5): DataFrame = {
+    require(numBuckets >= 1 && iters >= 1 && lr > 0,
+      s"need numBuckets/iters >= 1 and lr > 0, got $numBuckets, $iters, $lr")
+    val spark = df.sparkSession
+    val labeled = df.select(col(idCol).as("id"),
+      col(labelCol).cast("boolean").cast("int").cast("double").as("__y"))
+    // NOT pre-partitioned by id: measured slower (the label join then
+    // shuffles its side per iteration instead); per-iteration cost is
+    // the scheduling floor of its three stages, not data volume
+    val feats = featuresWithBias(df, idCol, textCol, numBuckets)
+      .localCheckpoint() // every iteration re-reads it; never re-scan text
+    val n = labeled.count()
+    var w = new Array[Long](numBuckets + 1) // +1: the intercept bucket
+    for (_ <- 0 until iters) {
+      // margins: docs WITH features aggregate their literal-weight dot;
+      // featureless docs ride the left join with margin 0
+      val margins = feats.groupBy("id").agg(marginCol(w).as("__m"))
+      val resid = labeled.join(margins, Seq("id"), "left")
+        .withColumn("__p", sigmoid6(coalesce(col("__m"), lit(0.0))))
+        .withColumn("__r_micro", round((col("__p") - col("__y")) * 1e6, 0).cast("long"))
+        .select("id", "__r_micro")
+      val grads = feats.join(resid, Seq("id"))
+        .groupBy("bucket")
+        .agg(sum((col("cnt") * col("__r_micro")).cast("decimal(38,0)")).as("__g"))
+        .select(col("bucket"), col("__g").cast("double").as("g"))
+        .collect().map(r => (r.getLong(0).toInt, r.getDouble(1)))
+      val wNext = w.clone()
+      grads.foreach { case (b, g) =>
+        // one fixed chain: w − round(lr·g/n) in micro-units
+        wNext(b) = w(b) - java.math.BigDecimal.valueOf(lr * g / n)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      }
+      w = wNext
+    }
+    import spark.implicits._
+    w.zipWithIndex.map { case (wm, b) => (b.toLong, wm, wm.toDouble / 1e6) }
+      .toSeq.toDF("bucket", "w_micro", "weight")
+  }
+
+  /** Score a corpus under a trained micro-unit weight vector: margin,
+    * p = σ(margin) at 6 dp, and the hard prediction. Every input row is
+    * present (featureless docs score p = 0.5). Pure projection +
+    * one per-doc aggregation — the weights are literals, no join with
+    * anything driver-sized.
+    */
+  def scoreLogReg(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      wMicro: Array[Long]): DataFrame = {
+    // wMicro has numBuckets+1 entries; the last is the intercept
+    val feats = featuresWithBias(df, idCol, textCol, wMicro.length - 1)
+    val margins = feats.groupBy("id").agg(marginCol(wMicro).as("margin"))
+    df.select(col(idCol).as("id"))
+      .join(margins, Seq("id"), "left")
+      .withColumn("margin", coalesce(col("margin"), lit(0.0)))
+      .withColumn("p", sigmoid6(col("margin")))
+      .withColumn("predicted", col("p") >= 0.5)
+      .select("id", "margin", "p", "predicted")
+  }
+}

@@ -391,7 +391,7 @@ object Curation {
     * fixed-width regardless of vocabulary, so the distribution estimate
     * is a `numBuckets`-row aggregate at any corpus size.
     */
-  private def featureBuckets(
+  private[pipeline] def featureBuckets(
       df: DataFrame, idCol: String, textCol: String, numBuckets: Int): DataFrame = {
     import graft.functions.PortableHash
     // ONE md5 per token (the rolling-hash trick the winnow fingerprints

@@ -1686,3 +1686,40 @@ class KmeansLawsSpec extends SparkSpec {
     }
   }
 }
+
+class ClassifierSpec extends SparkSpec {
+  import graft.pipeline.Classifier
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val separable = (
+    (0L until 12L).map(i => (i, "alpha beta gamma alpha beta", true)) ++
+    (12L until 24L).map(i => (i, "delta epsilon zeta delta epsilon", false))
+  ).toDF("doc_id", "text", "label")
+
+  test("trainLogReg + scoreLogReg: separable vocabulary separates; featureless doc rides the bias") {
+    val w = Classifier.trainLogReg(separable, "doc_id", "text", "label",
+        numBuckets = 64, iters = 12, lr = 3.0)
+      .orderBy("bucket").collect().map(_.getLong(1))
+    val scored = Classifier.scoreLogReg(separable, "doc_id", "text", w)
+      .join(separable.select(col("doc_id").as("id"), col("label")), Seq("id"))
+      .collect().map(r => (r.getAs[Boolean]("predicted"), r.getAs[Boolean]("label"),
+        r.getAs[Double]("p")))
+    assert(scored.forall { case (pred, lab, _) => pred == lab },
+      s"not separated: ${scored.toSeq}")
+    assert(scored.filter(_._2).forall(_._3 > 0.6) && scored.filterNot(_._2).forall(_._3 < 0.4),
+      "margins should be confident on a separable set")
+    // a doc with no alnum tokens carries only the intercept: its margin
+    // must equal the trained bias weight exactly
+    val empty = Seq((99L, "", false)).toDF("doc_id", "text", "label")
+    val m = Classifier.scoreLogReg(empty, "doc_id", "text", w).head().getAs[Double]("margin")
+    assert(m === w.last.toDouble / 1e6)
+  }
+
+  test("trainLogReg is bit-identical across partition counts (exact-integer GD)") {
+    def run(p: Int) = Classifier.trainLogReg(separable.repartition(p), "doc_id", "text", "label",
+        numBuckets = 64, iters = 5, lr = 1.0)
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(1) === run(7))
+  }
+}
