@@ -430,10 +430,13 @@ object SparkEntry {
 
     // stats — CUSUM change-point detection per series (Page 1954) as
     // prefix-sum-minus-running-min window algebra; drift terms in exact
-    // integer micro-units scaled by n (no float mean, the inertia lesson)
+    // integer micro-units scaled by n (no float mean, the inertia
+    // lesson). The query runs the bucket-carry SPLIT form (bounded
+    // window partitions; law-tested bit-identical to the whole-series
+    // form, which stays the DuckDB-portable oracle twin)
     "q_cusum" -> ((s, d) => {
-      Stats.cusum(events(s, d).filter(col("user_id") < 20), Seq("user_id"),
-          slack = 25.0, threshold = 200.0)
+      Stats.cusumSplit(events(s, d).filter(col("user_id") < 20), Seq("user_id"),
+          slack = 25.0, threshold = 200.0, splitSeconds = 7L * 86400L)
         .select(col("user_id"), col("ts"), col("value"),
           col("cusum_hi"), col("cusum_lo"), col("alarm"))
         .orderBy("user_id", "ts", "value")

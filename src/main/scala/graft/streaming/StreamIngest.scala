@@ -164,6 +164,59 @@ object StreamIngest {
       }
   }
 
+  final case class CusumAlert(key: String, ts: java.sql.Timestamp,
+      value: Double, cusumHi: Double, cusumLo: Double, side: String)
+
+  final case class CusumState(sHi: Double, sLo: Double,
+      maxTs: java.sql.Timestamp)
+
+  /** Streaming CUSUM change-point monitor — the online analogue of
+    * [[graft.ts.Stats.cusum]]: the classic Page recursion
+    * S ← max(0, S + (x − μ − slack)) per side against a FIXED reference
+    * mean (online CUSUM has no whole-series mean to center on — the
+    * caller supplies the expected level, e.g. from a trained baseline),
+    * emitting an alert each time a side crosses `threshold`, then
+    * resetting that side (standard alarm-and-restart protocol).
+    * State per key is two doubles + a high-watermark timestamp —
+    * bounded regardless of stream length; intra-batch rows are sorted
+    * by event time on the executor and cross-batch late data (at or
+    * before the watermark in state) is dropped, exactly the
+    * [[gapMonitor]] discipline.
+    */
+  def cusumMonitor(
+      points: Dataset[Point],
+      mean: Double,
+      slack: Double,
+      threshold: Double): Dataset[CusumAlert] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[CusumState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val alerts = scala.collection.mutable.ListBuffer.empty[CusumAlert]
+          var st = state.getOption.getOrElse(CusumState(0.0, 0.0, null))
+          sorted.foreach { p =>
+            if (st.maxTs == null || p.ts.getTime > st.maxTs.getTime) {
+              var hi = math.max(0.0, st.sHi + (p.value - mean - slack))
+              var lo = math.max(0.0, st.sLo + (mean - p.value - slack))
+              if (hi > threshold) {
+                alerts += CusumAlert(key, p.ts, p.value, hi, lo, "hi")
+                hi = 0.0
+              }
+              if (lo > threshold) {
+                alerts += CusumAlert(key, p.ts, p.value, hi, lo, "lo")
+                lo = 0.0
+              }
+              st = CusumState(hi, lo, p.ts)
+            } // else: late or duplicate point — state only moves forward
+          }
+          state.update(st)
+          alerts.iterator
+      }
+  }
+
   /** Continuous ingest into a ChunkStore: each micro-batch merges into
     * the store with multi-series upsert semantics (new points win,
     * affected chunk partitions rewritten once per batch) via

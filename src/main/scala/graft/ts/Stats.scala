@@ -515,6 +515,103 @@ object Stats {
         (col("__shi") > hN || col("__slo") > hN).as("alarm")): _*)
   }
 
+  /** Scale-safe [[cusum]]: identical output, but no series ever
+    * serializes through one cumulative-window task. The bucket-carry
+    * construction (the ffill/interpolate/islands split family, applied
+    * to prefix sums): split each series into time buckets, compute
+    * LOCAL prefix sums and running minima per (key, bucket) — bounded
+    * partitions — and restore the global quantities from a per-(key,
+    * bucket) carry table (one row per bucket):
+    *   P_i         = offset_g + localP_i, offset_g = Σ_{g'<g} bucketSum
+    *   runmin_i(P) = min(minBefore_g, offset_g + localRunMin_i)
+    * where minBefore_g = min over g'<g of (offset_{g'} + that bucket's
+    * min localP). Everything stays exact integer micro-units scaled by
+    * n, so the split is bit-identical to [[cusum]] at any bucketing
+    * (StatsSpec law) — prefix sums and running minima both carry
+    * EXACTLY, unlike float accumulations. The drift terms need the
+    * whole-series (n, Σx), which roll up from the same per-bucket
+    * aggregation that feeds the carry — one extra tiny agg, no second
+    * data pass.
+    */
+  def cusumSplit(
+      df: DataFrame,
+      keys: Seq[String],
+      slack: Double,
+      threshold: Double,
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      splitSeconds: Long = 30L * 86400L): DataFrame = {
+    require(slack >= 0 && threshold > 0,
+      s"need slack >= 0 and threshold > 0, got $slack, $threshold")
+    require(splitSeconds > 0, s"splitSeconds must be positive, got $splitSeconds")
+    import org.apache.spark.sql.expressions.Window
+    val kcols = keys.map(col)
+    val dec = "decimal(38,0)"
+    val slackQ = BigDecimal(slack * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val thrQ = BigDecimal(threshold * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val bUs = splitSeconds * 1000000L
+    val base = df
+      .withColumn("__xq", round(col(valueCol) * 1e6, 0).cast(dec))
+      .withColumn("__b", floor(unix_micros(col(tsCol).cast("timestamp")) / bUs))
+    // per-(key, bucket) sums/counts -> per-key totals (tiny tables)
+    val perB = base.groupBy((kcols :+ col("__b")): _*)
+      .agg(count(lit(1)).as("__cnt"), sum(col("__xq")).as("__sx"))
+    val wk = Window.partitionBy(kcols: _*)
+    val totals = perB
+      .withColumn("__n", sum(col("__cnt")).over(wk))
+      .withColumn("__sum", sum(col("__sx")).over(wk))
+    // bucket drift-sum derives from the bucket's (cnt, sx) + the totals:
+    // Σ_bucket e = n·sx_b − cnt_b·Σx − cnt_b·n·slack  (both sides)
+    val eHiB = col("__n") * col("__sx") - col("__cnt") * col("__sum") -
+      lit(slackQ).cast(dec) * col("__cnt") * col("__n")
+    val eLoB = col("__cnt") * col("__sum") - col("__n") * col("__sx") -
+      lit(slackQ).cast(dec) * col("__cnt") * col("__n")
+    // local prefix work per (key, bucket): bounded partitions
+    val wkbCum = Window.partitionBy((kcols :+ col("__b")): _*)
+      .orderBy(col(tsCol), col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base
+      .join(totals.select((kcols :+ col("__b") :+ col("__n") :+ col("__sum")): _*),
+        keys :+ "__b")
+      .withColumn("__ehi",
+        col("__xq") * col("__n") - col("__sum") - lit(slackQ).cast(dec) * col("__n"))
+      .withColumn("__elo",
+        col("__sum") - col("__xq") * col("__n") - lit(slackQ).cast(dec) * col("__n"))
+      .withColumn("__lphi", sum(col("__ehi")).over(wkbCum))
+      .withColumn("__lplo", sum(col("__elo")).over(wkbCum))
+      .withColumn("__lmhi", min(col("__lphi")).over(wkbCum))
+      .withColumn("__lmlo", min(col("__lplo")).over(wkbCum))
+    // carry table: offsets (prefix of bucket sums over PRECEDING
+    // buckets) and min-before (running min of offset + bucket min)
+    val wkOrd = Window.partitionBy(kcols: _*).orderBy(col("__b").asc)
+    val wPrev = wkOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val bucketMin = local.groupBy((kcols :+ col("__b")): _*)
+      .agg(min(col("__lphi")).as("__bmhi"), min(col("__lplo")).as("__bmlo"))
+    val carries = totals.join(bucketMin, keys :+ "__b")
+      .withColumn("__offhi", coalesce(sum(eHiB).over(wPrev), lit(0).cast(dec)))
+      .withColumn("__offlo", coalesce(sum(eLoB).over(wPrev), lit(0).cast(dec)))
+      .withColumn("__mbhi", min(col("__offhi") + col("__bmhi")).over(wPrev))
+      .withColumn("__mblo", min(col("__offlo") + col("__bmlo")).over(wPrev))
+      .select((kcols ++ Seq(col("__b"), col("__offhi"), col("__offlo"),
+        col("__mbhi"), col("__mblo"))): _*)
+    val joined = local.join(carries, keys :+ "__b")
+      .withColumn("__phi", col("__offhi") + col("__lphi"))
+      .withColumn("__plo", col("__offlo") + col("__lplo"))
+      .withColumn("__rmhi",
+        least(coalesce(col("__mbhi"), col("__phi")), col("__offhi") + col("__lmhi")))
+      .withColumn("__rmlo",
+        least(coalesce(col("__mblo"), col("__plo")), col("__offlo") + col("__lmlo")))
+      .withColumn("__shi", col("__phi") - least(col("__rmhi"), lit(0).cast(dec)))
+      .withColumn("__slo", col("__plo") - least(col("__rmlo"), lit(0).cast(dec)))
+    val hN = lit(thrQ).cast(dec) * col("__n")
+    def micro6(s: String): org.apache.spark.sql.Column = expr(
+      s"(CAST($s AS BIGINT) * 2 + CAST(__n AS BIGINT)) div (CAST(__n AS BIGINT) * 2)")
+    joined.select(kcols ++ Seq(col(tsCol), col(valueCol),
+      (micro6("__shi").cast("double") / 1e6).as("cusum_hi"),
+      (micro6("__slo").cast("double") / 1e6).as("cusum_lo"),
+      (col("__shi") > hN || col("__slo") > hN).as("alarm")): _*)
+  }
+
   /** Cumulative-meter consumption deltas with counter-reset handling —
     * the metering primitive of the reference's energy-series domain:
     * delta_i = x_i − x_{i−1}, and a NEGATIVE delta means the counter

@@ -318,6 +318,27 @@ class StatsSpec extends SparkSpec {
     assert(run(1) === run(8))
   }
 
+  test("cusumSplit == cusum bit-for-bit (bucket-carry law, incl. one-row buckets)") {
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    val df = (0L until 300L).map(i =>
+      ("k" + i % 5, t0.plusMinutes(i * 17), math.sin(i * 0.61) * 40 + (i % 11)))
+      .toDF("key", "ts", "value")
+    def dump(f: org.apache.spark.sql.DataFrame) =
+      f.orderBy("key", "ts", "value").collect()
+        .map(r => (r.getString(0), r.get(1).toString, r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toSeq
+    val whole = dump(Stats.cusum(df, Seq("key"), slack = 3, threshold = 15))
+    // hour-level buckets: many buckets per series, several one-row
+    for (secs <- Seq(3600L, 7200L, 86400L)) {
+      val split = dump(Stats.cusumSplit(df, Seq("key"), slack = 3, threshold = 15,
+        splitSeconds = secs))
+      assert(split === whole, s"splitSeconds=$secs diverged")
+    }
+    // degenerate: every row its own bucket
+    assert(dump(Stats.cusumSplit(df, Seq("key"), slack = 3, threshold = 15,
+      splitSeconds = 60L)) === whole)
+  }
+
   test("counterDelta: plain deltas, reset uses the reading, first row null-delta") {
     val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
     val df = Seq(10.0, 12.0, 3.0, 7.0).zipWithIndex

@@ -208,4 +208,28 @@ class StreamingSpec extends SparkSpec {
       assert(rows("k0")._1 > 0 && rows("k1")._1 > 0)
     } finally q.stop()
   }
+
+  test("cusum monitor: sustained shift alarms then resets; stable series stays quiet") {
+    val dir = java.nio.file.Files.createTempDirectory("cusum-src").toString + "/data"
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    def ts(i: Int) = java.sql.Timestamp.valueOf(t0.plusMinutes(i.toLong))
+    // k0: level 10 then a sustained shift to 14 (drift 3/pt after slack);
+    // k1: stays at the reference level, never alarms
+    val k0 = (0 until 5).map(i => ("k0", ts(i), Some(10.0))) ++
+             (5 until 12).map(i => ("k0", ts(i), Some(14.0)))
+    val k1 = (0 until 12).map(i => ("k1", ts(i), Some(10.0)))
+    (k0 ++ k1).toDF("key", "ts", "value").write.parquet(dir)
+    val stream = spark.readStream.schema(srcSchema).parquet(dir)
+    val pts = StreamIngest.normalize(stream).as[StreamIngest.Point]
+    val q = StreamIngest.runToMemory(
+      StreamIngest.cusumMonitor(pts, mean = 10.0, slack = 1.0, threshold = 8.0).toDF(),
+      "cusum_alerts", OutputMode.Append())
+    try {
+      val alerts = spark.table("cusum_alerts").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getString(5)))
+      // shift of +3/pt net: S = 3, 6, 9 -> alarm at the 3rd shifted point
+      // (minute 7), reset, then again at minute 10
+      assert(alerts.toSeq === Seq(("k0", ts(7), "hi"), ("k0", ts(10), "hi")))
+    } finally q.stop()
+  }
 }
