@@ -588,6 +588,21 @@ class SimilaritySpec extends SparkSpec {
     assert(r48 > r16, s"recall not improving with variance: k16=$r16 k48=$r48")
     assert(r48 >= 0.5, s"PCA-48 recall $r48 < 0.5")
     assert(recallAt(48) === r48) // seedless determinism
+    // the whitened ANN composition: IVF over the PCA-projected corpus
+    // recalls the projected-space exact top-k like plain IVF does over
+    // raw embeddings (same operator, reduced space) — and deterministically
+    val (_, b48) = Similarity.pcaBasis(cov, 48)
+    val p48 = Similarity.projectEmbeddings(emb, "vec_id", "embedding", b48)
+    val exactP = topkPairs(p48, "proj").groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def ivfRun() = Similarity.ivfTopK(p48.filter(col("vec_id") < 10), p48,
+        vecCol = "proj", k = 5, nlist = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ivf = ivfRun().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivfRecall = exactP.map { case (q, want) =>
+      ivf.getOrElse(q, Set.empty[Long]).intersect(want).size.toDouble / want.size
+    }.sum / exactP.size
+    assert(ivfRecall > 0.3, s"IVF-over-PCA recall $ivfRecall vs projected exact")
+    assert(ivfRun().toSeq === ivfRun().toSeq) // seedless determinism
   }
 }
 
