@@ -487,7 +487,10 @@ object Similarity {
           cap = 0L
         }
         it.foreach { row =>
-          val v = row.getSeq[Double](0)
+          // a null vector contributes nothing, like the declarative
+          // twin (whose explode skips null arrays) — and n excludes it
+          val v = if (row.isNullAt(0)) null else row.getSeq[Double](0)
+          if (v != null) {
           if (d < 0) {
             d = v.length
             dimL = new Array[Long](d); pairL = new Array[Long](d * (d + 1) / 2)
@@ -517,6 +520,7 @@ object Similarity {
             i += 1
           }
           n += 1
+          }
         }
         if (d < 0) Iterator.empty
         else { flush(); Iterator.single((n, dimB, pairB)) }

@@ -329,6 +329,16 @@ class SimilaritySpec extends SparkSpec {
   test("embeddingCovariance: empty input and ragged widths") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Similarity.embeddingCovariance(empty, "vec_id", "embedding").count() === 0L)
+    // a null-vector row is skipped like the declarative twin skips it
+    // (its explode of a null array yields nothing): same n, same sums
+    val withNull = Seq((1L, Array(1.0f, 2.0f)), (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array(3.0f, 6.0f)), (4L, Array(5.0f, 10.0f))).toDF("vec_id", "embedding")
+    def dumpN(f: org.apache.spark.sql.DataFrame) =
+      f.orderBy("i", "j").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val got = dumpN(Similarity.embeddingCovariance(withNull, "vec_id", "embedding"))
+    assert(got === dumpN(Similarity.embeddingCovarianceExpr(withNull, "vec_id", "embedding")))
+    assert(got.head._3 === 3L) // n excludes the null row
     val ragged = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
       .toDF("vec_id", "embedding").repartition(1)
     val e = intercept[org.apache.spark.SparkException] {
