@@ -318,6 +318,40 @@ class StatsSpec extends SparkSpec {
     assert(run(1) === run(8))
   }
 
+  test("cusum == driver-side Page recursion on random series (negatives, duplicate ts)") {
+    val rnd = new scala.util.Random(4242L)
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    // duplicate timestamps on ~20% of rows; values span negative/positive
+    val rows = (0 until 400).map { i =>
+      val ts = t0.plusMinutes((i / 5 * 7 + (if (rnd.nextDouble() < 0.2) 0 else i % 5)).toLong)
+      ("k" + i % 3, ts, (rnd.nextDouble() - 0.5) * 200)
+    }
+    val df = rows.toDF("key", "ts", "value")
+    val (slack, threshold) = (7.0, 40.0)
+    val got = Stats.cusum(df, Seq("key"), slack = slack, threshold = threshold)
+      .collect().map(r => ((r.getString(0), r.get(1).toString, r.getDouble(2)),
+        (r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    val sQ = math.round(slack * 1e6); val hQ = math.round(threshold * 1e6)
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val ordered = rs.map { case (_, ts, v) =>
+        (java.sql.Timestamp.valueOf(ts).getTime, ts, v) }.sortBy(t => (t._1, t._3))
+      val xq = ordered.map { case (_, _, v) =>
+        BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong }
+      val n = xq.length.toLong; val sum = xq.sum
+      var shi = BigInt(0); var slo = BigInt(0)
+      ordered.zip(xq).foreach { case ((_, ts, v), q) =>
+        shi = (shi + (BigInt(q) * n - sum - BigInt(sQ) * n)).max(0)
+        slo = (slo + (BigInt(sum) - BigInt(q) * n - BigInt(sQ) * n)).max(0)
+        def out(s: BigInt): Double = ((s * 2 + n) / (n * 2)).toDouble / 1e6
+        val exp = (out(shi), out(slo), shi > BigInt(hQ) * n || slo > BigInt(hQ) * n)
+        // duplicate (ts, value) rows share one recursion state: comparing
+        // by the LAST occurrence's expected state is only safe when the
+        // pair is unique — random doubles make collisions improbable
+        assert(got((k, ts.toString, v)) === exp, s"key=$k ts=$ts v=$v")
+      }
+    }
+  }
+
   test("cusumSplit == cusum bit-for-bit (bucket-carry law, incl. one-row buckets)") {
     val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
     val df = (0L until 300L).map(i =>
