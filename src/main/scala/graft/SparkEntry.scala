@@ -418,10 +418,12 @@ object SparkEntry {
     }),
 
     // stats — cumulative-meter consumption deltas with counter-reset
-    // handling (Prometheus increase() semantics; first reading null)
+    // handling (Prometheus increase() semantics; first reading null).
+    // Runs the bucket-carry split form (bounded lag-window partitions;
+    // law-tested identical to the whole-series lag, the oracle twin)
     "q_counter_delta" -> ((s, d) => {
-      Stats.counterDelta(events(s, d).filter(col("user_id") < 20), Seq("user_id"),
-          orderCol = "event_id")
+      Stats.counterDeltaSplit(events(s, d).filter(col("user_id") < 20), Seq("user_id"),
+          orderCol = "event_id", splitSeconds = 7L * 86400L)
         .select(col("user_id"), col("event_id"), col("ts"),
           round(col("value"), 6).as("value"), round(col("delta"), 6).as("delta"),
           col("is_reset"))

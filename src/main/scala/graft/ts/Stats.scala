@@ -647,4 +647,54 @@ object Stats {
       .select(keys.map(col) ++ Seq(col(orderCol), col(tsCol), col(valueCol),
         col("delta"), col("is_reset")): _*)
   }
+
+  /** Scale-safe [[counterDelta]]: the lag window runs per (key, time
+    * bucket) — bounded partitions — and a boundary row's predecessor is
+    * restored from a one-row-per-bucket carry table (each bucket's LAST
+    * reading by (ts, order), lagged one bucket per key). A within-bucket
+    * first row takes the carry BY POSITION (row_number = 1), not by
+    * lag-null — a null previous READING is legitimate data that must not
+    * be papered over with the carry. Identical output to [[counterDelta]]
+    * at any bucketing (StatsSpec law).
+    */
+  def counterDeltaSplit(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      splitSeconds: Long = 30L * 86400L): DataFrame = {
+    require(splitSeconds > 0, s"splitSeconds must be positive, got $splitSeconds")
+    import org.apache.spark.sql.expressions.Window
+    val kcols = keys.map(col)
+    val bUs = splitSeconds * 1000000L
+    val withB = df.withColumn("__b",
+      floor(unix_micros(col(tsCol).cast("timestamp")) / bUs))
+    val lastPer = withB.groupBy((kcols :+ col("__b")): _*)
+      .agg(max(struct(col(tsCol), col(orderCol), col(valueCol).as("__v")))
+        .getField("__v").as("__last"))
+    val wkOrd = Window.partitionBy(kcols: _*).orderBy(col("__b").asc)
+    val carries = lastPer
+      .withColumn("__carry", lag(col("__last"), 1).over(wkOrd))
+      // whether ANY earlier bucket exists: a first-bucket first row has
+      // no predecessor (delta null) even when the carry value is null
+      .withColumn("__has_prev", row_number().over(wkOrd) > 1)
+      .select((kcols ++ Seq(col("__b"), col("__carry"), col("__has_prev"))): _*)
+    val wkb = Window.partitionBy((kcols :+ col("__b")): _*)
+      .orderBy(col(tsCol), col(orderCol))
+    val joined = withB.join(carries, keys :+ "__b")
+      .withColumn("__rn", row_number().over(wkb))
+      .withColumn("__lagv", lag(col(valueCol), 1).over(wkb))
+      .withColumn("__prev", when(col("__rn") === 1, col("__carry")).otherwise(col("__lagv")))
+      .withColumn("__first", col("__rn") === 1 && !col("__has_prev"))
+    joined
+      .withColumn("is_reset",
+        !col("__first") && col("__prev").isNotNull && col(valueCol) < col("__prev"))
+      .withColumn("delta",
+        when(col("__first") || col("__prev").isNull, lit(null).cast("double"))
+          .when(col("is_reset"), col(valueCol))
+          .otherwise(col(valueCol) - col("__prev")))
+      .select(keys.map(col) ++ Seq(col(orderCol), col(tsCol), col(valueCol),
+        col("delta"), col("is_reset")): _*)
+  }
 }

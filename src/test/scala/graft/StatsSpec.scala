@@ -384,6 +384,26 @@ class StatsSpec extends SparkSpec {
     assert(got.toSeq === Seq((None, false), (Some(2.0), false), (Some(3.0), true), (Some(4.0), false)))
   }
 
+  test("counterDeltaSplit == counterDelta (carry law, incl. null readings and one-row buckets)") {
+    val rnd = new scala.util.Random(777L)
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    val df = (0 until 300).map { i =>
+      val v: java.lang.Double = if (rnd.nextDouble() < 0.15) null
+        else Double.box(rnd.nextInt(1000).toDouble)
+      ("m" + i % 4, i.toLong, t0.plusMinutes((i * 13).toLong), v)
+    }.toDF("key", "event_id", "ts", "value")
+    def dump(f: org.apache.spark.sql.DataFrame) =
+      f.orderBy("key", "event_id").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.getAs[java.lang.Double]("delta")).map(_.toDouble),
+          r.getAs[Boolean]("is_reset"))).toSeq
+    val whole = dump(Stats.counterDelta(df, Seq("key"), orderCol = "event_id"))
+    for (secs <- Seq(3600L, 86400L, 600L)) { // incl. one-row buckets at 600s
+      assert(dump(Stats.counterDeltaSplit(df, Seq("key"), orderCol = "event_id",
+        splitSeconds = secs)) === whole, s"splitSeconds=$secs diverged")
+    }
+  }
+
   test("ohlc: per-period first/high/low/close; duplicate-ts ties break by value; nulls dropped") {
     val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
     val rows = Seq(
