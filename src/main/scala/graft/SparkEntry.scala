@@ -82,6 +82,19 @@ object SparkEntry {
   private def orders(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders").withColumn("o_orderdate", ntz(col("o_orderdate")))
 
+  /** The headline classifier fit (documents, is_long = n_chars >= 250,
+    * 256 buckets, 12 GD steps, lr 3.0) as a [[pipeline.ModelCache]]
+    * artifact: q_logreg_train publishes it and q_logreg_score consumes
+    * it — ONE training run per session per dataset, the way a pipeline
+    * actually deploys a gate model (VERDICT r11 #1).
+    */
+  private def logregWeights(s: SparkSession, d: String): Array[Long] =
+    pipeline.ModelCache.getOrFit(s"logreg:$d:documents:is_long:b256:i12:lr3.0") {
+      val docs = table(s, d, "documents").withColumn("is_long", col("n_chars") >= 250)
+      Classifier.trainLogRegWeights(docs, "doc_id", "text", "is_long",
+        numBuckets = 256, iters = 12, lr = 3.0)
+    }
+
   /** Flagship: gap analysis over the event stream at sf0.001 — grid
     * reindex + hole islands (G2/G3), the reference's core analytic.
     */
@@ -783,28 +796,24 @@ object SparkEntry {
     }),
 
     // pipeline — fastText-style hashed linear classifier TRAINED in the
-    // engine (2 full-batch GD steps, exact-integer aggregations; the
-    // k-means literal-weights pattern applied to gradient descent).
+    // engine (12 full-batch GD steps here — `iters` is parameterized;
+    // exact-integer aggregations; the k-means literal-weights pattern
+    // applied to gradient descent). The fit is a ModelCache artifact:
+    // train and score share ONE training run (the classifier is trained
+    // once and consumed everywhere, not refit per consumer).
     // The label is length (n_chars >= 250): the one text property this
     // synthetic fixture's single shared vocabulary makes LEARNABLE — a
     // lang label here is random w.r.t. the text (ClassifierSpec proves
     // real separation on constructed vocabulary instead)
     "q_logreg_train" -> ((s, d) => {
-      val docs = table(s, d, "documents").withColumn("is_long", col("n_chars") >= 250)
-      Classifier.trainLogReg(docs, "doc_id", "text", "is_long",
-          numBuckets = 256, iters = 12, lr = 3.0)
-        .select(col("bucket"), col("w_micro"),
-          (col("w_micro").cast("double") / 1e6).as("weight"))
-        .orderBy("bucket")
+      Classifier.weightTable(s, logregWeights(s, d)).orderBy("bucket")
     }),
 
     // pipeline — the trained classifier applied back over the corpus:
     // margin (exact micro units), calibrated p, hard prediction vs label
     "q_logreg_score" -> ((s, d) => {
       val docs = table(s, d, "documents").withColumn("is_long", col("n_chars") >= 250)
-      val w = Classifier.trainLogReg(docs, "doc_id", "text", "is_long",
-          numBuckets = 256, iters = 12, lr = 3.0)
-        .orderBy("bucket").collect().map(_.getLong(1))
+      val w = logregWeights(s, d)
       Classifier.scoreLogReg(docs, "doc_id", "text", w)
         .join(docs.select(col("doc_id").as("id"), col("is_long")), Seq("id"))
         .select(col("id").as("doc_id"), col("margin"), col("p"),
@@ -1132,7 +1141,8 @@ object SparkEntry {
     "q_ivf_kmeans" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       Similarity.ivfTopKTrained(emb.filter(col("vec_id") < 10), emb,
-          k = 5, nlist = 8, nprobe = 2, iters = 2)
+          k = 5, nlist = 8, nprobe = 2, iters = 2,
+          cacheKey = Some(s"$d/embeddings"))
         .select(col("query_id"), col("vec_id"),
           round(col("cos_sim"), 6).as("cos_sim"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
@@ -1142,7 +1152,8 @@ object SparkEntry {
     // deterministic per-cluster hash-rate membership; no top-N window)
     "q_diversity_sample" -> ((s, d) => {
       Curation.diversitySample(table(s, d, "embeddings"), "vec_id", "embedding",
-          k = 8, iters = 2, perCluster = 16)
+          k = 8, iters = 2, perCluster = 16,
+          cacheKey = Some(s"$d/embeddings"))
         .select(col("id").as("vec_id"), col("cluster"), col("keep"))
         .orderBy("vec_id")
     }),
@@ -1236,7 +1247,8 @@ object SparkEntry {
     // clustering — deterministic k-means over embeddings (Lloyd's, 2
     // iterations, md5-seeded init, quantized centroids)
     "q_kmeans" -> ((s, d) => {
-      Clustering.kmeans(table(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+      Clustering.kmeans(table(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2,
+          cacheKey = Some(s"$d/embeddings"))
         .select(col("id").as("vec_id"), col("cluster"), col("dist"))
         .orderBy("vec_id")
     }),
@@ -1245,7 +1257,8 @@ object SparkEntry {
     // inertia = Lloyd's objective, mean/max squared distance = compactness)
     "q_kmeans_inertia" -> ((s, d) => {
       Clustering.clusterMetrics(
-          Clustering.kmeans(table(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2))
+          Clustering.kmeans(table(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2,
+            cacheKey = Some(s"$d/embeddings")))
         .select(col("cluster"), col("n_points"), round(col("share"), 6).as("share"),
           round(col("inertia"), 6).as("inertia"),
           round(col("mean_sqdist"), 6).as("mean_sqdist"), col("max_sqdist"))
@@ -1257,7 +1270,8 @@ object SparkEntry {
     "q_ivf_int8" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       Similarity.ivfTopKInt8(emb.filter(col("vec_id") < 10), emb,
-          k = 5, nlist = 8, nprobe = 2, iters = 2)
+          k = 5, nlist = 8, nprobe = 2, iters = 2,
+          cacheKey = Some(s"$d/embeddings"))
         .select(col("query_id"), col("vec_id"),
           round(col("cos_sim"), 6).as("cos_sim"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
@@ -1295,7 +1309,8 @@ object SparkEntry {
     // per-row generated products, micro-unit decimal sums — the only
     // data-side statistic PCA needs (the eigen solve is d×d, driver-side)
     "q_embed_cov" -> ((s, d) => {
-      Similarity.embeddingCovariance(table(s, d, "embeddings"), "vec_id", "embedding")
+      Similarity.embeddingCovariance(table(s, d, "embeddings"), "vec_id", "embedding",
+          cacheKey = Some(s"$d/embeddings"))
         .select(col("i"), col("j"), col("n"), round(col("cov"), 9).as("cov"))
         .orderBy("i", "j")
     }),
@@ -1304,18 +1319,27 @@ object SparkEntry {
     // driver-side Jacobi basis (top-48 of 64: 86% variance on the
     // near-isotropic synthetic fixture; real text embeddings are low-rank
     // and would reduce much harder) → literal-array projection → exact
-    // top-k in the reduced space. No DuckDB twin (the eigen solve is not
-    // SQL-expressible; the driver records the weaker rows-only check) —
-    // the correctness pin is PipelineSpec: full-basis rotation preserves
-    // the exact top-k, recall grows with retained variance, ≥0.5 at this
-    // k, and everything is bit-deterministic (exact covariance -> same
-    // basis every run). Cosine in the projected space is
-    // basis-sign-invariant (a flipped eigenvector negates that coordinate
-    // of BOTH sides).
+    // top-k in the reduced space. The DuckDB twin receives the computed
+    // basis as literal CTE rows (the eigen solve is not SQL-expressible,
+    // but everything downstream of it is) and replays projection +
+    // reduced-space top-k — so the oracle hash-checks the whole data
+    // path, and the eigen solve itself is pinned by PipelineSpec:
+    // full-basis rotation preserves the exact top-k, recall grows with
+    // retained variance, ≥0.5 at this k, and everything is
+    // bit-deterministic (exact covariance → same basis every run).
+    // Cosine in the projected space is basis-sign-invariant (a flipped
+    // eigenvector negates that coordinate of BOTH sides).
     "q_pca_topk" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
-      val cov = Similarity.embeddingCovariance(emb, "vec_id", "embedding")
-      val (_, basis) = Similarity.pcaBasis(cov, 48)
+      val basis = pipeline.ModelCache.getOrFit(s"pcabasis:$d/embeddings:k48") {
+        val cov = Similarity.embeddingCovariance(emb, "vec_id", "embedding",
+          cacheKey = Some(s"$d/embeddings"))
+        Similarity.pcaBasis(cov, 48)._2
+      }
+      // publish the computed basis so oracleSql can emit it as literal
+      // rows — DuckDB then replays projection + reduced-space top-k and
+      // only the (law-tested) eigen solve itself is trusted
+      lastPcaBasis = Some(basis)
       val proj = Similarity.projectEmbeddings(emb, "vec_id", "embedding", basis)
       Similarity.bruteForceTopK(proj.filter(col("vec_id") < 10), proj,
           vecCol = "proj", k = 5)
@@ -1455,6 +1479,10 @@ object SparkEntry {
     * re-running the whole minhash pipeline many times over — measured 44x
     * on q_dedup_best (19.2s -> 0.4s at sf0.01, identical rows). Purely an
     * evaluation-strategy hint; the relation is unchanged.
+    *
+    * `bok` mirrors [[graft.pipeline.Dedup.minhashLshPairs]]'s hot-band
+    * cap (maxBandDf = 1000): band buckets above the cap generate no
+    * candidates in EITHER engine.
     */
   private lazy val minhashSimsCtes: String = {
     import graft.functions.PortableHash.{P, permConsts, sqlHashMod}
@@ -1480,9 +1508,12 @@ object SparkEntry {
          sig AS MATERIALIZED (SELECT doc_id, $sigList AS sig FROM mh),
          bands AS MATERIALIZED (
            $bandRows),
+         bok AS (
+           SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) <= 1000),
          cand AS (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
-           FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           FROM bands a JOIN bok ON a.band = bok.band AND a.bh = bok.bh
+                JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
          sims AS MATERIALIZED (
            SELECT id_a, id_b,
                   CAST(list_sum(list_transform(range(1, 33),
@@ -1505,7 +1536,56 @@ object SparkEntry {
       s"list_transform(${ks.mkString("[", ", ", "]")}, x -> CAST(x AS DOUBLE) / 1000001.0) AS p$p"
     }.mkString("pl AS MATERIALIZED (SELECT ", ",\n             ", ")")
 
-  def oracleSql: Map[String, String] = Map(
+  /** The Jacobi basis the last q_pca_topk evaluation computed, published
+    * for [[oracleSql]] — Verify runs every query BEFORE dumping the
+    * oracle map, so the dump carries the basis for exactly the dataset
+    * the results came from. None (e.g. a filtered Verify run that skips
+    * q_pca_topk) degrades to the old rows-only check by omitting the
+    * entry.
+    */
+  @volatile private var lastPcaBasis: Option[Array[Array[Double]]] = None
+
+  /** q_pca_topk's DuckDB twin, built around the published basis: the 48
+    * eigenvectors become literal list rows, projection is the same
+    * left-to-right Σ x_i·b_ki fold, and the reduced-space exact top-k
+    * mirrors q_cosine_topk's CTE shape. Only the eigen SOLVE is trusted
+    * (PipelineSpec laws + the q_embed_cov-pinned covariance); every
+    * data-touching stage downstream hash-checks.
+    */
+  private def pcaTopkOracle: Map[String, String] = lastPcaBasis match {
+    case None => Map.empty
+    case Some(basis) =>
+      val rows = basis.zipWithIndex.map { case (b, k) =>
+        b.mkString(s"($k, [", ", ", "])")
+      }.mkString(",\n           ")
+      Map("q_pca_topk" ->
+        s"""WITH basis(comp, bv) AS (VALUES
+           $rows),
+         bl AS (SELECT list(bv ORDER BY comp) AS bs FROM basis),
+         p AS MATERIALIZED (
+           SELECT vec_id,
+                  list_transform(bl.bs, bv ->
+                    list_sum(list_transform(range(1, len(embedding) + 1),
+                      i -> CAST(embedding[i] AS DOUBLE) * bv[i]))) AS pv
+           FROM embeddings CROSS JOIN bl),
+         q AS (SELECT vec_id AS query_id, pv AS qv FROM p WHERE vec_id < 10),
+         s AS (
+           SELECT query_id, vec_id,
+             list_sum(list_transform(range(1, len(qv) + 1),
+               i -> qv[i] * pv[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                  i -> qv[i] * qv[i])))
+              * sqrt(list_sum(list_transform(range(1, len(pv) + 1),
+                  i -> pv[i] * pv[i])))) AS cos
+           FROM p CROSS JOIN q WHERE vec_id <> query_id),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           FROM s)
+         SELECT query_id, vec_id, round(cos, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""")
+  }
+
+  def oracleSql: Map[String, String] = pcaTopkOracle ++ Map(
     "q_scan_filter" ->
       """SELECT event_id, ts, value FROM events
          WHERE user_id = 7 AND event_type = 'view'
@@ -2239,10 +2319,10 @@ object SparkEntry {
                 coalesce(array_to_string(kept, chr(10)), '') AS kept_text
          FROM b ORDER BY doc_id""",
 
-    // the trained classifier, replayed: 2 unrolled GD iterations with
-    // the identical exact-integer arithmetic (HUGEINT gradient sums,
-    // micro-unit weights, 6-dp sigmoids) — w0=0 makes iteration 1's
-    // probabilities exactly 0.5
+    // the trained classifier, replayed: the full 12 unrolled GD
+    // iterations with the identical exact-integer arithmetic (HUGEINT
+    // gradient sums, micro-unit weights, 6-dp sigmoids) — w0=0 makes
+    // iteration 1's probabilities exactly 0.5
     "q_logreg_train" ->
       s"""WITH ${logregCtes(iters = 12, lr = 3.0)}
          SELECT r.range AS bucket,

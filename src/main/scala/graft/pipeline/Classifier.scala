@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** In-engine hashed linear classifier — the fastText-style quality/
   * language gate every pre-training pipeline fronts its corpus with
   * (predict a binary label from a hashed bag of uni+bigram features),
-  * trained by full-batch gradient descent INSIDE the engine.
+  * trained by full-batch gradient descent INSIDE the engine (`iters`
+  * steps — the headline queries run 12; the parameter default is 2).
   *
   * Shape per iteration (the k-means pattern applied to GD): the weight
   * vector is `numBuckets` values, collected to the driver and embedded
@@ -64,9 +65,10 @@ object Classifier {
   }
 
   /** Train `iters` full-batch GD steps of logistic regression on
-    * `labelCol` (boolean/0-1) over hashed text features. Returns the
-    * weight table (bucket, w_micro, weight) for every bucket, weight =
-    * w_micro / 1e6 (so 6-dp exact).
+    * `labelCol` (boolean/0-1) over hashed text features, returning the
+    * micro-unit weight VECTOR (numBuckets+1 entries, intercept last) —
+    * the fitted artifact itself, ready for [[scoreLogReg]] or a
+    * [[ModelCache]] entry. [[trainLogReg]] wraps it as a table.
     *
     * The iteration loop runs over a PACKED checkpoint — one row per doc
     * carrying (y, [(bucket, cnt)…]) — so each GD step is a single plan:
@@ -77,17 +79,16 @@ object Classifier {
     * fixture). The fold accumulates in decimal(38,0), so the unordered
     * collect_list packing cannot perturb the sum.
     */
-  def trainLogReg(
+  def trainLogRegWeights(
       df: DataFrame,
       idCol: String,
       textCol: String,
       labelCol: String,
       numBuckets: Int = 256,
       iters: Int = 2,
-      lr: Double = 0.5): DataFrame = {
+      lr: Double = 0.5): Array[Long] = {
     require(numBuckets >= 1 && iters >= 1 && lr > 0,
       s"need numBuckets/iters >= 1 and lr > 0, got $numBuckets, $iters, $lr")
-    val spark = df.sparkSession
     val labeled = df.select(col(idCol).as("id"),
       col(labelCol).cast("boolean").cast("int").cast("double").as("__y"))
     val packed = featuresWithBias(df, idCol, textCol, numBuckets)
@@ -118,6 +119,29 @@ object Classifier {
       }
       w = wNext
     }
+    w
+  }
+
+  /** [[trainLogRegWeights]] presented as the weight TABLE
+    * (bucket, w_micro, weight) for every bucket, weight = w_micro / 1e6
+    * (so 6-dp exact).
+    */
+  def trainLogReg(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      numBuckets: Int = 256,
+      iters: Int = 2,
+      lr: Double = 0.5): DataFrame =
+    weightTable(df.sparkSession,
+      trainLogRegWeights(df, idCol, textCol, labelCol, numBuckets, iters, lr))
+
+  /** A micro-unit weight vector as the (bucket, w_micro, weight) table
+    * [[trainLogReg]] returns — how a registry-cached fit re-enters the
+    * declarative world.
+    */
+  def weightTable(spark: org.apache.spark.sql.SparkSession, w: Array[Long]): DataFrame = {
     import spark.implicits._
     w.zipWithIndex.map { case (wm, b) => (b.toLong, wm, wm.toDouble / 1e6) }
       .toSeq.toDF("bucket", "w_micro", "weight")

@@ -108,6 +108,12 @@ object Clustering {
   /** Train the k-means codebook and return it driver-side (k×dim doubles
     * — the MLlib pattern). Deterministic: md5-ordered init, quantized
     * means; see [[kmeans]] for the full invariants.
+    *
+    * `cacheKey`: a [[ModelCache]] registry key for the fitted codebook —
+    * training is deterministic, so consumers naming the same (input,
+    * k, iters, quantize) share ONE fit per session (assignment,
+    * diagnostics, diversity sampling, and a trained-IVF index all read
+    * the same few-KB artifact). None = always refit.
     */
   def kmeansCentroids(
       df: DataFrame,
@@ -115,7 +121,21 @@ object Clustering {
       vecCol: String,
       k: Int,
       iters: Int,
-      quantize: Int = 6): Array[Seq[Double]] = {
+      quantize: Int = 6,
+      cacheKey: Option[String] = None): Array[Seq[Double]] = cacheKey match {
+    case Some(key) => ModelCache.getOrFit(s"kmeans:$key:k$k:i$iters:q$quantize") {
+      kmeansCentroidsFit(df, idCol, vecCol, k, iters, quantize)
+    }
+    case None => kmeansCentroidsFit(df, idCol, vecCol, k, iters, quantize)
+  }
+
+  private def kmeansCentroidsFit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      quantize: Int): Array[Seq[Double]] = {
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got k=$k iters=$iters")
     val dv = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
@@ -185,8 +205,9 @@ object Clustering {
       vecCol: String,
       k: Int = 8,
       iters: Int = 2,
-      quantize: Int = 6): DataFrame = {
-    val cents = kmeansCentroids(df, idCol, vecCol, k, iters, quantize)
+      quantize: Int = 6,
+      cacheKey: Option[String] = None): DataFrame = {
+    val cents = kmeansCentroids(df, idCol, vecCol, k, iters, quantize, cacheKey)
     // argmin = first index achieving the array min (exact double equality
     // on an element of the array itself, so it is safe)
     df.select(col(idCol).as("id"),

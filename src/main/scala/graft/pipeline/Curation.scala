@@ -289,9 +289,10 @@ object Curation {
       k: Int = 8,
       iters: Int = 2,
       perCluster: Int = 16,
-      salt: String = "diversity"): DataFrame = {
+      salt: String = "diversity",
+      cacheKey: Option[String] = None): DataFrame = {
     require(perCluster >= 1, s"perCluster must be >= 1, got $perCluster")
-    val assigned = Clustering.kmeans(df, idCol, vecCol, k, iters)
+    val assigned = Clustering.kmeans(df, idCol, vecCol, k, iters, cacheKey = cacheKey)
     val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("__n"))
     assigned.join(broadcast(sizes), "cluster")
       .withColumn("keep",

@@ -336,6 +336,19 @@ object Dedup {
     * any band collide. The shuffle key is the band hash (short), the
     * candidate verification (exact signature similarity) happens only
     * inside buckets. Output: (id_a, id_b, sig_sim).
+    *
+    * Hot-band cap: a band bucket occupied by more than `maxBandDf`
+    * documents is DROPPED from candidate generation (the winnowPairs
+    * df-cap applied to LSH buckets). The band self-join is quadratic in
+    * single-bucket occupancy — a web-corpus boilerplate cluster of 10⁵
+    * docs sharing one band would emit 10¹⁰ candidate rows before the
+    * DISTINCT — so the cap is what makes the operator safe at corpus
+    * scale. Semantics: pairs living ONLY in over-cap buckets are lost;
+    * run [[exactGroups]] (or [[dedupExact]]) first so true duplicate
+    * clusters — the one legitimate source of such buckets — are already
+    * collapsed, leaving the cap to discard only degenerate boilerplate
+    * collisions. Deterministic (drop, not sample), mirrored exactly in
+    * the SQL twin.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -344,7 +357,9 @@ object Dedup {
       n: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 4,
-      minSim: Double = 0.5): DataFrame = {
+      minSim: Double = 0.5,
+      maxBandDf: Long = 1000L): DataFrame = {
+    require(maxBandDf >= 2, s"maxBandDf must be >= 2 (a pair needs a bucket of 2), got $maxBandDf")
     val numHashes = bands * rowsPerBand
     val sig = minhashSignature(df, idCol, textCol, n, numHashes)
       .localCheckpoint() // both band-join sides read it; GC-reclaimed, no cache pin
@@ -357,11 +372,24 @@ object Dedup {
         b => md5(concat_ws(",",
           transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    // hot-band cap BEFORE the self-join, as a COUNT WINDOW over the
+    // bucket key (not an agg + join back): one shuffle on (band,
+    // band_hash), after which the data is already partitioned on the
+    // self-join key — the join below runs without new exchanges. The
+    // window holds a bucket's ROWS in one task (linear, bounded by the
+    // biggest bucket), never the quadratic pair set, which is exactly
+    // what the cap prevents from materializing.
+    import org.apache.spark.sql.expressions.Window
+    val wb = Window.partitionBy(col("band"), col("band_hash"))
+    val capped = banded
+      .withColumn("__bn", count(lit(1)).over(wb))
+      .filter(col("__bn") <= maxBandDf)
+      .drop("__bn")
     // the dup-pair explosion (docs sharing several bands) flows through
     // the DISTINCT — keep that shuffle narrow (two ids), then join the
     // signatures back from the checkpointed sig table for verification
-    val l = banded.select(col("id").as("id_a"), col("band"), col("band_hash"))
-    val r = banded.select(col("id").as("id_b"), col("band"), col("band_hash"))
+    val l = capped.select(col("id").as("id_a"), col("band"), col("band_hash"))
+    val r = capped.select(col("id").as("id_b"), col("band"), col("band_hash"))
     val cand = l.join(r, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     cand

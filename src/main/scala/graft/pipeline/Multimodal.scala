@@ -320,9 +320,17 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition codec setup would go here (once, not per row)
         rows.map { case (id, kind, payload) =>
-          val feat = decodeImage(payload).map(imageFeature)
-            .orElse(decodeAudio(payload).map(audioFeature))
-            .getOrElse(decodeStub(payload))
+          // dispatch on the kind column FIRST — an audio row must not pay
+          // an ImageIO magic-sniff before reaching its own decoder. The
+          // cross-decoder fallback stays (lying headers still decode):
+          // image and audio magics are disjoint, so trial ORDER only
+          // affects cost, never which decoder succeeds.
+          val feat = (kind match {
+            case "audio" => decodeAudio(payload).map(audioFeature)
+              .orElse(decodeImage(payload).map(imageFeature))
+            case _ => decodeImage(payload).map(imageFeature)
+              .orElse(decodeAudio(payload).map(audioFeature))
+          }).getOrElse(decodeStub(payload))
           val bytes = payload.length
           val mean = if (bytes == 0) 0.0 else payload.map(b => (b & 0xFF).toDouble).sum / bytes
           MediaFeatures(id, kind, bytes, mean, feat)

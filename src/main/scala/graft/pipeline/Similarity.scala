@@ -33,8 +33,19 @@ object Similarity {
 
   /** Exact top-k cosine neighbors of each query vector against the corpus.
     * The query side is expected to be small (it is broadcast); the corpus
-    * streams — cost O(|Q|·|corpus|·dim) but NO shuffle of the corpus, and
-    * the per-query top-k runs through a window on the (small) result.
+    * streams — cost O(|Q|·|corpus|·dim) with NO shuffle of the corpus.
+    *
+    * The per-query top-k is EXACT TWO-PHASE (the `capPerDomain` pattern):
+    * phase 1 ranks within (query_id, salt-bucket of vec_id) — `numSalts`
+    * deterministic hash buckets — and keeps each bucket's top k, so
+    * phase 2's per-query window sees at most k·numSalts rows REGARDLESS
+    * of corpus size. A single `Window.partitionBy(query_id)` here would
+    * shuffle every (corpus × query) row into one partition per query and
+    * sort the whole corpus in one task — the scale-killer shape this
+    * replaces. Exactness: a row in the query's true top-k is in its
+    * bucket's top-k (the bucket is a subset), so phase 1 drops no
+    * winner; both phases order by (cos_sim desc, vec_id), so the result
+    * is independent of `numSalts` (law-tested).
     * Output: (query_id, vec_id, cos_sim, rank).
     */
   def bruteForceTopK(
@@ -42,7 +53,9 @@ object Similarity {
       corpus: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      k: Int = 5): DataFrame = {
+      k: Int = 5,
+      numSalts: Int = 64): DataFrame = {
+    require(numSalts >= 1, s"numSalts must be >= 1, got $numSalts")
     // norms hoisted out of the pair join: one pass per vector, not per pair
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
@@ -51,9 +64,18 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
+      .select("query_id", "vec_id", "cos_sim")
+    val ord = Seq(col("cos_sim").desc, col("vec_id").asc)
+    val w1 = Window
+      .partitionBy(col("query_id"), pmod(xxhash64(col("vec_id")), lit(numSalts.toLong)))
+      .orderBy(ord: _*)
+    val survivors = scored
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+    val w2 = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+    survivors
+      .withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
@@ -162,9 +184,11 @@ object Similarity {
       k: Int = 5,
       nlist: Int = 8,
       nprobe: Int = 2,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2,
+      cacheKey: Option[String] = None): DataFrame = {
     import graft.pipeline.Clustering
-    val cents = Clustering.kmeansCentroids(corpus, idCol, vecCol, nlist, iters)
+    val cents = Clustering.kmeansCentroids(corpus, idCol, vecCol, nlist, iters,
+      cacheKey = cacheKey)
     def withDists(df: DataFrame, vec: String): DataFrame =
       df.withColumn("__v", transform(col(vec), x => x.cast("double")))
         .withColumn("__ds", Clustering.centroidDists(col("__v"), cents))
@@ -214,7 +238,8 @@ object Similarity {
       k: Int = 5,
       nlist: Int = 8,
       nprobe: Int = 2,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2,
+      cacheKey: Option[String] = None): DataFrame = {
     def asIntVec(df: DataFrame) = quantizeInt8(df, idCol, vecCol)
       .select(col("id").as(idCol),
         transform(col("qvec"), x => x.cast("double")).as(vecCol))
@@ -222,7 +247,8 @@ object Similarity {
     // assignment run several actions over it, and in production the int8
     // column is persisted storage, not a projection recomputed per pass
     ivfTopKTrained(asIntVec(queries), asIntVec(corpus).localCheckpoint(),
-      idCol, vecCol, k, nlist, nprobe, iters)
+      idCol, vecCol, k, nlist, nprobe, iters,
+      cacheKey = cacheKey.map(_ + ":int8"))
   }
 
   /** Multi-probe probe-bucket list for a query vector: the base sign-LSH
@@ -457,20 +483,66 @@ object Similarity {
     * driver sees only d²-sized statistics. [[embeddingCovarianceExpr]]
     * keeps the declarative twin this is law-tested bit-identical to.
     */
-  def embeddingCovariance(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def embeddingCovariance(
+      df: DataFrame, idCol: String, vecCol: String,
+      cacheKey: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import org.apache.spark.sql.{Row, types => T}
-    // one imperative pass per partition: quantize each component to
-    // integer micro-units (HALF_UP via BigDecimal.valueOf — the exact
-    // rounding Catalyst's round() performs, so this is bit-identical to
-    // [[embeddingCovarianceExpr]]), accumulate d first moments and
-    // d(d+1)/2 upper-triangle products in PRIMITIVE LONG arrays, and
-    // flush to BigInt accumulators BEFORE any overflow is possible (the
-    // per-row capacity bound max(m², m) is tracked against 4e18): exact
-    // at any row count, any partitioning, any value magnitude. The
-    // corpus never leaves the executors — each partition emits one
-    // (count, d, d² BigInt) partial, combined pairwise by exact integer
-    // addition (treeReduce, order-free).
+    // the reduced moment triple (n, Σx_i, Σx_i·x_j) is a fitted
+    // statistic — d²-sized, corpus-derived, deterministic — so it
+    // registers in the ModelCache when the caller names the input:
+    // covariance, whitening, and the PCA basis all read ONE pass
+    def moments(): Option[(Long, Array[BigInt], Array[BigInt])] = {
+      def fit() = covMoments(df, vecCol)
+      cacheKey match {
+        case Some(key) => ModelCache.getOrFit(s"covmoments:$key:$vecCol")(fit())
+        case None => fit()
+      }
+    }
+    val schema = T.StructType(Seq(
+      T.StructField("i", T.LongType, nullable = false),
+      T.StructField("j", T.LongType, nullable = false),
+      T.StructField("n", T.LongType, nullable = false),
+      T.StructField("cov", T.DoubleType, nullable = false)))
+    moments() match {
+      case None => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case Some((n, dims, pairs)) =>
+        val d = dims.length
+        // the same fixed chain of IEEE ops as the declarative form:
+        // ((sxy/1e12) − (sx/1e6)·(sy/1e6)/n) / n, with BigInt→double the
+        // identical correctly-rounded conversion decimal(38,0)→double does
+        val rows = for {
+          i <- 0 until d; j <- i until d
+        } yield {
+          val k = i * d - i * (i - 1) / 2 + (j - i) // upper-triangle row-major
+          val cov = (pairs(k).toDouble / 1e12
+            - (dims(i).toDouble / 1e6) * (dims(j).toDouble / 1e6) / n) / n
+          Row(i.toLong, j.toLong, n, cov)
+        }
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    }
+  }
+
+  /** The exact integer moment triple (n, per-dim sums, upper-triangle
+    * product sums) behind [[embeddingCovariance]] — one imperative pass
+    * per partition: quantize each component to
+    * integer micro-units (HALF_UP via BigDecimal.valueOf — the exact
+    * rounding Catalyst's round() performs, so this is bit-identical to
+    * [[embeddingCovarianceExpr]]), accumulate d first moments and
+    * d(d+1)/2 upper-triangle products in PRIMITIVE LONG arrays, and
+    * flush to BigInt accumulators BEFORE any overflow is possible (the
+    * per-row capacity bound max(m², m) is tracked against 4e18): exact
+    * at any row count and any partitioning, for component magnitudes up
+    * to |x| ≤ 2000 (beyond which a single micro-unit product q_i·q_j
+    * would itself overflow Long — the pass fails loudly there rather
+    * than silently wrapping). The
+    * corpus never leaves the executors — each partition emits one
+    * (count, d, d² BigInt) partial, combined pairwise by exact integer
+    * addition (treeReduce, order-free). None when the input has no
+    * non-null vectors.
+    */
+  private def covMoments(
+      df: DataFrame, vecCol: String): Option[(Long, Array[BigInt], Array[BigInt])] = {
     val partials = df
       .select(transform(col(vecCol), x => x.cast("double")).as("__v"))
       .rdd.mapPartitions { it =>
@@ -507,6 +579,15 @@ object Similarity {
             if (math.abs(q(i)) > m) m = math.abs(q(i))
             i += 1
           }
+          // |q| ≤ 2e9 keeps every single product q_i·q_j (≤ m² = 4e18)
+          // AND the rowBound bookkeeping itself inside Long — above it,
+          // m·m overflows SILENTLY and corrupts the very cap check that
+          // guards the accumulators, so fail loudly instead (|x| > 2000
+          // is far outside any embedding normalization; rescale first)
+          require(m <= 2000000000L,
+            s"embeddingCovariance: component magnitude ${m / 1e6} exceeds the " +
+              "2000.0 exact-arithmetic envelope (micro-unit products must fit " +
+              "in Long); rescale the embeddings before covariance")
           val rowBound = math.max(m * m, m)
           if (cap > 4000000000000000000L - rowBound) flush()
           cap += rowBound
@@ -525,14 +606,8 @@ object Similarity {
         if (d < 0) Iterator.empty
         else { flush(); Iterator.single((n, dimB, pairB)) }
       }
-    val schema = T.StructType(Seq(
-      T.StructField("i", T.LongType, nullable = false),
-      T.StructField("j", T.LongType, nullable = false),
-      T.StructField("n", T.LongType, nullable = false),
-      T.StructField("cov", T.DoubleType, nullable = false)))
-    if (partials.isEmpty()) return spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], schema)
-    val (n, dims, pairs) = partials.treeReduce({ case ((n1, d1, p1), (n2, d2, p2)) =>
+    if (partials.isEmpty()) None
+    else Some(partials.treeReduce({ case ((n1, d1, p1), (n2, d2, p2)) =>
       require(d1.length == d2.length,
         s"embeddingCovariance: ragged vector widths across partitions (${d1.length} vs ${d2.length})")
       var i = 0
@@ -540,20 +615,7 @@ object Similarity {
       i = 0
       while (i < p1.length) { p1(i) += p2(i); i += 1 }
       (n1 + n2, d1, p1)
-    }, depth = 2)
-    val d = dims.length
-    // the same fixed chain of IEEE ops as the declarative form:
-    // ((sxy/1e12) − (sx/1e6)·(sy/1e6)/n) / n, with BigInt→double the
-    // identical correctly-rounded conversion decimal(38,0)→double does
-    val rows = for {
-      i <- 0 until d; j <- i until d
-    } yield {
-      val k = i * d - i * (i - 1) / 2 + (j - i) // upper-triangle row-major
-      val cov = (pairs(k).toDouble / 1e12
-        - (dims(i).toDouble / 1e6) * (dims(j).toDouble / 1e6) / n) / n
-      Row(i.toLong, j.toLong, n, cov)
-    }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    }, depth = 2))
   }
 
   /** Declarative (pure-Catalyst) twin of [[embeddingCovariance]] — the

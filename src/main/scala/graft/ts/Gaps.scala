@@ -57,6 +57,13 @@ object Gaps {
     * (the head row inherits the previous island's id when the value
     * continues). Every window partitions by (keys, bucket) or runs over
     * the spine — a monster series parallelizes across buckets.
+    *
+    * ADAPTIVE ([[Adaptive.routeBySize]]): only keys with more than
+    * `adaptiveThreshold` rows pay the carry-spine machinery; light keys
+    * route through the plain [[constantIslands]] window (bit-identical
+    * by the boundary run-state law), so the split form costs ~the plain
+    * form when no series actually needs splitting. `adaptiveThreshold <=
+    * 0` forces every key through the bucket path (the law tests do).
     */
   def constantIslandsSplit(
       df: DataFrame,
@@ -64,7 +71,23 @@ object Gaps {
       tsCol: String = "ts",
       valueCol: String = "value",
       tieBreak: Seq[String] = Nil,
-      splitSeconds: Long = 30L * 86400L): DataFrame = {
+      splitSeconds: Long = 30L * 86400L,
+      adaptiveThreshold: Long = Adaptive.DefaultThreshold): DataFrame = {
+    val (light, heavy) = Adaptive.routeBySize(df, keys, adaptiveThreshold)
+    constantIslands(light, keys, tsCol, valueCol, tieBreak)
+      .unionByName(constantIslandsSplitAll(heavy, keys, tsCol, valueCol, tieBreak, splitSeconds))
+  }
+
+  /** The unconditional bucket-carry form behind [[constantIslandsSplit]]
+    * — every key pays the spine, regardless of size.
+    */
+  private def constantIslandsSplitAll(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      tieBreak: Seq[String],
+      splitSeconds: Long): DataFrame = {
     require(splitSeconds > 0, s"splitSeconds must be positive, got $splitSeconds")
     val bUs = splitSeconds * 1000000L
     val ord = (col(tsCol) +: tieBreak.map(col))

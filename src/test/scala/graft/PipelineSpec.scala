@@ -175,6 +175,30 @@ class DedupSpec extends SparkSpec {
     assert(exact.isDefined && exact.get.getDouble(2) === 1.0)
   }
 
+  test("minhash LSH hot-band cap bounds a boilerplate cluster's candidates") {
+    // 300 copies of one boilerplate doc (every band bucket holds all
+    // 300) + two genuine near-dups in their own cold buckets. Without a
+    // cap the boilerplate cluster alone yields ~45k candidate pairs —
+    // the quadratic bucket blow-up a web corpus hits at scale.
+    val boiler = (0L until 300L).map(i =>
+      (i, "identical boilerplate navigation header footer copyright terms and conditions apply"))
+    val near = Seq(
+      (2000L, "a genuinely unique article about distributed query planning in spark"),
+      (2001L, "a genuinely unique article about distributed query planners in spark"))
+    val df = (boiler ++ near).toDF("doc_id", "text")
+    // cap below the cluster size: the hot buckets drop, the cold pair stays
+    val capped = Dedup.minhashLshPairs(df, "doc_id", "text", n = 3, bands = 8,
+      rowsPerBand = 4, minSim = 0.5, maxBandDf = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((2000L, 2001L))) // no boilerplate pair survives
+    // cap at the cluster size: everything is back (the exactGroups
+    // prededup is what should absorb such clusters before LSH runs)
+    val uncapped = Dedup.minhashLshPairs(df, "doc_id", "text", n = 3, bands = 8,
+      rowsPerBand = 4, minSim = 0.5, maxBandDf = 300L)
+    assert(uncapped.filter(col("id_a") < 1000L && col("id_b") < 1000L).count() === 300L * 299L / 2)
+    assert(uncapped.filter(col("id_a") === 2000L && col("id_b") === 2001L).count() === 1L)
+  }
+
   test("simhash: identical text → distance 0; near-dup pairs surface") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig")).collect()
     assert(sigs(0).getLong(1) === sigs(1).getLong(1))

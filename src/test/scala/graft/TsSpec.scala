@@ -284,17 +284,30 @@ class GapsSpec extends SparkSpec {
       d.select("k", "run_start", "run_end", "value", "run_len")
         .orderBy("k", "run_start").collect().map(_.toSeq).toSeq
     val ref = canon(Gaps.constantIslands(df, Seq("k"), "ts", "value", Seq("event_id")))
+    // adaptiveThreshold = 0 forces EVERY key through the bucket-carry
+    // path — the machinery under test; the default threshold would route
+    // this 500-row fixture to the plain window and test nothing
     val split = canon(Gaps.constantIslandsSplit(df, Seq("k"), "ts", "value", Seq("event_id"),
-      splitSeconds = 86400L))
+      splitSeconds = 86400L, adaptiveThreshold = 0L))
     assert(split === ref)
     // degenerate: one bucket, and one-row-per-bucket (every run boundary
     // crosses a carry)
     val one = canon(Gaps.constantIslandsSplit(df, Seq("k"), "ts", "value", Seq("event_id"),
-      splitSeconds = 365L * 86400L))
+      splitSeconds = 365L * 86400L, adaptiveThreshold = 0L))
     assert(one === ref)
     val perRow = canon(Gaps.constantIslandsSplit(df, Seq("k"), "ts", "value", Seq("event_id"),
-      splitSeconds = 3600L))
+      splitSeconds = 3600L, adaptiveThreshold = 0L))
     assert(perRow === ref)
+    // adaptive MIXED routing: key "a" light (plain path), key "b" heavy
+    // (bucket path) under a threshold between their row counts — the
+    // union of the two equivalent plans must still be exactly ref
+    val extra = (0 until 300).map(i =>
+      ("b", t0.plusHours((500 + i).toLong), (500 + i).toLong, "tail"))
+    val df2 = df.unionByName(extra.toDF("k", "ts", "event_id", "value"))
+    val ref2 = canon(Gaps.constantIslands(df2, Seq("k"), "ts", "value", Seq("event_id")))
+    val mixed = canon(Gaps.constantIslandsSplit(df2, Seq("k"), "ts", "value", Seq("event_id"),
+      splitSeconds = 86400L, adaptiveThreshold = 600L))
+    assert(mixed === ref2)
   }
 
   test("holes with splitSeconds == holes (same holes through the split islands path)") {
