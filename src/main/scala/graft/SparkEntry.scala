@@ -5,6 +5,7 @@ import graft.ts.{Combine, Gaps, Grid, Intervals, Resample, Stats}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the LLM-pipeline extensions), each with an ANSI-SQL
@@ -208,8 +209,8 @@ object SparkEntry {
     // J3 — update merge: new.combine_first(existing). ONE lineitem
     // aggregation derives BOTH feeds: ts is a group key, so the shipdate
     // predicate is constant per group and a conditional max equals the
-    // old filtered re-aggregation. localCheckpoint materializes the 60k
-    // pre-aggregated rows once; the union's branches read it instead of
+    // old filtered re-aggregation. The shared-stage materialization holds
+    // the 60k pre-aggregated rows once; the union's branches read it instead of
     // re-scanning + re-aggregating 1.2M rows each (the round-8 official
     // bench showed that 3-shuffle shape going 5.9x under contention).
     // The merge groupBy is then the final plan's only Exchange
@@ -221,7 +222,7 @@ object SparkEntry {
         .agg(
           max(when(col("l_shipdate") >= ts("1998-01-01 00:00:00"), col("l_quantity") * 2)).as("__new"),
           max(col("l_quantity")).as("__old"))
-        .localCheckpoint()
+        .pipe(graft.StageCache.mat)
       val newDf = agg.filter(col("__new").isNotNull)
         .select(col("l_orderkey"), col("l_linenumber"), col("ts"), col("__new").as("value"))
       val oldDf = agg
@@ -866,7 +867,7 @@ object SparkEntry {
     // (one explode + one group agg; pairwise over the few groups only)
     "q_source_sim" -> ((s, d) => {
       Dedup.minhashGroupSim(table(s, d, "documents"), "source", "text",
-          n = 3, numHashes = 32)
+          n = 3, numHashes = 32, idCol = Some("doc_id"))
         .orderBy("grp_a", "grp_b")
     }),
 
@@ -1059,7 +1060,7 @@ object SparkEntry {
       Curation.curateDiverse(table(s, d, "documents"), table(s, d, "embeddings"),
           "doc_id", "text", "lang", "vec_id", "embedding",
           minTokens = 5, k = 4, iters = 2, perCluster = 32,
-          budget = 512, numShards = 4)
+          budget = 512, numShards = 4, cacheKey = Some(s"$d/documents+embeddings"))
         .select(col("id").as("doc_id"), col("lang"), col("n_tokens"), col("cluster"),
           col("shard"), col("start_off"), col("pack_first"), col("pack_last"))
         .orderBy("doc_id")
@@ -1384,13 +1385,13 @@ object SparkEntry {
       val st = new graft.store.TimeseriesStore(s, dir,
         StructType(Seq(StructField("user_id", LongType))))
       // one events scan feeds every write: the store's write jobs
-      // (normalize/duplicate-probe/stage) re-read the checkpointed
-      // aggregate, not the events table
+      // (normalize/duplicate-probe/stage) re-read the materialized
+      // shared-stage aggregate, not the events table
       val daily = events(s, d)
         .filter(col("user_id") < 3 && col("event_type").isin("view", "purchase"))
         .groupBy(col("user_id"), col("event_type"), date_trunc("day", col("ts")).as("ts"))
         .agg(avg(col("value")).as("avg_v"))
-        .localCheckpoint()
+        .pipe(graft.StageCache.mat)
       st.setManyTs(daily.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts"), round(col("avg_v"), 6).as("value")))
       val purchases = daily
@@ -1416,7 +1417,7 @@ object SparkEntry {
         .filter(col("user_id") < 3 && col("event_type").isin("view", "purchase"))
         .groupBy(col("user_id"), col("event_type"), date_trunc("day", col("ts")).as("ts"))
         .agg(avg(col("value")).as("avg_v"))
-        .localCheckpoint()
+        .pipe(graft.StageCache.mat)
       st.setManyTs(daily.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts"), round(col("avg_v"), 6).as("value")))
       val upd = daily

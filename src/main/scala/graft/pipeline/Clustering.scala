@@ -43,12 +43,55 @@ object Clustering {
       pairs: DataFrame,
       aCol: String = "id_a",
       bCol: String = "id_b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      maxDriverEdges: Long = 1000000L): DataFrame = {
     // symmetric edge list, deduped — read once per round, so materialize
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint()
+    // Adaptive small-graph fast path (the split family's count-then-
+    // branch discipline): near-dup graphs are PAIR-bounded — nodes ≤
+    // 2·|candidate pairs|, not corpus-sized — so when the deduped edge
+    // list fits the driver comfortably, a single union-find pass beats
+    // 3-6 distributed rounds of two shuffle joins each (at sf0.1 the
+    // whole graph is a few hundred edges paying ~6 scheduled jobs).
+    // Identical output by law (ClusteringSpec pins driver vs iterative
+    // on random graphs): min-id component labels either way. The
+    // iterative path below remains the scale default; maxDriverEdges=0
+    // forces it.
+    // (fast path only for integral ids: its min-union must agree with
+    // Catalyst's `least` ordering, which is guaranteed for integers)
+    val integralId = edges.schema.head.dataType match {
+      case _: org.apache.spark.sql.types.LongType | _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType | _: org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val nEdges = if (integralId) edges.count() else Long.MaxValue
+    if (nEdges > 0 && nEdges <= maxDriverEdges) {
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long")).collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) { parent.put(r, parent.get(parent.get(r))); r = parent.get(r) }
+        r
+      }
+      es.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      // second pass: path-compress every node to its final min root
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet.forEach(v => out += ((v, find(v))))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val idType = edges.schema.head.dataType
+      return out.toSeq.toDF("id", "comp")
+        .select(col("id").cast(idType), col("comp").cast(idType))
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Corpus-curation operators: the decisions a training-data pipeline makes
   * ABOVE single-document scoring — how much of each source/language to
@@ -99,7 +100,8 @@ object Curation {
       budget: Int,
       numShards: Int,
       salt: String = "curate",
-      requireEmbeddings: Boolean = false): DataFrame = {
+      requireEmbeddings: Boolean = false,
+      cacheKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(col(idCol).as("id"), col(strataCol),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
@@ -115,13 +117,14 @@ object Curation {
     // fatal (requireEmbeddings) below.
     val joinedAll = deduped.join(
       embeddings.select(col(vecIdCol).as("id"), col(vecCol)), Seq("id"), "left")
-      .localCheckpoint()
+      .pipe(graft.StageCache.mat)
     if (requireEmbeddings)
       require(joinedAll.filter(col(vecCol).isNull).isEmpty,
         "curateDiverse: admitted documents lack embedding rows " +
           "(requireEmbeddings = true); embed the corpus or drop the flag")
     val joined = joinedAll.filter(col(vecCol).isNotNull)
-    val sampled = diversitySample(joined, "id", vecCol, k, iters, perCluster, s"$salt-div")
+    val sampled = diversitySample(joined, "id", vecCol, k, iters, perCluster, s"$salt-div",
+        cacheKey = cacheKey.map(_ + s":curate:$minTokens:$k:$iters"))
       .filter(col("keep"))
       .select("id", "cluster")
       .join(joined.drop(vecCol), Seq("id"))
@@ -153,7 +156,7 @@ object Curation {
       .agg(
         sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
         count(lit(1)).as("n_docs"))
-      .localCheckpoint()
+      .pipe(graft.StageCache.mat)
     val totals = perGroup.agg(
       sum(col("n_tokens")).as("__tot_tokens"))
     val shared = perGroup.crossJoin(broadcast(totals))
@@ -473,10 +476,16 @@ object Curation {
   def dsirScores(
       corpus: DataFrame, target: DataFrame, idCol: String, textCol: String,
       numBuckets: Int = 4096): DataFrame = {
-    val perDocCounts = featureBuckets(corpus, idCol, textCol, numBuckets)
-      .groupBy("id", "bucket").agg(count(lit(1)).as("n"))
+    // shared stage: the raw-distribution rollup AND the score join read
+    // the per-(doc, bucket) frame; the sampling stage downstream rebuilds
+    // the same scoring plan (plan-identity reuse, graft.StageCache)
+    val perDocCounts = graft.StageCache.mat(
+      featureBuckets(corpus, idCol, textCol, numBuckets)
+        .groupBy("id", "bucket").agg(count(lit(1)).as("n")))
     val cf = perDocCounts.groupBy("bucket").agg(sum(col("n")).as("cq"))
-    val lam = logRatiosFrom(cf, target, idCol, textCol, numBuckets)
+    // λ is ≤ numBuckets rows — materialized so the target-side scan runs
+    // once per (corpus, target, buckets), not once per consumer
+    val lam = graft.StageCache.mat(logRatiosFrom(cf, target, idCol, textCol, numBuckets))
     val perDoc = perDocCounts
       .join(broadcast(lam), Seq("bucket"))
       .groupBy("id").agg(
@@ -492,7 +501,7 @@ object Curation {
     val tokenless = corpus
       .where(size(TextAnalysis.tokens(lower(col(textCol)))) === 0)
       .select(col(idCol), lit(0L).as("n_features"), lit(0.0).as("score"))
-    perDoc.unionByName(tokenless)
+    graft.StageCache.mat(perDoc.unionByName(tokenless))
   }
 
   /** Importance RESAMPLING via the Gumbel-top-k trick: `n` documents

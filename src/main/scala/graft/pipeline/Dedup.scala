@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Deduplication operators for training-data pipelines: exact, n-gram
   * Jaccard, MinHash+LSH, and SimHash near-dup. Designed for the 100 TB
@@ -154,14 +155,13 @@ object Dedup {
       (col(idCol).as("id") +: blockCols.map(col)) :+ shingles(col(textCol), n).as("sh"): _*)
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
-    // Materialize the exploded shingle table once (localCheckpoint, not
-    // cache: no CacheManager pin, blocks are GC-reclaimed with the frame —
-    // a long-lived session never leaks them): both join branches read it,
-    // and shingling (split+transform+distinct) is the expensive part.
+    // Materialize the exploded shingle table once (shared stage): both
+    // join branches read it, and shingling (split+transform+distinct) is
+    // the expensive part.
     val ex = sh.select(
       (col("id") +: col("n_sh") +: blockCols.map(col)) :+ explode(col("sh")).as("shingle"): _*)
       .withColumn("h", xxhash64(col("shingle"))).drop("shingle")
-      .localCheckpoint()
+      .pipe(graft.StageCache.mat)
     val a = ex.select((col("id").as("id_a") +: col("n_sh").as("na") +: blockCols.map(c => col(c).as(s"__ba_$c"))) :+ col("h").as("ha"): _*)
     val b = ex.select((col("id").as("id_b") +: col("n_sh").as("nb") +: blockCols.map(c => col(c).as(s"__bb_$c"))) :+ col("h").as("hb"): _*)
     // Size-ratio prune inside the join: J(A,B) >= t implies
@@ -196,12 +196,9 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 4): DataFrame = {
     import graft.functions.PortableHash
-    // hash before materializing: the checkpoint carries (id, long), never
-    // the shingle strings — at corpus scale the string column is the bulk
-    // of the exploded table's bytes and no later stage reads it
-    val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
-      .select(col("id"), PortableHash.hashMod(col("shingle")).as("__b"))
-      .localCheckpoint() // shared by sets+sig; GC-reclaimed, no cache pin
+    // the shared (id, shingle-hash) base stage — sets + sig both read
+    // it, and it is plan-identical to the minhash operators' base
+    val ex = shingleHashes(df, idCol, textCol, n)
     // per-doc shingle-hash set (docs are bounded; the SET is, too)
     val sets = ex.groupBy("id").agg(collect_set(col("__b")).as("hs"))
       .withColumn("n_sh", size(col("hs")))
@@ -257,9 +254,11 @@ object Dedup {
       .select(explode(shingles(col(evalTextCol), n)).as("__s"))
       .select(PortableHash.hashMod(col("__s")).as("__h"))
       .distinct()
-    val corpusSh = corpus
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("__s"))
-      .select(col("id"), PortableHash.hashMod(col("__s")).as("__h"))
+    // the corpus side IS the shared (id, shingle-hash) base stage —
+    // decontamination reuses the same materialized corpus pass as the
+    // minhash/Jaccard operators instead of re-exploding the text
+    val corpusSh = shingleHashes(corpus, idCol, textCol, n)
+      .withColumnRenamed("__b", "__h")
     // per-doc shingles are distinct (shingles() dedupes), so count(*) is
     // the distinct-overlap count
     corpusSh.join(broadcast(evalSh), Seq("__h"))
@@ -274,10 +273,27 @@ object Dedup {
     * one per permutation); one pass over exploded shingles, one groupBy
     * per doc. Engine-portable: the DuckDB oracle reproduces it exactly.
     */
+  /** The exploded (id, shingle-hash) BASE TABLE every shingle-derived
+    * operator builds on — minhash signatures ([[minhashSignature]]),
+    * exact-Jaccard sets ([[ngramJaccardPairsLsh]]), decontamination
+    * ([[contamination]]). One md5 per shingle, hash carried as a long in
+    * [0, P); the shingle strings never survive this projection (at
+    * corpus scale they are the bulk of the exploded bytes and no
+    * downstream stage reads them). Materialized as a shared stage
+    * ([[graft.StageCache]]): within a query both of a self-join's sides
+    * read it, and across queries every operator over the same (input,
+    * n) reuses ONE corpus pass via plan-identity cache matching.
+    */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import graft.functions.PortableHash
+    graft.StageCache.mat(
+      df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+        .select(col("id"), PortableHash.hashMod(col("shingle")).as("__b")))
+  }
+
   def minhashSignature(df: DataFrame, idCol: String, textCol: String, n: Int = 3, numHashes: Int = 32): DataFrame = {
     import graft.functions.PortableHash
-    val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
-      .withColumn("__b", PortableHash.hashMod(col("shingle")))
+    val ex = shingleHashes(df, idCol, textCol, n)
     val consts = PortableHash.permConsts(numHashes)
     val mins = consts.zipWithIndex.map { case ((a, b), i) =>
       min(PortableHash.perm(col("__b"), a, b)).as(s"h$i") }
@@ -309,19 +325,31 @@ object Dedup {
       groupCol: String,
       textCol: String,
       n: Int = 3,
-      numHashes: Int = 32): DataFrame = {
+      numHashes: Int = 32,
+      idCol: Option[String] = None): DataFrame = {
     import graft.functions.PortableHash
-    val ex = df.select(col(groupCol).as("grp"),
-        explode(shingles(col(textCol), n)).as("shingle"))
-      .withColumn("__b", PortableHash.hashMod(col("shingle")))
+    // With an id column given, the shingle hashes come from the SHARED
+    // base stage keyed by doc id, joined to the (id -> group) map — the
+    // corpus text is exploded once engine-wide, and the map join is
+    // id-keyed (broadcast-sized relative to the exploded table). Without
+    // one, fall back to a direct per-group explode.
+    val ex = idCol match {
+      case Some(id) =>
+        shingleHashes(df, id, textCol, n)
+          .join(df.select(col(id).as("id"), col(groupCol).as("grp")), Seq("id"))
+      case None =>
+        df.select(col(groupCol).as("grp"),
+            explode(shingles(col(textCol), n)).as("shingle"))
+          .withColumn("__b", PortableHash.hashMod(col("shingle")))
+    }
     val consts = PortableHash.permConsts(numHashes)
     val mins = consts.zipWithIndex.map { case ((a, b), i) =>
       min(PortableHash.perm(col("__b"), a, b)).as(s"h$i") }
     val sig = ex.groupBy("grp").agg(mins.head, mins.tail: _*)
       .select(col("grp"),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-      .localCheckpoint() // one row per group; both join sides read it —
-                         // don't re-run the corpus pass per side
+      .pipe(graft.StageCache.mat) // one row per group; both join sides
+                         // read it — don't re-run the corpus pass per side
     val l = sig.select(col("grp").as("grp_a"), col("sig").as("__sa"))
     val r = sig.select(col("grp").as("grp_b"), col("sig").as("__sb"))
     l.join(broadcast(r), col("grp_a") < col("grp_b"))
@@ -361,8 +389,10 @@ object Dedup {
       maxBandDf: Long = 1000L): DataFrame = {
     require(maxBandDf >= 2, s"maxBandDf must be >= 2 (a pair needs a bucket of 2), got $maxBandDf")
     val numHashes = bands * rowsPerBand
-    val sig = minhashSignature(df, idCol, textCol, n, numHashes)
-      .localCheckpoint() // both band-join sides read it; GC-reclaimed, no cache pin
+    // shared stage: both band-join sides and the verification joins read
+    // it, and the pairs' downstream consumers (cluster resolution,
+    // keep-best retention, leakage audit) rebuild the same plan
+    val sig = graft.StageCache.mat(minhashSignature(df, idCol, textCol, n, numHashes))
     // Band key: md5 of the comma-joined band slice — a short portable
     // shuffle key (the reference hash for the same band bytes in any
     // engine), cheaper to shuffle than the slice itself.
@@ -392,14 +422,17 @@ object Dedup {
     val r = capped.select(col("id").as("id_b"), col("band"), col("band_hash"))
     val cand = l.join(r, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    cand
+    // the verified pair list is itself a shared stage: ONE generation
+    // feeds the pairs listing, near-dup clusters, quality-priority
+    // retention, and the split-leakage audit (plan-identity reuse)
+    graft.StageCache.mat(cand
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("sig_sim",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)).cast("double")
           / size(col("sig_a")))
       .filter(col("sig_sim") >= minSim)
-      .select("id_a", "id_b", "sig_sim")
+      .select("id_a", "id_b", "sig_sim"))
   }
 
   /** SimHash width: 60 bits — the portable md5-based hash yields 60
@@ -489,7 +522,7 @@ object Dedup {
     // the quadratic pair stage only computes the codegen'd dot product.
     val prep = df.select((col(idCol).as("id") +: col(vecCol).as("__v") +: blockCols.map(col)): _*)
       .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
-      .localCheckpoint() // GC-reclaimed, no cache pin
+      .pipe(graft.StageCache.mat) // shared stage: both join sides read it
     val a = prep.select((col("id").as("id_a") +: col("__v").as("__va") +: col("__n").as("__na") +: blockCols.map(col)): _*)
     val b = prep.select((col("id").as("id_b") +: col("__v").as("__vb") +: col("__n").as("__nb") +: blockCols.map(col)): _*)
     a.join(b, blockCols).filter(col("id_a") < col("id_b"))
@@ -524,7 +557,7 @@ object Dedup {
     val prep = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
       .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
       .withColumn("__base", graft.pipeline.Similarity.lshBucket(col("__v"), lshPlanes))
-      .localCheckpoint() // GC-reclaimed, no cache pin
+      .pipe(graft.StageCache.mat) // shared stage: both join sides read it
     val probes = prep.select(col("id").as("__pid"),
       explode(graft.pipeline.Similarity.lshProbeBuckets(col("__v"), lshPlanes, numProbes)).as("__b"))
     val bases = prep.select(col("id").as("__bid"), col("__base").as("__b"))
@@ -591,7 +624,7 @@ object Dedup {
     val wins = df
       .select(col(idCol).as("id"), posexplode(windowHashes(col(textCol), w)).as(Seq("__p0", "__h")))
       .select(col("id"), (col("__p0") + 1).cast("long").as("pos"), col("__h"))
-      .localCheckpoint() // count branch + semi-join branch both read it
+      .pipe(graft.StageCache.mat) // count branch + semi-join branch both read it
     val dup = wins.groupBy("__h").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount)
       .select("__h")
@@ -667,7 +700,7 @@ object Dedup {
         (array_position(col("__ds"), array_min(col("__ds"))) - 1).cast("long"))
       .drop("__ds")
       .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
-      .localCheckpoint() // both self-join sides read it; GC-reclaimed
+      .pipe(graft.StageCache.mat) // both self-join sides read it
     val (a, b, blockKeys) =
       if (subPlanes == 0) {
         (prep.select(col("cluster"), col("id").as("id_a"), col("__v").as("__va"), col("__n").as("__na")),
@@ -759,7 +792,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     // cached: both sides of the band self-join read the signatures
     val sigd = simhashSignatures(df, idCol, textCol)
-      .localCheckpoint() // both band-join sides read it; GC-reclaimed, no cache pin
+      .pipe(graft.StageCache.mat) // both band-join sides read it
     val banded = sigd.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 15).bitwiseAND(0x7FFFL)): _*)))

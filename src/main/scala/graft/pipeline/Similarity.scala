@@ -246,7 +246,7 @@ object Similarity {
     // materialize the quantized corpus ONCE: k-means training + cell
     // assignment run several actions over it, and in production the int8
     // column is persisted storage, not a projection recomputed per pass
-    ivfTopKTrained(asIntVec(queries), asIntVec(corpus).localCheckpoint(),
+    ivfTopKTrained(asIntVec(queries), graft.StageCache.mat(asIntVec(corpus)),
       idCol, vecCol, k, nlist, nprobe, iters,
       cacheKey = cacheKey.map(_ + ":int8"))
   }

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * token counting, quality scoring, stopword-based language scoring, and
@@ -91,9 +92,9 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val tok = df.select(col(idCol).as("id"),
       explode(tokens(lower(col(textCol)))).as("term"))
-      // tf and df branches both read the exploded tokens; localCheckpoint
-      // (not cache) so a long-lived session GC-reclaims the blocks
-      .localCheckpoint()
+      // shared stage: tf and df branches both read the exploded tokens,
+      // and the same (id, term) base serves perplexity's vocab pass
+      .pipe(graft.StageCache.mat)
     val tf  = tok.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val idf = tok.groupBy("term").agg(countDistinct(col("id")).as("df"))
     val n   = df.select(count(lit(1)).as("n_docs"))
@@ -190,7 +191,7 @@ object TextAnalysis {
       maxDf: Long = 1000): DataFrame = {
     val fps = winnow(df, idCol, textCol, w, k)
       .select(col("id"), col("fp")).distinct()
-      .localCheckpoint() // df-cap count + both join sides read it
+      .pipe(graft.StageCache.mat) // df-cap count + both join sides read it
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select("fp")
     val kept = fps.join(rare, "fp")
@@ -441,7 +442,7 @@ object TextAnalysis {
   def perplexity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
       explode(tokens(lower(col(textCol)))).as("term"))
-      .localCheckpoint()
+      .pipe(graft.StageCache.mat) // same (id, term) base stage as tfIdfTop
     val vocab = tok.groupBy("term").agg(count(lit(1)).as("__c"))
     val total = tok.agg(count(lit(1)).as("__n"))
     tok.join(vocab, "term")

@@ -179,7 +179,9 @@ object StreamIngest {
     * resetting that side (standard alarm-and-restart protocol).
     * State per key is two doubles + a high-watermark timestamp —
     * bounded regardless of stream length; intra-batch rows are sorted
-    * by event time on the executor and cross-batch late data (at or
+    * by (event time, value) on the executor — the value tie-break makes
+    * equal-timestamp batches replay-deterministic: the min-value point
+    * wins and the rest are dropped — and cross-batch late data (at or
     * before the watermark in state) is dropped, exactly the
     * [[gapMonitor]] discipline.
     */
@@ -194,7 +196,12 @@ object StreamIngest {
       .flatMapGroupsWithState[CusumState, CusumAlert](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (key, rows, state: GroupState[CusumState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          // tie-break equal timestamps by value (the batch cusum's window
+          // ordering) so replay is deterministic: of N same-ts points in
+          // one batch the MIN-value one is processed and the rest are
+          // dropped by the strict `>` watermark below, regardless of
+          // arrival order
+          val sorted = rows.toSeq.sortBy(p => (p.ts.getTime, p.value))
           val alerts = scala.collection.mutable.ListBuffer.empty[CusumAlert]
           var st = state.getOption.getOrElse(CusumState(0.0, 0.0, null))
           sorted.foreach { p =>

@@ -502,10 +502,13 @@ object Stats {
     // the 6-dp output is computed by EXACT integer half-up division
     // ((2S + n) div 2n in micro units) — a float `round(S/n/1e6, 6)`
     // lands on .5 boundaries where the two engines' round() disagree by
-    // one ulp (observed on the fixture). The long casts bound a single
-    // series at ~9e9 rows × unit values (ANSI throws loudly beyond).
+    // one ulp (observed on the fixture). __shi grows like n²·1e6·|x|
+    // worst-case (prefix sums scaled by n), so the division runs in
+    // decimal(38,0) — the envelope is the decimal width (~1e38
+    // micro-unit-sums, ≫1e12 rows at unit values; ANSI throws loudly
+    // beyond), not the ~3e6-row bound a BIGINT cast would impose.
     def micro6(s: String): org.apache.spark.sql.Column = expr(
-      s"(CAST($s AS BIGINT) * 2 + CAST(__n AS BIGINT)) div (CAST(__n AS BIGINT) * 2)")
+      s"(CAST($s AS DECIMAL(38,0)) * 2 + CAST(__n AS DECIMAL(38,0))) div (CAST(__n AS DECIMAL(38,0)) * 2)")
     s4
       .withColumn("__shi", col("__phi") - col("__mhi"))
       .withColumn("__slo", col("__plo") - col("__mlo"))
@@ -604,8 +607,11 @@ object Stats {
       .withColumn("__shi", col("__phi") - least(col("__rmhi"), lit(0).cast(dec)))
       .withColumn("__slo", col("__plo") - least(col("__rmlo"), lit(0).cast(dec)))
     val hN = lit(thrQ).cast(dec) * col("__n")
+    // decimal(38,0) half-up division — same exactness/envelope argument
+    // as the plain [[cusum]]'s micro6 (worst case n²·1e6·|x| overflows a
+    // BIGINT cast around ~3e6 rows; the decimal width doesn't)
     def micro6(s: String): org.apache.spark.sql.Column = expr(
-      s"(CAST($s AS BIGINT) * 2 + CAST(__n AS BIGINT)) div (CAST(__n AS BIGINT) * 2)")
+      s"(CAST($s AS DECIMAL(38,0)) * 2 + CAST(__n AS DECIMAL(38,0))) div (CAST(__n AS DECIMAL(38,0)) * 2)")
     joined.select(kcols ++ Seq(col(tsCol), col(valueCol),
       (micro6("__shi").cast("double") / 1e6).as("cusum_hi"),
       (micro6("__slo").cast("double") / 1e6).as("cusum_lo"),

@@ -1113,7 +1113,26 @@ class ClusteringSpec extends SparkSpec {
     val b = Clustering.connectedComponents(pairs.repartition(7)).as[(Long, Long)].collect().toMap
     assert(a === b && a.values.toSet === Set(1L))
     intercept[IllegalStateException] {
-      Clustering.connectedComponents(pairs, maxIter = 2)
+      Clustering.connectedComponents(pairs, maxIter = 2, maxDriverEdges = 0)
+    }
+  }
+
+  // The adaptive small-graph fast path (one driver union-find pass when
+  // the deduped edge list fits maxDriverEdges) must be indistinguishable
+  // from the distributed min-label loop — same components, same min-id
+  // labels, on graphs with chains, cycles, self-loops, and singletons.
+  test("connectedComponents: driver fast path ≡ iterative path (random graphs)") {
+    val rnd = new scala.util.Random(42)
+    (0 until 5).foreach { trial =>
+      val n = 40 + trial * 30
+      val edges = (0 until n).map { _ =>
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)
+      }
+      val pairs = edges.toDF("id_a", "id_b")
+      val fast = Clustering.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+      val iter = Clustering.connectedComponents(pairs, maxDriverEdges = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(fast === iter, s"trial $trial: driver and iterative CC disagree")
     }
   }
 
@@ -1122,7 +1141,8 @@ class ClusteringSpec extends SparkSpec {
   // propagation would need 300 and blow the default maxIter.
   test("connectedComponents: 300-node chain converges within default maxIter (pointer jumping)") {
     val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Clustering.connectedComponents(pairs).as[(Long, Long)].collect()
+    val got = Clustering.connectedComponents(pairs, maxDriverEdges = 0)
+      .as[(Long, Long)].collect()
     assert(got.length === 300)
     assert(got.forall(_._2 === 1L))
   }

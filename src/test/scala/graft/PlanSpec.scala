@@ -196,15 +196,41 @@ class PlanSpec extends SparkSpec {
 
   // The round-8 official bench showed the old 3-shuffle shape (two full
   // lineitem re-aggregations + merge) going 5.9x under memory contention;
-  // the slimmed query pre-aggregates once (checkpointed) and the merge
-  // groupBy must remain the final plan's ONLY Exchange.
-  test("q_update_merge plan: single Exchange over the checkpointed pre-aggregation") {
+  // the slimmed query pre-aggregates once (a materialized shared stage)
+  // and the merge groupBy must remain the final plan's ONLY Exchange.
+  // The stage's OWN pre-aggregation Exchange is visible inside its
+  // InMemoryRelation subtree (unlike the opaque localCheckpoint the pin
+  // originally ran against) — it executes once at stage materialization,
+  // not per consumer, so the pin counts exchanges OUTSIDE the cached
+  // subtree only.
+  test("q_update_merge plan: single Exchange over the materialized pre-aggregation") {
+    // traverse the physical plan PROGRAMMATICALLY: the formatted explain
+    // prints the cached stage's internal plan (with its one-time
+    // pre-aggregation Exchange) inside the InMemoryRelation subtree, but
+    // that exchange runs once at stage materialization, not per
+    // consumer. In the SparkPlan tree the cached plan hangs off the
+    // scan's relation field, NOT as a child — so a plain collect counts
+    // exactly the per-execution exchanges.
     val p = plan("q_update_merge")
-    // count node-detail headers ("(8) Exchange"), not raw substrings —
-    // the formatted explain prints each node once in the tree and once
-    // in the detail section
-    val exchanges = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).size
-    assert(exchanges == 1, s"expected exactly 1 Exchange, got $exchanges\n" + p.take(800))
+    // indentation-aware walk of the formatted tree: any line indented
+    // DEEPER than an InMemoryRelation header is that cached stage's
+    // internal plan — excluded from the per-execution Exchange count
+    val tree = p.linesIterator.takeWhile(l => !l.startsWith("(")).toSeq
+    def indent(l: String): Int = {
+      val i = l.indexOf("+-"); val j = l.indexOf(":-")
+      if (i < 0) j else if (j < 0) i else math.min(i, j)
+    }
+    var imr = -1
+    var exchanges = 0
+    tree.filter(l => indent(l) >= 0 || l.trim.nonEmpty).foreach { l =>
+      val ind = indent(l)
+      if (imr >= 0 && ind >= 0 && ind <= imr) imr = -1
+      if (imr < 0 && ind >= 0) {
+        if (l.contains("InMemoryRelation")) imr = ind
+        else if ("\\bExchange\\b".r.findFirstIn(l).nonEmpty) exchanges += 1
+      }
+    }
+    assert(exchanges == 1, s"expected exactly 1 Exchange outside the cached stage, got $exchanges\n" + p.take(1200))
     assert("\\bWindow\\b".r.findFirstIn(p).isEmpty)
   }
 
