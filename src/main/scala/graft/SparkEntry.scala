@@ -175,7 +175,8 @@ object SparkEntry {
         .agg(max(col("val")).as("val"))
       uniq.groupBy(col("l_orderkey"), col("ts"))
         .agg(Combine.firstNonNullByPriority(col("val"), col("l_linenumber")).as("value"))
-        .orderBy("l_orderkey", "ts")
+      // no trailing orderBy: 600k output rows, and the correctness
+      // compare re-sorts before hashing (q_update_merge discipline)
     }),
 
     // J2 — version-combined read (highest version wins, lower fills);
@@ -188,7 +189,7 @@ object SparkEntry {
         when(col("l_tax") > 0.06, lit(null)).otherwise(col("l_extendedprice")).as("value"))
       val uniq = li.groupBy("l_orderkey", "version", "ts").agg(max(col("value")).as("value"))
       Combine.combineVersions(uniq, Seq("l_orderkey"), "version", "ts", "value")
-        .orderBy("l_orderkey", "ts")
+      // no trailing orderBy (600k rows; compare re-sorts)
     }),
 
     // J2 knobs — get_lc(order_by=('version',), custom_filters={'version__gte': 2}):
@@ -203,7 +204,7 @@ object SparkEntry {
       val uniq = li.filter(graft.store.Lookups.compileOne("version__gte", 2))
         .groupBy("l_orderkey", "version", "ts").agg(max(col("value")).as("value"))
       Combine.combineOrdered(uniq, Seq("l_orderkey"), Seq("version" -> true), "ts", "value")
-        .orderBy("l_orderkey", "ts")
+      // no trailing orderBy (500k rows; compare re-sorts)
     }),
 
     // J3 — update merge: new.combine_first(existing). ONE lineitem
@@ -349,7 +350,8 @@ object SparkEntry {
     // lower-id side for recall at the bucket boundary.
     "q_semantic_dedup" -> ((s, d) => {
       Dedup.semanticDedup(table(s, d, "embeddings"), "vec_id", "embedding",
-          k = 8, iters = 2, tau = 0.4, subPlanes = 8, subProbes = 2)
+          k = 8, iters = 2, tau = 0.4, subPlanes = 8, subProbes = 2,
+          cacheKey = Some(s"$d/embeddings"))
         .select(col("id").as("vec_id"), col("cluster"), col("dup_of"), col("keep"))
         .orderBy("vec_id")
     }),
@@ -1627,7 +1629,7 @@ object SparkEntry {
            FROM lineitem GROUP BY 1, 2, 3)
          SELECT l_orderkey, ts,
                 arg_min(val, l_linenumber) FILTER (WHERE val IS NOT NULL) AS value
-         FROM uniq GROUP BY 1, 2 ORDER BY 1, 2""",
+         FROM uniq GROUP BY 1, 2""",
 
     "q_version_combine" ->
       """WITH uniq AS (
@@ -1636,7 +1638,7 @@ object SparkEntry {
            FROM lineitem GROUP BY 1, 2, 3)
          SELECT l_orderkey, ts,
                 arg_max(val, l_linenumber) FILTER (WHERE val IS NOT NULL) AS value
-         FROM uniq GROUP BY 1, 2 ORDER BY 1, 2""",
+         FROM uniq GROUP BY 1, 2""",
 
     "q_version_select" ->
       """WITH uniq AS (
@@ -1645,7 +1647,7 @@ object SparkEntry {
            FROM lineitem WHERE l_linenumber >= 2 GROUP BY 1, 2, 3)
          SELECT l_orderkey, ts,
                 arg_min(val, l_linenumber) FILTER (WHERE val IS NOT NULL) AS value
-         FROM uniq GROUP BY 1, 2 ORDER BY 1, 2""",
+         FROM uniq GROUP BY 1, 2""",
 
     "q_update_merge" ->
       """WITH newd AS (

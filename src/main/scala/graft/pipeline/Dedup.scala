@@ -686,13 +686,15 @@ object Dedup {
       iters: Int = 2,
       tau: Double = 0.9,
       subPlanes: Int = 0,
-      subProbes: Int = 2): DataFrame = {
+      subProbes: Int = 2,
+      cacheKey: Option[String] = None): DataFrame = {
     import graft.pipeline.Similarity.dot
     require(subPlanes >= 0, s"subPlanes must be >= 0; got $subPlanes")
     // centroid assignment inline with the vector projection — the same
     // literal-distance pattern as kmeans's own final assignment, so the
     // embedding column is never shuffled through an id-join
-    val cents = graft.pipeline.Clustering.kmeansCentroids(df, idCol, vecCol, k, iters)
+    val cents = graft.pipeline.Clustering.kmeansCentroids(df, idCol, vecCol, k, iters,
+      cacheKey = cacheKey)
     val prep = df.select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("__v"))
       .withColumn("__ds", graft.pipeline.Clustering.centroidDists(col("__v"), cents))

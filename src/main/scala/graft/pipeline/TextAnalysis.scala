@@ -95,8 +95,12 @@ object TextAnalysis {
       // shared stage: tf and df branches both read the exploded tokens,
       // and the same (id, term) base serves perplexity's vocab pass
       .pipe(graft.StageCache.mat)
-    val tf  = tok.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val idf = tok.groupBy("term").agg(countDistinct(col("id")).as("df"))
+    // tf first, then df AS A ROLLUP OF tf: the (id, term) aggregate has
+    // one row per document-term pair, so its per-term row count IS the
+    // document frequency — no second pass over the exploded tokens and
+    // no count-distinct expand
+    val tf  = graft.StageCache.mat(tok.groupBy("id", "term").agg(count(lit(1)).as("tf")))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n   = df.select(count(lit(1)).as("n_docs"))
     val s = tf.join(idf, "term").crossJoin(broadcast(n))
       .withColumn("tfidf", col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
@@ -165,10 +169,13 @@ object TextAnalysis {
       .withColumn("__n", count(lit(1)).over(ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("__wmin", min(col("__key")).over(ord.rowsBetween(0, k - 1)))
       .filter(col("pos") <= greatest(lit(1L), col("__n") - (k - 1)))
-    sel.select(col("id"),
+    graft.StageCache.mat(sel.select(col("id"),
         (col("__wmin") % (1L << PosBits)).as("pos"),
         expr(s"__wmin div ${1L << PosBits}").as("fp"))
-      .distinct()
+      .distinct())
+    // shared stage: the fingerprint table feeds the listing query and
+    // the pair generator's df-cap/join stages (one winnow pass, many
+    // consumers)
   }
 
   /** Near-dup candidate pairs from winnowed fingerprints: documents

@@ -135,18 +135,27 @@ class TimeseriesStore(
     // null/NaN (setTs parity: requireAllKeys runs before the series
     // filter)
     val nullKeyed = keys.map(col(_).isNull).reduce(_ || _)
-    require(many.filter(nullKeyed).isEmpty, "null key values are not allowed")
+    // the null-key count rides the materialization job as an observation
+    // (the connectedComponents trick) instead of its own full pass over
+    // the raw batch — checked BEFORE anything is written, and it still
+    // sees the raw rows (the observe node sits ahead of the value
+    // filter, so a null-keyed row with a null/NaN value still refuses
+    // the batch — setTs parity)
+    val nullKeyObs = org.apache.spark.sql.Observation()
     // key columns coerced to the store schema (setTs parity, which casts
     // via lit(attrs(k)).cast): a batch whose key dtypes differ (e.g. a
     // LongType column for an IntegerType key) would otherwise stage
     // parquet with mismatched physical types and die mid-write on the
     // schema'd read-back with an obscure parquet error
     val s = many
+      .observe(nullKeyObs, sum(when(nullKeyed, 1L).otherwise(0L)).as("nk"))
       .select((keys.map(k => col(k).cast(keySchema(k).dataType).as(k)) :+
         col("ts").cast(TimestampNTZType).as("ts") :+
         col("value").cast(DoubleType).as("value")): _*)
       .filter(col("value").isNotNull && !isnan(col("value")) && col("ts").isNotNull)
       .localCheckpoint()
+    require(Option(nullKeyObs.get("nk")).forall(_.asInstanceOf[Long] == 0L),
+      "null key values are not allowed")
     val dup = s.select(keys.map(col): _*).distinct()
       .join(load().select(keys.map(col): _*).distinct(), keys, "left_semi")
     if (!dup.isEmpty)

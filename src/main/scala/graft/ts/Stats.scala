@@ -543,7 +543,18 @@ object Stats {
       threshold: Double,
       tsCol: String = "ts",
       valueCol: String = "value",
-      splitSeconds: Long = 30L * 86400L): DataFrame = {
+      splitSeconds: Long = 30L * 86400L,
+      adaptiveThreshold: Long = Adaptive.DefaultThreshold): DataFrame = {
+    // ADAPTIVE (the constantIslandsSplit discipline): light keys take
+    // the plain cumulative window, only heavy keys pay the bucket-carry
+    // spine — bit-identical either way (the split law), so routing only
+    // moves keys between equivalent plans. adaptiveThreshold <= 0
+    // forces every key through the bucket path (the law tests do).
+    val (light, heavy) = Adaptive.routeBySize(df, keys, adaptiveThreshold)
+    if (adaptiveThreshold > 0L)
+      return cusum(light, keys, slack, threshold, tsCol, valueCol)
+        .unionByName(cusumSplit(heavy, keys, slack, threshold, tsCol, valueCol,
+          splitSeconds, adaptiveThreshold = 0L))
     require(slack >= 0 && threshold > 0,
       s"need slack >= 0 and threshold > 0, got $slack, $threshold")
     require(splitSeconds > 0, s"splitSeconds must be positive, got $splitSeconds")
@@ -669,7 +680,14 @@ object Stats {
       orderCol: String,
       tsCol: String = "ts",
       valueCol: String = "value",
-      splitSeconds: Long = 30L * 86400L): DataFrame = {
+      splitSeconds: Long = 30L * 86400L,
+      adaptiveThreshold: Long = Adaptive.DefaultThreshold): DataFrame = {
+    // ADAPTIVE: same count-then-branch routing as cusumSplit above
+    val (light, heavy) = Adaptive.routeBySize(df, keys, adaptiveThreshold)
+    if (adaptiveThreshold > 0L)
+      return counterDelta(light, keys, orderCol, tsCol, valueCol)
+        .unionByName(counterDeltaSplit(heavy, keys, orderCol, tsCol, valueCol,
+          splitSeconds, adaptiveThreshold = 0L))
     require(splitSeconds > 0, s"splitSeconds must be positive, got $splitSeconds")
     import org.apache.spark.sql.expressions.Window
     val kcols = keys.map(col)

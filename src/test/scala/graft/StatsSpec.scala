@@ -365,12 +365,15 @@ class StatsSpec extends SparkSpec {
     // hour-level buckets: many buckets per series, several one-row
     for (secs <- Seq(3600L, 7200L, 86400L)) {
       val split = dump(Stats.cusumSplit(df, Seq("key"), slack = 3, threshold = 15,
-        splitSeconds = secs))
+        splitSeconds = secs, adaptiveThreshold = 0L))
       assert(split === whole, s"splitSeconds=$secs diverged")
     }
     // degenerate: every row its own bucket
     assert(dump(Stats.cusumSplit(df, Seq("key"), slack = 3, threshold = 15,
-      splitSeconds = 60L)) === whole)
+      splitSeconds = 60L, adaptiveThreshold = 0L)) === whole)
+    // adaptive default: small keys route through the plain window —
+    // still identical output (the routing law)
+    assert(dump(Stats.cusumSplit(df, Seq("key"), slack = 3, threshold = 15)) === whole)
   }
 
   test("counterDelta: plain deltas, reset uses the reading, first row null-delta") {
@@ -400,8 +403,10 @@ class StatsSpec extends SparkSpec {
     val whole = dump(Stats.counterDelta(df, Seq("key"), orderCol = "event_id"))
     for (secs <- Seq(3600L, 86400L, 600L)) { // incl. one-row buckets at 600s
       assert(dump(Stats.counterDeltaSplit(df, Seq("key"), orderCol = "event_id",
-        splitSeconds = secs)) === whole, s"splitSeconds=$secs diverged")
+        splitSeconds = secs, adaptiveThreshold = 0L)) === whole, s"splitSeconds=$secs diverged")
     }
+    // adaptive default routes these small keys through the plain form
+    assert(dump(Stats.counterDeltaSplit(df, Seq("key"), orderCol = "event_id")) === whole)
   }
 
   test("ohlc: per-period first/high/low/close; duplicate-ts ties break by value; nulls dropped") {
