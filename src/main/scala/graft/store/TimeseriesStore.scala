@@ -95,8 +95,9 @@ class TimeseriesStore(
 
   private def setTsNonEmpty(
       attrs: Map[String, Any], s: DataFrame, update: Boolean, replace: Boolean): Boolean = {
+    val existed = exists(attrs)
     val content =
-      if (!exists(attrs)) s
+      if (!existed) s
       else if (update) {
         val existing = load().filter(attrFilter(attrs)).select(col("ts"), col("value"))
         // single-key combine: both frames are one series, keyed by a
@@ -110,7 +111,8 @@ class TimeseriesStore(
     val withKeys = keys.foldLeft(content)((d, k) =>
       d.withColumn(k, lit(attrs(k)).cast(keySchema(k).dataType)))
       .select(schema.fieldNames.map(col): _*)
-    overwriteSeriesPartition(withKeys)
+    // only the update merge reads existing store files into `content`
+    overwriteSeriesPartition(withKeys, readsStore = update && existed)
     true
   }
 
@@ -162,7 +164,8 @@ class TimeseriesStore(
       throw new IllegalStateException(
         "set_many_ts: some series already exist (IntegrityError parity)")
     if (!s.isEmpty)
-      overwriteSeriesPartition(s.select(schema.fieldNames.map(col): _*))
+      overwriteSeriesPartition(s.select(schema.fieldNames.map(col): _*),
+        readsStore = false) // insert-only: the batch is caller data
   }
 
   /** Read series matching (possibly partial) `filters`, Django
@@ -222,13 +225,31 @@ class TimeseriesStore(
     * as ChunkStore.overwritePartitions: Spark refuses to overwrite a
     * path it is reading, so bounce through a sibling staging dir.
     */
-  private def overwriteSeriesPartition(content: DataFrame): Unit = {
+  /** Land `content` into the store's per-series partitions (dynamic
+    * overwrite: only the partitions present in `content` are touched).
+    *
+    * `readsStore = true` (the combine-on-write update path) routes
+    * through an on-disk staging copy first: the content plan READS the
+    * very files the overwrite replaces, and the staging hop is the
+    * durable way to break that cycle (an in-memory checkpoint would die
+    * with an executor mid-write and lose the merge). Content derived
+    * purely from caller data skips the staging round-trip — one write
+    * job instead of write + read-back + write.
+    */
+  private def overwriteSeriesPartition(content: DataFrame, readsStore: Boolean): Unit = {
+    val prepared = content
+      .repartition(keys.map(col): _*)
+      .sortWithinPartitions((keys.map(col) :+ col("ts")): _*)
+    if (!readsStore) {
+      prepared.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(keys: _*)
+        .parquet(path)
+      return
+    }
     val staging = s"${path}__staging_${java.util.UUID.randomUUID().toString.take(8)}"
     try {
-      content
-        .repartition(keys.map(col): _*)
-        .sortWithinPartitions((keys.map(col) :+ col("ts")): _*)
-        .write.mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(staging)
+      prepared.write.mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(staging)
       spark.read.schema(schema).parquet(staging)
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
