@@ -149,12 +149,17 @@ class TimeseriesStore(
     // LongType column for an IntegerType key) would otherwise stage
     // parquet with mismatched physical types and die mid-write on the
     // schema'd read-back with an obscure parquet error
+    // the surviving-row count rides the same job (a second observation
+    // node after the filter), so the emptiness probe below costs no
+    // extra action
+    val rowObs = org.apache.spark.sql.Observation()
     val s = many
       .observe(nullKeyObs, sum(when(nullKeyed, 1L).otherwise(0L)).as("nk"))
       .select((keys.map(k => col(k).cast(keySchema(k).dataType).as(k)) :+
         col("ts").cast(TimestampNTZType).as("ts") :+
         col("value").cast(DoubleType).as("value")): _*)
       .filter(col("value").isNotNull && !isnan(col("value")) && col("ts").isNotNull)
+      .observe(rowObs, count(lit(1)).as("n"))
       .localCheckpoint()
     require(Option(nullKeyObs.get("nk")).forall(_.asInstanceOf[Long] == 0L),
       "null key values are not allowed")
@@ -163,7 +168,7 @@ class TimeseriesStore(
     if (!dup.isEmpty)
       throw new IllegalStateException(
         "set_many_ts: some series already exist (IntegrityError parity)")
-    if (!s.isEmpty)
+    if (Option(rowObs.get("n")).exists(_.asInstanceOf[Long] > 0L))
       overwriteSeriesPartition(s.select(schema.fieldNames.map(col): _*),
         readsStore = false) // insert-only: the batch is caller data
   }
