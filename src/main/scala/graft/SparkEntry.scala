@@ -886,6 +886,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus analytics — exact top-k heavy hitters with a Count-Min
+    // Sketch cross-check (portable universal-hash sketch rows; the
+    // oracle replays the sketch bit-for-bit, cms_est >= n_exact by law)
+    "q_heavy_hitters" -> ((s, d) => {
+      TextAnalysis.heavyHitters(table(s, d, "documents"), "text",
+          k = 50, width = 1024, depth = 4)
+        .orderBy(col("n_exact").desc, col("term"))
+    }),
+
+    // corpus analytics — first-merge BPE pair statistics: adjacent
+    // character-pair frequencies weighted by word occurrence (the
+    // opening step of byte-pair-encoding tokenizer training)
+    "q_bpe_pairs" -> ((s, d) => {
+      TextAnalysis.bpePairStats(table(s, d, "documents"), "text", k = 50)
+        .orderBy(col("n").desc, col("pair"))
+    }),
+
     // corpus analytics — cross-source overlap matrix: estimated Jaccard
     // between whole sub-corpora from per-source union MinHash signatures
     // (one explode + one group agg; pairwise over the few groups only)
@@ -2461,6 +2478,48 @@ object SparkEntry {
                 CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
                 round(CAST(coalesce(nv.n_novel, 0) AS DOUBLE) / dd.n_shingles, 6) AS novelty
          FROM dd LEFT JOIN nv USING (doc_id) ORDER BY doc_id""",
+
+    // exact top-k + Count-Min Sketch replay: the sketch rows are the
+    // same universal-hash family over the portable md5 base hash, so
+    // both engines compute identical bucket sums and identical minima
+    "q_heavy_hitters" -> {
+      import graft.functions.PortableHash.{P, permConsts, sqlHashMod}
+      val consts = permConsts(4).zipWithIndex
+      def bucket(e: String, a: Long, b: Long): String =
+        s"(((${sqlHashMod(e)} * $a) + $b) % $P) % 1024"
+      val cmsCtes = consts.map { case ((a, b), i) =>
+        s"cms$i AS (SELECT ${bucket("term", a, b)} AS b, CAST(sum(n_exact) AS BIGINT) AS s FROM c GROUP BY 1)"
+      }.mkString(",\n         ")
+      val joins = consts.map { case ((a, b), i) =>
+        s"JOIN cms$i s$i ON ${bucket("tk.term", a, b)} = s$i.b"
+      }.mkString("\n              ")
+      val leastArgs = (0 until 4).map(i => s"s$i.s").mkString(", ")
+      s"""WITH t AS (
+           SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+           FROM documents),
+         c AS MATERIALIZED (
+           SELECT term, CAST(count(*) AS BIGINT) AS n_exact FROM t GROUP BY 1),
+         tk AS (SELECT term, n_exact FROM c ORDER BY n_exact DESC, term LIMIT 50),
+         $cmsCtes
+         SELECT tk.term, tk.n_exact, least($leastArgs) AS cms_est
+         FROM tk $joins
+         ORDER BY n_exact DESC, term"""
+    },
+
+    // first-merge BPE pair statistics: vocabulary aggregate, then
+    // per-distinct-word adjacent pairs weighted by word frequency.
+    // DuckDB range(1, n) EXCLUDES n == Spark sequence(1, n-1) INCLUSIVE
+    "q_bpe_pairs" ->
+      """WITH w AS (
+           SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+           FROM documents),
+         v AS (SELECT word, CAST(count(*) AS BIGINT) AS wn FROM w GROUP BY 1),
+         v2 AS (SELECT * FROM v WHERE length(word) >= 2),
+         p AS (SELECT unnest(list_transform(range(1, length(word)),
+                 i -> substr(word, CAST(i AS INTEGER), 2))) AS pair, wn
+               FROM v2),
+         g AS (SELECT pair, CAST(sum(wn) AS BIGINT) AS n FROM p GROUP BY 1)
+         SELECT pair, n FROM g ORDER BY n DESC, pair LIMIT 50""",
 
     // per-source union MinHash: min over the whole sub-corpus of each
     // permuted shingle hash == the signature of the union shingle set

@@ -611,4 +611,90 @@ object TextAnalysis {
         round(col("n_novel").cast("double") / col("n_shingles"), 6))
       .select("id", "n_shingles", "n_novel", "novelty")
   }
+
+  /** Corpus heavy hitters with a Count-Min Sketch cross-check: the
+    * exact top-`k` most frequent tokens, each carrying both its exact
+    * count and its CMS estimate from a `depth` × `width` sketch — the
+    * operator a 100 TB pipeline uses to find runaway boilerplate
+    * tokens, plus the sketch-accuracy audit run beside it.
+    *
+    * Scale shape: ONE token pass feeds everything. The exact counts are
+    * a map-side-combined vocabulary aggregation (vocab-bounded, never
+    * corpus-bounded); top-k is `orderBy.limit` (TakeOrderedAndProject —
+    * per-partition heaps, no global sort); the sketch is built FROM the
+    * vocabulary aggregate (summing counts into d×width buckets is
+    * exactly equivalent to hashing raw occurrences — addition
+    * commutes), so it costs d tiny re-aggregations of a vocab-sized
+    * frame, and the whole sketch is d·width longs. Estimates join back
+    * broadcast (the sketch rows are metadata-sized by construction).
+    *
+    * The CMS rows use the engine's portable universal-hash family over
+    * the md5 base hash, so the DuckDB oracle replays the sketch
+    * bit-for-bit; the `cms_est >= n_exact` overestimate guarantee is
+    * law-tested, and equality holds exactly when the token's d buckets
+    * are collision-free.
+    *
+    * Output: (term, n_exact, cms_est), top `k` by (count desc, term).
+    */
+  def heavyHitters(
+      df: DataFrame,
+      textCol: String,
+      k: Int = 50,
+      width: Int = 1024,
+      depth: Int = 4): DataFrame = {
+    import graft.functions.PortableHash
+    require(k >= 1 && width >= 2 && depth >= 1,
+      s"need k >= 1, width >= 2, depth >= 1; got $k/$width/$depth")
+    // shared stage: the top-k branch and all `depth` sketch-row rollups
+    // read the vocabulary aggregate
+    val counts = graft.StageCache.mat(df
+      .select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_exact")))
+    val consts = PortableHash.permConsts(depth).zipWithIndex
+    def bucket(term: Column, a: Long, b: Long): Column =
+      pmod(PortableHash.perm(PortableHash.hashMod(term), a, b), lit(width.toLong))
+    val top = counts.orderBy(col("n_exact").desc, col("term")).limit(k)
+    val est = consts.foldLeft(top) { case (acc, ((a, b), i)) =>
+      val row = counts.groupBy(bucket(col("term"), a, b).as(s"__b$i"))
+        .agg(sum(col("n_exact")).as(s"__s$i"))
+      acc.withColumn(s"__b$i", bucket(col("term"), a, b))
+        .join(broadcast(row), Seq(s"__b$i"))
+    }
+    val estCol =
+      if (depth == 1) col("__s0")
+      else least((0 until depth).map(i => col(s"__s$i")): _*)
+    est
+      .withColumn("cms_est", estCol)
+      .select("term", "n_exact", "cms_est")
+      .orderBy(col("n_exact").desc, col("term"))
+  }
+
+  /** First-merge byte-pair statistics — the opening step of BPE
+    * tokenizer training: adjacent character-pair frequencies across the
+    * corpus, weighted by word occurrence. The classic implementation
+    * counts the word VOCABULARY first and expands pairs per distinct
+    * word times its frequency — exactly this plan: a vocab aggregation
+    * (the only corpus-sized pass), then a per-distinct-word pair
+    * explode over the vocab frame (bounded by vocabulary, not corpus),
+    * then a pair aggregation and TakeOrdered top-k. No shuffle ever
+    * carries document text.
+    *
+    * Output: (pair, n) — top `k` two-character pairs by weighted count,
+    * ties broken by pair string ascending.
+    */
+  def bpePairStats(df: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    require(k >= 1, s"need k >= 1; got $k")
+    val vocab = df
+      .select(explode(tokens(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("__wn"))
+      .filter(length(col("word")) >= 2)
+    vocab
+      .select(explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"),
+        col("__wn"))
+      .groupBy("pair").agg(sum(col("__wn")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
 }

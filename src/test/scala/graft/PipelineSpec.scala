@@ -826,6 +826,55 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("heavyHitters: exact counts correct; CMS never underestimates") {
+    val text = ("alpha " * 20) + ("beta " * 10) + ("gamma " * 5) + "delta"
+    val df = Seq((1L, text), (2L, "alpha beta gamma")).toDF("doc_id", "text")
+    val got = TextAnalysis.heavyHitters(df, "text", k = 10, width = 64, depth = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exact = got.map(t => t._1 -> t._2).toMap
+    assert(exact === Map("alpha" -> 21L, "beta" -> 11L, "gamma" -> 6L, "delta" -> 1L))
+    got.foreach { case (term, n, est) =>
+      assert(est >= n, s"CMS underestimated $term: est=$est < exact=$n")
+    }
+    // ordering: count desc, then term asc
+    assert(got.map(_._1).toSeq === Seq("alpha", "beta", "gamma", "delta"))
+  }
+
+  test("heavyHitters: estimates are exact when the sketch is collision-free") {
+    // 4 terms into a wide sketch: collisions vanish and est == exact
+    val df = Seq((1L, "aa bb cc dd aa bb aa")).toDF("doc_id", "text")
+    val got = TextAnalysis.heavyHitters(df, "text", k = 4, width = 65536, depth = 4)
+      .collect()
+    got.foreach(r => assert(r.getLong(1) === r.getLong(2), r.getString(0)))
+  }
+
+  test("heavyHitters: top-k cut is deterministic under ties") {
+    val df = Seq((1L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text") // all count 1
+    val got = TextAnalysis.heavyHitters(df, "text", k = 3, width = 64, depth = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("x1", "x2", "x3")) // term-ascending tiebreak
+  }
+
+  test("bpePairStats: weighted adjacent pairs; single-char words excluded") {
+    // vocab: "abab" x2, "ab" x3, "z" x5 (no pairs from z)
+    val df = Seq((1L, "abab abab ab ab ab z z z z z")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairStats(df, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "abab": pairs ab, ba, ab (x2 docs-occurrences) -> ab:4, ba:2; "ab" x3 -> ab:3
+    assert(got === Seq(("ab", 7L), ("ba", 2L)))
+  }
+
+  test("bpePairStats: top-k truncation orders by count desc then pair") {
+    val df = Seq((1L, "ax ay az ax")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairStats(df, "text", k = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("ax", "ay")) // ax:2; ay/az tie -> ay first, k cuts az
+  }
+}
+
 class WinnowSpec extends SparkSpec {
   import graft.functions.PortableHash
   import spark.implicits._
