@@ -185,7 +185,11 @@ object Dedup {
     * 0.42 per band math — raise `bands` for higher recall). The exact
     * verification joins candidate ids back to per-doc shingle-hash sets,
     * so the quadratic stage is bounded by bucket collisions, never the
-    * corpus.
+    * corpus — and band buckets above `maxBandDf` documents are dropped
+    * before the self-join (the same hot-band cap as
+    * [[minhashLshPairs]], via the shared [[bandedCandidates]]; run
+    * [[exactGroups]] first so true duplicate clusters are already
+    * collapsed and the cap only discards degenerate boilerplate).
     */
   def ngramJaccardPairsLsh(
       df: DataFrame,
@@ -194,7 +198,9 @@ object Dedup {
       n: Int = 3,
       minJaccard: Double = 0.5,
       bands: Int = 8,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4,
+      maxBandDf: Long = 1000L): DataFrame = {
+    require(maxBandDf >= 2, s"maxBandDf must be >= 2 (a pair needs a bucket of 2), got $maxBandDf")
     import graft.functions.PortableHash
     // the shared (id, shingle-hash) base stage — sets + sig both read
     // it, and it is plan-identical to the minhash operators' base
@@ -209,16 +215,7 @@ object Dedup {
       min(PortableHash.perm(col("__b"), a, b)).as(s"h$i") }
     val sig = ex.groupBy(col("id")).agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-    val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws(",",
-          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val cand = banded.select(col("id").as("id_a"), col("band"), col("band_hash"))
-      .join(banded.select(col("id").as("id_b"), col("band"), col("band_hash")),
-        Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val cand = bandedCandidates(sig, bands, rowsPerBand, maxBandDf)
     val verified = cand
       .join(sets.select(col("id").as("id_a"), col("hs").as("__ha"), col("n_sh").as("na")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("hs").as("__hb"), col("n_sh").as("nb")), Seq("id_b"))
@@ -299,6 +296,40 @@ object Dedup {
       min(PortableHash.perm(col("__b"), a, b)).as(s"h$i") }
     ex.groupBy(col("id")).agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH band-bucket candidate pairs from a signature table (id, sig):
+    * split each signature into `bands` slices of `rowsPerBand`, bucket on
+    * the md5 band key (a short portable shuffle key — the reference hash
+    * for the same band bytes in any engine), and self-join inside
+    * buckets. The hot-band cap drops buckets occupied by more than
+    * `maxBandDf` documents BEFORE the quadratic self-join — as a COUNT
+    * WINDOW over the bucket key, so the one shuffle that counts the
+    * bucket is the same exchange the join reuses, and the window holds a
+    * bucket's ROWS (linear in the biggest bucket), never the pair set
+    * the cap exists to prevent. Shared by [[minhashLshPairs]] and
+    * [[ngramJaccardPairsLsh]] — every band-join in the engine is capped.
+    */
+  private def bandedCandidates(
+      sig: DataFrame, bands: Int, rowsPerBand: Int, maxBandDf: Long): DataFrame = {
+    val banded = sig.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws(",",
+          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val wb = Window.partitionBy(col("band"), col("band_hash"))
+    val capped = banded
+      .withColumn("__bn", count(lit(1)).over(wb))
+      .filter(col("__bn") <= maxBandDf)
+      .drop("__bn")
+    // the dup-pair explosion (docs sharing several bands) flows through
+    // the DISTINCT — keep that shuffle narrow (two ids)
+    capped.select(col("id").as("id_a"), col("band"), col("band_hash"))
+      .join(capped.select(col("id").as("id_b"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
   }
 
   /** Corpus-overlap matrix: estimated Jaccard similarity between the
@@ -393,35 +424,7 @@ object Dedup {
     // it, and the pairs' downstream consumers (cluster resolution,
     // keep-best retention, leakage audit) rebuild the same plan
     val sig = graft.StageCache.mat(minhashSignature(df, idCol, textCol, n, numHashes))
-    // Band key: md5 of the comma-joined band slice — a short portable
-    // shuffle key (the reference hash for the same band bytes in any
-    // engine), cheaper to shuffle than the slice itself.
-    val banded = sig.select(
-      col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws(",",
-          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    // hot-band cap BEFORE the self-join, as a COUNT WINDOW over the
-    // bucket key (not an agg + join back): one shuffle on (band,
-    // band_hash), after which the data is already partitioned on the
-    // self-join key — the join below runs without new exchanges. The
-    // window holds a bucket's ROWS in one task (linear, bounded by the
-    // biggest bucket), never the quadratic pair set, which is exactly
-    // what the cap prevents from materializing.
-    import org.apache.spark.sql.expressions.Window
-    val wb = Window.partitionBy(col("band"), col("band_hash"))
-    val capped = banded
-      .withColumn("__bn", count(lit(1)).over(wb))
-      .filter(col("__bn") <= maxBandDf)
-      .drop("__bn")
-    // the dup-pair explosion (docs sharing several bands) flows through
-    // the DISTINCT — keep that shuffle narrow (two ids), then join the
-    // signatures back from the checkpointed sig table for verification
-    val l = capped.select(col("id").as("id_a"), col("band"), col("band_hash"))
-    val r = capped.select(col("id").as("id_b"), col("band"), col("band_hash"))
-    val cand = l.join(r, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val cand = bandedCandidates(sig, bands, rowsPerBand, maxBandDf)
     // the verified pair list is itself a shared stage: ONE generation
     // feeds the pairs listing, near-dup clusters, quality-priority
     // retention, and the split-leakage audit (plan-identity reuse)
