@@ -328,6 +328,72 @@ object StreamIngest {
     stream.join(snap, keys, "left")
   }
 
+  final case class HeavyHitter(shard: Int, term: String, count: Long)
+  final case class MgState(counters: Map[String, Long], nSeen: Long)
+
+  /** Streaming heavy hitters — the streaming face of
+    * [[graft.pipeline.TextAnalysis.heavyHitters]]: a Misra-Gries summary
+    * of the token stream, maintained online. Tokens shard by portable
+    * hash into `numShards` independent summaries of at most `k` counters
+    * each (`flatMapGroupsWithState`; the classic decrement-all summary),
+    * so state is `numShards × k` counters REGARDLESS of stream length —
+    * the frequent-items guarantee transfers per shard: any term with
+    * true shard-frequency > n_shard/(k+1) is guaranteed resident, and a
+    * resident counter c satisfies f − n_shard/(k+1) ≤ c ≤ f (lower
+    * bound, never an overestimate — the dual of the CMS overestimate;
+    * StreamingSpec pins both bounds against the exact batch counts).
+    *
+    * Determinism: each micro-batch's tokens are pre-counted per term
+    * and folded into the summary in term-sorted order, so the final
+    * state is independent of row arrival order within a batch. Each
+    * batch re-emits the shard's full current summary (Update mode) —
+    * downstream takes the latest row per (shard, term).
+    */
+  def heavyHittersMonitor(
+      docs: DataFrame,
+      k: Int = 16,
+      numShards: Int = 8,
+      textCol: String = "text"): Dataset[HeavyHitter] = {
+    import docs.sparkSession.implicits._
+    require(k >= 1 && numShards >= 1, s"need k >= 1, numShards >= 1; got $k/$numShards")
+    val toks = docs
+      .select(explode(graft.pipeline.TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .withColumn("shard",
+        pmod(graft.functions.PortableHash.hashMod(col("term")), lit(numShards.toLong)).cast("int"))
+      .as[(String, Int)]
+    toks.groupByKey(_._2)
+      .flatMapGroupsWithState[MgState, HeavyHitter](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (shard, rows, state: GroupState[MgState]) =>
+          var st = state.getOption.getOrElse(MgState(Map.empty, 0L))
+          // batch-order independence: fold per-term batch counts in
+          // term-sorted order, weight at a time
+          val batchCounts = scala.collection.mutable.Map.empty[String, Long]
+          rows.foreach { case (t, _) => batchCounts(t) = batchCounts.getOrElse(t, 0L) + 1L }
+          batchCounts.toSeq.sortBy(_._1).foreach { case (term, w) =>
+            var c = st.counters
+            if (c.contains(term)) c = c.updated(term, c(term) + w)
+            else {
+              // admit at weight w, then settle the decrement-all debt in
+              // bulk: one subtract-the-minimum round over the k+1
+              // counters equals w unit Misra-Gries steps — the min is
+              // min(w, existing min), every counter drops by it, and
+              // whoever held it (the newcomer if w was smallest, the
+              // old min otherwise, both on ties) drains to 0 and leaves
+              c = c.updated(term, w)
+              while (c.size > k) {
+                val cut = c.valuesIterator.min
+                c = c.iterator.map { case (t2, n2) => t2 -> (n2 - cut) }
+                  .filter(_._2 > 0L).toMap
+              }
+            }
+            st = MgState(c, st.nSeen + w)
+          }
+          state.update(st)
+          st.counters.iterator.map { case (t, n) => HeavyHitter(shard, t, n) }
+      }
+  }
+
   /** Drive a streaming frame from a (finite) source synchronously into an
     * in-memory table — the local smoke harness (`processAllAvailable`).
     */

@@ -209,6 +209,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavy-hitters monitor: Misra-Gries bounds hold against exact batch counts") {
+    // skewed corpus: "hot" dominates, a tail of rare terms churns the
+    // summaries; stream it in several files (= several micro-batches)
+    val dir = java.nio.file.Files.createTempDirectory("hh-src").toString + "/data"
+    val docs = (0 until 60).map { i =>
+      val tail = s"rare${i % 17} rare${(i * 7) % 23} x${i}"
+      (i.toLong, ("hot " * 8) + ("warm " * 3) + tail)
+    }
+    docs.grouped(20).zipWithIndex.foreach { case (chunk, part) =>
+      chunk.toDF("doc_id", "text").write.mode("append").parquet(dir)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val k = 8
+    val numShards = 4
+    val q = StreamIngest.runToMemory(
+      StreamIngest.heavyHittersMonitor(stream, k = k, numShards = numShards).toDF(),
+      "hh", OutputMode.Update())
+    try {
+      // exact per-term counts + each term's shard and per-shard totals
+      import graft.functions.PortableHash
+      val exactDf = spark.read.schema(schema).parquet(dir)
+        .select(explode(graft.pipeline.TextAnalysis.tokens(lower(col("text")))).as("term"))
+        .withColumn("shard", pmod(PortableHash.hashMod(col("term")), lit(numShards.toLong)).cast("int"))
+      val exact = exactDf.groupBy("shard", "term").count().collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      val shardTotals = exact.groupBy(_._1._1).map { case (sh, m) => sh -> m.values.sum }
+      // final summary = last update per (shard, term)
+      val rows = spark.table("hh").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      val finalRows = rows.zipWithIndex
+        .groupBy { case ((sh, t, _), _) => (sh, t) }
+        .map { case (key, vs) => key -> vs.maxBy(_._2)._1._3 }
+      finalRows.foreach { case ((sh, t), c) =>
+        val f = exact((sh, t))
+        val n = shardTotals(sh)
+        assert(c <= f, s"MG overestimated $t in shard $sh: $c > $f")
+        assert(c >= f - n / (k + 1) - 1, s"MG bound violated for $t in shard $sh")
+      }
+      // the frequent-items guarantee: any term with f > n_shard/(k+1)
+      // must be resident in the final summary
+      exact.foreach { case ((sh, t), f) =>
+        if (f > shardTotals(sh) / (k + 1))
+          assert(finalRows.contains((sh, t)), s"frequent term $t missing from shard $sh")
+      }
+      // the dominant term is present with a large count
+      assert(finalRows.exists { case ((_, t), c) => t == "hot" && c > 0 })
+    } finally q.stop()
+  }
+
   test("cusum monitor: sustained shift alarms then resets; stable series stays quiet") {
     val dir = java.nio.file.Files.createTempDirectory("cusum-src").toString + "/data"
     val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
