@@ -903,6 +903,14 @@ object SparkEntry {
         .orderBy(col("n").desc, col("pair"))
     }),
 
+    // corpus analytics — per-group embedding dispersion: mean pairwise
+    // squared distance WITHOUT pairs (2n·Σ||x||² − 2||Σx||² identity);
+    // exact micro-unit sums, 6-dp by integer half-up division
+    "q_embed_dispersion" -> ((s, d) => {
+      Similarity.embeddingDispersion(table(s, d, "embeddings"), "label", "embedding")
+        .orderBy("label")
+    }),
+
     // corpus analytics — cross-source overlap matrix: estimated Jaccard
     // between whole sub-corpora from per-source union MinHash signatures
     // (one explode + one group agg; pairwise over the few groups only)
@@ -2520,6 +2528,30 @@ object SparkEntry {
                FROM v2),
          g AS (SELECT pair, CAST(sum(wn) AS BIGINT) AS n FROM p GROUP BY 1)
          SELECT pair, n FROM g ORDER BY n DESC, pair LIMIT 50""",
+
+    // the pairwise-distance identity replayed on exact integer sums —
+    // HUGEINT squares of dimension sums, same half-up 6-dp division
+    "q_embed_dispersion" ->
+      """WITH e AS (
+           SELECT label, list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+           FROM embeddings WHERE embedding IS NOT NULL),
+         r AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                      sum(CAST(list_sum(list_transform(q, x -> x * x)) AS HUGEINT)) AS s2
+               FROM e GROUP BY 1),
+         dx AS (SELECT label, unnest(range(0, len(q))) AS d, unnest(q) AS qx FROM e),
+         ds AS (SELECT label, d, sum(qx) AS sd FROM dx GROUP BY 1, 2),
+         ss AS (SELECT label, sum(CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT)) AS ssq
+                FROM ds GROUP BY 1),
+         j AS (SELECT r.label, n_vecs,
+                      (CAST(n_vecs AS HUGEINT) * s2 - ssq) * 2 AS num,
+                      CAST(n_vecs AS HUGEINT) * (n_vecs - 1) * 1000000000000 AS den
+               FROM r JOIN ss ON r.label = ss.label)
+         SELECT label, n_vecs,
+                CASE WHEN n_vecs > 1
+                     THEN CAST((num * 1000000 * 2 + den) // (den * 2) AS DOUBLE) / 1000000
+                     ELSE NULL END AS dispersion
+         FROM j ORDER BY label""",
 
     // per-source union MinHash: min over the whole sub-corpus of each
     // permuted shingle hash == the signature of the union shingle set

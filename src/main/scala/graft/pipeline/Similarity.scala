@@ -747,4 +747,56 @@ object Similarity {
     }
     df.select(col(idCol), proj.as("proj"))
   }
+
+  /** Per-group embedding dispersion — mean squared euclidean distance
+    * over all ordered pairs within a group (source, language, cluster),
+    * the corpus-diversity statistic curation reads before deciding
+    * whether a source adds variety or repeats itself. Computed WITHOUT
+    * materializing pairs, via the identity
+    * `Σ_{i≠j} ||x_i − x_j||² = 2n·Σ||x_i||² − 2·||Σx_i||²` — one pass for
+    * the per-row norm sums, one per-dimension sum aggregation for the
+    * group mean vector; cost is O(rows·dim), never O(rows²).
+    *
+    * Exactness (the q_kmeans_inertia discipline): components quantize to
+    * integer micro-units; per-row Σq² stays in Long (|q| ≤ ~3e9 would be
+    * needed to overflow — embedding components are unit-scale); the
+    * squares of per-dimension SUMS go through decimal(38,0) (a
+    * billion-row group's dimension sum squares past Long); the 6-dp
+    * output is exact integer half-up division, so DuckDB replays it
+    * bit-for-bit. Groups with one vector emit null dispersion.
+    *
+    * Output: (groupCol, n_vecs, dispersion) — dispersion in squared
+    * original units.
+    */
+  def embeddingDispersion(
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val q = transform(col(vecCol), x => round(x.cast("double") * 1e6, 0).cast("long"))
+    val base = df.filter(col(vecCol).isNotNull)
+      .select(col(groupCol).as("grp"), q.as("__q"))
+    // per-row squared norm in micro²-units; Long-exact at unit scale
+    val rows = base
+      .withColumn("__s2", aggregate(col("__q"), lit(0L), (a, x) => a + x * x))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("__s2").cast(dec)).as("__S2"))
+    // per-dimension sums, then Σ_d Sd² in decimal (Sd² can pass Long)
+    val dimSums = base
+      .select(col("grp"), posexplode(col("__q")).as(Seq("__d", "__qx")))
+      .groupBy("grp", "__d").agg(sum(col("__qx")).as("__Sd"))
+      .groupBy("grp")
+      .agg(sum(col("__Sd").cast(dec) * col("__Sd").cast(dec)).as("__SS"))
+    // dispersion = (2n·S2 − 2·ΣSd²) / (n(n−1)·1e12), emitted at 6 dp by
+    // exact integer half-up division ((2a+b) div 2b)
+    val den = (col("n_vecs") * (col("n_vecs") - 1)).cast(dec) * lit(1000000000000L).cast(dec)
+    val num = (col("n_vecs").cast(dec) * col("__S2") - col("__SS")) * lit(2).cast(dec)
+    rows.join(dimSums, Seq("grp"))
+      .withColumn("num6", num * lit(1000000L).cast(dec))
+      .withColumn("den6", den)
+      .withColumn("dispersion",
+        when(col("n_vecs") > 1,
+          expr("(num6 * 2 + den6) div (den6 * 2)").cast("double") / 1e6))
+      .select(col("grp").as(groupCol), col("n_vecs"), col("dispersion"))
+  }
 }

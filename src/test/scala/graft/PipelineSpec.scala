@@ -312,6 +312,43 @@ class SimilaritySpec extends SparkSpec {
   import spark.implicits._
   import graft.pipeline.Similarity
 
+  test("embeddingDispersion: identity form equals brute-force pairwise mean") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 40).map { i =>
+      (i.toLong, "g" + (i % 3), Array.fill(5)((rnd.nextInt(2000) - 1000) / 1000.0f))
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = Similarity.embeddingDispersion(df, "label", "embedding")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    rows.groupBy(_._2).foreach { case (g, members) =>
+      // brute force over the QUANTIZED vectors (the operator's stated
+      // contract: micro-unit exactness, not float round-trip)
+      val vs = members.map(_._3.map(x => math.round(x.toDouble * 1e6)))
+      val n = vs.length
+      val sumSq = (for (a <- vs; b <- vs if a ne b) yield
+        a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum).sum
+      val expect = sumSq.toDouble / (n.toLong * (n - 1)) / 1e12
+      val (gn, gd) = got(g)
+      assert(gn === n.toLong)
+      assert(math.abs(gd - expect) < 5e-7, s"group $g: $gd vs $expect")
+    }
+  }
+
+  test("embeddingDispersion: singleton group yields null; result partition-invariant") {
+    val df = Seq(
+      (1L, "solo", Array(0.5f, -0.25f)),
+      (2L, "pair", Array(1.0f, 0.0f)), (3L, "pair", Array(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    def run(n: Int) = Similarity.embeddingDispersion(df.repartition(n), "label", "embedding")
+      .orderBy("label").collect().map(r =>
+        (r.getString(0), r.getLong(1), Option(r.get(2)))).toSeq
+    val a = run(1); val b = run(7)
+    assert(a === b, "partition-count invariance")
+    assert(a.find(_._1 == "solo").get._3.isEmpty, "singleton dispersion is null")
+    // ||(1,0)-(0,1)||^2 = 2 for both ordered pairs -> mean 2
+    assert(a.find(_._1 == "pair").get._3.get.asInstanceOf[Double] === 2.0)
+  }
+
   test("embeddingCovariance: hand-computed 2-d population covariance") {
     val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 6.0f)), (3L, Array(5.0f, 10.0f)))
       .toDF("vec_id", "embedding")
