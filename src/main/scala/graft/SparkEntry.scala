@@ -903,6 +903,16 @@ object SparkEntry {
         .orderBy(col("n").desc, col("pair"))
     }),
 
+    // curation — EXACT stratified proportional split (largest-remainder
+    // per-stratum counts; salted-hash order; bucketed ranking, no
+    // whole-stratum window)
+    "q_stratified_split" -> ((s, d) => {
+      Sampling.stratifiedSplit(table(s, d, "documents"), "doc_id", "lang",
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = "strat")
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // corpus analytics — per-group embedding dispersion: mean pairwise
     // squared distance WITHOUT pairs (2n·Σ||x||² − 2||Σx||² identity);
     // exact micro-unit sums, 6-dp by integer half-up division
@@ -2528,6 +2538,42 @@ object SparkEntry {
                FROM v2),
          g AS (SELECT pair, CAST(sum(wn) AS BIGINT) AS n FROM p GROUP BY 1)
          SELECT pair, n FROM g ORDER BY n DESC, pair LIMIT 50""",
+
+    // largest-remainder replay: identical hash order (bucket, hash, id),
+    // identical floor/remainder arithmetic on IEEE doubles
+    "q_stratified_split" -> {
+      import graft.functions.PortableHash.sqlHashMod
+      val h = sqlHashMod("('strat:' || CAST(doc_id AS VARCHAR))")
+      s"""WITH b AS (
+           SELECT doc_id, lang, $h AS h FROM documents),
+         r AS (SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY lang ORDER BY h % 64, h, doc_id) - 1 AS rnk
+               FROM b),
+         t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+         tg AS (SELECT lang, n,
+                  CAST(floor(n * 0.8) AS BIGINT) AS fl0, n * 0.8 - floor(n * 0.8) AS rem0,
+                  CAST(floor(n * 0.1) AS BIGINT) AS fl1, n * 0.1 - floor(n * 0.1) AS rem1,
+                  CAST(floor(n * 0.1) AS BIGINT) AS fl2, n * 0.1 - floor(n * 0.1) AS rem2
+                FROM t),
+         bonus AS (SELECT lang, n, fl0, fl1, fl2,
+                  n - (fl0 + fl1 + fl2) AS leftover,
+                  (CASE WHEN rem1 > rem0 THEN 1 ELSE 0 END +
+                   CASE WHEN rem2 > rem0 THEN 1 ELSE 0 END) AS rk0,
+                  (CASE WHEN rem0 >= rem1 THEN 1 ELSE 0 END +
+                   CASE WHEN rem2 > rem1 THEN 1 ELSE 0 END) AS rk1,
+                  (CASE WHEN rem0 >= rem2 THEN 1 ELSE 0 END +
+                   CASE WHEN rem1 >= rem2 THEN 1 ELSE 0 END) AS rk2
+                FROM tg),
+         th AS (SELECT lang,
+                  fl0 + CASE WHEN rk0 < leftover THEN 1 ELSE 0 END AS t0,
+                  fl1 + CASE WHEN rk1 < leftover THEN 1 ELSE 0 END AS t1
+                FROM bonus)
+         SELECT r.doc_id, r.lang,
+                CASE WHEN rnk < t0 THEN 'train'
+                     WHEN rnk < t0 + t1 THEN 'valid'
+                     ELSE 'test' END AS split
+         FROM r JOIN th ON r.lang = th.lang ORDER BY doc_id"""
+    },
 
     // the pairwise-distance identity replayed on exact integer sums —
     // HUGEINT squares of dimension sums, same half-up 6-dp division

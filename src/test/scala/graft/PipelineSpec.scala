@@ -260,6 +260,68 @@ class SamplingSpec extends SparkSpec {
   }
 }
 
+class StratifiedSplitSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.pipeline.Sampling
+
+  private val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+
+  // Hamilton / largest-remainder expectation, computed independently
+  private def hamilton(n: Long, fs: Seq[Double]): Seq[Long] = {
+    val fl = fs.map(f => math.floor(n * f).toLong)
+    val rem = fs.map(f => n * f - math.floor(n * f))
+    val left = (n - fl.sum).toInt
+    val order = rem.zipWithIndex.sortBy { case (r, i) => (-r, i) }.map(_._2).take(left)
+    fl.zipWithIndex.map { case (c, i) => if (order.contains(i)) c + 1 else c }
+  }
+
+  private def fixture = (0 until 457).map { i =>
+    (i.toLong, "s" + (i % 5))
+  }.toDF("id", "stratum")
+
+  test("stratifiedSplit: per-stratum counts are exactly largest-remainder") {
+    val got = Sampling.stratifiedSplit(fixture, "id", "stratum", splits)
+      .groupBy("stratum", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val perStratum = fixture.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perStratum.foreach { case (st, n) =>
+      val expect = hamilton(n, splits.map(_._2))
+      splits.map(_._1).zip(expect).foreach { case (name, c) =>
+        assert(got.getOrElse((st, name), 0L) === c,
+          s"stratum $st split $name: got ${got.getOrElse((st, name), 0L)}, want $c (n=$n)")
+      }
+    }
+  }
+
+  test("stratifiedSplit is deterministic and partition-invariant") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedSplit(df, "id", "stratum", splits)
+        .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = run(fixture)
+    val b = run(fixture.repartition(13))
+    assert(a === b)
+  }
+
+  test("stratifiedSplit: numBuckets changes the permutation, never the counts") {
+    val a = Sampling.stratifiedSplit(fixture, "id", "stratum", splits, numBuckets = 64)
+    val b = Sampling.stratifiedSplit(fixture, "id", "stratum", splits, numBuckets = 7)
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("stratum", "split").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts(a) === counts(b))
+  }
+
+  test("stratifiedSplit: bad fractions and salts refused") {
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSplit(fixture, "id", "stratum", Seq("a" -> 0.5, "b" -> 0.2))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSplit(fixture, "id", "stratum", splits, salt = "bad'salt")
+    }
+  }
+}
+
 class VectorExprSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
