@@ -27,6 +27,14 @@ object Bench {
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE sizing over raw parallelism: the default parallelismFirst
+      // splinters small shuffles into one tiny task per core, which at
+      // bench scale is pure scheduler overhead and at cluster scale is
+      // the anti-pattern the Spark tuning guide tells you to turn off
+      // ("it's recommended to set this config to false and respect the
+      // configured target size")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("GRAFT_AQE_PARALLELISM_FIRST", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
