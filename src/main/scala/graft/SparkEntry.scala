@@ -1262,6 +1262,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // text analysis — bigram LM perplexity (add-1 smoothed conditional
+    // NLL; the order-sensitive quality signal unigram perplexity misses)
+    "q_bigram_ppl" -> ((s, d) => {
+      TextAnalysis.bigramPerplexity(table(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          round(col("avg_nll"), 6).as("avg_nll"), round(col("ppl"), 6).as("ppl"))
+        .orderBy("doc_id")
+    }),
+
     // curation — per-language length-decile binning (broadcast quantile
     // cutpoints; never a global ntile, which cannot scale past one
     // partition)
@@ -3250,6 +3259,26 @@ object SparkEntry {
                 round(exp(avg(-ln(CAST(c AS DOUBLE) / n))), 6) AS ppl
          FROM tok JOIN v USING (term) CROSS JOIN n
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_bigram_ppl" ->
+      """WITH d0 AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         bg AS MATERIALIZED (
+           SELECT doc_id, unnest(toks[1:-2]) AS prev, unnest(toks[2:-1]) AS cur
+           FROM d0 WHERE len(toks) >= 2),
+         bc AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY 1, 2),
+         uc AS (SELECT prev, count(*) AS cu FROM bg GROUP BY 1),
+         v AS (SELECT count(DISTINCT term) AS v
+               FROM (SELECT unnest(toks) AS term FROM d0)),
+         nll AS (
+           SELECT doc_id,
+                  -ln((cb + 1.0) / (cu + 1.0 * v)) AS x
+           FROM bg JOIN bc USING (prev, cur) JOIN uc USING (prev) CROSS JOIN v)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(avg(x), 6) AS avg_nll,
+                round(exp(avg(x)), 6) AS ppl
+         FROM nll GROUP BY doc_id ORDER BY doc_id""",
 
     "q_quality_bins" ->
       """WITH c AS (

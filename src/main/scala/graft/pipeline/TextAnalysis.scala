@@ -460,6 +460,57 @@ object TextAnalysis {
       .withColumn("ppl", exp(col("avg_nll")))
   }
 
+  /** Bigram language-model score per document — the sharper sibling of
+    * the unigram [[perplexity]] quality signal: average negative
+    * log-likelihood of each token GIVEN its predecessor under an add-k
+    * (Laplace) smoothed bigram model fit on the corpus itself,
+    * P(t|p) = (c(p,t) + k) / (c(p) + k·V). Natural text scores low;
+    * shuffled/templated/keyword-stuffed text scores high even when its
+    * unigram mix looks normal — the signal unigram perplexity cannot
+    * see.
+    *
+    * Plan shape: one bigram explode (the only corpus-sized pass; the
+    * shuffle carries (prev, cur) token pairs, never documents), corpus
+    * bigram + unigram count tables joined back on their keys (vocab-
+    * bounded; at 100 TB these are term-keyed shuffle joins with
+    * map-side-combined builds), V and the doc rollup as aggregations.
+    * Single-token documents have no bigrams and are omitted (the same
+    * contract as novelty's zero-shingle drop).
+    *
+    * Output: (id, n_bigrams, avg_nll, ppl).
+    */
+  def bigramPerplexity(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Double = 1.0): DataFrame = {
+    require(k > 0, s"smoothing k must be > 0, got $k")
+    val toks = tokens(lower(col(textCol)))
+    // (id, prev, cur) bigram rows — built in ONE lambda so only the
+    // pair survives the explode (the Dedup.shingles binding guard)
+    val bigrams = flatten(transform(array(toks), ws =>
+      when(size(ws) >= 2,
+        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("prev"), b.as("cur"))))
+        .otherwise(array().cast("array<struct<prev:string,cur:string>>"))))
+    val bg = graft.StageCache.mat(
+      df.select(col(idCol).as("id"), explode(bigrams).as("__b"))
+        .select(col("id"), col("__b.prev").as("prev"), col("__b.cur").as("cur")))
+    val bc = bg.groupBy("prev", "cur").agg(count(lit(1)).as("__cb"))
+    // unigram counts OF PREDECESSOR POSITIONS come from the same bigram
+    // frame (c(p) = Σ_t c(p,t) — the conditional's true denominator)
+    val uc = bg.groupBy("prev").agg(count(lit(1)).as("__cu"))
+    val vocab = df.select(explode(toks).as("term")).agg(countDistinct(col("term")).as("__v"))
+    bg.join(bc, Seq("prev", "cur"))
+      .join(uc, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__nll",
+        -log((col("__cb") + lit(k)) / (col("__cu") + lit(k) * col("__v"))))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("__nll")).as("avg_nll"))
+      .withColumn("ppl", exp(col("avg_nll")))
+  }
+
   /** Corpus length-distribution profile: per-group quantiles of a numeric
     * column (doc lengths, token counts) — the curation report every
     * training-data pipeline starts from (length cutoffs are quantile

@@ -974,6 +974,40 @@ class HeavyHittersSpec extends SparkSpec {
   }
 }
 
+class BigramPplSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigramPerplexity: hand-computed add-1 conditionals; 1-token docs omitted") {
+    // corpus: "a b a b" and "a b"; V = {a, b} -> 2
+    // bigram counts: (a,b)=3, (b,a)=1; prev counts: a=3, b=1
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramPerplexity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // V includes "solo" -> 3 distinct unigrams
+    val pAB = (3.0 + 1) / (3 + 1 * 3) // c(a,b)+1 / c(a)+V
+    val pBA = (1.0 + 1) / (1 + 1 * 3)
+    val d1 = -(math.log(pAB) + math.log(pBA) + math.log(pAB)) / 3
+    val d2 = -math.log(pAB)
+    assert(got.keySet === Set(1L, 2L), "single-token doc omitted")
+    assert(got(1L)._1 === 3L)
+    assert(math.abs(got(1L)._2 - d1) < 1e-9)
+    assert(got(2L)._1 === 1L)
+    assert(math.abs(got(2L)._2 - d2) < 1e-9)
+  }
+
+  test("bigramPerplexity separates natural from shuffled word order") {
+    // same unigram multiset, scrambled order: the bigram model fit on a
+    // corpus dominated by the natural phrase must score the scrambled
+    // doc strictly worse (higher NLL)
+    val natural = (1 to 20).map(i => (i.toLong, "the cat sat on the mat"))
+    val scrambled = Seq((100L, "mat the on sat cat the"))
+    val df = (natural ++ scrambled).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramPerplexity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(100L) > got(1L) + 0.5, s"scrambled ${got(100L)} vs natural ${got(1L)}")
+  }
+}
+
 class WinnowSpec extends SparkSpec {
   import graft.functions.PortableHash
   import spark.implicits._
