@@ -90,6 +90,11 @@ object Sampling {
     * The split thresholds derive from the per-stratum counts frame
     * (one row per stratum) — everything joined back is metadata-sized.
     *
+    * Contract: the stratum column must be non-null (a null stratum has
+    * no defined allocation; such rows would silently drop at the
+    * metadata joins, so the operator filters them out explicitly and a
+    * caller who cares routes nulls to a sentinel stratum first).
+    *
     * Output: df's columns + `split`.
     */
   def stratifiedSplit(
@@ -106,7 +111,7 @@ object Sampling {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     val k = splits.size
     val h = PortableHash.hashMod(concat(lit(s"$salt:"), col(idCol).cast("string")))
-    val base = df.withColumn("__h", h)
+    val base = df.filter(col(strataCol).isNotNull).withColumn("__h", h)
       .withColumn("__bkt", pmod(col("__h"), lit(numBuckets.toLong)))
     // per-(stratum, bucket) counts -> exclusive prefix offsets; the
     // window runs over numBuckets rows per stratum (metadata-sized)

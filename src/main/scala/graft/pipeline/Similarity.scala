@@ -791,7 +791,11 @@ object Similarity {
     // exact integer half-up division ((2a+b) div 2b)
     val den = (col("n_vecs") * (col("n_vecs") - 1)).cast(dec) * lit(1000000000000L).cast(dec)
     val num = (col("n_vecs").cast(dec) * col("__S2") - col("__SS")) * lit(2).cast(dec)
-    rows.join(dimSums, Seq("grp"))
+    // left join + zero-coalesce: a group whose vectors are all EMPTY
+    // arrays emits no per-dimension rows, but its pairwise distances are
+    // all 0 — it must report dispersion 0.0, not vanish
+    rows.join(dimSums, Seq("grp"), "left")
+      .withColumn("__SS", coalesce(col("__SS"), lit(0).cast(dec)))
       .withColumn("num6", num * lit(1000000L).cast(dec))
       .withColumn("den6", den)
       .withColumn("dispersion",
