@@ -1054,6 +1054,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // dedup — asymmetric CONTAINMENT pairs: |A∩B| / min(|A|,|B|) over
+    // the same banded candidates (catches subset/quote duplication that
+    // symmetric Jaccard misses; no size-ratio prune by design)
+    "q_containment_pairs" -> ((s, d) => {
+      Dedup.ngramContainmentPairs(table(s, d, "documents"), "doc_id", "text",
+          n = 3, minContainment = 0.6)
+        .select(col("id_a"), col("id_b"), round(col("containment"), 6).as("containment"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // dedup — near-dup CLUSTERS: minhash pairs → connected components →
     // one canonical doc per duplicate group (the end-to-end dedup step;
     // pairs alone under-delete transitive groups)
@@ -2810,6 +2820,37 @@ object SparkEntry {
 
     // connected components over the minhash pairs: transitive closure by
     // recursive CTE (min reachable label per node = component id)
+    // containment replay: rare-shingle inverted-index candidates
+    // (df-capped), verification by exact hash-set intersection over
+    // min-cardinality
+    "q_containment_pairs" -> {
+      import graft.functions.PortableHash.sqlHashMod
+      s"""WITH d0 AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         d AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS sh
+           FROM d0),
+         ex AS (SELECT doc_id, unnest(sh) AS shingle FROM d WHERE len(sh) > 0),
+         hx AS MATERIALIZED (SELECT doc_id, ${sqlHashMod("shingle")} AS b FROM ex),
+         dfc AS (SELECT b, count(*) AS c FROM hx GROUP BY 1),
+         kept AS MATERIALIZED (
+           SELECT doc_id, hx.b FROM hx JOIN dfc ON hx.b = dfc.b WHERE dfc.c <= 1000),
+         pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM kept x JOIN kept y ON x.b = y.b AND x.doc_id < y.doc_id),
+         nsh AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY 1),
+         inter AS (SELECT pr.id_a, pr.id_b, count(*) AS ni
+                   FROM pr JOIN hx xa ON xa.doc_id = pr.id_a
+                        JOIN hx xb ON xb.doc_id = pr.id_b AND xb.b = xa.b
+                   GROUP BY 1, 2)
+         SELECT i.id_a, i.id_b,
+                round(CAST(ni AS DOUBLE) / least(a.n, b.n), 6) AS containment
+         FROM inter i JOIN nsh a ON a.doc_id = i.id_a JOIN nsh b ON b.doc_id = i.id_b
+         WHERE CAST(ni AS DOUBLE) / least(a.n, b.n) >= 0.6
+         ORDER BY id_a, id_b"""
+    },
+
     "q_dup_clusters" ->
       s"""WITH RECURSIVE $minhashSimsCtes,
          p AS (SELECT id_a, id_b FROM sims WHERE sig_sim >= 0.5),

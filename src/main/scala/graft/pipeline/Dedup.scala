@@ -225,6 +225,58 @@ object Dedup {
     verified.filter(col("jaccard") >= minJaccard).select("id_a", "id_b", "jaccard")
   }
 
+  /** N-gram CONTAINMENT near-dup pairs — the asymmetric companion of
+    * [[ngramJaccardPairsLsh]]: containment = |A∩B| / min(|A|, |B|), the
+    * score that catches SUBSET duplication (a short doc quoted whole
+    * inside a long one scores ~1.0 here but can sit far below any
+    * symmetric Jaccard threshold, since J = |A∩B|/|A∪B| ≤ |A|/|B|).
+    * There is deliberately NO size-ratio prune — wildly unequal sizes
+    * are exactly the pairs this operator exists for.
+    *
+    * Candidates come from a RARE-SHINGLE inverted index (the winnowPairs
+    * df-cap applied to full shingles), NOT Jaccard-banded MinHash: band
+    * collision tracks Jaccard, which is ≤ |A|/|B| for subset pairs, so
+    * LSH candidates structurally miss the contained-in-much-bigger case
+    * (ContainmentSpec's fixture demonstrates it). Here two docs become
+    * a candidate by sharing ANY shingle of corpus df ≤ `maxDf` — a
+    * contained doc shares ALL its shingles with its container, so a
+    * true subset pair is missed only when every one of its shingles is
+    * corpus boilerplate. The df cap bounds the join at ≤ maxDf² pairs
+    * per rare shingle; candidate dedup flows through a narrow
+    * (id, id) DISTINCT.
+    *
+    * Output: (id_a, id_b, containment) with id_a < id_b,
+    * containment >= minContainment.
+    */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minContainment: Double = 0.8,
+      maxDf: Long = 1000L): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (a pair needs a shingle shared by 2 docs), got $maxDf")
+    val ex = shingleHashes(df, idCol, textCol, n)
+    val sets = ex.groupBy("id").agg(collect_set(col("__b")).as("hs"))
+      .withColumn("n_sh", size(col("hs")))
+    // rare-shingle inverted index: per-doc shingles are distinct, so the
+    // corpus count IS the document frequency
+    val rare = ex.groupBy("__b").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("__b")
+    val kept = ex.join(rare, Seq("__b"))
+    val cand = kept.select(col("id").as("id_a"), col("__b"))
+      .join(kept.select(col("id").as("id_b"), col("__b")), Seq("__b"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("hs").as("__ha"), col("n_sh").as("na")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("hs").as("__hb"), col("n_sh").as("nb")), Seq("id_b"))
+      .withColumn("containment",
+        size(array_intersect(col("__ha"), col("__hb"))).cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= minContainment)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Benchmark decontamination: per-document count of n-gram shingles
     * shared with an evaluation/benchmark corpus — the standard check that
     * training data does not contain the test set. Output: (id, n_shared)

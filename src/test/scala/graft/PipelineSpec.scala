@@ -223,6 +223,37 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class ContainmentSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.pipeline.Dedup
+
+  test("containment catches subset duplication that symmetric Jaccard misses") {
+    // doc 2 is doc 1's opening quoted whole inside ~3x more text:
+    // containment(1 in 2) = 1.0, Jaccard well under 0.5
+    val core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val filler = (0 until 24).map(i => s"filler$i word$i extra$i").mkString(" ")
+    val df = Seq((1L, core), (2L, s"$core $filler"), (3L, "unrelated text entirely"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(df, "doc_id", "text", n = 3, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.exists { case (a, b, c) => a == 1L && b == 2L && c >= 0.999 },
+      s"containment pair missing: ${cont.toSeq}")
+    val jac = Dedup.ngramJaccardPairsLsh(df, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!jac.contains((1L, 2L)), "fixture broken: Jaccard should miss the subset pair")
+  }
+
+  test("containment pairs respect the hot-band cap and threshold") {
+    val df = (0 until 30).map(i => (i.toLong, s"unique$i totally distinct content $i here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramContainmentPairs(df, "doc_id", "text", minContainment = 0.5)
+    assert(out.isEmpty, "distinct docs must produce no containment pairs")
+    intercept[IllegalArgumentException] {
+      Dedup.ngramContainmentPairs(df, "doc_id", "text", maxDf = 1)
+    }
+  }
+}
+
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
@@ -310,6 +341,35 @@ class StratifiedSplitSpec extends SparkSpec {
       df.groupBy("stratum", "split").count().collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(counts(a) === counts(b))
+  }
+
+  test("stratifiedSplit: fuzzed fractions/strata always allocate Hamilton counts") {
+    val rnd = new scala.util.Random(202)
+    (0 until 6).foreach { trial =>
+      val k = 2 + rnd.nextInt(3)
+      val raw = Seq.fill(k)(0.05 + rnd.nextDouble())
+      val fs = raw.map(_ / raw.sum)
+      val sp = fs.zipWithIndex.map { case (f, i) => s"s$i" -> f }
+      // renormalize drift from double division so the require passes
+      val n = 50 + rnd.nextInt(400)
+      val nStrata = 1 + rnd.nextInt(6)
+      val df = (0 until n).map(i => (i.toLong, "g" + rnd.nextInt(nStrata)))
+        .toDF("id", "stratum")
+      val out = Sampling.stratifiedSplit(df, "id", "stratum", sp, salt = s"fz$trial")
+      // total coverage, no dup rows
+      assert(out.count() === n.toLong, s"trial $trial lost rows")
+      assert(out.select("id").distinct().count() === n.toLong)
+      val got = out.groupBy("stratum", "split").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      df.groupBy("stratum").count().collect().foreach { r =>
+        val (st, sn) = (r.getString(0), r.getLong(1))
+        val expect = hamilton(sn, fs)
+        sp.map(_._1).zip(expect).foreach { case (name, c) =>
+          assert(got.getOrElse((st, name), 0L) === c,
+            s"trial $trial stratum $st split $name")
+        }
+      }
+    }
   }
 
   test("stratifiedSplit: bad fractions and salts refused") {
