@@ -90,6 +90,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_stratified_split: ranking window shuffles on (stratum, bucket), never stratum alone") {
+    val p = plan("q_stratified_split")
+    val partitionings = "hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    // the data-wide ranking exchange must carry the salt bucket — a
+    // stratum-only partitioning feeding the row_number window would be
+    // the whole-stratum single-task sort the operator exists to avoid.
+    // (The offsets/thresholds windows run over metadata-sized frames and
+    // MAY be stratum-only.)
+    assert(partitionings.exists(a => a.contains("lang#") && a.contains("__bkt#")),
+      s"no (stratum, bucket) exchange found: $partitionings")
+  }
+
+  test("q_heavy_hitters: sketch rows join back broadcast; top-k is TakeOrdered") {
+    val p = plan("q_heavy_hitters")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "each CMS row must reach the top-k terms as a broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "exact top-k must not global-sort")
+  }
+
+  test("q_bigram_ppl: no shuffle carries document text") {
+    val p = plan("q_bigram_ppl")
+    val exchanges = p.split("\n").filter(_.contains("hashpartitioning("))
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("q_revenue_join: all dimension joins broadcast, none sort-merge") {
     val p = plan("q_revenue_join")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
