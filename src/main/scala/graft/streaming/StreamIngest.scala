@@ -331,6 +331,30 @@ object StreamIngest {
   final case class HeavyHitter(shard: Int, term: String, count: Long)
   final case class MgState(counters: Map[String, Long], nSeen: Long)
 
+  /** One weighted Misra-Gries update: `w` arrivals of `term` into a
+    * ≤ k-counter summary, in bulk. If the term is resident (or there is
+    * a free slot) it simply gains `w`; otherwise it is admitted at `w`
+    * and ONE subtract-the-minimum round over the k+1 counters settles
+    * the decrement-all debt — the min is min(w, existing min), every
+    * counter drops by it, and whoever held it (the newcomer if `w` was
+    * smallest, the old min otherwise, both on ties) drains to 0 and
+    * leaves. Provably equal to `w` unit MG steps (MgLawsSpec fuzzes the
+    * equivalence against a literal unit-step reference).
+    */
+  private[graft] def mgStep(
+      counters: Map[String, Long], term: String, w: Long, k: Int): Map[String, Long] = {
+    if (counters.contains(term)) counters.updated(term, counters(term) + w)
+    else {
+      var c = counters.updated(term, w)
+      while (c.size > k) {
+        val cut = c.valuesIterator.min
+        c = c.iterator.map { case (t2, n2) => t2 -> (n2 - cut) }
+          .filter(_._2 > 0L).toMap
+      }
+      c
+    }
+  }
+
   /** Streaming heavy hitters — the streaming face of
     * [[graft.pipeline.TextAnalysis.heavyHitters]]: a Misra-Gries summary
     * of the token stream, maintained online. Tokens shard by portable
@@ -371,23 +395,7 @@ object StreamIngest {
           val batchCounts = scala.collection.mutable.Map.empty[String, Long]
           rows.foreach { case (t, _) => batchCounts(t) = batchCounts.getOrElse(t, 0L) + 1L }
           batchCounts.toSeq.sortBy(_._1).foreach { case (term, w) =>
-            var c = st.counters
-            if (c.contains(term)) c = c.updated(term, c(term) + w)
-            else {
-              // admit at weight w, then settle the decrement-all debt in
-              // bulk: one subtract-the-minimum round over the k+1
-              // counters equals w unit Misra-Gries steps — the min is
-              // min(w, existing min), every counter drops by it, and
-              // whoever held it (the newcomer if w was smallest, the
-              // old min otherwise, both on ties) drains to 0 and leaves
-              c = c.updated(term, w)
-              while (c.size > k) {
-                val cut = c.valuesIterator.min
-                c = c.iterator.map { case (t2, n2) => t2 -> (n2 - cut) }
-                  .filter(_._2 > 0L).toMap
-              }
-            }
-            st = MgState(c, st.nSeen + w)
+            st = MgState(mgStep(st.counters, term, w, k), st.nSeen + w)
           }
           state.update(st)
           st.counters.iterator.map { case (t, n) => HeavyHitter(shard, t, n) }

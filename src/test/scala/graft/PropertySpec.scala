@@ -64,3 +64,52 @@ class IntervalLawsSpec extends AnyFunSuite {
     }
   }
 }
+
+/** The streaming heavy-hitters monitor's bulk Misra-Gries step claims
+  * exact equivalence to unit-at-a-time MG — fuzz it against a literal
+  * unit-step reference implementation over random weighted streams.
+  */
+class MgLawsSpec extends AnyFunSuite {
+  import graft.streaming.StreamIngest.mgStep
+
+  /** Textbook unit MG: one arrival of `term` into a ≤ k summary. */
+  private def unitStep(c: Map[String, Long], term: String, k: Int): Map[String, Long] =
+    if (c.contains(term)) c.updated(term, c(term) + 1L)
+    else if (c.size < k) c.updated(term, 1L)
+    else c.iterator.map { case (t, n) => t -> (n - 1L) }.filter(_._2 > 0L).toMap
+
+  test("bulk mgStep == w unit steps, fuzzed over random weighted streams") {
+    val rnd = new scala.util.Random(7701)
+    (0 until 300).foreach { trial =>
+      val k = 1 + rnd.nextInt(6)
+      val stream = Seq.fill(20)((s"t${rnd.nextInt(10)}", 1L + rnd.nextInt(7)))
+      var bulk = Map.empty[String, Long]
+      var unit = Map.empty[String, Long]
+      stream.foreach { case (t, w) =>
+        bulk = mgStep(bulk, t, w, k)
+        (0L until w).foreach(_ => unit = unitStep(unit, t, k))
+        assert(bulk === unit,
+          s"trial $trial diverged after ($t, $w) with k=$k: bulk=$bulk unit=$unit")
+      }
+    }
+  }
+
+  test("mgStep frequency guarantees, fuzzed: lower bound and frequent-item residency") {
+    val rnd = new scala.util.Random(515)
+    (0 until 100).foreach { trial =>
+      val k = 2 + rnd.nextInt(6)
+      val stream = Seq.fill(300)(s"t${rnd.nextInt(12)}")
+      var c = Map.empty[String, Long]
+      stream.foreach(t => c = mgStep(c, t, 1L, k))
+      val n = stream.size.toLong
+      val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      c.foreach { case (t, est) =>
+        assert(est <= exact(t), s"trial $trial: overestimate for $t")
+        assert(est >= exact(t) - n / (k + 1), s"trial $trial: bound broken for $t")
+      }
+      exact.foreach { case (t, f) =>
+        if (f > n / (k + 1)) assert(c.contains(t), s"trial $trial: frequent $t evicted")
+      }
+    }
+  }
+}
