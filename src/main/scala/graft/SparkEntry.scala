@@ -2820,9 +2820,9 @@ object SparkEntry {
 
     // connected components over the minhash pairs: transitive closure by
     // recursive CTE (min reachable label per node = component id)
-    // containment replay: rare-shingle inverted-index candidates
-    // (df-capped), verification by exact hash-set intersection over
-    // min-cardinality
+    // containment replay: anchor-shingle candidates (each doc's 4
+    // rarest df-capped shingles joined to the inverted lists),
+    // verification by exact hash-set intersection over min-cardinality
     "q_containment_pairs" -> {
       import graft.functions.PortableHash.sqlHashMod
       s"""WITH d0 AS (
@@ -2835,10 +2835,18 @@ object SparkEntry {
          ex AS (SELECT doc_id, unnest(sh) AS shingle FROM d WHERE len(sh) > 0),
          hx AS MATERIALIZED (SELECT doc_id, ${sqlHashMod("shingle")} AS b FROM ex),
          dfc AS (SELECT b, count(*) AS c FROM hx GROUP BY 1),
-         kept AS MATERIALIZED (
-           SELECT doc_id, hx.b FROM hx JOIN dfc ON hx.b = dfc.b WHERE dfc.c <= 1000),
-         pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-                FROM kept x JOIN kept y ON x.b = y.b AND x.doc_id < y.doc_id),
+         wd AS MATERIALIZED (
+           SELECT doc_id, hx.b, dfc.c FROM hx JOIN dfc ON hx.b = dfc.b),
+         anch AS (
+           SELECT doc_id, b FROM (
+             SELECT doc_id, b, c,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY c, b) AS rn
+             FROM wd)
+           WHERE rn <= 4 AND c <= 1000),
+         mem AS (SELECT doc_id, b FROM wd WHERE c <= 1000),
+         pr AS (SELECT DISTINCT least(a.doc_id, m.doc_id) AS id_a,
+                       greatest(a.doc_id, m.doc_id) AS id_b
+                FROM anch a JOIN mem m ON a.b = m.b AND a.doc_id <> m.doc_id),
          nsh AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY 1),
          inter AS (SELECT pr.id_a, pr.id_b, count(*) AS ni
                    FROM pr JOIN hx xa ON xa.doc_id = pr.id_a
