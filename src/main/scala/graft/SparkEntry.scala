@@ -1281,6 +1281,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // text analysis — top-k PMI collocations over the shared bigram
+    // stage (glued word pairs vs merely frequent; Church-Hanks minCount)
+    "q_pmi_pairs" -> ((s, d) => {
+      TextAnalysis.pmiPairs(table(s, d, "documents"), "doc_id", "text",
+          k = 50, minCount = 5)
+        .select(col("prev"), col("cur"), col("n"), round(col("pmi"), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("prev"), col("cur"))
+    }),
+
     // curation — per-language length-decile binning (broadcast quantile
     // cutpoints; never a global ntile, which cannot scale past one
     // partition)
@@ -3328,6 +3337,24 @@ object SparkEntry {
                 round(avg(x), 6) AS avg_nll,
                 round(exp(avg(x)), 6) AS ppl
          FROM nll GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_pmi_pairs" ->
+      """WITH d0 AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         bg AS MATERIALIZED (
+           SELECT doc_id, unnest(toks[1:-2]) AS prev, unnest(toks[2:-1]) AS cur
+           FROM d0 WHERE len(toks) >= 2),
+         bc AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS n
+                FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+         pc AS (SELECT prev, count(*) AS cp FROM bg GROUP BY 1),
+         cc AS (SELECT cur, count(*) AS ccn FROM bg GROUP BY 1),
+         t AS (SELECT count(*) AS nt FROM bg)
+         SELECT prev, cur, n,
+                round(ln(CAST(n AS DOUBLE) * nt / (cp * ccn)), 6) AS pmi
+         FROM bc JOIN pc USING (prev) JOIN cc USING (cur) CROSS JOIN t
+         ORDER BY ln(CAST(n AS DOUBLE) * nt / (cp * ccn)) DESC, prev, cur
+         LIMIT 50""",
 
     "q_quality_bins" ->
       """WITH c AS (

@@ -511,6 +511,51 @@ object TextAnalysis {
       .withColumn("ppl", exp(col("avg_nll")))
   }
 
+  /** Top-k PMI collocations — pointwise mutual information of adjacent
+    * token pairs, `ln(N·c(a,b) / (c(a)·c(b)))` over predecessor/successor
+    * position counts: the corpus-analytics view of which word pairs are
+    * GLUED (named entities, idioms, boilerplate templates) versus merely
+    * frequent. `minCount` floors the bigram count (PMI is noise-dominated
+    * at tiny counts — the classic Church-Hanks caveat).
+    *
+    * Built entirely on [[bigramPerplexity]]'s shared bigram stage: one
+    * corpus explode serves both operators, the marginals are rollups of
+    * the same frame (predecessor counts directly; successor counts by a
+    * second vocab-bounded rollup), and top-k is TakeOrdered. Ties break
+    * by (prev, cur) ascending for a total order.
+    *
+    * Output: (prev, cur, n, pmi) — top `k` by PMI.
+    */
+  def pmiPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 50,
+      minCount: Long = 5L): DataFrame = {
+    require(k >= 1 && minCount >= 1, s"need k >= 1, minCount >= 1; got $k/$minCount")
+    val toks = tokens(lower(col(textCol)))
+    val bigrams = flatten(transform(array(toks), ws =>
+      when(size(ws) >= 2,
+        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("prev"), b.as("cur"))))
+        .otherwise(array().cast("array<struct<prev:string,cur:string>>"))))
+    val bg = graft.StageCache.mat(
+      df.select(col(idCol).as("id"), explode(bigrams).as("__b"))
+        .select(col("id"), col("__b.prev").as("prev"), col("__b.cur").as("cur")))
+    val bc = bg.groupBy("prev", "cur").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val pc = bg.groupBy("prev").agg(count(lit(1)).as("__cp"))
+    val cc = bg.groupBy("cur").agg(count(lit(1)).as("__cc"))
+    val total = bg.agg(count(lit(1)).as("__N"))
+    bc.join(pc, Seq("prev")).join(cc, Seq("cur"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi",
+        log(col("n").cast("double") * col("__N") / (col("__cp") * col("__cc"))))
+      .select("prev", "cur", "n", "pmi")
+      .orderBy(col("pmi").desc, col("prev"), col("cur"))
+      .limit(k)
+  }
+
   /** Corpus length-distribution profile: per-group quantiles of a numeric
     * column (doc lengths, token counts) — the curation report every
     * training-data pipeline starts from (length cutoffs are quantile

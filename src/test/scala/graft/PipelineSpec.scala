@@ -1068,6 +1068,29 @@ class BigramPplSpec extends SparkSpec {
   }
 }
 
+class PmiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pmiPairs: hand-computed PMI; glued pair outranks frequent-but-loose pair") {
+    // "aa bb" always adjacent (glued); "cc" frequent alone next to varying words
+    val docs = (1 to 10).map(i => (i.toLong, s"aa bb cc w$i")) :+ (99L, "cc cc cc")
+    val df = docs.toDF("doc_id", "text")
+    val got = TextAnalysis.pmiPairs(df, "doc_id", "text", k = 5, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // bigram positions: per doc "aa bb","bb cc","cc w_i" (x10) + "cc cc","cc cc"
+    // N = 32; prev counts: aa=10, bb=10, cc=12; cur counts: bb=10, cc=12, w_i=1 each, cc...
+    val n = 32.0
+    val pmiAaBb = math.log(10 * n / (10.0 * 10.0))
+    val pmiBbCc = math.log(10 * n / (10.0 * 12.0))
+    assert(got.contains(("aa", "bb")) && got.contains(("bb", "cc")))
+    assert(math.abs(got(("aa", "bb"))._2 - pmiAaBb) < 1e-9)
+    assert(math.abs(got(("bb", "cc"))._2 - pmiBbCc) < 1e-9)
+    assert(got(("aa", "bb"))._2 > got(("bb", "cc"))._2, "glued pair must outrank")
+    // every returned pair clears the count floor
+    assert(got.values.forall(_._1 >= 5L))
+  }
+}
+
 class WinnowSpec extends SparkSpec {
   import graft.functions.PortableHash
   import spark.implicits._
