@@ -37,9 +37,15 @@ object SparkEntry {
   private val tableCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  private def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // drop entries of STOPPED sessions on every miss-or-hit: a DataFrame
+    // holds a hard reference to its session, so without this purge a
+    // restarted-session JVM (test suites, notebooks) retains every dead
+    // session's state forever (ADVICE r12)
+    tableCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     tableCache.computeIfAbsent((spark, dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** Naive literal timestamp (TIMESTAMP_NTZ). Built from LocalDateTime —
     * Catalyst maps it straight to a TIMESTAMP_NTZ literal with no
@@ -64,10 +70,13 @@ object SparkEntry {
   private val eventsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private[graft] def events(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
     // memoized like [[table]] (the conf dance + schema branch run once
-    // per (session, dir), not once per query)
+    // per (session, dir), not once per query; dead sessions purged the
+    // same way)
+    eventsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     eventsCache.computeIfAbsent((spark, dir), _ => eventsUncached(spark, dir))
+  }
 
   private def eventsUncached(spark: SparkSession, dir: String): DataFrame = synchronized {
     // synchronized: the set→schema-load→restore below is the ONLY
@@ -2618,9 +2627,9 @@ object SparkEntry {
          ss AS (SELECT label, sum(CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT)) AS ssq
                 FROM ds GROUP BY 1),
          j AS (SELECT r.label, n_vecs,
-                      (CAST(n_vecs AS HUGEINT) * s2 - ssq) * 2 AS num,
+                      (CAST(n_vecs AS HUGEINT) * coalesce(s2, 0) - coalesce(ssq, 0)) * 2 AS num,
                       CAST(n_vecs AS HUGEINT) * (n_vecs - 1) * 1000000000000 AS den
-               FROM r JOIN ss ON r.label = ss.label)
+               FROM r LEFT JOIN ss ON r.label = ss.label)
          SELECT label, n_vecs,
                 CASE WHEN n_vecs > 1
                      THEN CAST((num * 1000000 * 2 + den) // (den * 2) AS DOUBLE) / 1000000
@@ -2842,7 +2851,11 @@ object SparkEntry {
                     i -> array_to_string(toks[i:i+2], ' '))) AS sh
            FROM d0),
          ex AS (SELECT doc_id, unnest(sh) AS shingle FROM d WHERE len(sh) > 0),
-         hx AS MATERIALIZED (SELECT doc_id, ${sqlHashMod("shingle")} AS b FROM ex),
+         -- DISTINCT on (doc_id, b): per-doc shingle STRINGS are already
+         -- distinct, but a within-doc hash collision would otherwise make
+         -- the oracle count rows where Spark counts distinct HASHES
+         -- (collect_set semantics) — both engines use hash-set cardinality
+         hx AS MATERIALIZED (SELECT DISTINCT doc_id, ${sqlHashMod("shingle")} AS b FROM ex),
          dfc AS (SELECT b, count(*) AS c FROM hx GROUP BY 1),
          wd AS MATERIALIZED (
            SELECT doc_id, hx.b, dfc.c FROM hx JOIN dfc ON hx.b = dfc.b),

@@ -45,7 +45,24 @@ import org.apache.spark.storage.StorageLevel
 object StageCache {
   private def enabled: Boolean = sys.env.get("GRAFT_STAGE_CACHE").forall(_.trim != "0")
 
-  private val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+  /** Max DISTINCT stages (by canonicalized plan) kept registered; the
+    * least-recently-used stage past the cap is unpersisted. Eviction is
+    * always safe — a persisted stage is recomputable from lineage (unlike
+    * a localCheckpoint), so an evicted stage costs at worst one rebuild.
+    * Bounds the CacheManager footprint of a LONG-LIVED (server-style)
+    * session, where an unbounded registry would pin every (input, n)
+    * shingle base / signature table / pair list ever built. Batch runs
+    * never approach the cap. `GRAFT_STAGE_CACHE_MAX` overrides.
+    */
+  private val maxEntries: Int =
+    sys.env.get("GRAFT_STAGE_CACHE_MAX").map(_.trim.toInt).getOrElse(256)
+
+  // access-ordered LRU keyed by the CANONICALIZED plan: re-registering an
+  // equal stage rebuilt by another query refreshes recency instead of
+  // growing the registry with duplicate entries
+  private val registered =
+    new java.util.LinkedHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](
+      16, 0.75f, true)
 
   /** Materialize `df` as a shared stage: persisted (plan-matched,
     * spillable, recomputable) when the cache is enabled, local-checkpoint
@@ -57,15 +74,23 @@ object StageCache {
       // re-persisting an equal plan is a CacheManager no-op, so
       // rebuilding the same stage in another query costs nothing
       df.persist(StorageLevel.MEMORY_AND_DISK)
-      registered.add(df)
+      registered.synchronized {
+        registered.put(df.queryExecution.analyzed.canonicalized, df)
+        while (registered.size() > maxEntries) {
+          val it = registered.entrySet().iterator()
+          val eldest = it.next()
+          it.remove()
+          try eldest.getValue.unpersist(false) catch { case _: Throwable => () }
+        }
+      }
       df
     }
 
   /** Drop every stage this registry persisted (tests; or after
     * overwriting the underlying inputs in place).
     */
-  def clear(): Unit = {
-    registered.forEach(df => df.unpersist(false))
+  def clear(): Unit = registered.synchronized {
+    registered.values().forEach(df => try df.unpersist(false) catch { case _: Throwable => () })
     registered.clear()
   }
 }

@@ -44,7 +44,7 @@ object Clustering {
       aCol: String = "id_a",
       bCol: String = "id_b",
       maxIter: Int = 25,
-      maxDriverEdges: Long = 1000000L): DataFrame = {
+      maxDriverEdges: Long = 100000L): DataFrame = {
     // symmetric edge list, deduped — read once per round, so materialize
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -69,6 +69,9 @@ object Clustering {
     }
     val nEdges = if (integralId) edges.count() else Long.MaxValue
     if (nEdges > 0 && nEdges <= maxDriverEdges) {
+      // 100k cap (ADVICE r12; was 1M): the collected two-long Rows plus
+      // the union-find map stay a few MB on the driver — a near-dup edge
+      // list past 100k belongs on the executors anyway
       val es = edges.select(col("src").cast("long"), col("dst").cast("long")).collect()
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {

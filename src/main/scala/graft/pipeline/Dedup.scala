@@ -264,11 +264,15 @@ object Dedup {
     require(maxDf >= 2, s"maxDf must be >= 2 (a pair needs a shingle shared by 2 docs), got $maxDf")
     require(numAnchors >= 1, s"numAnchors must be >= 1, got $numAnchors")
     val ex = shingleHashes(df, idCol, textCol, n)
-    val sets = ex.groupBy("id").agg(collect_set(col("__b")).as("hs"))
-      .withColumn("n_sh", size(col("hs")))
-    // per-doc shingles are distinct, so the corpus count IS the df
-    val dfc = ex.groupBy("__b").agg(count(lit(1)).as("__df"))
-    val withDf = graft.StageCache.mat(ex.join(dfc, Seq("__b")))
+    // distinct (id, hash) rows — the per-doc hash SET in exploded form.
+    // Per-doc shingle STRINGS are already distinct, so this only collapses
+    // within-doc hash collisions, making every downstream quantity (df,
+    // set sizes, intersections) a distinct-HASH-set measure — the exact
+    // semantics the SQL oracle replays with SELECT DISTINCT.
+    val exd = graft.StageCache.mat(ex.dropDuplicates("id", "__b"))
+    val sizes = exd.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val dfc = exd.groupBy("__b").agg(count(lit(1)).as("__df"))
+    val withDf = graft.StageCache.mat(exd.join(dfc, Seq("__b")))
     // anchors: each doc's numAnchors rarest shingles (per-doc window,
     // bounded by shingles-per-doc) that clear the df cap
     val wDoc = Window.partitionBy(col("id")).orderBy(col("__df"), col("__b"))
@@ -284,11 +288,22 @@ object Dedup {
       .select(least(col("__aid"), col("__mid")).as("id_a"),
         greatest(col("__aid"), col("__mid")).as("id_b"))
       .distinct()
-    cand
-      .join(sets.select(col("id").as("id_a"), col("hs").as("__ha"), col("n_sh").as("na")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("hs").as("__hb"), col("n_sh").as("nb")), Seq("id_b"))
-      .withColumn("containment",
-        size(array_intersect(col("__ha"), col("__hb"))).cast("double") / least(col("na"), col("nb")))
+    // Verification by EXPLODED intersection (VERDICT r12 #4): count the
+    // hashes present in both docs' sets per candidate pair, straight from
+    // the (id, hash) rows — two hash joins + one count aggregation. The
+    // earlier collect_set/array_intersect form shipped a popular doc's
+    // whole hash ARRAY once per candidate it appeared in; here the rows
+    // shuffle by join key, partial-aggregate map-side, and spill instead
+    // of blowing a task on a hot doc.
+    val inter = cand
+      .join(exd.select(col("id").as("id_a"), col("__b")), Seq("id_a"))
+      .join(exd.select(col("id").as("id_b"), col("__b")), Seq("id_b", "__b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("__ni"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+      .withColumn("containment", col("__ni").cast("double") / least(col("na"), col("nb")))
       .filter(col("containment") >= minContainment)
       .select("id_a", "id_b", "containment")
   }
