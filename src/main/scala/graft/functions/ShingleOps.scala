@@ -1,0 +1,400 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native one-pass shingle/token hashing (SURVEY.md §2.10 tier (b):
+  * custom codegen `Expression`s) — the scan-side projections behind every
+  * shingle/token-derived operator (MinHash, Jaccard, containment,
+  * contamination, DSIR, duplicate spans).
+  *
+  * Why native instead of the composed built-ins they replace: the
+  * built-in formulations (`transform`/`slice`/`concat_ws`/`array_distinct`
+  * over `regexp_extract_all` tokens — see [[graft.pipeline.Dedup.shingles]])
+  * are higher-order functions, which Spark evaluates on the INTERPRETED
+  * path (HigherOrderFunction is CodegenFallback) — every document pays
+  * per-shingle UTF8String allocations, a boxed lambda call per element,
+  * an O(s²)-ish `array_distinct`, and a fresh MessageDigest per md5. At
+  * corpus scale this is the single largest cold-start stage cost in the
+  * engine (the round-12 stage-cold bench: the shingle/token explode
+  * stages carry ~2 s per query at sf0.1). Each expression here makes ONE
+  * pass over the document bytes with zero per-shingle allocations beyond
+  * the 16-byte digest, and stays inside whole-stage codegen.
+  *
+  * VALUE COMPATIBILITY IS THE CONTRACT: each expression reproduces its
+  * built-in chain bit-for-bit (ShingleOpsSpec pins equivalence on random
+  * Unicode inputs, and every DuckDB oracle twin remains valid unchanged):
+  *
+  *  - tokens: maximal `[A-Za-z0-9]+` runs. The input must be ALREADY
+  *    LOWERCASED by the caller (`lower(text)` — kept outside so Spark's
+  *    own collation-aware `Lower` does the case mapping). ASCII bytes
+  *    never occur inside multi-byte UTF-8 sequences, so a byte scan for
+  *    alnum runs is exactly the Java-regex char scan.
+  *  - shingle string: n tokens joined by a single space — injective per
+  *    window (tokens contain no spaces), so string equality is
+  *    element-wise token equality, which is how the dedup table compares.
+  *  - hash: first 60 bits of md5 of the shingle's UTF-8 bytes
+  *    ([[Hash60]]), streamed straight from the token byte ranges — the
+  *    joined string is never materialized.
+  */
+object ShingleOps {
+
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val EMPTY = new Array[Long](0)
+
+  val P: Long = PortableHash.P
+
+  @inline private def isAlnum(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z')
+
+  /** Tokenize `bytes` into maximal alnum runs; returns packed
+    * (start, end) offset pairs and the token count: offs(2i) = start,
+    * offs(2i+1) = end (exclusive).
+    */
+  private def tokenize(bytes: Array[Byte]): (Array[Int], Int) = {
+    var offs = new Array[Int](32)
+    var t = 0
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      if (isAlnum(bytes(i))) {
+        val s = i
+        i += 1
+        while (i < len && isAlnum(bytes(i))) i += 1
+        if (2 * t == offs.length) offs = java.util.Arrays.copyOf(offs, offs.length * 2)
+        offs(2 * t) = s
+        offs(2 * t + 1) = i
+        t += 1
+      } else i += 1
+    }
+    (offs, t)
+  }
+
+  /** md5-60 of the window `w..w+n-1` of tokens, streamed (no string). */
+  private def windowHash60(
+      md: java.security.MessageDigest,
+      bytes: Array[Byte], offs: Array[Int], w: Int, n: Int): Long = {
+    md.reset()
+    var k = w
+    while (k < w + n) {
+      md.update(bytes, offs(2 * k), offs(2 * k + 1) - offs(2 * k))
+      if (k != w + n - 1) md.update(' '.toByte)
+      k += 1
+    }
+    val d = md.digest()
+    val hi =
+      ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+      ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+      ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8)  |  (d(7) & 0xFFL)
+    hi >>> 4
+  }
+
+  @inline private def windowsEqual(
+      bytes: Array[Byte], offs: Array[Int], a: Int, b: Int, n: Int): Boolean = {
+    var k = 0
+    while (k < n) {
+      val as = offs(2 * (a + k)); val ae = offs(2 * (a + k) + 1)
+      val bs = offs(2 * (b + k)); val be = offs(2 * (b + k) + 1)
+      if (ae - as != be - bs) return false
+      var i = 0
+      val l = ae - as
+      while (i < l) {
+        if (bytes(as + i) != bytes(bs + i)) return false
+        i += 1
+      }
+      k += 1
+    }
+    true
+  }
+
+  /** Distinct-BY-STRING word n-gram shingle hash60s, first-occurrence
+    * order — the native form of
+    * `transform(array_distinct(shingles), md5-60)`. Dedup is exact: a
+    * 64-bit probe hash selects the slot, byte comparison of the token
+    * windows decides equality (never the probe hash alone), so two
+    * distinct shingles colliding in ANY hash still both emit — identical
+    * to `array_distinct` over the shingle strings.
+    */
+  def distinctShingleHash60(bytes: Array[Byte], n: Int): Array[Long] = {
+    val (offs, t) = tokenize(bytes)
+    if (t < n) return EMPTY
+    val m = t - n + 1
+    var cap = 4
+    while (cap < m * 2) cap <<= 1
+    val slots = new Array[Int](cap)
+    java.util.Arrays.fill(slots, -1)
+    val out = new Array[Long](m)
+    var outN = 0
+    val md = mdLocal.get()
+    var w = 0
+    while (w < m) {
+      // FNV-1a over the window bytes + separators: probe key only
+      var fh = -3750763034362895579L
+      var j = w
+      while (j < w + n) {
+        var p = offs(2 * j)
+        val e = offs(2 * j + 1)
+        while (p < e) { fh = (fh ^ bytes(p)) * 1099511628211L; p += 1 }
+        fh = (fh ^ 0x20L) * 1099511628211L
+        j += 1
+      }
+      var idx = (fh ^ (fh >>> 32)).toInt & (cap - 1)
+      var isNew = false
+      var probing = true
+      while (probing) {
+        val s = slots(idx)
+        if (s < 0) { slots(idx) = w; isNew = true; probing = false }
+        else if (windowsEqual(bytes, offs, s, w, n)) probing = false
+        else idx = (idx + 1) & (cap - 1)
+      }
+      if (isNew) {
+        out(outN) = windowHash60(md, bytes, offs, w, n)
+        outN += 1
+      }
+      w += 1
+    }
+    if (outN == m) out else java.util.Arrays.copyOf(out, outN)
+  }
+
+  /** ArrayData wrapper of [[distinctShingleHash60]] (called from codegen). */
+  def shingleArray(s: UTF8String, n: Int): UnsafeArrayData =
+    UnsafeArrayData.fromPrimitiveArray(distinctShingleHash60(s.getBytes, n))
+
+  /** Distinct-BY-VALUE mod-P shingle hashes, first-occurrence order: the
+    * per-doc shingle-hash SET as an array — exactly the multiset
+    * `dropDuplicates` / `collect_set` would leave of the mod-P explode
+    * (within-doc mod-P collisions collapse to one value). Emitting the
+    * set from the scan lets set-consumers (containment's exploded base,
+    * Jaccard's per-doc sets) skip the dedup/collect_set SHUFFLE entirely.
+    */
+  def distinctShingleHashMods(bytes: Array[Byte], n: Int): Array[Long] = {
+    val h60 = distinctShingleHash60(bytes, n)
+    if (h60.length == 0) return EMPTY
+    val m = h60.length
+    var cap = 4
+    while (cap < m * 2) cap <<= 1
+    // open addressing over the VALUES; -1 is an impossible mod-P hash
+    val slots = new Array[Long](cap)
+    java.util.Arrays.fill(slots, -1L)
+    val out = new Array[Long](m)
+    var outN = 0
+    var i = 0
+    while (i < m) {
+      val v = h60(i) % P
+      var idx = ((v * -7046029254386353131L) >>> 40).toInt & (cap - 1)
+      var probing = true
+      while (probing) {
+        val s = slots(idx)
+        if (s == -1L) { slots(idx) = v; out(outN) = v; outN += 1; probing = false }
+        else if (s == v) probing = false
+        else idx = (idx + 1) & (cap - 1)
+      }
+      i += 1
+    }
+    if (outN == m) out else java.util.Arrays.copyOf(out, outN)
+  }
+
+  /** ArrayData wrapper of [[distinctShingleHashMods]] (called from codegen). */
+  def shingleModArray(s: UTF8String, n: Int): UnsafeArrayData =
+    UnsafeArrayData.fromPrimitiveArray(distinctShingleHashMods(s.getBytes, n))
+
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, (Array[Long], Array[Long])]()
+
+  private def perms(numHashes: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent(numHashes, { _ =>
+      val cs = PortableHash.permConsts(numHashes)
+      (cs.map(_._1).toArray, cs.map(_._2).toArray)
+    })
+
+  /** Per-document MinHash signature, fused into the shingle pass: for
+    * each of `numHashes` permutations `(a_i·h + b_i) mod P` over the
+    * mod-P-reduced distinct shingle hashes, the minimum — the whole
+    * signature from ONE pass over the document, no explode rows and no
+    * aggregation shuffle (the groupBy-of-mins formulation shuffles
+    * docs×shingles rows; this shuffles nothing). Empty array when the
+    * document has < n tokens — callers filter, mirroring the
+    * no-rows-in-groupBy semantics of the aggregated form.
+    *
+    * Duplicate shingles cannot skew a min, and a per-permutation min
+    * over the distinct hash set is EXACTLY the aggregated
+    * `min(pmod(a*h+b, P))` — MinhashSigSpec pins bit-equality.
+    */
+  def minhashSig(s: UTF8String, n: Int, numHashes: Int): UnsafeArrayData = {
+    val hs = distinctShingleHash60(s.getBytes, n)
+    if (hs.length == 0) return UnsafeArrayData.fromPrimitiveArray(EMPTY)
+    val (as_, bs) = perms(numHashes)
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val base = hs(i) % P // hash60 >= 0, so % == pmod
+      var j = 0
+      while (j < numHashes) {
+        val v = (as_(j) * base + bs(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** DSIR hashed bag-of-features buckets, fused: per token the md5-60
+    * mod-P hash, per adjacent pair the rolling bigram hash
+    * `(h1·31 + h2) mod P`, each reduced mod `numBuckets`; unigrams then
+    * bigrams, duplicates KEPT (the downstream distribution counts them) —
+    * the native form of [[graft.pipeline.Curation.featureBuckets]]'s
+    * explode input.
+    */
+  def tokenBuckets(s: UTF8String, numBuckets: Int): UnsafeArrayData = {
+    val bytes = s.getBytes
+    val (offs, t) = tokenize(bytes)
+    if (t == 0) return UnsafeArrayData.fromPrimitiveArray(EMPTY)
+    val md = mdLocal.get()
+    val hs = new Array[Long](t)
+    var i = 0
+    while (i < t) {
+      hs(i) = windowHash60(md, bytes, offs, i, 1) % P
+      i += 1
+    }
+    val nb = numBuckets.toLong
+    val out = new Array[Long](t + (if (t >= 2) t - 1 else 0))
+    i = 0
+    while (i < t) { out(i) = hs(i) % nb; i += 1 }
+    i = 0
+    while (i < t - 1) {
+      out(t + i) = ((hs(i) * 31L + hs(i + 1)) % P) % nb
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Every w-token window's mod-P hash IN POSITION ORDER, duplicates
+    * kept — the native form of [[graft.pipeline.Dedup.windowHashes]]
+    * (duplicate-span detection posexplodes this, so order and
+    * multiplicity both matter).
+    */
+  def windowHashMods(s: UTF8String, w: Int): UnsafeArrayData = {
+    val bytes = s.getBytes
+    val (offs, t) = tokenize(bytes)
+    if (t < w) return UnsafeArrayData.fromPrimitiveArray(EMPTY)
+    val m = t - w + 1
+    val md = mdLocal.get()
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      out(i) = windowHash60(md, bytes, offs, i, w) % P
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
+
+  /** Column: distinct shingle hash60s of ALREADY-LOWERCASED text. */
+  def shingleHash60s(lowered: Column, n: Int): Column =
+    toColumn(ShingleHash60s(toExpr(lowered), n))
+
+  /** Column: per-doc distinct mod-P shingle-hash SET of ALREADY-LOWERCASED
+    * text. */
+  def shingleHashModSet(lowered: Column, n: Int): Column =
+    toColumn(ShingleHashModSet(toExpr(lowered), n))
+
+  /** Column: fused MinHash signature of ALREADY-LOWERCASED text. */
+  def minhashSigCol(lowered: Column, n: Int, numHashes: Int): Column =
+    toColumn(MinhashSigExpr(toExpr(lowered), n, numHashes))
+
+  /** Column: DSIR feature buckets of ALREADY-LOWERCASED text. */
+  def tokenBucketsCol(lowered: Column, numBuckets: Int): Column =
+    toColumn(TokenBucketsExpr(toExpr(lowered), numBuckets))
+
+  /** Column: positional window hash mods of ALREADY-LOWERCASED text. */
+  def windowHashModsCol(lowered: Column, w: Int): Column =
+    toColumn(WindowHashModsExpr(toExpr(lowered), w))
+}
+
+/** Shared shape of the four ShingleOps expressions: string in,
+  * array<long> out, null-intolerant, one static helper call — the int
+  * parameter participates in `equals`, so plan canonicalization (and the
+  * StageCache's plan-identity matching) distinguishes n=2 from n=3.
+  */
+sealed abstract class ShingleOpsExpression extends UnaryExpression {
+  def param: Int
+  def helperCall(c: String): String
+  def evalHelper(s: UTF8String): Any
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got $dt")
+  }
+
+  override def nullSafeEval(input: Any): Any = evalHelper(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${helperCall(c)};")
+}
+
+case class ShingleHash60s(child: Expression, n: Int) extends ShingleOpsExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+  override def param: Int = n
+  override def helperCall(c: String): String =
+    s"graft.functions.ShingleOps.shingleArray($c, $n)"
+  override def evalHelper(s: UTF8String): Any = ShingleOps.shingleArray(s, n)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ShingleHashModSet(child: Expression, n: Int) extends ShingleOpsExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+  override def param: Int = n
+  override def helperCall(c: String): String =
+    s"graft.functions.ShingleOps.shingleModArray($c, $n)"
+  override def evalHelper(s: UTF8String): Any = ShingleOps.shingleModArray(s, n)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class MinhashSigExpr(child: Expression, n: Int, numHashes: Int)
+    extends ShingleOpsExpression {
+  require(n >= 1 && numHashes >= 1, s"bad minhash params n=$n numHashes=$numHashes")
+  override def param: Int = n * 10007 + numHashes
+  override def helperCall(c: String): String =
+    s"graft.functions.ShingleOps.minhashSig($c, $n, $numHashes)"
+  override def evalHelper(s: UTF8String): Any = ShingleOps.minhashSig(s, n, numHashes)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class TokenBucketsExpr(child: Expression, numBuckets: Int)
+    extends ShingleOpsExpression {
+  require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+  override def param: Int = numBuckets
+  override def helperCall(c: String): String =
+    s"graft.functions.ShingleOps.tokenBuckets($c, $numBuckets)"
+  override def evalHelper(s: UTF8String): Any = ShingleOps.tokenBuckets(s, numBuckets)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class WindowHashModsExpr(child: Expression, w: Int)
+    extends ShingleOpsExpression {
+  require(w >= 1, s"window width must be >= 1, got $w")
+  override def param: Int = w
+  override def helperCall(c: String): String =
+    s"graft.functions.ShingleOps.windowHashMods($c, $w)"
+  override def evalHelper(s: UTF8String): Any = ShingleOps.windowHashMods(s, w)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

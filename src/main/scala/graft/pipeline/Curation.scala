@@ -397,24 +397,14 @@ object Curation {
     */
   private[pipeline] def featureBuckets(
       df: DataFrame, idCol: String, textCol: String, numBuckets: Int): DataFrame = {
-    import graft.functions.PortableHash
-    // ONE md5 per token (the rolling-hash trick the winnow fingerprints
-    // use): the bigram hash derives arithmetically from the two token
-    // hashes — (h1*31 + h2) mod P — instead of md5-ing a concatenated
-    // 2-token string, halving digest work and skipping the string build
-    // on the hot path. The token-hash array is bound ONCE as a lambda
-    // variable (CSE cannot reach lambda bodies — same guard as
-    // Dedup.shingles).
-    val hs0 = transform(TextAnalysis.tokens(lower(col(textCol))),
-      t => PortableHash.hashMod(t))
-    val feats = flatten(transform(array(hs0), hs =>
-      concat(hs,
-        when(size(hs) >= 2,
-          zip_with(slice(hs, lit(1), size(hs) - 1), slice(hs, lit(2), size(hs) - 1),
-            (a, c) => pmod(a * lit(31L) + c, lit(PortableHash.P))))
-          .otherwise(array().cast("array<long>")))))
-    df.select(col(idCol).as("id"), explode(feats).as("__h"))
-      .select(col("id"), pmod(col("__h"), lit(numBuckets.toLong)).as("bucket"))
+    // native one-pass projection (graft.functions.ShingleOps): one md5
+    // per token, the bigram hash rolled arithmetically from the two
+    // token hashes — (h1*31 + h2) mod P — and every bucket id emitted
+    // straight from the scan; value-identical to the old
+    // transform/zip_with chain (ShingleOpsSpec)
+    df.select(col(idCol).as("id"),
+      explode(graft.functions.ShingleOps.tokenBucketsCol(
+        lower(col(textCol)), numBuckets)).as("bucket"))
   }
 
   /** Per-bucket importance log-ratios ln(p̂_b / q̂_b) between the TARGET

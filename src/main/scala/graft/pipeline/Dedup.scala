@@ -201,20 +201,20 @@ object Dedup {
       rowsPerBand: Int = 4,
       maxBandDf: Long = 1000L): DataFrame = {
     require(maxBandDf >= 2, s"maxBandDf must be >= 2 (a pair needs a bucket of 2), got $maxBandDf")
-    import graft.functions.PortableHash
-    // the shared (id, shingle-hash) base stage — sets + sig both read
-    // it, and it is plan-identical to the minhash operators' base
-    val ex = shingleHashes(df, idCol, textCol, n)
-    // per-doc shingle-hash set (docs are bounded; the SET is, too)
-    val sets = ex.groupBy("id").agg(collect_set(col("__b")).as("hs"))
-      .withColumn("n_sh", size(col("hs")))
-    // minhash signature from the same base hashes, banded to candidates
+    // per-doc shingle-hash SET straight from the native scan projection
+    // (docs are bounded; the SET is, too) — array content identical to
+    // the old groupBy+collect_set of the exploded base, with no shuffle.
+    // array_intersect and size() are order-blind, so first-occurrence
+    // order vs collect_set order is immaterial.
+    val sets = graft.StageCache.mat(
+      df.select(col(idCol).as("id"),
+          graft.functions.ShingleOps.shingleHashModSet(lower(col(textCol)), n).as("hs"))
+        .withColumn("n_sh", size(col("hs"))))
+    // fused minhash signature — plan-identical to [[minhashLshPairs]]'
+    // signature stage when (input, n, bands·rows) match, so warm runs
+    // reuse ONE signature pass across the whole LSH family
     val numHashes = bands * rowsPerBand
-    val consts = PortableHash.permConsts(numHashes)
-    val mins = consts.zipWithIndex.map { case ((a, b), i) =>
-      min(PortableHash.perm(col("__b"), a, b)).as(s"h$i") }
-    val sig = ex.groupBy(col("id")).agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    val sig = graft.StageCache.mat(minhashSignature(df, idCol, textCol, n, numHashes))
     val cand = bandedCandidates(sig, bands, rowsPerBand, maxBandDf)
     val verified = cand
       .join(sets.select(col("id").as("id_a"), col("hs").as("__ha"), col("n_sh").as("na")), Seq("id_a"))
@@ -263,13 +263,18 @@ object Dedup {
       numAnchors: Int = 4): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2 (a pair needs a shingle shared by 2 docs), got $maxDf")
     require(numAnchors >= 1, s"numAnchors must be >= 1, got $numAnchors")
-    val ex = shingleHashes(df, idCol, textCol, n)
-    // distinct (id, hash) rows — the per-doc hash SET in exploded form.
-    // Per-doc shingle STRINGS are already distinct, so this only collapses
-    // within-doc hash collisions, making every downstream quantity (df,
-    // set sizes, intersections) a distinct-HASH-set measure — the exact
-    // semantics the SQL oracle replays with SELECT DISTINCT.
-    val exd = graft.StageCache.mat(ex.dropDuplicates("id", "__b"))
+    // distinct (id, hash) rows — the per-doc hash SET in exploded form,
+    // emitted VALUE-DISTINCT straight from the native scan projection
+    // (ShingleOps.shingleHashModSet): no dedup shuffle ever runs. Per-doc
+    // shingle STRINGS are already distinct inside the expression, and the
+    // mod-P value dedup collapses within-doc hash collisions, making
+    // every downstream quantity (df, set sizes, intersections) a
+    // distinct-HASH-set measure — the exact semantics the SQL oracle
+    // replays with SELECT DISTINCT.
+    val exd = graft.StageCache.mat(
+      df.select(col(idCol).as("id"),
+        explode(graft.functions.ShingleOps.shingleHashModSet(
+          lower(col(textCol)), n)).as("__b")))
     val sizes = exd.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val dfc = exd.groupBy("__b").agg(count(lit(1)).as("__df"))
     val withDf = graft.StageCache.mat(exd.join(dfc, Seq("__b")))
@@ -329,10 +334,10 @@ object Dedup {
       evalTextCol: String,
       n: Int = 3,
       minShared: Int = 1): DataFrame = {
-    import graft.functions.PortableHash
+    import graft.functions.{PortableHash, ShingleOps}
     val evalSh = eval
-      .select(explode(shingles(col(evalTextCol), n)).as("__s"))
-      .select(PortableHash.hashMod(col("__s")).as("__h"))
+      .select(explode(ShingleOps.shingleHash60s(lower(col(evalTextCol)), n)).as("__h60"))
+      .select(pmod(col("__h60"), lit(PortableHash.P)).as("__h"))
       .distinct()
     // the corpus side IS the shared (id, shingle-hash) base stage —
     // decontamination reuses the same materialized corpus pass as the
@@ -365,20 +370,30 @@ object Dedup {
     * n) reuses ONE corpus pass via plan-identity cache matching.
     */
   def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    import graft.functions.PortableHash
+    import graft.functions.{PortableHash, ShingleOps}
+    // native one-pass projection (ShingleOps): the scan emits (id, hash)
+    // longs directly — no interpreted higher-order shingle build, no
+    // per-shingle string materialization (round-13 stage-cold attack);
+    // bit-identical to explode(shingles) + hashMod (ShingleOpsSpec)
     graft.StageCache.mat(
-      df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
-        .select(col("id"), PortableHash.hashMod(col("shingle")).as("__b")))
+      df.select(col(idCol).as("id"),
+          explode(ShingleOps.shingleHash60s(lower(col(textCol)), n)).as("__h60"))
+        .select(col("id"), pmod(col("__h60"), lit(PortableHash.P)).as("__b")))
   }
 
   def minhashSignature(df: DataFrame, idCol: String, textCol: String, n: Int = 3, numHashes: Int = 32): DataFrame = {
-    import graft.functions.PortableHash
-    val ex = shingleHashes(df, idCol, textCol, n)
-    val consts = PortableHash.permConsts(numHashes)
-    val mins = consts.zipWithIndex.map { case ((a, b), i) =>
-      min(PortableHash.perm(col("__b"), a, b)).as(s"h$i") }
-    ex.groupBy(col("id")).agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    import graft.functions.ShingleOps
+    // FUSED signature (round-13): the whole per-doc signature comes out
+    // of one native pass over the text — no shingle explode (docs ×
+    // shingles rows) and no 32-min aggregation shuffle. Per-permutation
+    // min over the distinct shingle hashes equals the aggregated
+    // min(pmod(a·h+b, P)) exactly (MinhashSigSpec pins bit-equality).
+    // The empty-sig filter mirrors the aggregated form: a document with
+    // < n tokens contributed no rows to the groupBy, so it had no
+    // signature row at all.
+    df.select(col(idCol).as("id"),
+        ShingleOps.minhashSigCol(lower(col(textCol)), n, numHashes).as("sig"))
+      .filter(size(col("sig")) > 0)
   }
 
   /** LSH band-bucket candidate pairs from a signature table (id, sig):
@@ -442,24 +457,31 @@ object Dedup {
       numHashes: Int = 32,
       idCol: Option[String] = None): DataFrame = {
     import graft.functions.PortableHash
-    // With an id column given, the shingle hashes come from the SHARED
-    // base stage keyed by doc id, joined to the (id -> group) map — the
-    // corpus text is exploded once engine-wide, and the map join is
-    // id-keyed (broadcast-sized relative to the exploded table). Without
-    // one, fall back to a direct per-group explode.
-    val ex = idCol match {
+    // With an id column given, per-doc FUSED signatures come from the
+    // SHARED [[minhashSignature]] stage (plan-identical to the LSH
+    // operators' when (input, n, numHashes) match), rolled up by
+    // element-wise min: the min over a group's docs of each per-doc
+    // permutation minimum IS the minimum over the union of their shingle
+    // sets — the union-set signature, with no corpus explode at all.
+    // Without an id, fall back to a direct per-group explode.
+    val sig = (idCol match {
       case Some(id) =>
-        shingleHashes(df, id, textCol, n)
+        val perDoc = graft.StageCache.mat(minhashSignature(df, id, textCol, n, numHashes))
+        perDoc
           .join(df.select(col(id).as("id"), col(groupCol).as("grp")), Seq("id"))
+          .groupBy("grp")
+          .agg(
+            min(element_at(col("sig"), 1)).as("h0"),
+            (1 until numHashes).map(i => min(element_at(col("sig"), i + 1)).as(s"h$i")): _*)
       case None =>
-        df.select(col(groupCol).as("grp"),
-            explode(shingles(col(textCol), n)).as("shingle"))
-          .withColumn("__b", PortableHash.hashMod(col("shingle")))
-    }
-    val consts = PortableHash.permConsts(numHashes)
-    val mins = consts.zipWithIndex.map { case ((a, b), i) =>
-      min(PortableHash.perm(col("__b"), a, b)).as(s"h$i") }
-    val sig = ex.groupBy("grp").agg(mins.head, mins.tail: _*)
+        val ex = df.select(col(groupCol).as("grp"),
+            explode(graft.functions.ShingleOps.shingleHash60s(lower(col(textCol)), n)).as("__h60"))
+          .withColumn("__b", pmod(col("__h60"), lit(PortableHash.P)))
+        val consts = PortableHash.permConsts(numHashes)
+        val mins = consts.zipWithIndex.map { case ((a, b), i) =>
+          min(PortableHash.perm(col("__b"), a, b)).as(s"h$i") }
+        ex.groupBy("grp").agg(mins.head, mins.tail: _*)
+    })
       .select(col("grp"),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
       .pipe(graft.StageCache.mat) // one row per group; both join sides
@@ -691,14 +713,11 @@ object Dedup {
     * [[duplicateSpans]] and the streaming
     * [[graft.streaming.StreamIngest.dupWindowMonitor]].
     */
-  def windowHashes(text: Column, w: Int): Column = {
-    import graft.functions.PortableHash
-    flatten(transform(array(TextAnalysis.tokens(lower(text))), ws =>
-      when(size(ws) >= w,
-        transform(sequence(lit(1), size(ws) - (w - 1)),
-          i => PortableHash.hashMod(concat_ws(" ", slice(ws, i, lit(w))))))
-        .otherwise(array().cast("array<long>"))))
-  }
+  def windowHashes(text: Column, w: Int): Column =
+    // native one-pass positional variant (order and multiplicity kept —
+    // the span detector posexplodes this); value-identical to the old
+    // hashMod(concat_ws(slice)) chain (ShingleOpsSpec)
+    graft.functions.ShingleOps.windowHashModsCol(lower(text), w)
 
   def duplicateSpans(
       df: DataFrame,

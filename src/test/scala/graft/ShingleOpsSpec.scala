@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{PortableHash, ShingleOps}
+import graft.pipeline.{Dedup, TextAnalysis}
+
+/** Bit-equivalence of the native one-pass shingle/token expressions
+  * (graft.functions.ShingleOps) against the composed built-in chains
+  * they replaced — the chains ARE the DuckDB oracle semantics, so this
+  * suite is what keeps every shingle-family oracle twin valid after the
+  * round-13 native rewrite. Inputs deliberately cover the nasty cases:
+  * multi-byte UTF-8 (CJK, emoji, combining marks), Turkish İ (lowers to
+  * ASCII 'i' + combining dot — an alnum byte BORN from case mapping),
+  * repeated shingles (dedup), short docs (< n tokens), empty and
+  * punctuation-only strings, and within-doc repeats at every position.
+  */
+class ShingleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs: Seq[String] = {
+    val rnd = new scala.util.Random(20260814L)
+    val alphabets = Array(
+      "abcdefgh", "ABCDEFGH", "0123456789", " \t\n.,;!?-_()[]'\"",
+      "äöüßéàç", "日本語中文한국", "İıŞğ", "🌍🚀é́")
+    val rand = (0 until 400).map { _ =>
+      val len = rnd.nextInt(120)
+      (0 until len).map { _ =>
+        val a = alphabets(rnd.nextInt(alphabets.length))
+        a.charAt(rnd.nextInt(a.length))
+      }.mkString
+    }
+    val fixed = Seq(
+      "", " ", "...", "a", "a b", "a b c", "a b c d e",
+      "the cat sat the cat sat the cat sat", // heavy repeats
+      "AB ab Ab aB",                          // case-folds to dups
+      "word1 word2 word1 word2 word1",
+      "İstanbul ISTANBUL istanbul",           // Turkish dotted capital
+      "tab\tsep\nnewline  double space",
+      "ünïcödé wörds ünïcödé wörds",
+      "x" * 500,                              // one long token
+      ("tok " * 300).trim)                    // many tokens
+    rand ++ fixed
+  }
+
+  private def df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    .toDF("id", "text")
+
+  test("shingleHash60s equals transform(shingles, hashMod) in order, n=2,3,5") {
+    for (n <- Seq(2, 3, 5)) {
+      val got = df.select(col("id"),
+        transform(ShingleOps.shingleHash60s(lower(col("text")), n),
+          h => pmod(h, lit(PortableHash.P))).as("a")).orderBy("id").collect()
+      val want = df.select(col("id"),
+        transform(Dedup.shingles(col("text"), n),
+          s => PortableHash.hashMod(s)).as("a")).orderBy("id").collect()
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.getSeq[Long](1) === w.getSeq[Long](1), s"n=$n id=${g.getLong(0)}")
+      }
+    }
+  }
+
+  test("shingleHashModSet equals the distinct mod-P value set, first occurrence") {
+    for (n <- Seq(2, 3)) {
+      val got = df.select(col("id"),
+        ShingleOps.shingleHashModSet(lower(col("text")), n).as("a")).orderBy("id").collect()
+      val want = df.select(col("id"),
+        transform(Dedup.shingles(col("text"), n),
+          s => PortableHash.hashMod(s)).as("a")).orderBy("id").collect()
+      got.zip(want).foreach { case (g, w) =>
+        // value-dedup of the mod-P stream, first occurrence kept
+        val expect = w.getSeq[Long](1).distinct
+        assert(g.getSeq[Long](1) === expect, s"n=$n id=${g.getLong(0)}")
+      }
+    }
+  }
+
+  test("minhashSig equals the explode+groupBy aggregated form, bit for bit") {
+    val n = 3; val numHashes = 32
+    val native = Dedup.minhashSignature(df, "id", "text", n, numHashes)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    // the pre-round-13 aggregated formulation, verbatim
+    val ex = df.select(col("id"), explode(Dedup.shingles(col("text"), n)).as("s"))
+      .select(col("id"), PortableHash.hashMod(col("s")).as("__b"))
+    val consts = PortableHash.permConsts(numHashes)
+    val mins = consts.zipWithIndex.map { case ((a, b), i) =>
+      min(PortableHash.perm(col("__b"), a, b)).as(s"h$i") }
+    val agg = ex.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(native.length === agg.length) // same docs survive (>= n tokens)
+    native.zip(agg).foreach { case ((gi, gs), (wi, ws)) =>
+      assert(gi === wi); assert(gs === ws, s"id=$gi")
+    }
+  }
+
+  test("tokenBuckets equals the transform/zip_with feature chain in order") {
+    for (nb <- Seq(64, 4096)) {
+      val got = df.select(col("id"),
+        ShingleOps.tokenBucketsCol(lower(col("text")), nb).as("a")).orderBy("id").collect()
+      val hs0 = transform(TextAnalysis.tokens(lower(col("text"))),
+        t => PortableHash.hashMod(t))
+      val feats = flatten(transform(array(hs0), hs =>
+        concat(hs,
+          when(size(hs) >= 2,
+            zip_with(slice(hs, lit(1), size(hs) - 1), slice(hs, lit(2), size(hs) - 1),
+              (a, c) => pmod(a * lit(31L) + c, lit(PortableHash.P))))
+            .otherwise(array().cast("array<long>")))))
+      val want = df.select(col("id"),
+        transform(feats, h => pmod(h, lit(nb.toLong))).as("a")).orderBy("id").collect()
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.getSeq[Long](1) === w.getSeq[Long](1), s"nb=$nb id=${g.getLong(0)}")
+      }
+    }
+  }
+
+  test("windowHashMods equals the positional hashMod(concat_ws(slice)) chain") {
+    for (w <- Seq(1, 3, 5)) {
+      val got = df.select(col("id"),
+        ShingleOps.windowHashModsCol(lower(col("text")), w).as("a")).orderBy("id").collect()
+      val want = df.select(col("id"),
+        flatten(transform(array(TextAnalysis.tokens(lower(col("text")))), ws =>
+          when(size(ws) >= w,
+            transform(sequence(lit(1), size(ws) - (w - 1)),
+              i => PortableHash.hashMod(concat_ws(" ", slice(ws, i, lit(w))))))
+            .otherwise(array().cast("array<long>")))).as("a")).orderBy("id").collect()
+      got.zip(want).foreach { case (g, ww) =>
+        assert(g.getSeq[Long](1) === ww.getSeq[Long](1), s"w=$w id=${g.getLong(0)}")
+      }
+    }
+  }
+
+  test("null text yields null arrays (explode drops the row), empty text yields empty") {
+    val d = Seq((1L, null: String), (2L, ""), (3L, "?!")).toDF("id", "text")
+    val r = d.select(col("id"),
+      ShingleOps.shingleHash60s(lower(col("text")), 3).as("a"),
+      ShingleOps.minhashSigCol(lower(col("text")), 3, 8).as("s"),
+      ShingleOps.tokenBucketsCol(lower(col("text")), 64).as("b"))
+      .orderBy("id").collect()
+    assert(r(0).isNullAt(1) && r(0).isNullAt(2) && r(0).isNullAt(3))
+    assert(r(1).getSeq[Long](1).isEmpty && r(1).getSeq[Long](2).isEmpty &&
+      r(1).getSeq[Long](3).isEmpty)
+    assert(r(2).getSeq[Long](1).isEmpty && r(2).getSeq[Long](2).isEmpty &&
+      r(2).getSeq[Long](3).isEmpty)
+  }
+}
