@@ -85,6 +85,11 @@ object Bench {
         val s0 = spillAcc.get()
         try {
           fn(spark, sfDir).count()
+          // stage-cold discipline: with GRAFT_STAGE_CACHE=0 this drops
+          // every stage the query persisted, INSIDE the timed window, so
+          // the next query recomputes its stages and this query is
+          // charged for its own cleanup; no-op in the default config
+          StageCache.endQuery()
           samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
           spills(name) = math.max(spills(name), spillAcc.get() - s0)
         } catch {

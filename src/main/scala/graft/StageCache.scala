@@ -39,8 +39,9 @@ import org.apache.spark.storage.StorageLevel
   * blocks spill rather than OOM, and eviction falls back to
   * recomputation from lineage (which `localCheckpoint` cannot do: its
   * blocks are irrecoverable once dropped, a silent single-point failure
-  * at cluster scale). `GRAFT_STAGE_CACHE=0` restores per-call
-  * `localCheckpoint` so a benchmark can price every stage cold.
+  * at cluster scale). `GRAFT_STAGE_CACHE=0` limits every stage's lifetime
+  * to its own query (harnesses call [[endQuery]] at query boundaries) so
+  * a benchmark can price every query's stages cold.
   */
 object StageCache {
   private def enabled: Boolean = sys.env.get("GRAFT_STAGE_CACHE").forall(_.trim != "0")
@@ -65,26 +66,40 @@ object StageCache {
       16, 0.75f, true)
 
   /** Materialize `df` as a shared stage: persisted (plan-matched,
-    * spillable, recomputable) when the cache is enabled, local-checkpoint
-    * (the pre-cache behavior) when disabled.
+    * spillable, recomputable). `GRAFT_STAGE_CACHE=0` does NOT change the
+    * mechanism — it changes the LIFETIME: the harness calls [[endQuery]]
+    * between queries, which in disabled mode drops every stage, so no
+    * stage ever survives into another query (each query pays its own
+    * stages cold, which is what the knob prices). Within one query the
+    * stage still materializes once and serves every reader — that sharing
+    * is inherent to the plan, not a cache policy. The previous disabled
+    * behavior (`localCheckpoint` per call) priced the same thing but paid
+    * an EAGER extra job per call site and an opaque-lineage block with no
+    * recompute path; lazy persist folds materialization into the first
+    * consuming job.
     */
-  def mat(df: DataFrame): DataFrame =
-    if (!enabled) df.localCheckpoint()
-    else {
-      // re-persisting an equal plan is a CacheManager no-op, so
-      // rebuilding the same stage in another query costs nothing
-      df.persist(StorageLevel.MEMORY_AND_DISK)
-      registered.synchronized {
-        registered.put(df.queryExecution.analyzed.canonicalized, df)
-        while (registered.size() > maxEntries) {
-          val it = registered.entrySet().iterator()
-          val eldest = it.next()
-          it.remove()
-          try eldest.getValue.unpersist(false) catch { case _: Throwable => () }
-        }
+  def mat(df: DataFrame): DataFrame = {
+    // re-persisting an equal plan is a CacheManager no-op, so
+    // rebuilding the same stage in another query costs nothing
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    registered.synchronized {
+      registered.put(df.queryExecution.analyzed.canonicalized, df)
+      while (registered.size() > maxEntries) {
+        val it = registered.entrySet().iterator()
+        val eldest = it.next()
+        it.remove()
+        try eldest.getValue.unpersist(false) catch { case _: Throwable => () }
       }
-      df
     }
+    df
+  }
+
+  /** Query-boundary hook for harnesses (Bench, Verify): with the cache
+    * DISABLED, drop every registered stage so the next query recomputes
+    * all of its stages from scratch; with it enabled (the default), a
+    * no-op — cross-query reuse is the architecture.
+    */
+  def endQuery(): Unit = if (!enabled) clear()
 
   /** Drop every stage this registry persisted (tests; or after
     * overwriting the underlying inputs in place).

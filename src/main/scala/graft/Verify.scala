@@ -49,9 +49,14 @@ object Verify {
         .map { case (name, fn) =>
           pool.submit(new Runnable {
             override def run(): Unit =
-              try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-                .parquet(s"$outDir/$name")
-              catch { case e: Throwable =>
+              try {
+                fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+                  .parquet(s"$outDir/$name")
+                // memory hygiene under GRAFT_STAGE_CACHE=0 (no-op by
+                // default); persisted stages are recomputable, so racing
+                // a concurrent query's stage away is safe — it rebuilds
+                StageCache.endQuery()
+              } catch { case e: Throwable =>
                 System.err.println(s"[verify] $name failed: ${e.getMessage}")
               }
           })

@@ -169,6 +169,25 @@ object ShingleOps {
   def shingleArray(s: UTF8String, n: Int): UnsafeArrayData =
     UnsafeArrayData.fromPrimitiveArray(distinctShingleHash60(s.getBytes, n))
 
+  /** Maximal `[A-Za-z0-9]+` runs as an array of strings — the native form
+    * of `regexp_extract_all(text, "[A-Za-z0-9]+", 0)`
+    * ([[graft.pipeline.TextAnalysis.regexTokens]]). One byte scan, each
+    * token a zero-copy slice view of the input buffer; ASCII bytes never
+    * occur inside multi-byte UTF-8 sequences, so the byte scan is exactly
+    * the Java-regex char scan on ANY input (upper or lower case).
+    */
+  def tokensArray(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = s.getBytes
+    val (offs, t) = tokenize(bytes)
+    val out = new Array[Any](t)
+    var i = 0
+    while (i < t) {
+      out(i) = UTF8String.fromBytes(bytes, offs(2 * i), offs(2 * i + 1) - offs(2 * i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Distinct-BY-VALUE mod-P shingle hashes, first-occurrence order: the
     * per-doc shingle-hash SET as an array — exactly the multiset
     * `dropDuplicates` / `collect_set` would leave of the mod-P explode
@@ -301,6 +320,12 @@ object ShingleOps {
 
   import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
 
+  /** Column: maximal alnum-run tokens of `text` (case preserved — callers
+    * lower() first when they need folded tokens, same contract as the
+    * regexp form this replaces). */
+  def tokensCol(text: Column): Column =
+    toColumn(TokensExpr(toExpr(text)))
+
   /** Column: distinct shingle hash60s of ALREADY-LOWERCASED text. */
   def shingleHash60s(lowered: Column, n: Int): Column =
     toColumn(ShingleHash60s(toExpr(lowered), n))
@@ -344,6 +369,30 @@ sealed abstract class ShingleOpsExpression extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${helperCall(c)};")
+}
+
+/** Native `[A-Za-z0-9]+`-run tokenizer — value-identical to
+  * `regexp_extract_all(text, "[A-Za-z0-9]+", 0)` (ShingleOpsSpec pins the
+  * equivalence), with one byte scan and zero-copy token slices instead of
+  * an interpreted regex machine per row.
+  */
+case class TokensExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got $dt")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.tokensArray(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleOps.tokensArray($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class ShingleHash60s(child: Expression, n: Int) extends ShingleOpsExpression {

@@ -12,9 +12,20 @@ import scala.util.chaining._
 object TextAnalysis {
 
   /** Word tokens: runs of alphanumerics — a deterministic, BPE-ish-free
-    * tokenizer that both Spark and any ANSI engine can reproduce.
+    * tokenizer that both Spark and any ANSI engine can reproduce. Native
+    * one-byte-scan expression (graft.functions.ShingleOps.TokensExpr) —
+    * the single hottest projection in the engine; value-identical to
+    * [[regexTokens]] (ShingleOpsSpec pins it), which is what every DuckDB
+    * oracle twin replays.
     */
-  def tokens(text: Column): Column = regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0))
+  def tokens(text: Column): Column = graft.functions.ShingleOps.tokensCol(text)
+
+  /** The regexp formulation of [[tokens]] — the oracle-semantics
+    * reference the native expression is pinned against (specs only; the
+    * interpreted regex machine is ~10x the cost of the byte scan).
+    */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

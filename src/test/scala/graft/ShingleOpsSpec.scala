@@ -45,13 +45,37 @@ class ShingleOpsSpec extends SparkSpec {
   private def df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
     .toDF("id", "text")
 
+  /** The PRE-native shingle chain, built on regexTokens — a reference
+    * fully independent of ShingleOps (Dedup.shingles itself now runs the
+    * native tokenizer, so the spec rebuilds the original formulation).
+    */
+  private def regexShingles(text: org.apache.spark.sql.Column, n: Int) =
+    flatten(transform(array(TextAnalysis.regexTokens(lower(text))), ws =>
+      when(size(ws) >= n,
+        array_distinct(
+          transform(
+            sequence(lit(1), size(ws) - (n - 1)),
+            i => concat_ws(" ", slice(ws, i, lit(n))))))
+        .otherwise(array().cast("array<string>"))))
+
+  test("native tokens equal regexp_extract_all on raw and lowered text") {
+    val got = df.select(col("id"), TextAnalysis.tokens(col("text")).as("a"),
+      TextAnalysis.tokens(lower(col("text"))).as("b")).orderBy("id").collect()
+    val want = df.select(col("id"), TextAnalysis.regexTokens(col("text")).as("a"),
+      TextAnalysis.regexTokens(lower(col("text"))).as("b")).orderBy("id").collect()
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getSeq[String](1) === w.getSeq[String](1), s"raw id=${g.getLong(0)}")
+      assert(g.getSeq[String](2) === w.getSeq[String](2), s"lowered id=${g.getLong(0)}")
+    }
+  }
+
   test("shingleHash60s equals transform(shingles, hashMod) in order, n=2,3,5") {
     for (n <- Seq(2, 3, 5)) {
       val got = df.select(col("id"),
         transform(ShingleOps.shingleHash60s(lower(col("text")), n),
           h => pmod(h, lit(PortableHash.P))).as("a")).orderBy("id").collect()
       val want = df.select(col("id"),
-        transform(Dedup.shingles(col("text"), n),
+        transform(regexShingles(col("text"), n),
           s => PortableHash.hashMod(s)).as("a")).orderBy("id").collect()
       got.zip(want).foreach { case (g, w) =>
         assert(g.getSeq[Long](1) === w.getSeq[Long](1), s"n=$n id=${g.getLong(0)}")
@@ -64,7 +88,7 @@ class ShingleOpsSpec extends SparkSpec {
       val got = df.select(col("id"),
         ShingleOps.shingleHashModSet(lower(col("text")), n).as("a")).orderBy("id").collect()
       val want = df.select(col("id"),
-        transform(Dedup.shingles(col("text"), n),
+        transform(regexShingles(col("text"), n),
           s => PortableHash.hashMod(s)).as("a")).orderBy("id").collect()
       got.zip(want).foreach { case (g, w) =>
         // value-dedup of the mod-P stream, first occurrence kept
@@ -80,7 +104,7 @@ class ShingleOpsSpec extends SparkSpec {
       .orderBy("id").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1))
     // the pre-round-13 aggregated formulation, verbatim
-    val ex = df.select(col("id"), explode(Dedup.shingles(col("text"), n)).as("s"))
+    val ex = df.select(col("id"), explode(regexShingles(col("text"), n)).as("s"))
       .select(col("id"), PortableHash.hashMod(col("s")).as("__b"))
     val consts = PortableHash.permConsts(numHashes)
     val mins = consts.zipWithIndex.map { case ((a, b), i) =>
@@ -99,7 +123,7 @@ class ShingleOpsSpec extends SparkSpec {
     for (nb <- Seq(64, 4096)) {
       val got = df.select(col("id"),
         ShingleOps.tokenBucketsCol(lower(col("text")), nb).as("a")).orderBy("id").collect()
-      val hs0 = transform(TextAnalysis.tokens(lower(col("text"))),
+      val hs0 = transform(TextAnalysis.regexTokens(lower(col("text"))),
         t => PortableHash.hashMod(t))
       val feats = flatten(transform(array(hs0), hs =>
         concat(hs,
@@ -120,7 +144,7 @@ class ShingleOpsSpec extends SparkSpec {
       val got = df.select(col("id"),
         ShingleOps.windowHashModsCol(lower(col("text")), w).as("a")).orderBy("id").collect()
       val want = df.select(col("id"),
-        flatten(transform(array(TextAnalysis.tokens(lower(col("text")))), ws =>
+        flatten(transform(array(TextAnalysis.regexTokens(lower(col("text")))), ws =>
           when(size(ws) >= w,
             transform(sequence(lit(1), size(ws) - (w - 1)),
               i => PortableHash.hashMod(concat_ws(" ", slice(ws, i, lit(w))))))
