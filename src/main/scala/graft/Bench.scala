@@ -83,6 +83,7 @@ object Bench {
       queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val s0 = spillAcc.get()
+        var cleaned = false
         try {
           fn(spark, sfDir).count()
           // stage-cold discipline: with GRAFT_STAGE_CACHE=0 this drops
@@ -90,11 +91,17 @@ object Bench {
           // the next query recomputes its stages and this query is
           // charged for its own cleanup; no-op in the default config
           StageCache.endQuery()
+          cleaned = true
           samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
           spills(name) = math.max(spills(name), spillAcc.get() - s0)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        } finally {
+          // a FAILED query must not leave its persisted stages behind to
+          // silently warm the next query's cold window (this path is
+          // untimed — the failure already voids the sample)
+          if (!cleaned) try StageCache.endQuery() catch { case _: Throwable => () }
         }
       }
     }

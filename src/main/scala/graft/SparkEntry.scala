@@ -38,12 +38,19 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   private def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // drop entries of STOPPED sessions on every miss-or-hit: a DataFrame
-    // holds a hard reference to its session, so without this purge a
+    val key = (spark, dir, name)
+    // drop entries of STOPPED sessions, but only on a MISS: a DataFrame
+    // holds a hard reference to its session, so without the purge a
     // restarted-session JVM (test suites, notebooks) retains every dead
-    // session's state forever (ADVICE r12)
-    tableCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    tableCache.computeIfAbsent((spark, dir, name),
+    // session's state forever (ADVICE r12) — yet scanning the whole
+    // registry on every hit would be O(cache) work on the hottest entry
+    // point (ADVICE r13). A stale entry can only be created by a miss,
+    // so purging before each insert bounds staleness the same way.
+    // (Not inside computeIfAbsent's mapper — mutating a ConcurrentHashMap
+    // from its own compute function is forbidden.)
+    if (!tableCache.containsKey(key))
+      tableCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    tableCache.computeIfAbsent(key,
       _ => spark.read.parquet(s"$dir/$name.parquet"))
   }
 
@@ -73,9 +80,11 @@ object SparkEntry {
   private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
     // memoized like [[table]] (the conf dance + schema branch run once
     // per (session, dir), not once per query; dead sessions purged the
-    // same way)
-    eventsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    eventsCache.computeIfAbsent((spark, dir), _ => eventsUncached(spark, dir))
+    // same miss-only way)
+    val key = (spark, dir)
+    if (!eventsCache.containsKey(key))
+      eventsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    eventsCache.computeIfAbsent(key, _ => eventsUncached(spark, dir))
   }
 
   private def eventsUncached(spark: SparkSession, dir: String): DataFrame = synchronized {

@@ -56,7 +56,15 @@ object StageCache {
     * never approach the cap. `GRAFT_STAGE_CACHE_MAX` overrides.
     */
   private val maxEntries: Int =
-    sys.env.get("GRAFT_STAGE_CACHE_MAX").map(_.trim.toInt).getOrElse(256)
+    sys.env.get("GRAFT_STAGE_CACHE_MAX")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption.orElse {
+        // a malformed value must degrade to the default, not surface as an
+        // ExceptionInInitializerError at the first mat() call
+        System.err.println(s"[StageCache] ignoring malformed GRAFT_STAGE_CACHE_MAX='$v'")
+        None
+      })
+      .filter(_ >= 1) // 0/negative would silently evict every stage on registration
+      .getOrElse(256)
 
   // access-ordered LRU keyed by the CANONICALIZED plan: re-registering an
   // equal stage rebuilt by another query refreshes recency instead of
@@ -79,11 +87,22 @@ object StageCache {
     * consuming job.
     */
   def mat(df: DataFrame): DataFrame = {
-    // re-persisting an equal plan is a CacheManager no-op, so
-    // rebuilding the same stage in another query costs nothing
+    val key = df.queryExecution.analyzed.canonicalized
+    // Equal plan already registered → skip the re-persist entirely. The
+    // CacheManager substitutes the materialized stage by plan identity at
+    // execution time, so THIS DataFrame object needs no persist call of
+    // its own; calling it anyway would be a no-op that logs
+    // "WARN CacheManager: Asked to cache already cached data" — dozens of
+    // times per parallel Verify run. The access-ordered get refreshes LRU
+    // recency. (Two threads racing an unregistered equal plan may both
+    // persist — one benign WARN, not a storm. Anything that unpersists
+    // behind the registry's back must go through [[clear]], which resets
+    // both sides.)
+    val hit = registered.synchronized { registered.get(key) != null }
+    if (hit) return df
     df.persist(StorageLevel.MEMORY_AND_DISK)
     registered.synchronized {
-      registered.put(df.queryExecution.analyzed.canonicalized, df)
+      registered.put(key, df)
       while (registered.size() > maxEntries) {
         val it = registered.entrySet().iterator()
         val eldest = it.next()

@@ -52,12 +52,14 @@ object Verify {
               try {
                 fn(spark, sfDir).coalesce(1).write.mode("overwrite")
                   .parquet(s"$outDir/$name")
-                // memory hygiene under GRAFT_STAGE_CACHE=0 (no-op by
-                // default); persisted stages are recomputable, so racing
-                // a concurrent query's stage away is safe — it rebuilds
-                StageCache.endQuery()
               } catch { case e: Throwable =>
                 System.err.println(s"[verify] $name failed: ${e.getMessage}")
+              } finally {
+                // memory hygiene under GRAFT_STAGE_CACHE=0 (no-op by
+                // default); in a finally so a FAILED query's stages don't
+                // leak either. Persisted stages are recomputable, so racing
+                // a concurrent query's stage away is safe — it rebuilds
+                try StageCache.endQuery() catch { case _: Throwable => () }
               }
           })
         }

@@ -349,12 +349,19 @@ object ShingleOps {
 }
 
 /** Shared shape of the four ShingleOps expressions: string in,
-  * array<long> out, null-intolerant, one static helper call — the int
-  * parameter participates in `equals`, so plan canonicalization (and the
-  * StageCache's plan-identity matching) distinguishes n=2 from n=3.
+  * array<long> out, null-intolerant, one static helper call. Plan
+  * identity (equals/canonicalization, and therefore the StageCache's
+  * plan matching) is carried by each subclass's case-class constructor
+  * fields (n, numHashes, numBuckets, w) — n=2 and n=3 are distinct plans.
+  *
+  * `containsNull = false` is an intentional TIGHTENING vs the
+  * higher-order chains these replaced (regexp_extract_all / transform
+  * derive containsNull = true): the helpers build primitive long arrays
+  * that can never hold null, no query surface unions a native-expr
+  * column with a regex-chain one, and the oracle compare hashes values,
+  * not element nullability.
   */
 sealed abstract class ShingleOpsExpression extends UnaryExpression {
-  def param: Int
   def helperCall(c: String): String
   def evalHelper(s: UTF8String): Any
 
@@ -397,7 +404,6 @@ case class TokensExpr(child: Expression) extends UnaryExpression {
 
 case class ShingleHash60s(child: Expression, n: Int) extends ShingleOpsExpression {
   require(n >= 1, s"shingle width must be >= 1, got $n")
-  override def param: Int = n
   override def helperCall(c: String): String =
     s"graft.functions.ShingleOps.shingleArray($c, $n)"
   override def evalHelper(s: UTF8String): Any = ShingleOps.shingleArray(s, n)
@@ -407,7 +413,6 @@ case class ShingleHash60s(child: Expression, n: Int) extends ShingleOpsExpressio
 
 case class ShingleHashModSet(child: Expression, n: Int) extends ShingleOpsExpression {
   require(n >= 1, s"shingle width must be >= 1, got $n")
-  override def param: Int = n
   override def helperCall(c: String): String =
     s"graft.functions.ShingleOps.shingleModArray($c, $n)"
   override def evalHelper(s: UTF8String): Any = ShingleOps.shingleModArray(s, n)
@@ -418,7 +423,6 @@ case class ShingleHashModSet(child: Expression, n: Int) extends ShingleOpsExpres
 case class MinhashSigExpr(child: Expression, n: Int, numHashes: Int)
     extends ShingleOpsExpression {
   require(n >= 1 && numHashes >= 1, s"bad minhash params n=$n numHashes=$numHashes")
-  override def param: Int = n * 10007 + numHashes
   override def helperCall(c: String): String =
     s"graft.functions.ShingleOps.minhashSig($c, $n, $numHashes)"
   override def evalHelper(s: UTF8String): Any = ShingleOps.minhashSig(s, n, numHashes)
@@ -429,7 +433,6 @@ case class MinhashSigExpr(child: Expression, n: Int, numHashes: Int)
 case class TokenBucketsExpr(child: Expression, numBuckets: Int)
     extends ShingleOpsExpression {
   require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
-  override def param: Int = numBuckets
   override def helperCall(c: String): String =
     s"graft.functions.ShingleOps.tokenBuckets($c, $numBuckets)"
   override def evalHelper(s: UTF8String): Any = ShingleOps.tokenBuckets(s, numBuckets)
@@ -440,7 +443,6 @@ case class TokenBucketsExpr(child: Expression, numBuckets: Int)
 case class WindowHashModsExpr(child: Expression, w: Int)
     extends ShingleOpsExpression {
   require(w >= 1, s"window width must be >= 1, got $w")
-  override def param: Int = w
   override def helperCall(c: String): String =
     s"graft.functions.ShingleOps.windowHashMods($c, $w)"
   override def evalHelper(s: UTF8String): Any = ShingleOps.windowHashMods(s, w)
