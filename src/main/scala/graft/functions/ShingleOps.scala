@@ -298,6 +298,46 @@ object ShingleOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Fused DSIR scorer: the SAME feature stream as [[tokenBuckets]]
+    * (per-token md5-60 mod-P unigram hash, rolling `(h1·31+h2) mod P`
+    * bigram hash, each reduced mod `numBuckets`, duplicates kept), but
+    * instead of emitting bucket ids each occurrence accumulates
+    * `lam(bucket)` (the λ table in integer micro-units, dense-indexed by
+    * bucket, absent buckets 0) plus a feature count. Returns
+    * `{n_features, λ_sum_micro}` as a 2-long array — the whole DSIR
+    * importance score of a document from ONE byte scan, no explode rows,
+    * no (doc, bucket) shuffle, no λ join
+    * ([[graft.pipeline.Curation.dsirScores]]; bit-equality vs the
+    * explode → groupBy → broadcast-join chain pinned in ShingleOpsSpec).
+    */
+  def tokenBucketLamSum(s: UTF8String, numBuckets: Int, lam: Array[Long]): UnsafeArrayData = {
+    val bytes = s.getBytes
+    val (offs, t) = tokenize(bytes)
+    val out = new Array[Long](2)
+    if (t == 0) return UnsafeArrayData.fromPrimitiveArray(out)
+    val md = mdLocal.get()
+    val hs = new Array[Long](t)
+    var i = 0
+    while (i < t) {
+      hs(i) = windowHash60(md, bytes, offs, i, 1) % P
+      i += 1
+    }
+    val nb = numBuckets.toLong
+    var n = 0L
+    var sum = 0L
+    i = 0
+    while (i < t) { sum += lam((hs(i) % nb).toInt); n += 1; i += 1 }
+    i = 0
+    while (i < t - 1) {
+      sum += lam((((hs(i) * 31L + hs(i + 1)) % P) % nb).toInt)
+      n += 1
+      i += 1
+    }
+    out(0) = n
+    out(1) = sum
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Every w-token window's mod-P hash IN POSITION ORDER, duplicates
     * kept — the native form of [[graft.pipeline.Dedup.windowHashes]]
     * (duplicate-span detection posexplodes this, so order and
@@ -342,6 +382,11 @@ object ShingleOps {
   /** Column: DSIR feature buckets of ALREADY-LOWERCASED text. */
   def tokenBucketsCol(lowered: Column, numBuckets: Int): Column =
     toColumn(TokenBucketsExpr(toExpr(lowered), numBuckets))
+
+  /** Column: fused DSIR `{n_features, λ_sum_micro}` of ALREADY-LOWERCASED
+    * text against a dense λ table (index = bucket, micro-units). */
+  def tokenBucketLamSumCol(lowered: Column, numBuckets: Int, lam: Array[Long]): Column =
+    toColumn(TokenBucketLamSumExpr(toExpr(lowered), numBuckets, lam.toSeq))
 
   /** Column: positional window hash mods of ALREADY-LOWERCASED text. */
   def windowHashModsCol(lowered: Column, w: Int): Column =
@@ -436,6 +481,42 @@ case class TokenBucketsExpr(child: Expression, numBuckets: Int)
   override def helperCall(c: String): String =
     s"graft.functions.ShingleOps.tokenBuckets($c, $numBuckets)"
   override def evalHelper(s: UTF8String): Any = ShingleOps.tokenBuckets(s, numBuckets)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused DSIR score projection (see [[ShingleOps.tokenBucketLamSum]]).
+  * The λ table is a constructor field (an immutable Seq, so case-class
+  * equality/canonicalization distinguishes different fits — two scored
+  * corpora only share a cached stage when corpus, bucket count AND λ all
+  * match); codegen reaches the primitive array through a reference
+  * object, paying no per-row boxing.
+  */
+case class TokenBucketLamSumExpr(child: Expression, numBuckets: Int, lam: Seq[Long])
+    extends UnaryExpression {
+  require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+  require(lam.length == numBuckets,
+    s"dense λ table must have exactly numBuckets=$numBuckets entries, got ${lam.length}")
+
+  override def prettyName: String = "token_bucket_lam_sum"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got $dt")
+  }
+
+  @transient private lazy val lamArr: Array[Long] = lam.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.tokenBucketLamSum(input.asInstanceOf[UTF8String], numBuckets, lamArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lamRef = ctx.addReferenceObj("lamArr", lamArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleOps.tokenBucketLamSum($c, $numBuckets, $lamRef);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

