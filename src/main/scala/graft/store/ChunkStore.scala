@@ -118,19 +118,17 @@ class ChunkStore(
 
   /** Normalize an input series frame: (ts, value) → cast, drop null
     * points (reference `_normalize_serie`/`_normalize_index`,
-    * chunk_timeserie_store.py:699-743). Returns None when the series is
-    * empty or all-null — such writes are skipped (":720-722").
+    * chunk_timeserie_store.py:699-743). LAZY — the empty/all-null skip
+    * (":720-722") is decided by [[setTs]]'s fused probe job, not a
+    * dedicated isEmpty action. `srcDtype` is the value type BEFORE the
+    * double coercion, so reads can cast back (reference dtype
+    * round-trip).
     */
-  private def normalize(series: DataFrame): Option[DataFrame] = {
-    // remember the source value type BEFORE the double coercion, so reads
-    // can cast back (reference dtype round-trip)
-    val srcDtype = series.schema("value").dataType.simpleString
-    val s = series
+  private def normalized(series: DataFrame, srcDtype: String): DataFrame =
+    series
       .select(col("ts").cast(TimestampNTZType).as("ts"), col("value").cast(DoubleType).as("value"))
       .filter(col("value").isNotNull && !isnan(col("value")) && col("ts").isNotNull)
       .withColumn("dtype", lit(srcDtype))
-    if (s.isEmpty) None else Some(s)
-  }
 
   def exists(attrs: Map[String, Any]): Boolean =
     !load().filter(attrFilter(attrs) && !col("is_deleted")).isEmpty
@@ -152,17 +150,40 @@ class ChunkStore(
     requireAllKeys(attrs)
     if (config.syncEnabled && !update && !replace)
       throw new IllegalStateException("plain insert is forbidden on a sync-enabled store; use update or replace")
-    normalize(series) match {
-      case None => false
-      case Some(s) =>
-        val srcDtype = series.schema("value").dataType.simpleString
-        val withKeys = attachAttrs(s, attrs)
-        if (!update && !replace && exists(attrs))
-          throw new IllegalStateException(s"series already exists for $attrs (IntegrityError parity)")
-        if (update) upsertChunks(attrs, withKeys, srcDtype, now)
-        else if (replace) replaceChunks(attrs, withKeys, now)
-        else appendRows(finishRows(withKeys, now))
-        true
+    val srcDtype = series.schema("value").dataType.simpleString
+    val s = normalized(series, srcDtype)
+    val newRows = finishRows(attachAttrs(s, attrs), now)
+    // ONE probe job answers every pre-write question (r12 follow-up #2 —
+    // previously an isEmpty + exists/affected/overlapped chain of 2-3
+    // scheduler round-trips): the new write's distinct chunk indexes
+    // (empty ⇔ the normalized series lost every row → skip, the
+    // reference's _normalize_serie → None), unioned with this series'
+    // STORED chunk indexes where a mode needs them (replace: tombstone
+    // scope over all my rows incl. existing tombstones; insert: the
+    // existence refusal probes live rows only). All sides are
+    // metadata-sized (distinct chunk lists).
+    val newChunksDf = newRows.select(col("chunk_index")).distinct()
+      .select(col("chunk_index"), lit(true).as("__new"))
+    val probeDf =
+      if (update) newChunksDf
+      else {
+        val minePred =
+          if (replace) attrFilter(attrs) else attrFilter(attrs) && !col("is_deleted")
+        newChunksDf.unionAll(
+          load().filter(minePred).select(col("chunk_index")).distinct()
+            .select(col("chunk_index"), lit(false).as("__new")))
+      }
+    val probe = probeDf.collect().map(r => (r.getInt(0), r.getBoolean(1)))
+    val newChunks  = probe.collect { case (c, true) => c }.toSeq
+    val mineChunks = probe.collect { case (c, false) => c }.toSeq
+    if (newChunks.isEmpty) false // empty / all-null series: skipped
+    else {
+      if (!update && !replace && mineChunks.nonEmpty)
+        throw new IllegalStateException(s"series already exists for $attrs (IntegrityError parity)")
+      if (update) upsertChunks(attrs, newRows, newChunks, srcDtype, now)
+      else if (replace) replaceChunks(attrs, newRows, newChunks, mineChunks, now)
+      else appendRows(newRows)
+      true
     }
   }
 
@@ -549,9 +570,8 @@ class ChunkStore(
     * (reference `_update_chunk_with_existing`,
     * chunk_timeserie_store.py:782-813 — txn → staged overwrite).
     */
-  private def upsertChunks(attrs: Map[String, Any], withKeys: DataFrame, dtype: String, now: java.time.LocalDateTime): Unit = {
-    val newRows  = finishRows(withKeys, now)
-    val affected = newRows.select("chunk_index").distinct().collect().map(_.getInt(0)).toSeq
+  private def upsertChunks(attrs: Map[String, Any], newRows: DataFrame, affected: Seq[Int],
+      dtype: String, now: java.time.LocalDateTime): Unit = {
     val cur      = load().filter(col("chunk_index").isin(affected: _*))
     val mine     = cur.filter(attrFilter(attrs) && !col("is_deleted") && col("ts").isNotNull)
     val merged = Combine.combineFirst(
@@ -569,12 +589,10 @@ class ChunkStore(
     * other live chunks become tombstones (reference set_ts replace path,
     * chunk_timeserie_store.py:357-370).
     */
-  private def replaceChunks(attrs: Map[String, Any], withKeys: DataFrame, now: java.time.LocalDateTime): Unit = {
-    val newRows    = finishRows(withKeys, now)
-    val overlapped = newRows.select("chunk_index").distinct().collect().map(_.getInt(0)).toSeq
+  private def replaceChunks(attrs: Map[String, Any], newRows: DataFrame,
+      overlapped: Seq[Int], mineAll: Seq[Int], now: java.time.LocalDateTime): Unit = {
     val cur        = load()
-    val myOther    = cur.filter(attrFilter(attrs) && !col("chunk_index").isin(overlapped: _*))
-      .select("chunk_index").distinct().collect().map(_.getInt(0)).toSeq
+    val myOther    = mineAll.filterNot(overlapped.toSet)
     val affected   = (overlapped ++ myOther).distinct
     val scope      = cur.filter(col("chunk_index").isin(affected: _*))
     val others     = scope.filter(!attrFilter(attrs))

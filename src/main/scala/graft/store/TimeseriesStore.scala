@@ -57,6 +57,18 @@ class TimeseriesStore(
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  /** Cheap driver-side emptiness check: a store whose directory holds no
+    * series partitions (fresh temp dir, first write of a backfill) can
+    * skip the existence / duplicate probe JOBS entirely — the answer is
+    * known from one directory listing. Partition dirs are `key=...`;
+    * `_`/`.` entries are Spark metadata.
+    */
+  private def storeHasFiles: Boolean = {
+    val f = new java.io.File(path)
+    f.exists() && Option(f.listFiles()).exists(_.exists(c =>
+      !c.getName.startsWith("_") && !c.getName.startsWith(".")))
+  }
+
   private def attrFilter(attrs: Map[String, Any]): Column =
     attrs.map { case (k, v) => col(k) === lit(v) }.reduceOption(_ && _).getOrElse(lit(true))
 
@@ -90,31 +102,64 @@ class TimeseriesStore(
     val s = series
       .select(col("ts").cast(TimestampNTZType).as("ts"), col("value").cast(DoubleType).as("value"))
       .filter(col("value").isNotNull && !isnan(col("value")) && col("ts").isNotNull)
-    if (s.isEmpty) false else setTsNonEmpty(attrs, s, update, replace)
+    if (update) setTsUpdate(attrs, s)
+    else {
+      // ONE probe job answers both pre-write questions — "did any input
+      // row survive normalization?" and (plain insert only) "does this
+      // key already exist?" — where an s.isEmpty + exists() pair costs
+      // two scheduler round-trips (the r12/r13 store-write job-floor
+      // finding). Each union branch contributes at most one marker row;
+      // the input side is checked FIRST so an empty series still skips
+      // quietly even when the key exists (reference ordering: the
+      // empty-skip precedes the exists refusal). `replace` doesn't care
+      // whether the series existed (the partition overwrite IS the
+      // replace), so its probe is the input side alone; a store with no
+      // series partitions skips the exists side too.
+      val sProbe = s.limit(1).select(lit("s").as("side"))
+      val probe = (if (!replace && storeHasFiles)
+          sProbe.unionAll(load().filter(attrFilter(attrs)).limit(1).select(lit("e").as("side")))
+        else sProbe)
+        .collect().map(_.getString(0)).toSet
+      if (!probe("s")) false
+      else if (!replace && probe("e"))
+        throw new IllegalArgumentException(
+          s"Trying save over existing ts without update or replace option: $attrs")
+      else {
+        overwriteSeriesPartition(attach(attrs, s), readsStore = false)
+        true
+      }
+    }
   }
 
-  private def setTsNonEmpty(
-      attrs: Map[String, Any], s: DataFrame, update: Boolean, replace: Boolean): Boolean = {
-    val existed = exists(attrs)
-    val content =
-      if (!existed) s
-      else if (update) {
-        val existing = load().filter(attrFilter(attrs)).select(col("ts"), col("value"))
-        // single-key combine: both frames are one series, keyed by a
-        // constant — reuse the ordered-coalesce machinery with no keys
-        Combine.combineFirst(
-          Seq(s.withColumn("__k", lit(1)), existing.withColumn("__k", lit(1))), Seq("__k"))
-          .drop("__k")
-      } else if (replace) s
-      else throw new IllegalArgumentException(
-        s"Trying save over existing ts without update or replace option: $attrs")
-    val withKeys = keys.foldLeft(content)((d, k) =>
+  /** `update` needs NO pre-write probe at all: `new.combine_first(existing)`
+    * with an absent series is the identity, so `existed` never changes the
+    * plan, and the input-side emptiness check rides the merge's
+    * materialization job as an Observation (the merge must materialize
+    * anyway — see [[overwriteSeriesPartition]] on why). One job decides
+    * skip-vs-write AND computes the merge; nothing is written when every
+    * input row was null/NaN (reference skip semantics).
+    */
+  private def setTsUpdate(attrs: Map[String, Any], s: DataFrame): Boolean = {
+    val obs = org.apache.spark.sql.Observation()
+    val existing = load().filter(attrFilter(attrs)).select(col("ts"), col("value"))
+    // single-key combine: both frames are one series, keyed by a
+    // constant — reuse the ordered-coalesce machinery with no keys
+    val content = Combine.combineFirst(
+      Seq(s.observe(obs, count(lit(1)).as("n")).withColumn("__k", lit(1)),
+          existing.withColumn("__k", lit(1))), Seq("__k"))
+      .drop("__k")
+    val prepared = prepare(attach(attrs, content)).localCheckpoint()
+    if (Option(obs.get("n")).forall(_.asInstanceOf[Long] == 0L)) false
+    else {
+      writePrepared(prepared)
+      true
+    }
+  }
+
+  private def attach(attrs: Map[String, Any], content: DataFrame): DataFrame =
+    keys.foldLeft(content)((d, k) =>
       d.withColumn(k, lit(attrs(k)).cast(keySchema(k).dataType)))
       .select(schema.fieldNames.map(col): _*)
-    // only the update merge reads existing store files into `content`
-    overwriteSeriesPartition(withKeys, readsStore = update && existed)
-    true
-  }
 
   /** Bulk insert of many series in ONE staged write — the batch analogue
     * of [[setTs]], mirroring the chunked store's `set_many_ts` contract
@@ -153,24 +198,30 @@ class TimeseriesStore(
     // node after the filter), so the emptiness probe below costs no
     // extra action
     val rowObs = org.apache.spark.sql.Observation()
-    val s = many
+    // prepare() BEFORE the checkpoint: the partition-shaping shuffle rides
+    // the (mandatory) validation materialization, so the final write job
+    // reads checkpoint blocks with no exchange of its own
+    val s = prepare(many
       .observe(nullKeyObs, sum(when(nullKeyed, 1L).otherwise(0L)).as("nk"))
       .select((keys.map(k => col(k).cast(keySchema(k).dataType).as(k)) :+
         col("ts").cast(TimestampNTZType).as("ts") :+
         col("value").cast(DoubleType).as("value")): _*)
       .filter(col("value").isNotNull && !isnan(col("value")) && col("ts").isNotNull)
-      .observe(rowObs, count(lit(1)).as("n"))
+      .observe(rowObs, count(lit(1)).as("n")))
       .localCheckpoint()
     require(Option(nullKeyObs.get("nk")).forall(_.asInstanceOf[Long] == 0L),
       "null key values are not allowed")
-    val dup = s.select(keys.map(col): _*).distinct()
-      .join(load().select(keys.map(col): _*).distinct(), keys, "left_semi")
-    if (!dup.isEmpty)
-      throw new IllegalStateException(
-        "set_many_ts: some series already exist (IntegrityError parity)")
+    // a store with no series partitions cannot hold duplicates — the
+    // probe job is skipped on the fresh-store (first backfill) path
+    if (storeHasFiles) {
+      val dup = s.select(keys.map(col): _*).distinct()
+        .join(load().select(keys.map(col): _*).distinct(), keys, "left_semi")
+      if (!dup.isEmpty)
+        throw new IllegalStateException(
+          "set_many_ts: some series already exist (IntegrityError parity)")
+    }
     if (Option(rowObs.get("n")).exists(_.asInstanceOf[Long] > 0L))
-      overwriteSeriesPartition(s.select(schema.fieldNames.map(col): _*),
-        readsStore = false) // insert-only: the batch is caller data
+      writePrepared(s.select(schema.fieldNames.map(col): _*))
   }
 
   /** Read series matching (possibly partial) `filters`, Django
@@ -225,41 +276,40 @@ class TimeseriesStore(
       s"${ExternalCatalogUtils.escapePathName(k)}=${ExternalCatalogUtils.escapePathName(String.valueOf(r.get(i)))}"
     }.mkString("/")
 
-  /** Staged dynamic-partition overwrite of the series partition(s) in
-    * `content` (one for [[setTs]], many for [[setManyTs]]) — same trick
-    * as ChunkStore.overwritePartitions: Spark refuses to overwrite a
-    * path it is reading, so bounce through a sibling staging dir.
-    */
   /** Land `content` into the store's per-series partitions (dynamic
     * overwrite: only the partitions present in `content` are touched).
     *
-    * `readsStore = true` (the combine-on-write update path) routes
-    * through an on-disk staging copy first: the content plan READS the
-    * very files the overwrite replaces, and the staging hop is the
-    * durable way to break that cycle (an in-memory checkpoint would die
-    * with an executor mid-write and lose the merge). Content derived
-    * purely from caller data skips the staging round-trip — one write
-    * job instead of write + read-back + write.
+    * `readsStore = true` (the combine-on-write update path): the content
+    * plan READS the very files the overwrite replaces, which Spark
+    * (rightly) refuses. A `localCheckpoint` breaks the cycle — the merge
+    * materializes to block storage and the write plan no longer
+    * references the store files. Crash safety is unchanged from the
+    * previous on-disk staging hop: the dynamic overwrite only swaps
+    * partition contents at JOB COMMIT (tasks write under a hidden
+    * `.spark-staging` dir), so losing the checkpoint blocks mid-write —
+    * like any write failure — aborts before commit and leaves the store
+    * intact for a retry from source data. What the on-disk hop really
+    * bought was a THIRD full parquet write + listing + read-back per
+    * update; the checkpoint is one in-memory materialization instead
+    * (half the store-update wall in the r13 bench).
     */
   private def overwriteSeriesPartition(content: DataFrame, readsStore: Boolean): Unit = {
-    val prepared = content
+    val prepared = prepare(content)
+    writePrepared(if (readsStore) prepared.localCheckpoint() else prepared)
+  }
+
+  /** Partition-shaped and row-ordered for the store layout. Applied
+    * BEFORE any checkpoint so the repartition shuffle rides the
+    * materialization job instead of adding an AQE stage-job to the write.
+    */
+  private def prepare(content: DataFrame): DataFrame =
+    content
       .repartition(keys.map(col): _*)
       .sortWithinPartitions((keys.map(col) :+ col("ts")): _*)
-    if (!readsStore) {
-      prepared.write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(keys: _*)
-        .parquet(path)
-      return
-    }
-    val staging = s"${path}__staging_${java.util.UUID.randomUUID().toString.take(8)}"
-    try {
-      prepared.write.mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(staging)
-      spark.read.schema(schema).parquet(staging)
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(keys: _*)
-        .parquet(path)
-    } finally ChunkStore.deleteRecursively(new java.io.File(staging))
-  }
+
+  private def writePrepared(prepared: DataFrame): Unit =
+    prepared.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(keys: _*)
+      .parquet(path)
 }

@@ -67,15 +67,21 @@ object Grid {
     * (reference `_chunk_index`, chunk_timeserie_store.py:756-762). `ts` is
     * engine-UTC; the calendar fields are taken in the store tz.
     */
-  def chunkIndexMonthly(ts: Column, tz: String): Column = {
-    val local = convert_timezone(lit("UTC"), lit(tz), ts.cast("timestamp_ntz"))
-    (year(local) * 12 + month(local) - 1).cast("int")
-  }
+  def chunkIndexMonthly(ts: Column, tz: String): Column =
+    (year(localIn(ts, tz)) * 12 + month(localIn(ts, tz)) - 1).cast("int")
 
   /** Yearly chunk index = local calendar year. */
-  def chunkIndexYearly(ts: Column, tz: String): Column = {
-    val local = convert_timezone(lit("UTC"), lit(tz), ts.cast("timestamp_ntz"))
-    year(local).cast("int")
+  def chunkIndexYearly(ts: Column, tz: String): Column =
+    year(localIn(ts, tz)).cast("int")
+
+  /** Engine-UTC `ts` as a wall time in `tz`. UTC→UTC is the identity, and
+    * skipping the per-row `convert_timezone` matters: the r14 job probe
+    * measured the tz conversion as the bulk of a single-task 100k-row
+    * chunk-index scan (ZoneId rules lookup per row for a no-op).
+    */
+  private def localIn(ts: Column, tz: String): Column = {
+    val ntz = ts.cast("timestamp_ntz")
+    if (tz == "UTC") ntz else convert_timezone(lit("UTC"), lit(tz), ntz)
   }
 
   /** Inclusive [lo, hi] chunk_index bounds covering `[start, end]` — the
