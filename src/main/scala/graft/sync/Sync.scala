@@ -63,6 +63,31 @@ object Sync {
       .filter(col("updated_at") >= lit(since)) // LocalDateTime → NTZ literal, JVM-tz-proof
   }
 
+  /** Wire-shaped updates listing for the HTTP endpoint: the reference's
+    * `/updates/` rows carry `dtype` and `start_ts` alongside the tracking
+    * fields (ts_sync.py:102-113 serializes `dtype`/`start_ts`/
+    * `updated_at`/`is_deleted` per chunk row). Same one-pass aggregation
+    * as [[updates]] with two extra columns — `dtype` as the wire (numpy)
+    * name, `start_ts` as the chunk's min live timestamp (null for
+    * tombstone chunks, whose rows have no ts).
+    */
+  private[sync] def wireUpdates(
+      store: ChunkStore,
+      since: java.time.LocalDateTime,
+      filters: Map[String, Any]): DataFrame = {
+    val keys = store.keys
+    val base = filters.foldLeft(store.load()) { case (d, (k, v)) => d.filter(col(k) === lit(v)) }
+    base
+      .groupBy((keys.map(col) :+ col("chunk_index")): _*)
+      .agg(
+        max(col("updated_at")).as("updated_at"),
+        max(when(col("is_deleted"), 1).otherwise(0)).cast("boolean").as("is_deleted"),
+        sparkToNumpy(first(col("dtype"), ignoreNulls = true)).as("dtype"),
+        min(col("ts")).as("start_ts"))
+      .filter(col("updated_at") >= lit(since))
+      .orderBy((col("updated_at") +: keys.map(col) :+ col("chunk_index")): _*)
+  }
+
   /** Payload fetch for a spec set (reference `export_chunks`,
     * chunk_timeserie_store.py:609-631): semi-join the spec list
     * (businessKeys..., chunk_index) against the store, return full rows.
