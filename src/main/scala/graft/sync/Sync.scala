@@ -190,14 +190,20 @@ object Sync {
         StructField("start_ts", StringType),
         StructField("is_deleted", BooleanType),
         StructField("updated_at", StringType))))))
+    // a reference (DRF) server serializes aware datetimes with a trailing
+    // Z / +00:00 — strip it so a pull from such a server doesn't crash
+    // (values are UTC either way; the store is NTZ-in-UTC)
+    val naive = (c: org.apache.spark.sql.Column) =>
+      to_timestamp_ntz(regexp_replace(c, "(Z|\\+00:00)$", ""),
+        lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
     val parsed = envelopes
       .select(from_json(col("envelope_json"), envSchema).as("e"))
       .select(
         col("e.attrs.*"),
         graft.functions.Lz4Blob.chunk_values(unbase64(col("e.blob"))).as("__vals"),
-        to_timestamp_ntz(col("e.meta.start_ts"), lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")).as("__start"),
+        naive(col("e.meta.start_ts")).as("__start"),
         col("e.meta.is_deleted").as("is_deleted"),
-        to_timestamp_ntz(col("e.meta.updated_at"), lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")).as("updated_at"),
+        naive(col("e.meta.updated_at")).as("updated_at"),
         col("e.meta.dtype").as("__wire_dtype"))
     val live = parsed
       .select((keys.map(col) :+ col("chunk_index") :+ col("is_deleted") :+ col("updated_at") :+

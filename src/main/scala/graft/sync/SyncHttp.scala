@@ -37,7 +37,7 @@ object SyncHttp {
     java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
 
   private def iso(t: java.time.LocalDateTime): String = IsoMicros.format(t)
-  private def parseTs(s: String): java.time.LocalDateTime =
+  private[sync] def parseTs(s: String): java.time.LocalDateTime =
     // accept naive ISO (our own format) plus a trailing Z / offset (the
     // reference client sends pandas isoformat, which may carry +00:00)
     java.time.LocalDateTime.parse(s.stripSuffix("Z").replaceFirst("\\+00:00$", ""))
@@ -135,6 +135,11 @@ object SyncHttp {
         throw new IllegalArgumentException("missing required query param: since")))
       val limit = params.get("limit").map(_.toInt).getOrElse(200)
       val offset = params.get("offset").map(_.toInt).getOrElse(0)
+      // limit<=0 would emit a next link that repeats the same offset
+      // forever (offset+0 < count for any non-empty listing) — a strict
+      // next-following client would loop; reject up front.
+      require(limit >= 1, s"limit must be >= 1 (got $limit)")
+      require(offset >= 0, s"offset must be >= 0 (got $offset)")
       val filters: Map[String, Any] = params.view
         .filterKeys(k => !Set("since", "limit", "offset").contains(k))
         .map { case (k, v) => k -> typed(store.keySchema(k).dataType, v) }.toMap
@@ -210,14 +215,17 @@ object SyncHttp {
 }
 
 /** The pull client (reference `TimeseriesChunkStoreSyncClient`,
-  * ts_sync.py:168-296): page through `/updates/`, apply tombstones
-  * locally (full replace through [[Sync.importChunks]], carrying the
-  * SERVER's `updated_at` so a re-pull does not re-fetch them), fetch live
-  * chunks from `/pack/` in `batch`-sized specs, import each batch
-  * atomically. Crash-resume is structural, same as [[Sync.pull]]: pages
-  * already imported persist, the next pull starts from the local
-  * high-water mark, and the `>= since` boundary re-fetches at most one
-  * listing row.
+  * ts_sync.py:168-296): page through `/updates/`, fetch the page's live
+  * chunks from `/pack/` in `batch`-sized specs, then import the page's
+  * tombstones AND live rows in ONE atomic [[Sync.importChunks]] (both
+  * carry the SERVER's `updated_at`, so a re-pull does not re-fetch them).
+  * Page-atomic import is what makes crash-resume exact, same as
+  * [[Sync.pull]]: the local high-water mark (max `updated_at`) can never
+  * advance past an un-imported item — a crash mid-page imports nothing of
+  * that page, pages already imported persist, and the `>= since` boundary
+  * re-fetches at most one listing row. (The reference client imports
+  * tombstones before live batches within a page, which can skip live
+  * updates if it dies between the two — we deliberately strengthen that.)
   *
   * Retry discipline mirrors `_get` (ts_sync.py:264-296): ONLY HTTP 429
   * retries — with the server's integer `Retry-After` honored first when
@@ -259,22 +267,30 @@ final class SyncHttpClient(
     var totalDelete = 0L
     while (url.isDefined) {
       val page = mapper.readTree(get(url.get))
-      val results = page.get("results").asInstanceOf[ArrayNode]
-      if (results.size == 0) url = None
+      // a missing/non-array `results` is an empty page, not a crash (the
+      // reference client reads page.get("results", []))
+      val results = Option(page.get("results")).filter(_.isArray).map(_.asInstanceOf[ArrayNode])
+      val items = results.toSeq.flatMap(r => (0 until r.size).map(r.get))
+      if (items.isEmpty) url = None
       else {
-        val items = (0 until results.size).map(results.get)
         val (toDelete, toFetch) = items.partition(_.get("is_deleted").asBoolean)
-        if (toDelete.nonEmpty)
-          Sync.importChunks(store, tombstoneRows(toDelete))
-        toFetch.grouped(batch).foreach { group =>
+        // Fetch ALL of the page's live envelopes BEFORE importing anything,
+        // then import tombstones + live rows as one atomic batch. Importing
+        // tombstones first (as the reference does) lets a tombstone carrying
+        // the page's max updated_at advance `lastUpdatedAt` past live items
+        // whose /pack/ fetch never ran — a crash there would skip them
+        // forever on the next pull.
+        val liveBatches = toFetch.grouped(batch).toSeq.map { group =>
           val spec = mapper.createArrayNode()
           group.foreach(spec.add)
           val pack = mapper.readTree(get(s"$base/pack/", body = Some(mapper.writeValueAsString(spec))))
           val envs = (0 until pack.size).map(i => mapper.writeValueAsString(pack.get(i)))
           val df = store.spark.createDataset(envs)(org.apache.spark.sql.Encoders.STRING)
             .toDF("envelope_json")
-          Sync.importChunks(store, Sync.unpackEnvelope(store, df))
+          Sync.unpackEnvelope(store, df)
         }
+        val pageRows = (if (toDelete.nonEmpty) Seq(tombstoneRows(toDelete)) else Nil) ++ liveBatches
+        pageRows.reduceOption(_ unionByName _).foreach(Sync.importChunks(store, _))
         totalFetch += toFetch.size
         totalDelete += toDelete.size
         url = Option(page.get("next")).filter(!_.isNull).map(n =>
@@ -297,7 +313,9 @@ final class SyncHttpClient(
       rows.add(Row.fromSeq(keyVals ++ Seq(
         item.get("chunk_index").asInt,
         null, null, null, true,
-        java.time.LocalDateTime.parse(item.get("updated_at").asText))))
+        // parseTs, not bare parse: a reference (DRF) server serializes
+        // aware datetimes with a trailing Z / +00:00 suffix
+        SyncHttp.parseTs(item.get("updated_at").asText))))
     }
     store.spark.createDataFrame(rows, store.schema)
   }
