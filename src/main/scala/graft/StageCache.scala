@@ -110,6 +110,19 @@ object StageCache {
         try eldest.getValue.unpersist(false) catch { case _: Throwable => () }
       }
     }
+    // EAGER materialization on first registration (round-15): a lazily
+    // persisted stage is computed by the first job that touches it — but
+    // AQE submits a query's shuffle-stage jobs CONCURRENTLY, and when
+    // several of them contain the same un-materialized stage each job
+    // recomputes it in parallel (the "Block rdd_N already exists" race:
+    // the round-15 cold profile showed FOUR simultaneous ~340 ms rebuilds
+    // of one signature stage inside a single LSH query). One count() here
+    // materializes the stage exactly once at full parallelism; every
+    // subsequent job — including the concurrent AQE stages of the same
+    // query — reads the finished blocks. Costs one scheduler round-trip
+    // per NEW stage; a stage consumed once loses nothing (the same work
+    // just runs in its own job).
+    df.count()
     df
   }
 

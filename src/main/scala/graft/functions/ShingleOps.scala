@@ -268,6 +268,102 @@ object ShingleOps {
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
+  /** Per-document MinHash signature DERIVED from an already-computed
+    * mod-P distinct shingle-hash set ([[distinctShingleHashMods]]): for
+    * each permutation the min of `(a_i·v + b_i) mod P` over the set's
+    * values. A per-permutation min over the distinct mod-P values equals
+    * the min over the raw hash60 stream (`(a·(h mod P)+b) mod P` is a
+    * function of `h mod P`, and duplicates cannot move a min), so this is
+    * bit-identical to [[minhashSig]] on the same text — ShingleOpsSpec
+    * pins it. Purpose: an operator that already materialized the hash SET
+    * (exact-Jaccard verification) derives its LSH signature from the set
+    * with pure arithmetic instead of paying a second full text pass —
+    * the round-15 cold profile showed the set and signature scans of
+    * ngramJaccardPairsLsh racing as two concurrent ~1.2 s corpus passes.
+    */
+  def minhashSigFromMods(
+      mods: org.apache.spark.sql.catalyst.util.ArrayData,
+      numHashes: Int): UnsafeArrayData = {
+    val m = mods.numElements()
+    if (m == 0) return UnsafeArrayData.fromPrimitiveArray(EMPTY)
+    val (as_, bs) = perms(numHashes)
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val base = mods.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = (as_(j) * base + bs(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** Per-document term→count map over the alnum tokens — the native,
+    * shuffle-free form of `explode(tokens) → groupBy(id, term) → count`:
+    * term frequency is a PER-DOCUMENT statistic, so counting it inside
+    * the scan projection removes the corpus-sized (id, term) exchange
+    * entirely (the DSIR-fusion recipe applied to TF). Keys are the
+    * document's distinct tokens in first-occurrence order (order is
+    * immaterial to every consumer — the map is exploded straight back to
+    * rows); values are occurrence counts. Equality is exact byte
+    * comparison of the token windows (the probe hash only selects the
+    * slot), identical to string groupBy semantics.
+    */
+  def tokenTf(s: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
+    val bytes = s.getBytes
+    val (offs, t) = tokenize(bytes)
+    if (t == 0)
+      return new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0)),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0)))
+    var cap = 4
+    while (cap < t * 2) cap <<= 1
+    val slots = new Array[Int](cap)       // first-occurrence token window
+    java.util.Arrays.fill(slots, -1)
+    val slotOut = new Array[Int](cap)     // slot → output index
+    val firstW = new Array[Int](t)        // output index → window
+    val counts = new Array[Long](t)
+    var outN = 0
+    var w = 0
+    while (w < t) {
+      var fh = -3750763034362895579L
+      var p = offs(2 * w)
+      val e = offs(2 * w + 1)
+      while (p < e) { fh = (fh ^ bytes(p)) * 1099511628211L; p += 1 }
+      var idx = (fh ^ (fh >>> 32)).toInt & (cap - 1)
+      var probing = true
+      while (probing) {
+        val s0 = slots(idx)
+        if (s0 < 0) {
+          slots(idx) = w; slotOut(idx) = outN
+          firstW(outN) = w; counts(outN) = 1L; outN += 1
+          probing = false
+        } else if (windowsEqual(bytes, offs, s0, w, 1)) {
+          counts(slotOut(idx)) += 1L
+          probing = false
+        } else idx = (idx + 1) & (cap - 1)
+      }
+      w += 1
+    }
+    val keys = new Array[Any](outN)
+    val vals = new Array[Any](outN)
+    var i = 0
+    while (i < outN) {
+      val fw = firstW(i)
+      keys(i) = UTF8String.fromBytes(bytes, offs(2 * fw), offs(2 * fw + 1) - offs(2 * fw))
+      vals(i) = counts(i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
+  }
+
   /** DSIR hashed bag-of-features buckets, fused: per token the md5-60
     * mod-P hash, per adjacent pair the rolling bigram hash
     * `(h1·31 + h2) mod P`, each reduced mod `numBuckets`; unigrams then
@@ -338,6 +434,49 @@ object ShingleOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** LSH band keys from a MinHash signature, fused: for band `b`, the
+    * lowercase md5 hex of the ASCII decimal comma-join of signature slots
+    * `[b·rowsPerBand, (b+1)·rowsPerBand)` — byte-identical to
+    * `md5(concat_ws(",", transform(slice(sig, b·r+1, r), cast string)))`,
+    * the banding chain [[graft.pipeline.Dedup]] (and the DuckDB oracle)
+    * uses, with one pass and zero interpreted higher-order evals. A
+    * shorter-than-geometry signature mirrors `slice` semantics (join what
+    * is there; an empty slice hashes the empty string).
+    */
+  def bandHashes(
+      sig: org.apache.spark.sql.catalyst.util.ArrayData,
+      bands: Int, rowsPerBand: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val md = mdLocal.get()
+    val len = sig.numElements()
+    val out = new Array[Any](bands)
+    val sb = new java.lang.StringBuilder(rowsPerBand * 12)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var i = b * rowsPerBand
+      val e = math.min(i + rowsPerBand, len)
+      while (i < e) {
+        if (sb.length > 0) sb.append(',')
+        sb.append(sig.getLong(i))
+        i += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val hex = new Array[Char](32)
+      var j = 0
+      while (j < 16) {
+        hex(2 * j) = HexDigits((d(j) >> 4) & 0xF)
+        hex(2 * j + 1) = HexDigits(d(j) & 0xF)
+        j += 1
+      }
+      out(b) = UTF8String.fromString(new String(hex))
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Every w-token window's mod-P hash IN POSITION ORDER, duplicates
     * kept — the native form of [[graft.pipeline.Dedup.windowHashes]]
     * (duplicate-span detection posexplodes this, so order and
@@ -378,6 +517,20 @@ object ShingleOps {
   /** Column: fused MinHash signature of ALREADY-LOWERCASED text. */
   def minhashSigCol(lowered: Column, n: Int, numHashes: Int): Column =
     toColumn(MinhashSigExpr(toExpr(lowered), n, numHashes))
+
+  /** Column: MinHash signature derived from a mod-P shingle-hash-set
+    * column ([[shingleHashModSet]]) — no second text pass. */
+  def minhashSigFromModsCol(mods: Column, numHashes: Int): Column =
+    toColumn(MinhashSigFromModsExpr(toExpr(mods), numHashes))
+
+  /** Column: per-doc term→count map of ALREADY-LOWERCASED text (explode
+    * for the shuffle-free (id, term, tf) base). */
+  def tokenTfCol(lowered: Column): Column =
+    toColumn(TokenTfExpr(toExpr(lowered)))
+
+  /** Column: per-band md5-hex LSH keys of a signature column. */
+  def bandHashesCol(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    toColumn(BandHashesExpr(toExpr(sig), bands, rowsPerBand))
 
   /** Column: DSIR feature buckets of ALREADY-LOWERCASED text. */
   def tokenBucketsCol(lowered: Column, numBuckets: Int): Column =
@@ -471,6 +624,81 @@ case class MinhashSigExpr(child: Expression, n: Int, numHashes: Int)
   override def helperCall(c: String): String =
     s"graft.functions.ShingleOps.minhashSig($c, $n, $numHashes)"
   override def evalHelper(s: UTF8String): Any = ShingleOps.minhashSig(s, n, numHashes)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Signature-from-set (see [[ShingleOps.minhashSigFromMods]]): array<long>
+  * in (the mod-P distinct hash set), array<long> signature out. */
+case class MinhashSigFromModsExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+
+  override def prettyName: String = "minhash_sig_from_mods"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<long>, got $dt")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.minhashSigFromMods(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleOps.minhashSigFromMods($c, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** LSH band keys (see [[ShingleOps.bandHashes]]): array<long> signature
+  * in, array<string> of `bands` md5-hex band keys out. */
+case class BandHashesExpr(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  require(bands >= 1 && rowsPerBand >= 1,
+    s"bad banding geometry bands=$bands rowsPerBand=$rowsPerBand")
+
+  override def prettyName: String = "band_hashes"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<long>, got $dt")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.bandHashes(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleOps.bandHashes($c, $bands, $rowsPerBand);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-doc term-frequency map (see [[ShingleOps.tokenTf]]): string in,
+  * map<string,long> out — the shuffle-free (id, term, tf) base. */
+case class TokenTfExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "token_tf"
+  override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got $dt")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.tokenTf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleOps.tokenTf($c);")
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -151,16 +151,22 @@ object Dedup {
       blockCols: Seq[String] = Nil): DataFrame = {
     if (blockCols.isEmpty)
       return ngramJaccardPairsLsh(df, idCol, textCol, n, minJaccard)
+    // Native distinct-shingle hashes straight off the scan (round-15):
+    // the interpreted shingles() HOF chain + xxhash64 cost ~1.2 s per
+    // rebuild at sf0.1 — the md5-60 hash is distinct-BY-STRING, so
+    // size(sh) and hash-equality joins carry exactly the shingle-string
+    // semantics the oracle replays (both are injective-modulo-negligible-
+    // collision stand-ins for string equality; the hash itself never
+    // reaches the output).
     val sh = df.select(
-      (col(idCol).as("id") +: blockCols.map(col)) :+ shingles(col(textCol), n).as("sh"): _*)
+      (col(idCol).as("id") +: blockCols.map(col)) :+
+        graft.functions.ShingleOps.shingleHash60s(lower(col(textCol)), n).as("sh"): _*)
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
     // Materialize the exploded shingle table once (shared stage): both
-    // join branches read it, and shingling (split+transform+distinct) is
-    // the expensive part.
+    // join branches read it.
     val ex = sh.select(
-      (col("id") +: col("n_sh") +: blockCols.map(col)) :+ explode(col("sh")).as("shingle"): _*)
-      .withColumn("h", xxhash64(col("shingle"))).drop("shingle")
+      (col("id") +: col("n_sh") +: blockCols.map(col)) :+ explode(col("sh")).as("h"): _*)
       .pipe(graft.StageCache.mat)
     val a = ex.select((col("id").as("id_a") +: col("n_sh").as("na") +: blockCols.map(c => col(c).as(s"__ba_$c"))) :+ col("h").as("ha"): _*)
     val b = ex.select((col("id").as("id_b") +: col("n_sh").as("nb") +: blockCols.map(c => col(c).as(s"__bb_$c"))) :+ col("h").as("hb"): _*)
@@ -210,11 +216,20 @@ object Dedup {
       df.select(col(idCol).as("id"),
           graft.functions.ShingleOps.shingleHashModSet(lower(col(textCol)), n).as("hs"))
         .withColumn("n_sh", size(col("hs"))))
-    // fused minhash signature — plan-identical to [[minhashLshPairs]]'
-    // signature stage when (input, n, bands·rows) match, so warm runs
-    // reuse ONE signature pass across the whole LSH family
+    // signature DERIVED from the set stage (round-15): the per-permutation
+    // min over the distinct mod-P hashes IS the fused text signature
+    // (ShingleOpsSpec pins bit-equality), so the signature costs pure
+    // arithmetic over the already-materialized sets instead of a SECOND
+    // full corpus text pass — the round-15 cold profile showed the set and
+    // signature scans racing as two concurrent ~1.2 s passes. (This trades
+    // away warm plan-identity with [[minhashLshPairs]]' scan-side sig
+    // stage, but this operator always paid its own sets pass anyway — the
+    // derived sig rides on it for near-free either way.)
     val numHashes = bands * rowsPerBand
-    val sig = graft.StageCache.mat(minhashSignature(df, idCol, textCol, n, numHashes))
+    val sig = graft.StageCache.mat(
+      sets.select(col("id"),
+          graft.functions.ShingleOps.minhashSigFromModsCol(col("hs"), numHashes).as("sig"))
+        .filter(size(col("sig")) > 0))
     val cand = bandedCandidates(sig, bands, rowsPerBand, maxBandDf)
     val verified = cand
       .join(sets.select(col("id").as("id_a"), col("hs").as("__ha"), col("n_sh").as("na")), Seq("id_a"))
@@ -374,11 +389,14 @@ object Dedup {
     // native one-pass projection (ShingleOps): the scan emits (id, hash)
     // longs directly — no interpreted higher-order shingle build, no
     // per-shingle string materialization (round-13 stage-cold attack);
-    // bit-identical to explode(shingles) + hashMod (ShingleOpsSpec)
-    graft.StageCache.mat(
-      df.select(col(idCol).as("id"),
-          explode(ShingleOps.shingleHash60s(lower(col(textCol)), n)).as("__h60"))
-        .select(col("id"), pmod(col("__h60"), lit(PortableHash.P)).as("__b")))
+    // bit-identical to explode(shingles) + hashMod (ShingleOpsSpec).
+    // NOT a materialized stage (round-15): contamination is the only
+    // remaining consumer and reads it exactly once, fused straight into
+    // its broadcast join — persisting it only paid a corpus-sized block
+    // write + read-back for nothing.
+    df.select(col(idCol).as("id"),
+        explode(ShingleOps.shingleHash60s(lower(col(textCol)), n)).as("__h60"))
+      .select(col("id"), pmod(col("__h60"), lit(PortableHash.P)).as("__b"))
   }
 
   def minhashSignature(df: DataFrame, idCol: String, textCol: String, n: Int = 3, numHashes: Int = 32): DataFrame = {
@@ -410,11 +428,13 @@ object Dedup {
     */
   private def bandedCandidates(
       sig: DataFrame, bands: Int, rowsPerBand: Int, maxBandDf: Long): DataFrame = {
+    // native band keys (round-15): one codegen call per row instead of an
+    // interpreted sequence→transform→slice→cast→concat_ws→md5 chain per
+    // band — byte-identical hex strings (ShingleOpsSpec pins it), same
+    // buckets, same oracle
     val banded = sig.select(
       col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws(",",
-          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")))))))
+      posexplode(graft.functions.ShingleOps.bandHashesCol(col("sig"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val wb = Window.partitionBy(col("band"), col("band_hash"))
     val capped = banded

@@ -101,16 +101,18 @@ object TextAnalysis {
     */
   def tfIdfTop(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = df.select(col(idCol).as("id"),
-      explode(tokens(lower(col(textCol)))).as("term"))
-      // shared stage: tf and df branches both read the exploded tokens,
-      // and the same (id, term) base serves perplexity's vocab pass
-      .pipe(graft.StageCache.mat)
-    // tf first, then df AS A ROLLUP OF tf: the (id, term) aggregate has
-    // one row per document-term pair, so its per-term row count IS the
-    // document frequency — no second pass over the exploded tokens and
-    // no count-distinct expand
-    val tf  = graft.StageCache.mat(tok.groupBy("id", "term").agg(count(lit(1)).as("tf")))
+    // TF is a PER-DOCUMENT statistic, so it comes straight off the scan
+    // (round-15, the DSIR-fusion recipe): one native projection counts
+    // each document's terms locally and the explode of the map IS the
+    // (id, term, tf) base — no corpus-sized (id, term) exchange at all
+    // (the old explode → groupBy(id, term) shuffled every token
+    // occurrence; ShingleOpsSpec pins row-set equality). df then rolls up
+    // from tf as before: the (id, term) base has one row per
+    // document-term pair, so its per-term row count IS the document
+    // frequency — no count-distinct expand.
+    val tf = graft.StageCache.mat(
+      df.select(col(idCol).as("id"),
+        explode(graft.functions.ShingleOps.tokenTfCol(lower(col(textCol)))).as(Seq("term", "tf"))))
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n   = df.select(count(lit(1)).as("n_docs"))
     val s = tf.join(idf, "term").crossJoin(broadcast(n))

@@ -184,6 +184,65 @@ class ShingleOpsSpec extends SparkSpec {
     }
   }
 
+  test("minhashSigFromMods over the set stage equals the fused text signature, bit for bit") {
+    val n = 3; val numHashes = 32
+    // round-15 derived form: sig = arithmetic over the mod-P hash set
+    val derived = df.select(col("id"),
+        ShingleOps.minhashSigFromModsCol(
+          ShingleOps.shingleHashModSet(lower(col("text")), n), numHashes).as("sig"))
+      .filter(size(col("sig")) > 0)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val direct = Dedup.minhashSignature(df, "id", "text", n, numHashes)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(derived.length === direct.length)
+    derived.zip(direct).foreach { case ((gi, gs), (wi, ws)) =>
+      assert(gi === wi); assert(gs === ws, s"id=$gi")
+    }
+  }
+
+  test("explode(tokenTf) equals explode(tokens) + groupBy(id, term) count as a row set") {
+    val got = df.select(col("id"),
+        explode(ShingleOps.tokenTfCol(lower(col("text")))).as(Seq("term", "tf")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val want = df.select(col("id"),
+        explode(TextAnalysis.regexTokens(lower(col("text")))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+  }
+
+  test("bandHashes equals md5(concat_ws(slice)) per band, byte for byte") {
+    val bands = 8; val rows = 4
+    val sig = df.select(col("id"),
+      ShingleOps.minhashSigCol(lower(col("text")), 3, bands * rows).as("sig"))
+      .filter(size(col("sig")) > 0)
+    val got = sig.select(col("id"),
+        ShingleOps.bandHashesCol(col("sig"), bands, rows).as("bh"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val want = sig.select(col("id"),
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(concat_ws(",",
+            transform(slice(col("sig"), b * rows + 1, lit(rows)), _.cast("string"))))).as("bh"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    assert(got.length === want.length && got.nonEmpty)
+    got.zip(want).foreach { case ((gi, gs), (wi, ws)) =>
+      assert(gi === wi); assert(gs === ws, s"id=$gi")
+    }
+    // short / empty signature mirrors slice semantics
+    val edge = Seq((1L, Seq(5L, 7L)), (2L, Seq.empty[Long])).toDF("id", "sig")
+    val g2 = edge.select(col("id"), ShingleOps.bandHashesCol(col("sig"), 2, 4).as("bh"))
+      .orderBy("id").collect().map(_.getSeq[String](1))
+    val w2 = edge.select(col("id"),
+        transform(sequence(lit(0), lit(1)),
+          b => md5(concat_ws(",",
+            transform(slice(col("sig"), b * 4 + 1, lit(4)), _.cast("string"))))).as("bh"))
+      .orderBy("id").collect().map(_.getSeq[String](1))
+    assert(g2.toSeq === w2.toSeq)
+  }
+
   test("null text yields null arrays (explode drops the row), empty text yields empty") {
     val d = Seq((1L, null: String), (2L, ""), (3L, "?!")).toDF("id", "text")
     val r = d.select(col("id"),
