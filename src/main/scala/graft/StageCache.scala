@@ -86,7 +86,38 @@ object StageCache {
     * recompute path; lazy persist folds materialization into the first
     * consuming job.
     */
-  def mat(df: DataFrame): DataFrame = {
+  /** Eager-materialization mode for [[matHot]] stages. OFF by default:
+    * a library caller constructing an operator must get a lazy plan (no
+    * Spark jobs at DataFrame-build time — the standard Spark contract).
+    * The harnesses (Bench, Verify, the test suites) and long-lived
+    * servers turn it ON, because a lazily persisted stage consumed by
+    * several CONCURRENT AQE shuffle-stage jobs is rebuilt once per job
+    * (the round-15 cold profile showed four simultaneous rebuilds of one
+    * signature stage inside a single LSH query); one count() at
+    * registration materializes it exactly once at full parallelism.
+    * `GRAFT_STAGE_EAGER=1` forces it on process-wide.
+    */
+  @volatile private var eagerOverride: Option[Boolean] = None
+  def setEager(on: Boolean): Unit = eagerOverride = Some(on)
+  private def eagerHot: Boolean =
+    eagerOverride.getOrElse(sys.env.get("GRAFT_STAGE_EAGER").exists(_.trim == "1"))
+
+  /** A shared stage whose consumers run CONCURRENTLY within one query
+    * (both sides of a self-join, a multi-branch union under AQE): same
+    * registration as [[mat]], plus — in eager mode only — a count() on
+    * first registration so the concurrent jobs read finished blocks
+    * instead of racing to rebuild the stage once each.
+    */
+  def matHot(df: DataFrame): DataFrame = {
+    val (out, fresh) = register(df)
+    if (fresh && eagerHot) out.count()
+    out
+  }
+
+  def mat(df: DataFrame): DataFrame = register(df)._1
+
+  /** Register + persist; returns (df, freshlyRegistered). */
+  private def register(df: DataFrame): (DataFrame, Boolean) = {
     val key = df.queryExecution.analyzed.canonicalized
     // Equal plan already registered → skip the re-persist entirely. The
     // CacheManager substitutes the materialized stage by plan identity at
@@ -99,7 +130,7 @@ object StageCache {
     // behind the registry's back must go through [[clear]], which resets
     // both sides.)
     val hit = registered.synchronized { registered.get(key) != null }
-    if (hit) return df
+    if (hit) return (df, false)
     df.persist(StorageLevel.MEMORY_AND_DISK)
     registered.synchronized {
       registered.put(key, df)
@@ -110,20 +141,7 @@ object StageCache {
         try eldest.getValue.unpersist(false) catch { case _: Throwable => () }
       }
     }
-    // EAGER materialization on first registration (round-15): a lazily
-    // persisted stage is computed by the first job that touches it — but
-    // AQE submits a query's shuffle-stage jobs CONCURRENTLY, and when
-    // several of them contain the same un-materialized stage each job
-    // recomputes it in parallel (the "Block rdd_N already exists" race:
-    // the round-15 cold profile showed FOUR simultaneous ~340 ms rebuilds
-    // of one signature stage inside a single LSH query). One count() here
-    // materializes the stage exactly once at full parallelism; every
-    // subsequent job — including the concurrent AQE stages of the same
-    // query — reads the finished blocks. Costs one scheduler round-trip
-    // per NEW stage; a stage consumed once loses nothing (the same work
-    // just runs in its own job).
-    df.count()
-    df
+    (df, true)
   }
 
   /** Query-boundary hook for harnesses (Bench, Verify): with the cache

@@ -9,6 +9,8 @@ object Verify {
     // so any stray instant math in a dependency can't shift on a non-UTC
     // host.
     java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
+    // harness mode: pre-materialize hot shared stages (see StageCache.matHot)
+    StageCache.setEager(true)
     // optional 3rd arg: comma-separated query names (local iteration);
     // the driver's 2-arg form runs everything
     val (sfDir, outDir, only) = args match {

@@ -117,7 +117,7 @@ object Curation {
     // fatal (requireEmbeddings) below.
     val joinedAll = deduped.join(
       embeddings.select(col(vecIdCol).as("id"), col(vecCol)), Seq("id"), "left")
-      .pipe(graft.StageCache.mat)
+      .pipe(graft.StageCache.matHot)
     if (requireEmbeddings)
       require(joinedAll.filter(col(vecCol).isNull).isEmpty,
         "curateDiverse: admitted documents lack embedding rows " +
@@ -156,7 +156,7 @@ object Curation {
       .agg(
         sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
         count(lit(1)).as("n_docs"))
-      .pipe(graft.StageCache.mat)
+      .pipe(graft.StageCache.matHot)
     val totals = perGroup.agg(
       sum(col("n_tokens")).as("__tot_tokens"))
     val shared = perGroup.crossJoin(broadcast(totals))

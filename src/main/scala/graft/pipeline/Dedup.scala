@@ -167,7 +167,7 @@ object Dedup {
     // join branches read it.
     val ex = sh.select(
       (col("id") +: col("n_sh") +: blockCols.map(col)) :+ explode(col("sh")).as("h"): _*)
-      .pipe(graft.StageCache.mat)
+      .pipe(graft.StageCache.matHot)
     val a = ex.select((col("id").as("id_a") +: col("n_sh").as("na") +: blockCols.map(c => col(c).as(s"__ba_$c"))) :+ col("h").as("ha"): _*)
     val b = ex.select((col("id").as("id_b") +: col("n_sh").as("nb") +: blockCols.map(c => col(c).as(s"__bb_$c"))) :+ col("h").as("hb"): _*)
     // Size-ratio prune inside the join: J(A,B) >= t implies
@@ -212,7 +212,7 @@ object Dedup {
     // the old groupBy+collect_set of the exploded base, with no shuffle.
     // array_intersect and size() are order-blind, so first-occurrence
     // order vs collect_set order is immaterial.
-    val sets = graft.StageCache.mat(
+    val sets = graft.StageCache.matHot(
       df.select(col(idCol).as("id"),
           graft.functions.ShingleOps.shingleHashModSet(lower(col(textCol)), n).as("hs"))
         .withColumn("n_sh", size(col("hs"))))
@@ -226,7 +226,7 @@ object Dedup {
     // stage, but this operator always paid its own sets pass anyway — the
     // derived sig rides on it for near-free either way.)
     val numHashes = bands * rowsPerBand
-    val sig = graft.StageCache.mat(
+    val sig = graft.StageCache.matHot(
       sets.select(col("id"),
           graft.functions.ShingleOps.minhashSigFromModsCol(col("hs"), numHashes).as("sig"))
         .filter(size(col("sig")) > 0))
@@ -286,13 +286,13 @@ object Dedup {
     // every downstream quantity (df, set sizes, intersections) a
     // distinct-HASH-set measure — the exact semantics the SQL oracle
     // replays with SELECT DISTINCT.
-    val exd = graft.StageCache.mat(
+    val exd = graft.StageCache.matHot(
       df.select(col(idCol).as("id"),
         explode(graft.functions.ShingleOps.shingleHashModSet(
           lower(col(textCol)), n)).as("__b")))
     val sizes = exd.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val dfc = exd.groupBy("__b").agg(count(lit(1)).as("__df"))
-    val withDf = graft.StageCache.mat(exd.join(dfc, Seq("__b")))
+    val withDf = graft.StageCache.matHot(exd.join(dfc, Seq("__b")))
     // anchors: each doc's numAnchors rarest shingles (per-doc window,
     // bounded by shingles-per-doc) that clear the df cap
     val wDoc = Window.partitionBy(col("id")).orderBy(col("__df"), col("__b"))
@@ -504,7 +504,7 @@ object Dedup {
     })
       .select(col("grp"),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-      .pipe(graft.StageCache.mat) // one row per group; both join sides
+      .pipe(graft.StageCache.matHot) // one row per group; both join sides
                          // read it — don't re-run the corpus pass per side
     val l = sig.select(col("grp").as("grp_a"), col("sig").as("__sa"))
     val r = sig.select(col("grp").as("grp_b"), col("sig").as("__sb"))
@@ -548,7 +548,7 @@ object Dedup {
     // shared stage: both band-join sides and the verification joins read
     // it, and the pairs' downstream consumers (cluster resolution,
     // keep-best retention, leakage audit) rebuild the same plan
-    val sig = graft.StageCache.mat(minhashSignature(df, idCol, textCol, n, numHashes))
+    val sig = graft.StageCache.matHot(minhashSignature(df, idCol, textCol, n, numHashes))
     val cand = bandedCandidates(sig, bands, rowsPerBand, maxBandDf)
     // the verified pair list is itself a shared stage: ONE generation
     // feeds the pairs listing, near-dup clusters, quality-priority
@@ -650,7 +650,7 @@ object Dedup {
     // the quadratic pair stage only computes the codegen'd dot product.
     val prep = df.select((col(idCol).as("id") +: col(vecCol).as("__v") +: blockCols.map(col)): _*)
       .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
-      .pipe(graft.StageCache.mat) // shared stage: both join sides read it
+      .pipe(graft.StageCache.matHot) // shared stage: both join sides read it
     val a = prep.select((col("id").as("id_a") +: col("__v").as("__va") +: col("__n").as("__na") +: blockCols.map(col)): _*)
     val b = prep.select((col("id").as("id_b") +: col("__v").as("__vb") +: col("__n").as("__nb") +: blockCols.map(col)): _*)
     a.join(b, blockCols).filter(col("id_a") < col("id_b"))
@@ -685,7 +685,7 @@ object Dedup {
     val prep = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
       .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
       .withColumn("__base", graft.pipeline.Similarity.lshBucket(col("__v"), lshPlanes))
-      .pipe(graft.StageCache.mat) // shared stage: both join sides read it
+      .pipe(graft.StageCache.matHot) // shared stage: both join sides read it
     val probes = prep.select(col("id").as("__pid"),
       explode(graft.pipeline.Similarity.lshProbeBuckets(col("__v"), lshPlanes, numProbes)).as("__b"))
     val bases = prep.select(col("id").as("__bid"), col("__base").as("__b"))
@@ -749,7 +749,7 @@ object Dedup {
     val wins = df
       .select(col(idCol).as("id"), posexplode(windowHashes(col(textCol), w)).as(Seq("__p0", "__h")))
       .select(col("id"), (col("__p0") + 1).cast("long").as("pos"), col("__h"))
-      .pipe(graft.StageCache.mat) // count branch + semi-join branch both read it
+      .pipe(graft.StageCache.matHot) // count branch + semi-join branch both read it
     val dup = wins.groupBy("__h").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount)
       .select("__h")
@@ -827,7 +827,7 @@ object Dedup {
         (array_position(col("__ds"), array_min(col("__ds"))) - 1).cast("long"))
       .drop("__ds")
       .withColumn("__n", sqrt(dot(col("__v"), col("__v"))))
-      .pipe(graft.StageCache.mat) // both self-join sides read it
+      .pipe(graft.StageCache.matHot) // both self-join sides read it
     val (a, b, blockKeys) =
       if (subPlanes == 0) {
         (prep.select(col("cluster"), col("id").as("id_a"), col("__v").as("__va"), col("__n").as("__na")),
@@ -919,7 +919,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     // cached: both sides of the band self-join read the signatures
     val sigd = simhashSignatures(df, idCol, textCol)
-      .pipe(graft.StageCache.mat) // both band-join sides read it
+      .pipe(graft.StageCache.matHot) // both band-join sides read it
     val banded = sigd.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 15).bitwiseAND(0x7FFFL)): _*)))

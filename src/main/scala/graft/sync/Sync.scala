@@ -192,10 +192,20 @@ object Sync {
         StructField("updated_at", StringType))))))
     // a reference (DRF) server serializes aware datetimes with a trailing
     // Z / +00:00 — strip it so a pull from such a server doesn't crash
-    // (values are UTC either way; the store is NTZ-in-UTC)
-    val naive = (c: org.apache.spark.sql.Column) =>
-      to_timestamp_ntz(regexp_replace(c, "(Z|\\+00:00)$", ""),
-        lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+    // (values are UTC either way; the store is NTZ-in-UTC). DRF/pandas
+    // isoformat also OMITS the fraction entirely when microseconds are 0
+    // (typical for chunk-boundary start_ts, '2024-06-01T00:00:00Z'), so a
+    // strict 6-digit pattern alone would null those out — normalize by
+    // appending '.000000' when no '.' is present, and right-pad shorter
+    // fractions (isoformat emits 3 digits for millisecond-precision values)
+    // to the full 6 the pattern expects.
+    val naive = (c: org.apache.spark.sql.Column) => {
+      val utc = regexp_replace(c, "(Z|\\+00(:?00)?)$", "")
+      val withFrac = when(utc.contains("."), utc).otherwise(concat(utc, lit(".000000")))
+      val padded = concat(substring_index(withFrac, ".", 1), lit("."),
+        rpad(substring_index(withFrac, ".", -1), 6, "0"))
+      to_timestamp_ntz(padded, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+    }
     val parsed = envelopes
       .select(from_json(col("envelope_json"), envSchema).as("e"))
       .select(

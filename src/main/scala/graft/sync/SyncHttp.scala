@@ -37,10 +37,26 @@ object SyncHttp {
     java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
 
   private def iso(t: java.time.LocalDateTime): String = IsoMicros.format(t)
-  private[sync] def parseTs(s: String): java.time.LocalDateTime =
-    // accept naive ISO (our own format) plus a trailing Z / offset (the
-    // reference client sends pandas isoformat, which may carry +00:00)
-    java.time.LocalDateTime.parse(s.stripSuffix("Z").replaceFirst("\\+00:00$", ""))
+  private[sync] def parseTs(s: String): java.time.LocalDateTime = {
+    // accept naive ISO (our own format) plus any offset spelling a
+    // tolerant server/client might emit (Z, +00:00, +00, +0000, or a
+    // genuine non-UTC offset — pandas isoformat and DRF all occur in the
+    // wild). Offset-bearing values are converted to UTC wall time; the
+    // store is NTZ-in-UTC, so that is lossless.
+    try java.time.OffsetDateTime.parse(s)
+      .withOffsetSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        try java.time.LocalDateTime.parse(s.stripSuffix("Z"))
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            // last resort: bare '+00'/'+0000' suffixes OffsetDateTime's
+            // strict ISO parser rejects
+            java.time.LocalDateTime.parse(
+              s.replaceFirst("(Z|[+-]00(:?00)?)$", ""))
+        }
+    }
+  }
 
   /** String → business-key value of the column's type (query-param filters
     * and JSON attrs arrive untyped; the store schema is the contract).
