@@ -497,6 +497,142 @@ object ShingleOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken), fused:
+    * the full [[graft.pipeline.TextAnalysis.winnow]] per-document pipeline
+    * — w-token window hashes, packed (hash·2³² + 1-based pos) keys, the
+    * min of every k-run of consecutive keys (leftmost-smallest tie-break
+    * is inherent: packed keys are unique), distinct — in ONE byte scan
+    * with an O(m) monotonic-deque sliding min. Output: the distinct
+    * selected packed keys in first-selection order (consumers unpack
+    * fp = key div 2³², pos = key mod 2³²; order is immaterial — the
+    * DataFrame form's distinct() was unordered too). Documents with
+    * fewer than k windows emit the min of what they have; fewer than w
+    * tokens emit nothing. Bit-equal to the exploded window/sort pipeline
+    * (ShingleOpsSpec pins it).
+    */
+  def winnowFps(s: UTF8String, w: Int, k: Int): UnsafeArrayData = {
+    val bytes = s.getBytes
+    val (offs, t) = tokenize(bytes)
+    if (t < w) return UnsafeArrayData.fromPrimitiveArray(EMPTY)
+    val m = t - w + 1
+    val md = mdLocal.get()
+    val keys = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      keys(i) = (windowHash60(md, bytes, offs, i, w) % P) * 4294967296L + (i + 1)
+      i += 1
+    }
+    val nSel = math.max(1, m - (k - 1))
+    val sel = new Array[Long](nSel)
+    if (m < k) {
+      // single truncated window: min over everything
+      var mn = keys(0)
+      var j = 1
+      while (j < m) { if (keys(j) < mn) mn = keys(j); j += 1 }
+      sel(0) = mn
+    } else {
+      // monotonic deque of indices; window i covers keys[i .. i+k-1]
+      val dq = new Array[Int](m)
+      var head = 0
+      var tail = 0
+      var j = 0
+      while (j < m) {
+        while (tail > head && keys(dq(tail - 1)) > keys(j)) tail -= 1
+        dq(tail) = j; tail += 1
+        if (j >= k - 1) {
+          val start = j - (k - 1)
+          while (dq(head) < start) head += 1
+          sel(start) = keys(dq(head))
+        }
+        j += 1
+      }
+    }
+    // distinct, first-occurrence order (values are nonzero: pos >= 1)
+    var cap = 4
+    while (cap < nSel * 2) cap <<= 1
+    val slots = new Array[Long](cap)
+    val out = new Array[Long](nSel)
+    var outN = 0
+    i = 0
+    while (i < nSel) {
+      val v = sel(i)
+      var idx = ((v ^ (v >>> 32)) * -7046029254386353131L >>> 40).toInt & (cap - 1)
+      var probing = true
+      while (probing) {
+        val s0 = slots(idx)
+        if (s0 == 0L) { slots(idx) = v; out(outN) = v; outN += 1; probing = false }
+        else if (s0 == v) probing = false
+        else idx = (idx + 1) & (cap - 1)
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (outN == nSel) out else java.util.Arrays.copyOf(out, outN))
+  }
+
+  /** Per-document bigram term-frequency rows — the windowed (n = 2)
+    * sibling of [[tokenTf]]: one row per DISTINCT adjacent token pair
+    * with its occurrence count, first-occurrence order, from one byte
+    * scan. The (id, prev, cur, tf) explode of this array replaces the
+    * per-occurrence bigram explode: grouped counts become Σ tf and
+    * per-document means become tf-weighted means, so no shuffle ever
+    * carries one row per token occurrence. Dedup is exact (FNV probe
+    * hash selects the slot, byte comparison of both token windows
+    * decides equality).
+    */
+  def bigramTf(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val (offs, t) = tokenize(bytes)
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    if (t < 2) return empty
+    val m = t - 1
+    var cap = 4
+    while (cap < m * 2) cap <<= 1
+    val slots = new Array[Int](cap)
+    java.util.Arrays.fill(slots, -1)
+    val slotOut = new Array[Int](cap)
+    val firstW = new Array[Int](m)
+    val counts = new Array[Long](m)
+    var outN = 0
+    var w = 0
+    while (w < m) {
+      var fh = -3750763034362895579L
+      var j = w
+      while (j < w + 2) {
+        var p = offs(2 * j)
+        val e = offs(2 * j + 1)
+        while (p < e) { fh = (fh ^ bytes(p)) * 1099511628211L; p += 1 }
+        fh = (fh ^ 0x20L) * 1099511628211L
+        j += 1
+      }
+      var idx = (fh ^ (fh >>> 32)).toInt & (cap - 1)
+      var probing = true
+      while (probing) {
+        val s0 = slots(idx)
+        if (s0 < 0) {
+          slots(idx) = w; slotOut(idx) = outN
+          firstW(outN) = w; counts(outN) = 1L; outN += 1
+          probing = false
+        } else if (windowsEqual(bytes, offs, s0, w, 2)) {
+          counts(slotOut(idx)) += 1L
+          probing = false
+        } else idx = (idx + 1) & (cap - 1)
+      }
+      w += 1
+    }
+    val rows = new Array[Any](outN)
+    var i = 0
+    while (i < outN) {
+      val fw = firstW(i)
+      rows(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+        UTF8String.fromBytes(bytes, offs(2 * fw), offs(2 * fw + 1) - offs(2 * fw)),
+        UTF8String.fromBytes(bytes, offs(2 * fw + 2), offs(2 * fw + 3) - offs(2 * fw + 2)),
+        counts(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
   import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
 
   /** Column: maximal alnum-run tokens of `text` (case preserved — callers
@@ -540,6 +676,16 @@ object ShingleOps {
     * text against a dense λ table (index = bucket, micro-units). */
   def tokenBucketLamSumCol(lowered: Column, numBuckets: Int, lam: Array[Long]): Column =
     toColumn(TokenBucketLamSumExpr(toExpr(lowered), numBuckets, lam.toSeq))
+
+  /** Column: distinct winnow-selected packed (fp·2³² + pos) fingerprint
+    * keys of ALREADY-LOWERCASED text. */
+  def winnowFpsCol(lowered: Column, w: Int, k: Int): Column =
+    toColumn(WinnowFpsExpr(toExpr(lowered), w, k))
+
+  /** Column: per-doc distinct (prev, cur, tf) bigram rows of
+    * ALREADY-LOWERCASED text. */
+  def bigramTfCol(lowered: Column): Column =
+    toColumn(BigramTfExpr(toExpr(lowered)))
 
   /** Column: positional window hash mods of ALREADY-LOWERCASED text. */
   def windowHashModsCol(lowered: Column, w: Int): Column =
@@ -744,6 +890,42 @@ case class TokenBucketLamSumExpr(child: Expression, numBuckets: Int, lam: Seq[Lo
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.ShingleOps.tokenBucketLamSum($c, $numBuckets, $lamRef);")
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class WinnowFpsExpr(child: Expression, w: Int, k: Int)
+    extends ShingleOpsExpression {
+  require(w >= 1 && k >= 1, s"need w >= 1, k >= 1; got w=$w k=$k")
+  override def prettyName: String = "winnow_fps"
+  override def helperCall(c: String): String =
+    s"graft.functions.ShingleOps.winnowFps($c, $w, $k)"
+  override def evalHelper(s: UTF8String): Any = ShingleOps.winnowFps(s, w, k)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-doc distinct bigram TF rows (see [[ShingleOps.bigramTf]]): string
+  * in, array<struct<prev:string, cur:string, tf:long>> out. */
+case class BigramTfExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "bigram_tf"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("prev", StringType, nullable = false),
+    StructField("cur", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got $dt")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.bigramTf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleOps.bigramTf($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -110,7 +110,7 @@ object TextAnalysis {
     // from tf as before: the (id, term) base has one row per
     // document-term pair, so its per-term row count IS the document
     // frequency — no count-distinct expand.
-    val tf = graft.StageCache.mat(
+    val tf = graft.StageCache.matHot(
       df.select(col(idCol).as("id"),
         explode(graft.functions.ShingleOps.tokenTfCol(lower(col(textCol)))).as(Seq("term", "tf"))))
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -154,10 +154,14 @@ object TextAnalysis {
     * unreachable beyond). Documents with fewer than `k` windows emit the
     * min of what they have.
     *
-    * Plan: per-document windows only (explode to (id, pos, hash) longs,
-    * one frame-bounded window min, distinct) — corpus size never enters
-    * any window; cross-document matching then joins on the selected
-    * fingerprints, at winnowed density.
+    * Plan: the ENTIRE per-document selection — window hashes, packed
+    * keys, k-run sliding min, distinct — runs inside one native
+    * scan-side expression ([[graft.functions.ShingleOps.winnowFps]],
+    * O(m) monotonic deque per document; bit-equal to the old exploded
+    * window/sort pipeline, pinned by ShingleOpsSpec), so the explode
+    * emits rows at WINNOWED density and no shuffle, sort, or window ever
+    * sees one row per token. Cross-document matching then joins on the
+    * selected fingerprints.
     *
     * Output: (id, pos, fp) — 1-based token position of each selected
     * window hash.
@@ -168,24 +172,14 @@ object TextAnalysis {
       textCol: String,
       w: Int = 5,
       k: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(w >= 1 && k >= 1, s"need w >= 1, k >= 1; got w=$w k=$k")
     val PosBits = 32
-    val wins = df
+    graft.StageCache.mat(df
       .select(col(idCol).as("id"),
-        posexplode(graft.pipeline.Dedup.windowHashes(col(textCol), w)).as(Seq("__p0", "__h")))
-      .select(col("id"), (col("__p0") + 1).cast("long").as("pos"), col("__h"))
-      .filter(col("pos") < (1L << PosBits)) // key packing guard
-      .withColumn("__key", col("__h") * (1L << PosBits) + col("pos"))
-    val ord = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val sel = wins
-      .withColumn("__n", count(lit(1)).over(ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("__wmin", min(col("__key")).over(ord.rowsBetween(0, k - 1)))
-      .filter(col("pos") <= greatest(lit(1L), col("__n") - (k - 1)))
-    graft.StageCache.mat(sel.select(col("id"),
+        explode(graft.functions.ShingleOps.winnowFpsCol(lower(col(textCol)), w, k)).as("__wmin"))
+      .select(col("id"),
         (col("__wmin") % (1L << PosBits)).as("pos"),
-        expr(s"__wmin div ${1L << PosBits}").as("fp"))
-      .distinct())
+        expr(s"__wmin div ${1L << PosBits}").as("fp")))
     // shared stage: the fingerprint table feeds the listing query and
     // the pair generator's df-cap/join stages (one winnow pass, many
     // consumers)
@@ -211,7 +205,7 @@ object TextAnalysis {
       maxDf: Long = 1000): DataFrame = {
     val fps = winnow(df, idCol, textCol, w, k)
       .select(col("id"), col("fp")).distinct()
-      .pipe(graft.StageCache.mat) // df-cap count + both join sides read it
+      .pipe(graft.StageCache.matHot) // df-cap count + both join sides read it
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select("fp")
     val kept = fps.join(rare, "fp")
@@ -450,26 +444,32 @@ object TextAnalysis {
     * perplexity = token soup / OCR noise; very low = boilerplate) used
     * before any neural scorer exists.
     *
-    * Plan: one token explode feeds both the vocabulary counts and the
-    * per-document join (localCheckpoint, GC-reclaimed); the logprob join
-    * shuffles (doc, term) pairs on the term key — the vocabulary is NOT
-    * assumed broadcast-able (at 100 TB it isn't); the corpus total is a
-    * 1-row broadcast. Documents with zero tokens have no distribution to
-    * score and are omitted.
+    * Plan: rides the SAME scan-side (id, term, tf) map-explode stage as
+    * [[tfIdfTop]] (plan-identity StageCache sharing — a combined
+    * workload pays the corpus token pass once): vocabulary counts are
+    * Σ tf per term, the corpus total is Σ tf (a 1-row broadcast), and
+    * the per-document NLL is the tf-weighted mean — identical to the
+    * per-occurrence mean, without ever shuffling one row per token
+    * occurrence (the (id, term) base has one row per DISTINCT doc-term
+    * pair). The logprob join still shuffles on the term key — the
+    * vocabulary is NOT assumed broadcast-able (at 100 TB it isn't).
+    * Documents with zero tokens have no distribution to score and are
+    * omitted.
     *
     * Output: (id, n_tokens, avg_nll, ppl = exp(avg_nll)).
     */
   def perplexity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      explode(tokens(lower(col(textCol)))).as("term"))
-      .pipe(graft.StageCache.mat) // same (id, term) base stage as tfIdfTop
-    val vocab = tok.groupBy("term").agg(count(lit(1)).as("__c"))
-    val total = tok.agg(count(lit(1)).as("__n"))
-    tok.join(vocab, "term")
+    val tf = graft.StageCache.matHot(
+      df.select(col(idCol).as("id"),
+        explode(graft.functions.ShingleOps.tokenTfCol(lower(col(textCol)))).as(Seq("term", "tf"))))
+    val vocab = tf.groupBy("term").agg(sum(col("tf")).as("__c"))
+    val total = tf.agg(sum(col("tf")).as("__n"))
+    tf.join(vocab, "term")
       .crossJoin(broadcast(total))
       .withColumn("__nll", -log(col("__c").cast("double") / col("__n")))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_tokens"), avg(col("__nll")).as("avg_nll"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        (sum(col("tf") * col("__nll")) / sum(col("tf"))).as("avg_nll"))
       .withColumn("ppl", exp(col("avg_nll")))
   }
 
@@ -482,11 +482,13 @@ object TextAnalysis {
     * unigram mix looks normal — the signal unigram perplexity cannot
     * see.
     *
-    * Plan shape: one bigram explode (the only corpus-sized pass; the
-    * shuffle carries (prev, cur) token pairs, never documents), corpus
-    * bigram + unigram count tables joined back on their keys (vocab-
-    * bounded; at 100 TB these are term-keyed shuffle joins with
-    * map-side-combined builds), V and the doc rollup as aggregations.
+    * Plan shape: the scan-side [[bigramBase]] (one row per DISTINCT
+    * (doc, prev, cur) pair with its count — no shuffle carries one row
+    * per token occurrence), corpus bigram + unigram count tables rolled
+    * up as Σ tf and joined back on their keys (vocab-bounded; at 100 TB
+    * these are term-keyed shuffle joins with map-side-combined builds),
+    * V from the shared (id, term, tf) unigram stage, and the doc rollup
+    * as a tf-weighted mean (identical to the per-occurrence mean).
     * Single-token documents have no bigrams and are omitted (the same
     * contract as novelty's zero-shingle drop).
     *
@@ -498,31 +500,40 @@ object TextAnalysis {
       textCol: String,
       k: Double = 1.0): DataFrame = {
     require(k > 0, s"smoothing k must be > 0, got $k")
-    val toks = tokens(lower(col(textCol)))
-    // (id, prev, cur) bigram rows — built in ONE lambda so only the
-    // pair survives the explode (the Dedup.shingles binding guard)
-    val bigrams = flatten(transform(array(toks), ws =>
-      when(size(ws) >= 2,
-        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
-          (a, b) => struct(a.as("prev"), b.as("cur"))))
-        .otherwise(array().cast("array<struct<prev:string,cur:string>>"))))
-    val bg = graft.StageCache.mat(
-      df.select(col(idCol).as("id"), explode(bigrams).as("__b"))
-        .select(col("id"), col("__b.prev").as("prev"), col("__b.cur").as("cur")))
-    val bc = bg.groupBy("prev", "cur").agg(count(lit(1)).as("__cb"))
+    val bg = bigramBase(df, idCol, textCol)
+    val bc = bg.groupBy("prev", "cur").agg(sum(col("tf")).as("__cb"))
     // unigram counts OF PREDECESSOR POSITIONS come from the same bigram
     // frame (c(p) = Σ_t c(p,t) — the conditional's true denominator)
-    val uc = bg.groupBy("prev").agg(count(lit(1)).as("__cu"))
-    val vocab = df.select(explode(toks).as("term")).agg(countDistinct(col("term")).as("__v"))
+    val uc = bg.groupBy("prev").agg(sum(col("tf")).as("__cu"))
+    // vocabulary size rides the SAME (id, term, tf) stage as
+    // tfIdfTop/perplexity — distinct map keys ARE the vocabulary
+    val vocab = graft.StageCache.matHot(
+      df.select(col(idCol).as("id"),
+        explode(graft.functions.ShingleOps.tokenTfCol(lower(col(textCol)))).as(Seq("term", "tf"))))
+      .agg(countDistinct(col("term")).as("__v"))
     bg.join(bc, Seq("prev", "cur"))
       .join(uc, Seq("prev"))
       .crossJoin(broadcast(vocab))
       .withColumn("__nll",
         -log((col("__cb") + lit(k)) / (col("__cu") + lit(k) * col("__v"))))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_bigrams"), avg(col("__nll")).as("avg_nll"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        (sum(col("tf") * col("__nll")) / sum(col("tf"))).as("avg_nll"))
       .withColumn("ppl", exp(col("avg_nll")))
   }
+
+  /** Shared scan-side bigram stage: (id, prev, cur, tf) — one row per
+    * DISTINCT adjacent token pair per document, counted natively in the
+    * scan projection ([[graft.functions.ShingleOps.bigramTf]]). Both
+    * bigram consumers ([[bigramPerplexity]], [[pmiPairs]]) ride this one
+    * stage; every former per-occurrence count is Σ tf over it.
+    */
+  private def bigramBase(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.StageCache.matHot(
+      df.select(col(idCol).as("id"),
+          explode(graft.functions.ShingleOps.bigramTfCol(lower(col(textCol)))).as("__b"))
+        .select(col("id"), col("__b.prev").as("prev"), col("__b.cur").as("cur"),
+          col("__b.tf").as("tf")))
 
   /** Top-k PMI collocations — pointwise mutual information of adjacent
     * token pairs, `ln(N·c(a,b) / (c(a)·c(b)))` over predecessor/successor
@@ -546,20 +557,12 @@ object TextAnalysis {
       k: Int = 50,
       minCount: Long = 5L): DataFrame = {
     require(k >= 1 && minCount >= 1, s"need k >= 1, minCount >= 1; got $k/$minCount")
-    val toks = tokens(lower(col(textCol)))
-    val bigrams = flatten(transform(array(toks), ws =>
-      when(size(ws) >= 2,
-        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
-          (a, b) => struct(a.as("prev"), b.as("cur"))))
-        .otherwise(array().cast("array<struct<prev:string,cur:string>>"))))
-    val bg = graft.StageCache.mat(
-      df.select(col(idCol).as("id"), explode(bigrams).as("__b"))
-        .select(col("id"), col("__b.prev").as("prev"), col("__b.cur").as("cur")))
-    val bc = bg.groupBy("prev", "cur").agg(count(lit(1)).as("n"))
+    val bg = bigramBase(df, idCol, textCol)
+    val bc = bg.groupBy("prev", "cur").agg(sum(col("tf")).as("n"))
       .filter(col("n") >= minCount)
-    val pc = bg.groupBy("prev").agg(count(lit(1)).as("__cp"))
-    val cc = bg.groupBy("cur").agg(count(lit(1)).as("__cc"))
-    val total = bg.agg(count(lit(1)).as("__N"))
+    val pc = bg.groupBy("prev").agg(sum(col("tf")).as("__cp"))
+    val cc = bg.groupBy("cur").agg(sum(col("tf")).as("__cc"))
+    val total = bg.agg(sum(col("tf")).as("__N"))
     bc.join(pc, Seq("prev")).join(cc, Seq("cur"))
       .crossJoin(broadcast(total))
       .withColumn("pmi",
@@ -756,7 +759,7 @@ object TextAnalysis {
       s"need k >= 1, width >= 2, depth >= 1; got $k/$width/$depth")
     // shared stage: the top-k branch and all `depth` sketch-row rollups
     // read the vocabulary aggregate
-    val counts = graft.StageCache.mat(df
+    val counts = graft.StageCache.matHot(df
       .select(explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("n_exact")))
     val consts = PortableHash.permConsts(depth).zipWithIndex

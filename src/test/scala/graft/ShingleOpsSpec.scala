@@ -214,6 +214,53 @@ class ShingleOpsSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(g === w) }
   }
 
+  test("explode(winnowFps) equals the exploded window/sort winnow pipeline as a row set") {
+    import org.apache.spark.sql.expressions.Window
+    for ((w, k) <- Seq((5, 4), (1, 1), (3, 8), (2, 2))) {
+      val got = df.select(col("id"),
+          explode(ShingleOps.winnowFpsCol(lower(col("text")), w, k)).as("__wmin"))
+        .select(col("id"), (col("__wmin") % (1L << 32)).as("pos"),
+          expr(s"__wmin div ${1L << 32}").as("fp"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      // the pre-round-16 DataFrame form: posexplode the PINNED window
+      // hashes, pack keys, frame-bounded window min, tail filter, distinct
+      val wins = df
+        .select(col("id"),
+          posexplode(ShingleOps.windowHashModsCol(lower(col("text")), w)).as(Seq("__p0", "__h")))
+        .select(col("id"), (col("__p0") + 1).cast("long").as("pos"), col("__h"))
+        .withColumn("__key", col("__h") * (1L << 32) + col("pos"))
+      val ord = Window.partitionBy(col("id")).orderBy(col("pos"))
+      val want = wins
+        .withColumn("__n", count(lit(1)).over(ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("__wmin", min(col("__key")).over(ord.rowsBetween(0, k - 1)))
+        .filter(col("pos") <= greatest(lit(1L), col("__n") - (k - 1)))
+        .select(col("id"), (col("__wmin") % (1L << 32)).as("pos"),
+          expr(s"__wmin div ${1L << 32}").as("fp"))
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(got.toSeq === want.toSeq, s"w=$w k=$k")
+    }
+  }
+
+  test("explode(bigramTf) equals the zip_with bigram explode + groupBy count as a row set") {
+    val got = df.select(col("id"),
+        explode(ShingleOps.bigramTfCol(lower(col("text")))).as("__b"))
+      .select(col("id"), col("__b.prev"), col("__b.cur"), col("__b.tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).sorted
+    val toks = TextAnalysis.regexTokens(lower(col("text")))
+    val bigrams = flatten(transform(array(toks), ws =>
+      when(size(ws) >= 2,
+        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("prev"), b.as("cur"))))
+        .otherwise(array().cast("array<struct<prev:string,cur:string>>"))))
+    val want = df.select(col("id"), explode(bigrams).as("__b"))
+      .groupBy(col("id"), col("__b.prev").as("prev"), col("__b.cur").as("cur"))
+      .agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).sorted
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w2) => assert(g === w2) }
+  }
+
   test("bandHashes equals md5(concat_ws(slice)) per band, byte for byte") {
     val bands = 8; val rows = 4
     val sig = df.select(col("id"),
