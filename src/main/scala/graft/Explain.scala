@@ -22,6 +22,10 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // harness mode: dump the plans the Bench/Verify harnesses actually run
+    // (matHot stages materialized, so cached-stage partitioning is visible
+    // to consumers — e.g. q_update_merge's 0-exchange merge)
+    StageCache.setEager(true)
 
     val names = Seq(
       "q_scan_filter",     // pushdown: PushedFilters on events scan
@@ -70,7 +74,10 @@ object Explain {
       "q_embed_dispersion", // pairwise mean WITHOUT pairs (sum-of-squares identity)
       "q_stratified_split", // bounded (stratum, bucket) windows + offset join
       "q_containment_pairs", // anchor-shingle candidates, linear volume
-      "q_pmi_pairs")       // shared bigram stage + vocab-bounded marginals
+      "q_pmi_pairs",       // shared bigram stage + vocab-bounded marginals
+      "q_winnow",          // fused scan-side winnow selection (r16)
+      "q_bigram_ppl",      // scan-side bigram TF stage, Σtf marginals (r16)
+      "q_tfidf")           // scan-side tokenTf map explode, no occurrence shuffle
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

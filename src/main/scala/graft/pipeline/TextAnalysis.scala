@@ -736,13 +736,18 @@ object TextAnalysis {
     * per-partition heaps, no global sort); the sketch is built FROM the
     * vocabulary aggregate (summing counts into d×width buckets is
     * exactly equivalent to hashing raw occurrences — addition
-    * commutes), so it costs d tiny re-aggregations of a vocab-sized
-    * frame, and the whole sketch is d·width longs. Estimates join back
-    * broadcast (the sketch rows are metadata-sized by construction).
+    * commutes), and all d sketch rows come out of ONE vocab-sized
+    * rollup. The finished sketch (d·width longs — bounded metadata at
+    * any corpus size, the point of a CMS) is collected and folded into
+    * constant lookup maps, so the estimate is a literal element_at per
+    * top-k row: no join, no broadcast, no extra job per depth. NOTE:
+    * like the other trained operators (k-means centroids, IVF cells,
+    * quantile cutpoints), building this DataFrame RUNS the sketch jobs
+    * eagerly — the sketch is a fitted artifact.
     *
     * The CMS rows use the engine's portable universal-hash family over
     * the md5 base hash, so the DuckDB oracle replays the sketch
-    * bit-for-bit; the `cms_est >= n_exact` overestimate guarantee is
+    * bit-for-bit (Σ count per bucket in SQL); the `cms_est >= n_exact` overestimate guarantee is
     * law-tested, and equality holds exactly when the token's d buckets
     * are collision-free.
     *
@@ -765,17 +770,27 @@ object TextAnalysis {
     val consts = PortableHash.permConsts(depth).zipWithIndex
     def bucket(term: Column, a: Long, b: Long): Column =
       pmod(PortableHash.perm(PortableHash.hashMod(term), a, b), lit(width.toLong))
-    val top = counts.orderBy(col("n_exact").desc, col("term")).limit(k)
-    val est = consts.foldLeft(top) { case (acc, ((a, b), i)) =>
-      val row = counts.groupBy(bucket(col("term"), a, b).as(s"__b$i"))
-        .agg(sum(col("n_exact")).as(s"__s$i"))
-      acc.withColumn(s"__b$i", bucket(col("term"), a, b))
-        .join(broadcast(row), Seq(s"__b$i"))
-    }
-    val estCol =
-      if (depth == 1) col("__s0")
-      else least((0 until depth).map(i => col(s"__s$i")): _*)
-    est
+    // ONE vocab-sized rollup computes every sketch row (the d per-depth
+    // rollup-plus-broadcast-join chain paid d scheduler round-trips for
+    // the same numbers), collected driver-side: the CMS table is
+    // depth × width CELLS BY CONSTRUCTION — bounded metadata at any
+    // corpus size, which is the entire point of the sketch — so
+    // publishing it as literal lookup maps is the sketch-summary step,
+    // not a driver-side data collect.
+    val sketch = counts.select(
+        explode(array(consts.map { case ((a, b), i) =>
+          struct(lit(i).as("d"), bucket(col("term"), a, b).as("b"),
+            col("n_exact").as("n")) }: _*)).as("e"))
+      .groupBy(col("e.d").as("d"), col("e.b").as("b"))
+      .agg(sum(col("e.n")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def rowMap(i: Int): Column = map(sketch.collect {
+      case ((d, b), s) if d == i => Seq(lit(b), lit(s))
+    }.flatten.toSeq: _*) // all-literal: Catalyst folds it to one constant
+    val ests = consts.map { case ((a, b), i) =>
+      element_at(rowMap(i), bucket(col("term"), a, b)) }
+    val estCol = if (depth == 1) ests.head else least(ests: _*)
+    counts.orderBy(col("n_exact").desc, col("term")).limit(k)
       .withColumn("cms_est", estCol)
       .select("term", "n_exact", "cms_est")
       .orderBy(col("n_exact").desc, col("term"))

@@ -107,10 +107,12 @@ class PlanSpec extends SparkSpec {
       s"no (stratum, bucket) exchange found: $partitionings")
   }
 
-  test("q_heavy_hitters: sketch rows join back broadcast; top-k is TakeOrdered") {
+  test("q_heavy_hitters: sketch folded to literal maps — no join; top-k is TakeOrdered") {
     val p = plan("q_heavy_hitters")
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
-      "each CMS row must reach the top-k terms as a broadcast")
+    // r16: the d rollup-plus-broadcast-join chain became one collected
+    // rollup folded into constant lookup maps — the scoring plan must
+    // carry no join at all
+    assert(!p.contains("Join"), "CMS estimate must be a literal map lookup, not a join\n" + p.take(600))
     assert(p.contains("TakeOrderedAndProject"), "exact top-k must not global-sort")
   }
 
