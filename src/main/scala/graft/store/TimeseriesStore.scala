@@ -103,25 +103,36 @@ class TimeseriesStore(
       .select(col("ts").cast(TimestampNTZType).as("ts"), col("value").cast(DoubleType).as("value"))
       .filter(col("value").isNotNull && !isnan(col("value")) && col("ts").isNotNull)
     if (update) setTsUpdate(attrs, s)
-    else {
-      // ONE probe job answers both pre-write questions — "did any input
-      // row survive normalization?" and (plain insert only) "does this
-      // key already exist?" — where an s.isEmpty + exists() pair costs
-      // two scheduler round-trips (the r12/r13 store-write job-floor
+    else if (replace) {
+      // `replace` needs NO pre-write probe job at all (r16): it never
+      // cares whether the series existed (the partition overwrite IS the
+      // replace), and the input-side emptiness check rides the write job
+      // as an Observation — a dynamic overwrite whose content has zero
+      // rows writes no partition dirs and commits nothing, which is
+      // exactly the reference's empty-series skip. One job total.
+      val obs = org.apache.spark.sql.Observation()
+      overwriteSeriesPartition(
+        attach(attrs, s.observe(obs, count(lit(1)).as("n"))), readsStore = false)
+      Option(obs.get("n")).exists(_.asInstanceOf[Long] > 0L)
+    } else {
+      // Plain insert: ONE probe job answers both pre-write questions —
+      // "did any input row survive normalization?" and "does this key
+      // already exist?" — where an s.isEmpty + exists() pair costs two
+      // scheduler round-trips (the r12/r13 store-write job-floor
       // finding). Each union branch contributes at most one marker row;
       // the input side is checked FIRST so an empty series still skips
       // quietly even when the key exists (reference ordering: the
-      // empty-skip precedes the exists refusal). `replace` doesn't care
-      // whether the series existed (the partition overwrite IS the
-      // replace), so its probe is the input side alone; a store with no
-      // series partitions skips the exists side too.
+      // empty-skip precedes the exists refusal). The refusal must run
+      // BEFORE the write (the overwrite would clobber the existing
+      // series), so unlike replace this probe cannot ride the write job.
+      // A store with no series partitions skips the exists side.
       val sProbe = s.limit(1).select(lit("s").as("side"))
-      val probe = (if (!replace && storeHasFiles)
+      val probe = (if (storeHasFiles)
           sProbe.unionAll(load().filter(attrFilter(attrs)).limit(1).select(lit("e").as("side")))
         else sProbe)
         .collect().map(_.getString(0)).toSet
       if (!probe("s")) false
-      else if (!replace && probe("e"))
+      else if (probe("e"))
         throw new IllegalArgumentException(
           s"Trying save over existing ts without update or replace option: $attrs")
       else {
