@@ -139,9 +139,10 @@ object Curation {
     * counts, raw share, and the normalized sampling weight.
     *
     * Plan shape: one hash aggregation (partial-agg'd token sums — the
-    * only full-corpus pass), then the group totals (a handful of rows)
-    * are broadcast for normalization. No window over the whole corpus,
-    * no second scan.
+    * only full-corpus pass), then normalization as unpartitioned window
+    * sums over the GROUP frame (one row per source — metadata-sized, so
+    * the single-partition window is the q_zipf vocab precedent, never a
+    * corpus sort). No window over the whole corpus, no second scan.
     */
   def mixWeights(
       df: DataFrame,
@@ -157,14 +158,22 @@ object Curation {
         sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
         count(lit(1)).as("n_docs"))
       .pipe(graft.StageCache.matHot)
-    val totals = perGroup.agg(
-      sum(col("n_tokens")).as("__tot_tokens"))
-    val shared = perGroup.crossJoin(broadcast(totals))
-      .withColumn("share", col("n_tokens").cast("double") / col("__tot_tokens"))
+    // normalization runs as unpartitioned window sums over the GROUP
+    // frame — one row per source, metadata-sized at any corpus scale
+    // (the q_zipf vocab-window precedent), so the single-partition
+    // exchange is a handful of rows. The previous agg + broadcast
+    // crossJoin ×2 chain computed the same numbers in four extra
+    // scheduler round-trips (two tiny aggregation jobs + two broadcast
+    // materializations) per mixture fit.
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val shared = perGroup
+      .withColumn("share",
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(all))
       .withColumn("__raw", pow(col("share"), lit(alpha)))
-    val norm = shared.agg(sum(col("__raw")).as("__z"))
-    shared.crossJoin(broadcast(norm))
-      .withColumn("weight", col("__raw") / col("__z"))
+    shared
+      .withColumn("weight", col("__raw") / sum(col("__raw")).over(all))
       .select(col("grp").as(groupCol), col("n_tokens"), col("n_docs"),
         col("share"), col("weight"))
   }
@@ -204,8 +213,13 @@ object Curation {
       textCol: String = "text",
       salt: String = "mix"): DataFrame = {
     require(tokenBudget > 0, s"tokenBudget must be > 0, got $tokenBudget")
-    val docs = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    // shared stage: the per-group actual-mass rollup AND the final
+    // membership join both read (id, grp, n_tokens) — without it the
+    // corpus text is TOKENIZED twice (tokenCount is the expensive
+    // projection here)
+    val docs = graft.StageCache.matHot(
+      df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")))
     val actual = docs.groupBy("grp").agg(sum(col("n_tokens")).as("__actual"))
     val rates = actual
       .join(weights.select(col(groupCol).as("grp"), col("weight")), Seq("grp"))
@@ -248,8 +262,13 @@ object Curation {
       textCol: String = "text",
       salt: String = "mix"): DataFrame = {
     require(tokenBudget > 0, s"tokenBudget must be > 0, got $tokenBudget")
-    val docs = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    // shared stage: the per-group actual-mass rollup AND the final
+    // membership join both read (id, grp, n_tokens) — without it the
+    // corpus text is TOKENIZED twice (tokenCount is the expensive
+    // projection here)
+    val docs = graft.StageCache.matHot(
+      df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")))
     val actual = docs.groupBy("grp").agg(sum(col("n_tokens")).as("__actual"))
     val rates = actual
       .join(weights.select(col(groupCol).as("grp"), col("weight")), Seq("grp"))
