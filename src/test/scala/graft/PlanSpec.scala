@@ -186,7 +186,17 @@ class PlanSpec extends SparkSpec {
   test("q_mix_apply: rates broadcast onto the scan, no corpus shuffle for membership") {
     val p = plan("q_mix_apply")
     assert(p.contains("BroadcastHashJoin"), p.take(600))
-    assert(!p.contains("Window"), "mix application must not use a window")
+    // r16: mixWeights normalizes with unpartitioned window sums over the
+    // PER-GROUP frame (one row per source — metadata-sized; the q_zipf
+    // vocab-window precedent). The pin guards what matters: no
+    // single-partition exchange — the window's input — may ever carry
+    // corpus rows (doc ids or text); membership itself stays a broadcast
+    // filter on the scan.
+    val singleBlocks = p.split("\n\n").filter(b =>
+      b.contains("Exchange") && b.contains("SinglePartition"))
+    assert(singleBlocks.nonEmpty, "expected the group-frame normalization window exchange")
+    assert(!singleBlocks.exists(b => b.contains("id#") || b.contains("text#")),
+      s"corpus rows entered the normalization window:\n${singleBlocks.mkString("\n")}")
   }
 
   // gopherLineStats: explode + two hash aggregations, no window/join —
