@@ -21,6 +21,32 @@ class StageCacheSpec extends SparkSpec {
     } finally StageCache.clear()
   }
 
+  test("mat registers lazily; matHot pre-materializes in harness eager mode") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    // blocks-loaded state of a registered stage, race-free against other
+    // suites sharing the context (no global job counting)
+    def loaded(df: org.apache.spark.sql.DataFrame): Boolean =
+      spark.sharedState.cacheManager
+        .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+        .exists(_.cachedRepresentation.asInstanceOf[InMemoryRelation]
+          .cacheBuilder.isCachedColumnBuffersLoaded)
+    try {
+      // library contract (ADVICE r15): constructing an operator that
+      // mats a stage must NOT run Spark jobs — registration only
+      val lazyDf = StageCache.mat(
+        Seq(101L, 202L, 303L).toDF("lazy_probe_v").selectExpr("lazy_probe_v * 7 as lp"))
+      assert(!loaded(lazyDf), "mat must not materialize at registration")
+      lazyDf.count()
+      assert(loaded(lazyDf), "first action materializes the lazy stage")
+      // matHot in eager mode (SparkSpec enables it, as Bench/Verify do)
+      // pre-materializes at registration so concurrent AQE consumers
+      // read finished blocks instead of racing to rebuild
+      val hotDf = StageCache.matHot(
+        Seq(5L, 6L).toDF("hot_probe_v").selectExpr("hot_probe_v + 11 as hp"))
+      assert(loaded(hotDf), "matHot in eager mode must pre-materialize")
+    } finally StageCache.clear()
+  }
+
   test("an independently rebuilt equal plan reads the cached stage") {
     val mk = () => spark.range(1000).toDF("id")
       .withColumn("b", pmod(col("id") * 31, lit(97)))

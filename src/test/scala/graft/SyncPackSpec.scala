@@ -100,6 +100,33 @@ class SyncPackSpec extends SparkSpec {
     assert(tombRows(0).getAs[Any]("ts") === null && tombRows(0).getAs[Any]("value") === null)
   }
 
+  test("unpack parses DRF-shaped timestamps: fraction-less tz-suffixed and short fractions") {
+    // a reference (DRF/pandas isoformat) server omits the fraction when
+    // microseconds are zero — typical for chunk-boundary start_ts — and
+    // suffixes aware datetimes with Z/+00:00. The ADVICE r15 failure
+    // mode: a strict 6-digit pattern silently nulled __start/updated_at
+    // on exactly those values.
+    val st = newStore()
+    st.setTs(Map("version" -> 0, "kind" -> "a"),
+      hourly("2024-01-30T00:00", 48, i => Some(i.toDouble)), update = true, now = now0)
+    val wire = Sync.packEnvelope(st, allSpecs(st)).select("envelope_json")
+    val baseline = Sync.unpackEnvelope(st, wire)
+      .select("version", "kind", "chunk_index", "ts", "value", "updated_at")
+      .orderBy("chunk_index", "ts").collect()
+    assert(baseline.nonEmpty && baseline.forall(r => r.getAs[Any]("updated_at") != null))
+    // our own wire always writes .000000-at-zero-micros — rewrite both
+    // meta timestamps into the DRF spellings and re-unpack
+    def rewritten(repl: String): DataFrame =
+      wire.select(regexp_replace(col("envelope_json"), "\\.000000\"", repl + "\"")
+        .as("envelope_json"))
+    for (repl <- Seq("Z", "+00:00", ".000Z", ".000+00:00")) {
+      val got = Sync.unpackEnvelope(st, rewritten(repl))
+        .select("version", "kind", "chunk_index", "ts", "value", "updated_at")
+        .orderBy("chunk_index", "ts").collect()
+      assert(got.sameElements(baseline), s"spelling '$repl' changed the unpacked rows")
+    }
+  }
+
   test("off-grid points fail the pack job instead of vanishing from the wire") {
     val st = newStore()
     val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
