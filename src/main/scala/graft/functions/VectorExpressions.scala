@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native Catalyst vector expressions (SURVEY.md §2.10 tier (b): a custom
@@ -75,14 +76,126 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Symmetric per-vector int8 quantization in ONE native pass:
+  * `struct(scale double, qvec array<int>)` where `scale = max|v_i|/127`
+  * and `q_i = round(v_i/scale) ∈ [-127,127]` (HALF_UP, matching Spark's
+  * `round`). Value-identical to the higher-order-function chain
+  * `array_max(transform(abs)) → transform(round(x/scale))` it replaces
+  * (PipelineSpec pins the equivalence) — but that chain evaluates
+  * interpreted lambdas, breaks whole-stage codegen, and Catalyst's
+  * CollapseProject + InferFiltersFromGenerate duplicate the WHOLE chain
+  * into a pushed-down filter under any downstream explode (measured: the
+  * duplicated interpreted chain was >10× the cost of the quantization
+  * itself). Corner semantics mirror the chain exactly: null input →
+  * null; null elements are skipped by the max and quantize to null;
+  * an empty or all-null array has no max → scale null, qvec all-zero;
+  * an all-zero vector → scale 0.0, qvec all-zero; element-wise NaN/Inf
+  * pass `round` unchanged and cast to int with Scala semantics, and the
+  * max uses Spark's double ordering (NaN greatest).
+  */
+case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "quantize_int8"
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = true),
+    StructField("qvec", ArrayType(IntegerType, containsNull = true), nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float|double>, got $dt")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorExpressions.quantizeInt8Row(input.asInstanceOf[ArrayData], elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorExpressions.quantizeInt8Row($c, $elemIsFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
+
+  /** One-pass evaluation backing [[QuantizeInt8Expr]] (called from both
+    * interpreted eval and generated code). See the expression Scaladoc
+    * for the corner-semantics contract.
+    */
+  def quantizeInt8Row(a: ArrayData, elemIsFloat: Boolean): InternalRow = {
+    val n = a.numElements()
+    var ma = 0.0
+    var hasMa = false
+    var hasNull = false
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) hasNull = true
+      else {
+        val v = math.abs(if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i))
+        // Spark double ordering (NaN greatest) == java.lang.Double.compare
+        if (!hasMa || java.lang.Double.compare(v, ma) > 0) { ma = v; hasMa = true }
+      }
+      i += 1
+    }
+    if (!hasMa)
+      return new GenericInternalRow(Array[Any](null,
+        UnsafeArrayData.fromPrimitiveArray(new Array[Int](n))))
+    val scale = ma / 127.0
+    val scaleBoxed = java.lang.Double.valueOf(scale)
+    if (java.lang.Double.compare(ma, 0.0) <= 0)
+      return new GenericInternalRow(Array[Any](scaleBoxed,
+        UnsafeArrayData.fromPrimitiveArray(new Array[Int](n))))
+    val qv: ArrayData =
+      if (!hasNull) {
+        val out = new Array[Int](n)
+        var j = 0
+        while (j < n) {
+          out(j) = roundHalfUpToInt(
+            (if (elemIsFloat) a.getFloat(j).toDouble else a.getDouble(j)) / scale)
+          j += 1
+        }
+        UnsafeArrayData.fromPrimitiveArray(out)
+      } else {
+        val out = new Array[Any](n)
+        var j = 0
+        while (j < n) {
+          if (!a.isNullAt(j))
+            out(j) = java.lang.Integer.valueOf(roundHalfUpToInt(
+              (if (elemIsFloat) a.getFloat(j).toDouble else a.getDouble(j)) / scale))
+          j += 1
+        }
+        new GenericArrayData(out)
+      }
+    new GenericInternalRow(Array[Any](scaleBoxed, qv))
+  }
+
+  /** `cast(round(x, 0) as int)` with Spark semantics: HALF_UP via the
+    * decimal string form (Spark's Round for double), NaN/Inf unchanged
+    * through the round, Scala toInt for the cast.
+    */
+  private def roundHalfUpToInt(x: Double): Int =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x.toInt
+    else BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toInt
 
   /** Column-level native dot product. (Spark 4's Column is ColumnNode-
     * backed; GraftColumnBridge is the classic bridge both ways.)
     */
   def dot_product(a: Column, b: Column): Column =
     toColumn(DotProduct(toExpr(a), toExpr(b)))
+
+  /** Column-level native int8 quantization:
+    * `struct(scale double, qvec array<int>)`.
+    */
+  def quantize_int8(v: Column): Column =
+    toColumn(QuantizeInt8Expr(toExpr(v)))
 
   /** Register `dot_product` for SQL use on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

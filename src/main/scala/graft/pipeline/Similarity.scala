@@ -339,6 +339,17 @@ object Similarity {
     */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"),
+        graft.functions.VectorExpressions.quantize_int8(col(vecCol)).as("__q"))
+      .select(col("id"), col("__q.qvec").as("qvec"), col("__q.scale").as("scale"))
+
+  /** The higher-order-function formulation [[quantizeInt8]]'s native
+    * expression is law-tested value-identical to (PipelineSpec) — kept
+    * as the executable statement of the semantics, never on a hot path:
+    * the interpreted lambda chain costs >10× the native pass once
+    * Catalyst duplicates it into inferred explode filters.
+    */
+  private[graft] def quantizeInt8Decl(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("__v"))
       .withColumn("__ma", array_max(transform(col("__v"), x => abs(x))))
       .withColumn("scale", col("__ma") / lit(127.0))

@@ -659,6 +659,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantizeInt8 native expression is value-identical to the declarative chain") {
+    // the fusion-safety pin (ShingleOpsSpec pattern): the HOF chain IS
+    // the oracle semantics; the native expression must match it exactly —
+    // real fixture floats plus every corner the chain distinguishes
+    // (empty array, all-zero, all-null, null elements, negative-only)
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val corners = Seq[(Long, Array[java.lang.Double])](
+      (1000L, Array.empty),
+      (1001L, Array(0.0, 0.0)),
+      (1002L, Array(null, null)),
+      (1003L, Array(0.5, null, -1.25)),
+      (1004L, Array(-0.75, -0.3)),
+      (1005L, Array(2.5, -2.5, 1.5))) // .5 ties, away from zero both forms
+      .toDF("vec_id", "embedding")
+    for (df <- Seq(fixture, corners)) {
+      val native = Similarity.quantizeInt8(df, "vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Any](1), r.get(2))).sortBy(_._1)
+      val decl = Similarity.quantizeInt8Decl(df, "vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Any](1), r.get(2))).sortBy(_._1)
+      assert(native.length === decl.length)
+      native.zip(decl).foreach { case (n, d) => assert(n === d) }
+    }
+    // and on the float-typed fixture column (the production dtype)
+    val embF = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val nF = Similarity.quantizeInt8(embF, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Any](1), r.get(2))).sortBy(_._1)
+    val dF = Similarity.quantizeInt8Decl(embF, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Any](1), r.get(2))).sortBy(_._1)
+    nF.zip(dF).foreach { case (n, d) => assert(n === d) }
+  }
+
   test("multi-probe buckets: first is the base bucket, all distinct, right count") {
     val out = vecs
       .withColumn("base", Similarity.lshBucket(col("embedding"), 8))
