@@ -123,8 +123,100 @@ case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Squared-euclidean distances from a vector column to a literal
+  * centroid codebook, ONE native pass: array<double> out, element i =
+  * Σ_d (v_d − c_i,d)², summed left-to-right (bit-identical IEEE order
+  * to the `aggregate(zip_with((a-b)*(a-b)))` fold it replaces — the
+  * HOF chain evaluates interpreted lambdas k× per row and allocates a
+  * zipped array per centroid; PipelineSpec pins the equivalence).
+  * Corner semantics mirror the chain exactly: null input → null; a
+  * length mismatch or any null element → that centroid's distance is
+  * null (zip_with pads the shorter side with null and the fold
+  * propagates it).
+  *
+  * `cents` is `Seq[Seq[Double]]`, not arrays — case-class value
+  * equality is what Catalyst plan canonicalization (and StageCache
+  * plan-identity reuse) compare.
+  */
+case class CentroidDists(child: Expression, cents: Seq[Seq[Double]])
+    extends UnaryExpression {
+  require(cents.nonEmpty, "centroid codebook must be non-empty")
+
+  override def prettyName: String = "centroid_dists"
+
+  @transient private lazy val centArrays: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float|double>, got $dt")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorExpressions.centroidDistsArray(
+      input.asInstanceOf[ArrayData], centArrays, elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // ship the codebook into the generated class once, not per row
+    val centsRef = ctx.addReferenceObj("cents", centArrays, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorExpressions.centroidDistsArray($c, $centsRef, $elemIsFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
+
+  /** One-pass evaluation backing [[CentroidDists]] (interpreted eval and
+    * generated code both call it). See the expression Scaladoc for the
+    * corner-semantics contract.
+    */
+  def centroidDistsArray(
+      a: ArrayData,
+      cents: Array[Array[Double]],
+      elemIsFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    var hasNullElem = false
+    var i = 0
+    while (i < n && !hasNullElem) { if (a.isNullAt(i)) hasNullElem = true; i += 1 }
+    val k = cents.length
+    val out = new Array[Any](k)
+    var anyNull = false
+    var ci = 0
+    while (ci < k) {
+      val c = cents(ci)
+      if (hasNullElem || c.length != n) { anyNull = true }
+      else {
+        var s = 0.0
+        var j = 0
+        while (j < n) {
+          val d = (if (elemIsFloat) a.getFloat(j).toDouble else a.getDouble(j)) - c(j)
+          s += d * d
+          j += 1
+        }
+        out(ci) = java.lang.Double.valueOf(s)
+      }
+      ci += 1
+    }
+    if (!anyNull) {
+      val prim = new Array[Double](k)
+      var m = 0
+      while (m < k) { prim(m) = out(m).asInstanceOf[java.lang.Double].doubleValue(); m += 1 }
+      UnsafeArrayData.fromPrimitiveArray(prim)
+    } else new GenericArrayData(out)
+  }
 
   /** One-pass evaluation backing [[QuantizeInt8Expr]] (called from both
     * interpreted eval and generated code). See the expression Scaladoc
@@ -196,6 +288,12 @@ object VectorExpressions {
     */
   def quantize_int8(v: Column): Column =
     toColumn(QuantizeInt8Expr(toExpr(v)))
+
+  /** Column-level native squared distances to a literal codebook:
+    * `array<double>` of length `cents.size`.
+    */
+  def centroid_dists(v: Column, cents: Seq[Seq[Double]]): Column =
+    toColumn(CentroidDists(toExpr(v), cents))
 
   /** Register `dot_product` for SQL use on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

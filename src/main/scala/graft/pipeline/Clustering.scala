@@ -140,12 +140,23 @@ object Clustering {
     labels
   }
 
-  /** Squared-euclidean distances from a (double-cast) vector column to
-    * each centroid literal — one array element per centroid, codegen'd,
-    * no join. Shared by [[kmeans]] and the trained-IVF probe path
+  /** Squared-euclidean distances from a vector column to each centroid
+    * literal — one array element per centroid, a genuinely codegen'd
+    * native pass ([[graft.functions.CentroidDists]]), no join. Shared by
+    * [[kmeans]] and the trained-IVF probe path
     * ([[Similarity.ivfTopKTrained]]).
     */
   def centroidDists(vec: Column, cents: Array[Seq[Double]]): Column =
+    graft.functions.VectorExpressions.centroid_dists(vec, cents.toSeq)
+
+  /** The higher-order-function formulation [[centroidDists]]'s native
+    * expression is law-tested bit-identical to (PipelineSpec) — kept as
+    * the executable statement of the semantics (zip_with null-padding on
+    * length mismatch, left-to-right IEEE fold), never on a hot path: the
+    * interpreted lambdas run k× per row and allocate a zipped array per
+    * centroid.
+    */
+  private[graft] def centroidDistsDecl(vec: Column, cents: Array[Seq[Double]]): Column =
     array(cents.map { c =>
       aggregate(zip_with(vec, typedlit(c), (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, x) => acc + x)

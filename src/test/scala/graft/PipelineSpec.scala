@@ -1363,6 +1363,37 @@ class ClusteringSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
 
+  test("centroidDists native expression is bit-identical to the HOF chain") {
+    // the fusion-safety pin (ShingleOpsSpec pattern): the aggregate/
+    // zip_with fold IS the semantics — real fixture floats, double-cast
+    // vectors, and the corners the chain distinguishes (length mismatch
+    // → null via zip_with padding, null element → null, sub-0.5 values)
+    val cents: Array[Seq[Double]] =
+      Array(Seq(0.1, -0.2, 0.3), Seq(-1.0, 0.5, 0.25), Seq(0.0, 0.0, 0.0))
+    val corners = Seq[(Long, Array[java.lang.Double])](
+      (0L, Array(1.0, 2.0, -0.5)),
+      (1L, Array(0.25, null, 0.75)),   // null element → all dists null
+      (2L, Array(1.0, 2.0)),           // length mismatch → all dists null
+      (3L, Array(0.0, 0.0, 0.0)))
+      .toDF("id", "v")
+    val embF = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200)
+    val rnd = new scala.util.Random(7)
+    val cents64: Array[Seq[Double]] =
+      Array.fill(4)(Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+    def pin(df: org.apache.spark.sql.DataFrame, vec: String, cs: Array[Seq[Double]]): Unit = {
+      val n = df.withColumn("__ds", Clustering.centroidDists(col(vec), cs))
+        .select("__ds").collect().map(_.getSeq[Any](0))
+      val d = df.withColumn("__ds", Clustering.centroidDistsDecl(col(vec), cs))
+        .select("__ds").collect().map(_.getSeq[Any](0))
+      assert(n.length === d.length)
+      n.zip(d).foreach { case (a, b) => assert(a === b) } // exact, incl. bit-level doubles
+    }
+    pin(corners, "v", cents)
+    pin(embF, "embedding", cents64)                       // float input
+    pin(embF.select(col("embedding").cast("array<double>").as("vd")), "vd", cents64)
+  }
+
   test("connectedComponents: transitive chains collapse to one min-labeled component") {
     // two components: a chain 1-2, 2-3, 3-4 (diameter 3) and a pair 10-11;
     // reversed/duplicate edges must not matter
