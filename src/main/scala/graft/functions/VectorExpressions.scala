@@ -176,8 +176,95 @@ case class CentroidDists(child: Expression, cents: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Sign-LSH bucket id in ONE native pass: bit p of the result is set
+  * iff the dot product of the vector with deterministic hyperplane p
+  * (`PortableHash.planes(numPlanes, maxDim)` — the same literals the
+  * SQL oracles embed) is ≥ 0. Value-identical to the per-plane
+  * `aggregate(zip_with(vec, w, x·c))` fold chain it replaces
+  * (PipelineSpec pins the equivalence): products widen to double and
+  * sum left-to-right per plane. The corner contract is NON-NULL —
+  * matching the `when(proj >= 0, bit).otherwise(0)` chain: a null
+  * input, a null element, or a vector longer than `maxDim` yields
+  * bucket 0 (every plane's fold nulls out and `otherwise` zeroes the
+  * bit); an EMPTY vector yields all bits set (the empty fold is 0.0,
+  * and 0.0 ≥ 0); a NaN projection sets its bit (Spark's NaN-greatest
+  * comparison).
+  */
+case class LshBucketExpr(child: Expression, numPlanes: Int, maxDim: Int)
+    extends UnaryExpression {
+  require(numPlanes >= 1 && numPlanes <= 62, s"numPlanes must be in [1,62], got $numPlanes")
+  require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
+
+  override def prettyName: String = "lsh_bucket"
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    PortableHash.planes(numPlanes, maxDim)
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float|double>, got $dt")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L
+    else VectorExpressions.lshBucketLong(v.asInstanceOf[ArrayData], planes, elemIsFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        long ${ev.value} = ${childGen.isNull} ? 0L :
+          graft.functions.VectorExpressions.lshBucketLong(${childGen.value}, $planesRef, $elemIsFloat);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
+
+  /** One-pass evaluation backing [[LshBucketExpr]]. See the expression
+    * Scaladoc for the non-null corner contract.
+    */
+  def lshBucketLong(a: ArrayData, planes: Array[Array[Double]], elemIsFloat: Boolean): Long = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return 0L; i += 1 }
+    if (n > planes(0).length) return 0L
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val w = planes(p)
+      var s = 0.0
+      var j = 0
+      while (j < n) {
+        s += (if (elemIsFloat) a.getFloat(j).toDouble else a.getDouble(j)) * w(j)
+        j += 1
+      }
+      if (s >= 0.0 || java.lang.Double.isNaN(s)) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
 
   /** One-pass evaluation backing [[CentroidDists]] (interpreted eval and
     * generated code both call it). See the expression Scaladoc for the
@@ -294,6 +381,10 @@ object VectorExpressions {
     */
   def centroid_dists(v: Column, cents: Seq[Seq[Double]]): Column =
     toColumn(CentroidDists(toExpr(v), cents))
+
+  /** Column-level native sign-LSH bucket id (long, bit per plane). */
+  def lsh_bucket(v: Column, numPlanes: Int, maxDim: Int): Column =
+    toColumn(LshBucketExpr(toExpr(v), numPlanes, maxDim))
 
   /** Register `dot_product` for SQL use on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

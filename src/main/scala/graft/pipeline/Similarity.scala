@@ -94,7 +94,17 @@ object Similarity {
     * no-Math.random discipline of distributed jobs), and the DuckDB
     * oracle embeds the exact same literals.
     */
-  def lshBucket(vec: Column, numPlanes: Int = 12): Column = {
+  def lshBucket(vec: Column, numPlanes: Int = 12): Column =
+    graft.functions.VectorExpressions.lsh_bucket(vec, numPlanes, MaxDim)
+
+  /** The higher-order-function formulation [[lshBucket]]'s native
+    * expression is law-tested value-identical to (PipelineSpec) — kept
+    * as the executable statement of the semantics (per-plane left-to-
+    * right fold, null/overlength → bit 0 via `otherwise`), never on a
+    * hot path: the chain runs numPlanes interpreted folds per corpus
+    * row.
+    */
+  private[graft] def lshBucketDecl(vec: Column, numPlanes: Int = 12): Column = {
     val planes = graft.functions.PortableHash.planes(numPlanes, MaxDim)
     val bits = (0 until numPlanes).map { p =>
       val w = slice(lit(planes(p)), lit(1), size(vec))

@@ -692,6 +692,40 @@ class SimilaritySpec extends SparkSpec {
     nF.zip(dF).foreach { case (n, d) => assert(n === d) }
   }
 
+  test("lshBucket native expression is value-identical to the HOF chain") {
+    // fusion-safety pin: per-plane left-to-right fold is the semantics;
+    // corners the chain distinguishes — null element / overlength → all
+    // plane folds null → bucket 0; EMPTY vec → every fold is 0.0 ≥ 0 →
+    // all bits set; null input row → 0 (otherwise() zeroes each bit)
+    val embF = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(300)
+    for (planes <- Seq(4, 8, 12)) {
+      val got = embF
+        .select(Similarity.lshBucket(col("embedding"), planes).as("n"),
+          Similarity.lshBucketDecl(col("embedding"), planes).as("d"))
+        .collect()
+      got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+      val gotD = embF
+        .select(col("embedding").cast("array<double>").as("v"))
+        .select(Similarity.lshBucket(col("v"), planes).as("n"),
+          Similarity.lshBucketDecl(col("v"), planes).as("d"))
+        .collect()
+      gotD.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    }
+    val corners = Seq[(Long, Array[java.lang.Double])](
+      (0L, Array(0.5, null, 1.0)),                       // null element
+      (1L, Array.empty),                                 // empty → all bits
+      (2L, Array.fill(300)(java.lang.Double.valueOf(0.25))), // > MaxDim
+      (3L, null))                                        // null input row
+      .toDF("id", "v")
+    val c = corners
+      .select(col("id"), Similarity.lshBucket(col("v"), 8).as("n"),
+        Similarity.lshBucketDecl(col("v"), 8).as("d"))
+      .orderBy("id").collect()
+    c.foreach(r => assert(r.getLong(1) === r.getLong(2), s"id=${r.getLong(0)}"))
+    assert(c(1).getLong(1) === 255L) // empty vec: all 8 bits
+    assert(c(0).getLong(1) === 0L && c(2).getLong(1) === 0L && c(3).getLong(1) === 0L)
+  }
+
   test("multi-probe buckets: first is the base bucket, all distinct, right count") {
     val out = vecs
       .withColumn("base", Similarity.lshBucket(col("embedding"), 8))
