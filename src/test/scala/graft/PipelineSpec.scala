@@ -421,6 +421,45 @@ class VectorExprSpec extends SparkSpec {
     assert(c === graft.functions.PortableHash.const60("minhash-a:0"))
   }
 
+  test("quantize/centroid/lsh expressions: interpreted eval path matches codegen") {
+    // the bit-pins run under whole-stage codegen; this drives the
+    // interpreted eval() branch (fallback path) of all three new
+    // expressions directly and compares against the collected codegen
+    // results — incl. LshBucketExpr's own null-input branch (its
+    // non-null contract bypasses nullSafeEval)
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    import graft.functions.{CentroidDists, LshBucketExpr, QuantizeInt8Expr}
+    val vecT = ArrayType(DoubleType, containsNull = true)
+    val ref = BoundReference(0, vecT, nullable = true)
+    def row(v: Array[Any]): InternalRow =
+      InternalRow(if (v == null) null else ArrayData.toArrayData(v))
+    val v = Array[Any](0.6, -1.2, 0.3)
+    // quantize: scale = 1.2/127, qvec = round(x*127/1.2)
+    val q = QuantizeInt8Expr(ref).eval(row(v)).asInstanceOf[InternalRow]
+    assert(q.getDouble(0) === 1.2 / 127)
+    assert(q.getArray(1).toIntArray().toSeq === Seq(64, -127, 32))
+    assert(QuantizeInt8Expr(ref).eval(row(null)) === null)
+    // centroids: exact sums, length-mismatch → null element
+    val cd = CentroidDists(ref, Seq(Seq(0.6, -1.2, 0.3), Seq(0.0, 0.0)))
+      .eval(row(v)).asInstanceOf[ArrayData]
+    assert(cd.getDouble(0) === 0.0 && cd.isNullAt(1))
+    // lsh: interpreted == codegen on a real column, and null → 0L
+    assert(LshBucketExpr(ref, 8, 256).eval(row(null)) === 0L)
+    val data = Seq((1L, Array(0.5, -0.25, 0.75)), (2L, Array(-1.0, 2.0, -3.0)))
+      .toDF("id", "v")
+    val viaCodegen = data
+      .select(graft.pipeline.Similarity.lshBucket(col("v"), 8).as("b"))
+      .collect().map(_.getLong(0))
+    val viaEval = data.collect().map { r =>
+      LshBucketExpr(ref, 8, 256).eval(
+        row(r.getSeq[Double](1).map(x => x: Any).toArray)).asInstanceOf[Long]
+    }
+    assert(viaCodegen.toSeq === viaEval.toSeq)
+  }
+
   test("dot_product registers for SQL and handles double arrays + length mismatch") {
     graft.functions.VectorExpressions.register(spark)
     val r = spark.sql("SELECT dot_product(array(1.0D, 2.0D, 3.0D), array(2.0D, 3.0D)) AS d").head()
