@@ -220,7 +220,16 @@ object SparkEntry {
     "q_combine_first" -> ((s, d) => {
       val li = lineitem(s, d).withColumn("val",
         when(col("l_discount") < 0.02, lit(null)).otherwise(col("l_quantity")))
-      val uniq = li.groupBy(col("l_orderkey"), col("l_shipdate").as("ts"), col("l_linenumber"))
+      // ONE exchange for both stacked aggregations: hash-partitioning by
+      // the (orderkey, shipdate) PREFIX satisfies ClusteredDistribution
+      // for the wider (orderkey, shipdate, linenumber) grouping too, so
+      // the dedup collapse and the ordered coalesce run back-to-back on
+      // the same shuffle output instead of re-shuffling 600k
+      // near-unchanged rows between them. Same trick at any scale: the
+      // second agg's keys are a prefix of the first's.
+      val uniq = li
+        .repartition(col("l_orderkey"), col("l_shipdate"))
+        .groupBy(col("l_orderkey"), col("l_shipdate").as("ts"), col("l_linenumber"))
         .agg(max(col("val")).as("val"))
       uniq.groupBy(col("l_orderkey"), col("ts"))
         .agg(Combine.firstNonNullByPriority(col("val"), col("l_linenumber")).as("value"))
@@ -236,7 +245,11 @@ object SparkEntry {
         col("l_linenumber").as("version"),
         col("l_shipdate").as("ts"),
         when(col("l_tax") > 0.06, lit(null)).otherwise(col("l_extendedprice")).as("value"))
-      val uniq = li.groupBy("l_orderkey", "version", "ts").agg(max(col("value")).as("value"))
+      // one exchange for both stacked aggs (q_combine_first trick): the
+      // (orderkey, ts) partitioning satisfies the wider dedup grouping
+      // AND the ordered-coalesce grouping
+      val uniq = li.repartition(col("l_orderkey"), col("ts"))
+        .groupBy("l_orderkey", "version", "ts").agg(max(col("value")).as("value"))
       Combine.combineVersions(uniq, Seq("l_orderkey"), "version", "ts", "value")
       // no trailing orderBy (600k rows; compare re-sorts)
     }),
@@ -251,6 +264,7 @@ object SparkEntry {
         col("l_shipdate").as("ts"),
         when(col("l_tax") > 0.06, lit(null)).otherwise(col("l_extendedprice")).as("value"))
       val uniq = li.filter(graft.store.Lookups.compileOne("version__gte", 2))
+        .repartition(col("l_orderkey"), col("ts")) // one exchange, both aggs
         .groupBy("l_orderkey", "version", "ts").agg(max(col("value")).as("value"))
       Combine.combineOrdered(uniq, Seq("l_orderkey"), Seq("version" -> true), "ts", "value")
       // no trailing orderBy (500k rows; compare re-sorts)
