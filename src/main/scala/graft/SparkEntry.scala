@@ -1514,12 +1514,17 @@ object SparkEntry {
         StructType(Seq(StructField("user_id", LongType))))
       // one events scan feeds every write: the store's write jobs
       // (normalize/duplicate-probe/stage) re-read the materialized
-      // shared-stage aggregate, not the events table
+      // shared-stage aggregate, not the events table. LAZY mat (not
+      // matHot): the consumers are SEQUENTIAL actions (setManyTs's
+      // checkpoint job builds the stage inline, setTs and the read-back
+      // then reuse it), and each plan references the stage once — no
+      // concurrent-rebuild race, so the eager count would be a pure
+      // extra scheduler round-trip per run.
       val daily = events(s, d)
         .filter(col("user_id") < 3 && col("event_type").isin("view", "purchase"))
         .groupBy(col("user_id"), col("event_type"), date_trunc("day", col("ts")).as("ts"))
         .agg(avg(col("value")).as("avg_v"))
-        .pipe(graft.StageCache.matHot)
+        .pipe(graft.StageCache.mat)
       st.setManyTs(daily.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts"), round(col("avg_v"), 6).as("value")))
       val purchases = daily
@@ -1545,7 +1550,7 @@ object SparkEntry {
         .filter(col("user_id") < 3 && col("event_type").isin("view", "purchase"))
         .groupBy(col("user_id"), col("event_type"), date_trunc("day", col("ts")).as("ts"))
         .agg(avg(col("value")).as("avg_v"))
-        .pipe(graft.StageCache.matHot)
+        .pipe(graft.StageCache.mat) // lazy: sequential consumers (see q_store_replace)
       st.setManyTs(daily.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts"), round(col("avg_v"), 6).as("value")))
       val upd = daily

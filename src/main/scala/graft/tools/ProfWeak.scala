@@ -31,8 +31,12 @@ object ProfWeak {
         jobs.incrementAndGet()
         starts.put(e.jobId, System.nanoTime())
         if (verbose) {
-          val site = e.properties.getProperty("callSite.short", "?")
-          println(f"  [job ${e.jobId}%4d start] $site")
+          val p = e.properties
+          val site = Option(p.getProperty("callSite.short"))
+            .orElse(Option(p.getProperty("spark.job.description")))
+            .getOrElse(p.stringPropertyNames().toArray.mkString(","))
+          val stages = e.stageInfos.map(s => s"${s.stageId}:${s.name.take(40)}").mkString(" | ")
+          println(f"  [job ${e.jobId}%4d start] $site :: $stages")
         }
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = if (verbose) {
