@@ -227,9 +227,9 @@ object Dedup {
     // derived sig rides on it for near-free either way.)
     val numHashes = bands * rowsPerBand
     val sig = graft.StageCache.matHot(
-      sets.select(col("id"),
-          graft.functions.ShingleOps.minhashSigFromModsCol(col("hs"), numHashes).as("sig"))
-        .filter(size(col("sig")) > 0))
+        sets.select(col("id"),
+          graft.functions.ShingleOps.minhashSigFromModsCol(col("hs"), numHashes).as("sig")))
+      .filter(size(col("sig")) > 0) // on the cached array (pushdown would re-derive it)
     val cand = bandedCandidates(sig, bands, rowsPerBand, maxBandDf)
     val verified = cand
       .join(sets.select(col("id").as("id_a"), col("hs").as("__ha"), col("n_sh").as("na")), Seq("id_a"))
@@ -399,19 +399,35 @@ object Dedup {
       .select(col("id"), pmod(col("__h60"), lit(PortableHash.P)).as("__b"))
   }
 
-  def minhashSignature(df: DataFrame, idCol: String, textCol: String, n: Int = 3, numHashes: Int = 32): DataFrame = {
-    import graft.functions.ShingleOps
-    // FUSED signature (round-13): the whole per-doc signature comes out
-    // of one native pass over the text — no shingle explode (docs ×
-    // shingles rows) and no 32-min aggregation shuffle. Per-permutation
-    // min over the distinct shingle hashes equals the aggregated
-    // min(pmod(a·h+b, P)) exactly (MinhashSigSpec pins bit-equality).
-    // The empty-sig filter mirrors the aggregated form: a document with
-    // < n tokens contributed no rows to the groupBy, so it had no
-    // signature row at all.
-    df.select(col(idCol).as("id"),
-        ShingleOps.minhashSigCol(lower(col(textCol)), n, numHashes).as("sig"))
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String, n: Int = 3, numHashes: Int = 32): DataFrame =
+    minhashSignatureRaw(df, idCol, textCol, n, numHashes)
       .filter(size(col("sig")) > 0)
+
+  /** The UNFILTERED signature projection — the plan shape stage caching
+    * should key on. Callers that materialize the stage must register
+    * THIS plan and apply [[minhashSignature]]'s empty-sig filter on the
+    * cached output: a filter inside the registered plan gets
+    * predicate-pushed below the projection, inlining the signature
+    * expression into the scan filter — the cache-build job then runs
+    * the full text pass TWICE per row (measured in the r16 plan dump:
+    * `Condition: size(minhashsigexpr(lower(text)))>0` directly above
+    * the projection computing the same expression). Filtering after
+    * materialization reads the cached array's size instead.
+    *
+    * FUSED signature (round-13): the whole per-doc signature comes out
+    * of one native pass over the text — no shingle explode (docs ×
+    * shingles rows) and no 32-min aggregation shuffle. Per-permutation
+    * min over the distinct shingle hashes equals the aggregated
+    * min(pmod(a·h+b, P)) exactly (MinhashSigSpec pins bit-equality).
+    * The empty-sig filter mirrors the aggregated form: a document with
+    * < n tokens contributed no rows to the groupBy, so it had no
+    * signature row at all.
+    */
+  private[graft] def minhashSignatureRaw(
+      df: DataFrame, idCol: String, textCol: String, n: Int, numHashes: Int): DataFrame = {
+    import graft.functions.ShingleOps
+    df.select(col(idCol).as("id"),
+      ShingleOps.minhashSigCol(lower(col(textCol)), n, numHashes).as("sig"))
   }
 
   /** LSH band-bucket candidate pairs from a signature table (id, sig):
@@ -486,7 +502,10 @@ object Dedup {
     // Without an id, fall back to a direct per-group explode.
     val sig = (idCol match {
       case Some(id) =>
-        val perDoc = graft.StageCache.mat(minhashSignature(df, id, textCol, n, numHashes))
+        // register the RAW plan, filter on the cached array (see
+        // minhashSignatureRaw on the pushdown double-pass)
+        val perDoc = graft.StageCache.mat(minhashSignatureRaw(df, id, textCol, n, numHashes))
+          .filter(size(col("sig")) > 0)
         perDoc
           .join(df.select(col(id).as("id"), col(groupCol).as("grp")), Seq("id"))
           .groupBy("grp")
@@ -548,7 +567,9 @@ object Dedup {
     // shared stage: both band-join sides and the verification joins read
     // it, and the pairs' downstream consumers (cluster resolution,
     // keep-best retention, leakage audit) rebuild the same plan
-    val sig = graft.StageCache.matHot(minhashSignature(df, idCol, textCol, n, numHashes))
+    val sig = graft.StageCache.matHot(
+        minhashSignatureRaw(df, idCol, textCol, n, numHashes))
+      .filter(size(col("sig")) > 0) // on the cached array, not the text pass
     val cand = bandedCandidates(sig, bands, rowsPerBand, maxBandDf)
     // the verified pair list is itself a shared stage: ONE generation
     // feeds the pairs listing, near-dup clusters, quality-priority
