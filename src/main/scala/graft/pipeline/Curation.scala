@@ -314,7 +314,16 @@ object Curation {
       salt: String = "diversity",
       cacheKey: Option[String] = None): DataFrame = {
     require(perCluster >= 1, s"perCluster must be >= 1, got $perCluster")
-    val assigned = Clustering.kmeans(df, idCol, vecCol, k, iters, cacheKey = cacheKey)
+    // the assignment frame has two CONCURRENT consumers in one plan (the
+    // cluster-size aggregate feeding the broadcast, and the probe side of
+    // the join) → matHot: without it each side recomputes the centroid
+    // assignment over the corpus, and the join's inferred
+    // isnotnull(cluster) gets pushed below the cluster projection,
+    // re-deriving centroid_dists a THIRD time inside a scan filter (seen
+    // in the r16 plan dump). Cached content is (id, cluster, dist) —
+    // three narrow columns.
+    val assigned = graft.StageCache.matHot(
+      Clustering.kmeans(df, idCol, vecCol, k, iters, cacheKey = cacheKey))
     val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("__n"))
     assigned.join(broadcast(sizes), "cluster")
       .withColumn("keep",
