@@ -284,6 +284,24 @@ class PlanSpec extends SparkSpec {
     assert("\\bWindow\\b".r.findFirstIn(p).isEmpty)
   }
 
+  // The stacked-combine shape (end-r16): the dedup collapse groups by
+  // (key, ts, version-ish) and the ordered coalesce by (key, ts) — an
+  // explicit repartition on the (key, ts) PREFIX satisfies
+  // ClusteredDistribution for BOTH groupings, so the whole query runs on
+  // ONE shuffle. A second Exchange here means Catalyst stopped accepting
+  // the prefix partitioning (or someone dropped the repartition) and the
+  // query went back to re-shuffling ~600k near-identical rows.
+  test("q_combine_first plan: one Exchange feeds both stacked aggregations") {
+    for (q <- Seq("q_combine_first", "q_version_combine", "q_version_select")) {
+      val p = plan(q)
+      val tree = p.linesIterator.takeWhile(l => !l.startsWith("(")).toSeq
+      val exchanges = tree.count(l => "\\bExchange\\b".r.findFirstIn(l).nonEmpty)
+      assert(exchanges == 1,
+        s"$q: expected exactly 1 Exchange (prefix partitioning serves both aggs), got $exchanges\n" + p.take(800))
+      assert("\\bWindow\\b".r.findFirstIn(p).isEmpty, s"$q must not window")
+    }
+  }
+
   // The scale contract of the per-domain cap: phase 1 must rank within
   // (group, salt-bucket) — a window partitioned by the domain alone would
   // sort a corpus-sized hot domain in one task. Phase 2's per-group
