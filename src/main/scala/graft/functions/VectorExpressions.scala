@@ -176,6 +176,44 @@ case class CentroidDists(child: Expression, cents: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Count of positions where two long arrays agree, ONE native pass —
+  * the MinHash signature-similarity numerator, evaluated once per
+  * CANDIDATE PAIR (the largest intermediate the dedup family builds at
+  * corpus scale). Value-identical to
+  * `size(filter(zip_with(a, b, (x, y) => x === y), p => p))`
+  * (PipelineSpec pins the equivalence): only positions below the
+  * shorter length can match (zip_with pads the longer side with null,
+  * `===` nulls out, filter drops nulls), a position with EITHER element
+  * null contributes nothing (null === anything → null), and a
+  * both-null position also contributes nothing (null === null is null
+  * under `===`, not true).
+  */
+case class SigAgree(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "sig_agree"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects two array<long>, got $l / $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorExpressions.sigAgreeCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorExpressions.sigAgreeCount($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Sign-LSH bucket id in ONE native pass: bit p of the result is set
   * iff the dot product of the vector with deterministic hyperplane p
   * (`PortableHash.planes(numPlanes, maxDim)` — the same literals the
@@ -385,6 +423,22 @@ object VectorExpressions {
   /** Column-level native sign-LSH bucket id (long, bit per plane). */
   def lsh_bucket(v: Column, numPlanes: Int, maxDim: Int): Column =
     toColumn(LshBucketExpr(toExpr(v), numPlanes, maxDim))
+
+  /** Column-level native signature-agreement count (int). */
+  def sig_agree(a: Column, b: Column): Column =
+    toColumn(SigAgree(toExpr(a), toExpr(b)))
+
+  /** One-pass evaluation backing [[SigAgree]]. */
+  def sigAgreeCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
 
   /** Register `dot_product` for SQL use on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

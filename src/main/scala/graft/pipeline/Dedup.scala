@@ -529,8 +529,8 @@ object Dedup {
     val r = sig.select(col("grp").as("grp_b"), col("sig").as("__sb"))
     l.join(broadcast(r), col("grp_a") < col("grp_b"))
       .withColumn("est_jaccard", round(
-        size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y),
-          b => b)).cast("double") / numHashes, 6))
+        graft.functions.VectorExpressions.sig_agree(col("__sa"), col("__sb"))
+          .cast("double") / numHashes, 6))
       .select("grp_a", "grp_b", "est_jaccard")
   }
 
@@ -577,8 +577,11 @@ object Dedup {
     graft.StageCache.mat(cand
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      // native agreement count (SigAgree): the zip_with fold evaluated
+      // interpreted lambdas + allocated a zipped array per CANDIDATE
+      // PAIR — the largest intermediate this family builds at scale
       .withColumn("sig_sim",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)).cast("double")
+        graft.functions.VectorExpressions.sig_agree(col("sig_a"), col("sig_b")).cast("double")
           / size(col("sig_a")))
       .filter(col("sig_sim") >= minSim)
       .select("id_a", "id_b", "sig_sim"))

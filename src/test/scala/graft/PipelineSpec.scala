@@ -421,6 +421,38 @@ class VectorExprSpec extends SparkSpec {
     assert(c === graft.functions.PortableHash.const60("minhash-a:0"))
   }
 
+  test("sig_agree native expression is value-identical to the zip_with/filter chain") {
+    // fusion-safety pin: only positions below the shorter length can
+    // match (zip_with pads with null, === nulls out), a null element on
+    // either side contributes nothing, and both-null is NOT a match
+    // (null === null is null under ===)
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      size(filter(zip_with(a, b, (x, y) => x === y), p => p))
+    val rnd = new scala.util.Random(11)
+    val sigs = (0L until 200L).map(i =>
+      (i, Array.fill(32)(rnd.nextInt(1000).toLong), Array.fill(32)(rnd.nextInt(1000).toLong)))
+      .toDF("id", "a", "b")
+    val corners = Seq[(Long, Array[java.lang.Long], Array[java.lang.Long])](
+      (0L, Array(1L, 2L, 3L), Array(1L, 9L, 3L)),          // partial match
+      (1L, Array(1L, 2L), Array(1L, 2L, 3L)),              // length mismatch
+      (2L, Array(1L, null, 3L), Array(1L, null, 3L)),      // both-null ≠ match
+      (3L, Array.empty, Array(1L)),                        // empty side
+      (4L, Array(5L, null), Array(null, null)))            // one-sided nulls
+      .toDF("id", "a", "b")
+    for (df <- Seq(sigs, corners)) {
+      val got = df.select(col("id"),
+          graft.functions.VectorExpressions.sig_agree(col("a"), col("b")).as("n"),
+          hof(col("a"), col("b")).as("d"))
+        .orderBy("id").collect()
+      got.foreach(r => assert(r.getInt(1) === r.getInt(2), s"id=${r.getLong(0)}"))
+    }
+    // null input propagates (both forms)
+    val n = Seq((0L, Option.empty[Array[Long]], Some(Array(1L)))).toDF("id", "a", "b")
+      .select(graft.functions.VectorExpressions.sig_agree(col("a"), col("b")).as("n"),
+        hof(col("a"), col("b")).as("d")).head()
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
   test("quantize/centroid/lsh expressions: interpreted eval path matches codegen") {
     // the bit-pins run under whole-stage codegen; this drives the
     // interpreted eval() branch (fallback path) of all three new
