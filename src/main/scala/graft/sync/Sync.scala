@@ -169,6 +169,39 @@ object Sync {
             isoTs(col("updated_at")).as("updated_at")).as("meta"))).as("envelope_json")): _*)
   }
 
+  /** Parse a wire ISO timestamp column into the store's NTZ-in-UTC form.
+    *
+    * Accepts every spelling a tolerant server/client emits (mirrors
+    * [[SyncHttp.parseTs]], the driver-side twin): naive
+    * ('2024-06-01T12:30:15.123456'), fraction-less ('...T00:00:00Z' —
+    * DRF/pandas isoformat omits the fraction when microseconds are 0),
+    * short fractions (isoformat emits 3 digits for millisecond values),
+    * and any offset spelling (Z, +00:00, +0000, +02, -05:30). Genuine
+    * offsets are converted to UTC wall time by interval arithmetic on the
+    * NTZ value — no session-timezone dependence — so
+    * '...T12:30:15.123456+02:00' lands as 10:30:15.123456 UTC, exactly
+    * what parseTs produces on the driver. Anything unparseable nulls out
+    * (detectable), never silently shifts.
+    */
+  private[sync] def wireTs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val base = regexp_extract(c, "^([0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2})", 1)
+    val frac = regexp_extract(c, "^[0-9-]+T[0-9:]+\\.([0-9]{1,6})", 1) // "" when absent
+    val off = regexp_extract(c, "(Z|[+-][0-9]{2}(:?[0-9]{2})?)$", 1)   // "" when naive
+    val offH = when(off === "" || off === "Z", lit(0))
+      .otherwise(substring(off, 2, 2).cast("int"))
+    val offMStr = regexp_extract(off, "^[+-][0-9]{2}:?([0-9]{2})$", 1)
+    val offM = when(offMStr === "", lit(0)).otherwise(offMStr.cast("int"))
+    val offSecs = (when(off.startsWith("-"), lit(-1)).otherwise(lit(1)) *
+      (offH * 3600 + offM * 60)).cast("decimal(18,6)")
+    // regexp_extract returns "" (not null) on no-match; guard with a lazy
+    // CASE so garbage nulls out instead of tripping ANSI parse errors.
+    val ntz = when(base === "", lit(null).cast("timestamp_ntz"))
+      .otherwise(to_timestamp_ntz(
+        concat(base, lit("."), rpad(frac, 6, "0")),
+        lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))
+    ntz - make_dt_interval(lit(0), lit(0), lit(0), offSecs)
+  }
+
   /** Inverse of [[packEnvelope]] — parse a `/pack/` payload back into
     * full store rows ready for [[importChunks]] (the reference client's
     * `import_chunks(payload)` step, ts_sync.py:239-247). Timestamps are
@@ -190,22 +223,7 @@ object Sync {
         StructField("start_ts", StringType),
         StructField("is_deleted", BooleanType),
         StructField("updated_at", StringType))))))
-    // a reference (DRF) server serializes aware datetimes with a trailing
-    // Z / +00:00 — strip it so a pull from such a server doesn't crash
-    // (values are UTC either way; the store is NTZ-in-UTC). DRF/pandas
-    // isoformat also OMITS the fraction entirely when microseconds are 0
-    // (typical for chunk-boundary start_ts, '2024-06-01T00:00:00Z'), so a
-    // strict 6-digit pattern alone would null those out — normalize by
-    // appending '.000000' when no '.' is present, and right-pad shorter
-    // fractions (isoformat emits 3 digits for millisecond-precision values)
-    // to the full 6 the pattern expects.
-    val naive = (c: org.apache.spark.sql.Column) => {
-      val utc = regexp_replace(c, "(Z|\\+00(:?00)?)$", "")
-      val withFrac = when(utc.contains("."), utc).otherwise(concat(utc, lit(".000000")))
-      val padded = concat(substring_index(withFrac, ".", 1), lit("."),
-        rpad(substring_index(withFrac, ".", -1), 6, "0"))
-      to_timestamp_ntz(padded, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
-    }
+    val naive = wireTs _
     val parsed = envelopes
       .select(from_json(col("envelope_json"), envSchema).as("e"))
       .select(

@@ -50,10 +50,19 @@ object SyncHttp {
         try java.time.LocalDateTime.parse(s.stripSuffix("Z"))
         catch {
           case _: java.time.format.DateTimeParseException =>
-            // last resort: bare '+00'/'+0000' suffixes OffsetDateTime's
-            // strict ISO parser rejects
-            java.time.LocalDateTime.parse(
-              s.replaceFirst("(Z|[+-]00(:?00)?)$", ""))
+            try
+              // bare '+00'/'+0000' suffixes OffsetDateTime's strict ISO
+              // parser rejects
+              java.time.LocalDateTime.parse(
+                s.replaceFirst("(Z|[+-]00(:?00)?)$", ""))
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                // last resort: non-colon GENUINE offset (strftime '%z'
+                // emits +0200) — insert the colon and retry strict ISO
+                java.time.OffsetDateTime.parse(
+                    s.replaceFirst("([+-][0-9]{2})([0-9]{2})$", "$1:$2"))
+                  .withOffsetSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime
+            }
         }
     }
   }

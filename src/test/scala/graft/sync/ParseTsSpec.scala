@@ -42,3 +42,41 @@ class ParseTsSpec extends AnyFunSuite {
     }
   }
 }
+
+/** The in-plan twin of parseTs ([[Sync.wireTs]]) must agree with it on
+  * every spelling — ADVICE r16: the old rpad-based normalizer silently
+  * truncated the offset off '...123456+02:00', storing a wall time 2h
+  * off. Now offsets are converted to UTC by interval arithmetic.
+  */
+class WireTsSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions.col
+
+  private def parse(ss: Seq[String]): Seq[java.time.LocalDateTime] = {
+    import spark.implicits._
+    ss.toDF("s").select(Sync.wireTs(col("s")).as("t"))
+      .collect().toSeq.map(r => r.getAs[java.time.LocalDateTime]("t"))
+  }
+
+  test("wireTs agrees with parseTs on every tolerated spelling") {
+    val spellings = Seq(
+      "2024-06-01T12:30:15.123456",
+      "2024-06-01T12:30:15.123456Z",
+      "2024-06-01T12:30:15.123456+00:00",
+      "2024-06-01T12:30:15.123456+00",
+      "2024-06-01T12:30:15.123456+0000",
+      "2024-06-01T14:30:15.123456+02:00", // the ADVICE r16 case
+      "2024-06-01T14:30:15.123456+0200",
+      "2024-06-01T07:00:15.123456-05:30",
+      "2024-06-01T00:00:00",
+      "2024-06-01T00:00:00Z",
+      "2024-06-01T00:00:00+00:00",
+      "2024-06-01T00:00:00.500Z",
+      "2024-06-01T02:00:00+02",          // fraction-less with real offset
+      "2024-06-01T00:00:00.5+00:00")     // short fraction + offset
+    assert(parse(spellings) === spellings.map(SyncHttp.parseTs))
+  }
+
+  test("wireTs nulls garbage (detectable), never silently shifts") {
+    assert(parse(Seq("not-a-timestamp", "2024-06-01")) === Seq(null, null))
+  }
+}
