@@ -606,14 +606,28 @@ object TextAnalysis {
     *
     * Scale shape: the corpus collapses to its VOCABULARY in the first
     * token aggregation (map-side combine; the shuffle carries (token,
-    * count) pairs, never documents), so the global rank window runs over
-    * vocabulary cardinality — bounded ~10⁷ even at web scale, a
-    * metadata-sized single sort, while the 100 TB of text stays in the
-    * distributed scan. Determinism: ln() values are quantized to integer
-    * micro-units per VOCAB ROW (deterministic per value), and all four
-    * regression sums run in decimal(38,0) — exact at any partition
-    * count; the slope falls out of one fixed sequence of IEEE ops at the
-    * end (the q_kmeans_inertia lesson applied to regression).
+    * count) pairs, never documents), and the global Zipf rank is then
+    * assembled WITHOUT any single-partition sort (this used to be the
+    * engine's only global window): the regression sums are invariant to
+    * the within-tie permutation (every token tied at one freq has the
+    * same ln(freq), and a tie occupies a contiguous rank run regardless
+    * of which token lands where), so
+    *   rank = (#tokens with greater freq)        [freq-ladder offset]
+    *        + (in-tie bucket offset)             [hash-bucket prefix]
+    *        + (in-bucket row_number)             [bounded window]
+    * The freq ladder (one row per DISTINCT frequency, D ≤ √(2·total))
+    * gets its greater-freq prefix from log2-band totals (≤64 bands,
+    * band×band inequality join) plus a within-band prefix window
+    * (partitioned by band; worst band population ~√vocab). In-tie
+    * ranks reuse the stratifiedSplit bucket-offset trick: 64 hash
+    * buckets per tie, prefix window over (freq, bucket) counts, local
+    * row_number per bucket. Every window is partitioned; nothing sorts
+    * more than ~group∕64 rows in one task. Determinism: ln() values are
+    * quantized to integer micro-units per VOCAB ROW (deterministic per
+    * value), and all four regression sums run in decimal(38,0) — exact
+    * at any partition count; the slope falls out of one fixed sequence
+    * of IEEE ops at the end (the q_kmeans_inertia lesson applied to
+    * regression).
     *
     * Output (one row): (vocab_size, total_tokens, slope, intercept),
     * slope/intercept rounded to 6 dp.
@@ -623,8 +637,37 @@ object TextAnalysis {
     val freq = df
       .select(explode(tokens(lower(col(textCol)))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
-    val ranked = freq.withColumn("rank",
-      row_number().over(Window.orderBy(col("freq").desc, col("tok").asc)).cast("long"))
+    // freq ladder: exclusive count of tokens with strictly greater freq
+    val fc = freq.groupBy("freq").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__band", floor(log2(col("freq"))).cast("int"))
+    val bands = fc.groupBy("__band").agg(sum(col("__cnt")).as("__bn"))
+    val bandOff = bands.as("a")
+      .join(bands.as("b"), col("b.__band") > col("a.__band"), "left")
+      .groupBy(col("a.__band").as("__band"))
+      .agg(coalesce(sum(col("b.__bn")), lit(0L)).as("__boff"))
+    val wBand = Window.partitionBy("__band").orderBy(col("freq").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val freqOff = fc.join(bandOff, "__band")
+      .withColumn("__foff",
+        col("__boff") + coalesce(sum(col("__cnt")).over(wBand), lit(0L)))
+      .select(col("freq"), col("__foff"))
+    // in-tie rank via hash buckets (sums are permutation-invariant, so
+    // hash order inside a tie is as good as lexicographic)
+    val nBkt = 64L
+    val withBkt = freq.withColumn("__bkt",
+      pmod(graft.functions.PortableHash.hash60(col("tok")), lit(nBkt)))
+    val wBktOff = Window.partitionBy("freq").orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktOff = withBkt.groupBy(col("freq"), col("__bkt"))
+      .agg(count(lit(1)).as("__bcnt"))
+      .withColumn("__bo", coalesce(sum(col("__bcnt")).over(wBktOff), lit(0L)))
+      .select(col("freq"), col("__bkt"), col("__bo"))
+    val wIn = Window.partitionBy(col("freq"), col("__bkt")).orderBy(col("tok"))
+    val ranked = withBkt
+      .withColumn("__r", row_number().over(wIn).cast("long"))
+      .join(bktOff, Seq("freq", "__bkt"))
+      .join(freqOff, Seq("freq"))
+      .withColumn("rank", col("__foff") + col("__bo") + col("__r"))
     val q = ranked
       .withColumn("__x", round(log(col("rank").cast("double")) * 1e6, 0).cast("long"))
       .withColumn("__y", round(log(col("freq").cast("double")) * 1e6, 0).cast("long"))

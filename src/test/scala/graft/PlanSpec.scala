@@ -338,22 +338,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q_zipf plan: rank window runs over the VOCAB aggregate, never the corpus") {
+  test("q_zipf plan: rank assembled from PARTITIONED windows, never a global sort") {
     val p = plan("q_zipf")
     // the corpus must collapse to (tok, count) with a partial aggregate
-    // BEFORE its exchange (map-side combine), and the single-partition
-    // rank window must sit above that aggregation — a window whose input
-    // still carries text would be the corpus-wide sort this design avoids
+    // BEFORE its exchange (map-side combine) — windows and joins above it
+    // see only vocab-sized frames, never document text
     assert(p.contains("partial_count"), "token count must combine map-side\n" + p.take(800))
-    val winInput = "\\(\\d+\\) Window\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
-      .findFirstMatchIn(p).map(_.group(1))
-    assert(winInput.nonEmpty, "expected a Window detail block\n" + p.take(800))
-    assert(!winInput.get.contains("text#"),
-      s"window input must be the vocab aggregate, not document text: ${winInput.get}")
-    // SinglePartition exchange feeding the global rank is expected and
-    // bounded by vocab cardinality — pin that it exists so a refactor
-    // can't silently repartition the ranked fit
-    assert(p.contains("SinglePartition"), p.take(800))
+    val winInputs = "\\(\\d+\\) Window\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(winInputs.nonEmpty, "expected Window detail blocks\n" + p.take(800))
+    assert(winInputs.forall(!_.contains("text#")),
+      s"window inputs must be vocab aggregates, not document text: $winInputs")
+    // r17: the rank is three-level (band offsets + freq-ladder prefix +
+    // in-tie bucket offsets), so EVERY window must carry a partition spec
+    // — an empty partition list would be the single-partition corpus-
+    // vocabulary sort this rewrite removed (the engine's last one)
+    val emptyPartSpecs = "windowspecdefinition\\((\\w+#\\d+L? (ASC|DESC))".r
+      .findAllMatchIn(p).toSeq
+    assert(emptyPartSpecs.isEmpty,
+      s"unpartitioned window found (first spec arg is an ordering): $emptyPartSpecs")
   }
 
   test("q_novelty / q_source_sim plans: shuffles carry shingle hashes and ids, never text") {
