@@ -161,10 +161,17 @@ object Bench {
       val sorted = results.filter(_._2 >= 0).sortBy(-_._2)
       val sb = new StringBuilder("{")
       var first = true
-      // budget: stay under ~1700 chars for the whole line
-      sorted.foreach { case (k, v) =>
+      // budget: stay under ~1700 chars for the whole line. Stop at the
+      // FIRST entry that doesn't fit (ADVICE r16): continuing would let a
+      // shorter-named faster query displace a slower one, so the emitted
+      // set would no longer be a true slowest-prefix.
+      val it = sorted.iterator
+      var full = false
+      while (!full && it.hasNext) {
+        val (k, v) = it.next()
         val ent = (if (first) "" else ",") + "\"" + k + "\":" + r3(v)
         if (sb.length + ent.length < 1450) { sb.append(ent); first = false }
+        else full = true
       }
       sb.append("}").toString
     }

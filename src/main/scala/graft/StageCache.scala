@@ -89,6 +89,12 @@ object StageCache {
   /** Eager-materialization mode for [[matHot]] stages. OFF by default:
     * a library caller constructing an operator must get a lazy plan (no
     * Spark jobs at DataFrame-build time — the standard Spark contract).
+    * The documented exception is TRAINED/FITTED operators (k-means
+    * centroids, quantile cutpoints, the CMS sketch in heavyHitters,
+    * classifier weights): fitting inherently runs jobs, each such
+    * operator's scaladoc says so, and the fitted artifact is bounded
+    * metadata — that is a different contract, not a violation of this
+    * one.
     * The harnesses (Bench, Verify, the test suites) and long-lived
     * servers turn it ON, because a lazily persisted stage consumed by
     * several CONCURRENT AQE shuffle-stage jobs is rebuilt once per job

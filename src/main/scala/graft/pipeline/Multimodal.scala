@@ -19,14 +19,18 @@ import org.apache.spark.sql.types._
   *    measures duration/rate/RMS/peak from actual samples and
   *    [[extractFeatures]] computes per-band RMS energy whenever the
   *    payload parses as audio.
-  *  - COMPRESSED audio (mp3/aac) and VIDEO have no JVM-native codec (a
-  *    real build would bind javacv/ffmpeg over JNI — unavailable
-  *    offline, and the reference has no media surface at all): those
-  *    payloads, and any undecodable blob, take a clearly-marked
-  *    DETERMINISTIC FALLBACK so the distributed plumbing — schema,
+  *  - COMPRESSED audio (mp3/aac): frame-header METADATA (sample rate,
+  *    channels, frame count, duration, bitrate, VBR flag) parses for
+  *    real via pure byte arithmetic over the container framing
+  *    ([[compressedAudioMeta]] — r17 partial stub upgrade); the SAMPLES
+  *    have no JVM-native codec (a real build would bind javacv/ffmpeg
+  *    over JNI — unavailable offline, and the reference has no media
+  *    surface at all), so sample-level features, and any undecodable
+  *    blob, take a clearly-marked DETERMINISTIC FALLBACK. VIDEO remains
+  *    fully fallback. Either way the distributed plumbing — schema,
   *    batching, 1→n flatMap demux shape, per-partition codec
   *    amortization via `mapPartitions` (the Scala analogue of
-  *    `mapInPandas`) — is fully exercised and oracle-pinned either way.
+  *    `mapInPandas`) — is fully exercised and oracle-pinned.
   */
 object Multimodal {
 
@@ -212,6 +216,172 @@ object Multimodal {
             AudioStats(id, clip.sampleRate.toDouble, clip.channels, n.toLong,
               clip.durationMs, if (n == 0) 0.0 else math.sqrt(sq / n), peak)
           }
+        }
+      }
+  }
+
+  /** Frame-header metadata of COMPRESSED audio (mp3 / ADTS-AAC) — pure
+    * byte arithmetic over the container framing, no codec needed, so this
+    * much IS real even offline (r16 verdict: partial stub upgrade). The
+    * SAMPLES remain undecodable without a codec lib; only
+    * [[extractFeatures]]' fallback path covers those.
+    */
+  final case class CompressedAudioMeta(
+      format: String, sample_rate: Int, channels: Int, n_frames: Long,
+      duration_ms: Long, bitrate_kbps: Int, vbr: Boolean)
+
+  // MPEG audio (mp3) bitrate tables, kbps, index 1..14 (0 = free-format,
+  // 15 = invalid — both rejected). Rows: V1L1 V1L2 V1L3 V2L1 V2L23.
+  private val Mp3Bitrates: Array[Array[Int]] = Array(
+    Array(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+
+  /** Walk MPEG-audio (mp3) frames: header sync 11×1 bits, version/layer/
+    * bitrate/samplerate fields, frame length from the standard formula.
+    * Leading ID3v2 tags are skipped (syncsafe size); the walk stops at
+    * trailing garbage (ID3v1 'TAG', truncation). ≥2 consecutive valid
+    * frames required unless the stream is a single complete frame —
+    * random bytes hit the 0xFFE sync too often to classify on one header.
+    */
+  private[graft] def parseMp3Meta(payload: Array[Byte]): Option[CompressedAudioMeta] = {
+    if (payload == null || payload.length < 4) return None
+    var pos = 0
+    // ID3v2: "ID3" + ver(2) + flags(1) + syncsafe size(4), then the tag
+    if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') {
+      val size = ((payload(6) & 0x7F) << 21) | ((payload(7) & 0x7F) << 14) |
+        ((payload(8) & 0x7F) << 7) | (payload(9) & 0x7F)
+      pos = 10 + size
+    }
+    var frames = 0L
+    var durUs = 0.0
+    var kbpsSum = 0L
+    var kbpsFirst = -1
+    var vbr = false
+    var channels = 2
+    var sampleRate = 0
+    var complete = true // every walked frame fully inside the payload
+    var ok = true
+    while (ok && pos + 4 <= payload.length) {
+      val b1 = payload(pos) & 0xFF; val b2 = payload(pos + 1) & 0xFF
+      val b3 = payload(pos + 2) & 0xFF; val b4 = payload(pos + 3) & 0xFF
+      val version = (b2 >> 3) & 3 // 0=2.5, 1=reserved, 2=V2, 3=V1
+      val layer = (b2 >> 1) & 3   // 0=reserved, 1=III, 2=II, 3=I
+      val brIdx = (b3 >> 4) & 15
+      val srIdx = (b3 >> 2) & 3
+      if (b1 != 0xFF || (b2 & 0xE0) != 0xE0 || version == 1 || layer == 0 ||
+          brIdx == 0 || brIdx == 15 || srIdx == 3) { ok = false }
+      else {
+        val baseSr = Array(44100, 48000, 32000)(srIdx)
+        val sr = version match {
+          case 3 => baseSr; case 2 => baseSr / 2; case _ => baseSr / 4
+        }
+        val row = (version, layer) match {
+          case (3, 3) => 0; case (3, 2) => 1; case (3, 1) => 2
+          case (_, 3) => 3; case _      => 4
+        }
+        val kbps = Mp3Bitrates(row)(brIdx - 1)
+        val padding = (b3 >> 1) & 1
+        val samples = layer match {
+          case 3 => 384              // Layer I
+          case 2 => 1152             // Layer II
+          case _ => if (version == 3) 1152 else 576 // Layer III
+        }
+        val frameBytes =
+          if (layer == 3) (12 * kbps * 1000 / sr + padding) * 4
+          else samples / 8 * kbps * 1000 / sr + padding
+        if (frameBytes <= 4) ok = false
+        else {
+          frames += 1
+          durUs += samples * 1e6 / sr
+          kbpsSum += kbps
+          if (kbpsFirst < 0) kbpsFirst = kbps else if (kbps != kbpsFirst) vbr = true
+          channels = if (((b4 >> 6) & 3) == 3) 1 else 2
+          sampleRate = sr
+          if (pos + frameBytes > payload.length) complete = false
+          pos += frameBytes
+        }
+      }
+    }
+    // single-frame acceptance only when the frame IS the payload (plus at
+    // most an ID3v1 trailer) — random bytes can spell one low-bitrate
+    // frame header, but not one that happens to span the whole blob
+    val tailOk = pos >= payload.length - 3 ||
+      (pos + 3 <= payload.length && payload(pos) == 'T' && payload(pos + 1) == 'A' &&
+        payload(pos + 2) == 'G')
+    if (frames == 0 || (frames == 1 && !(complete && tailOk))) None
+    else Some(CompressedAudioMeta("mp3", sampleRate, channels, frames,
+      (durUs / 1000.0).round, (kbpsSum.toDouble / frames).round.toInt, vbr))
+  }
+
+  /** Walk ADTS (AAC transport) frames: 12-bit sync + layer 00, sampling-
+    * frequency index table, 13-bit frame length in the header itself,
+    * 1024 samples per raw data block. Bitrate is derived (bytes·8 ∕
+    * duration) — ADTS carries none; the all-ones buffer-fullness value
+    * (0x7FF) is the VBR marker.
+    */
+  private[graft] def parseAdtsMeta(payload: Array[Byte]): Option[CompressedAudioMeta] = {
+    if (payload == null || payload.length < 7) return None
+    val SrTable = Array(96000, 88200, 64000, 48000, 44100, 32000,
+      24000, 22050, 16000, 12000, 11025, 8000, 7350)
+    var pos = 0
+    var frames = 0L
+    var durUs = 0.0
+    var bytesTotal = 0L
+    var vbr = false
+    var channels = 0
+    var sampleRate = 0
+    var complete = true
+    var ok = true
+    while (ok && pos + 7 <= payload.length) {
+      val b1 = payload(pos) & 0xFF; val b2 = payload(pos + 1) & 0xFF
+      val b3 = payload(pos + 2) & 0xFF; val b4 = payload(pos + 3) & 0xFF
+      val b5 = payload(pos + 4) & 0xFF; val b6 = payload(pos + 5) & 0xFF
+      val b7 = payload(pos + 6) & 0xFF
+      val srIdx = (b3 >> 2) & 15
+      val frameLen = ((b4 & 3) << 11) | (b5 << 3) | ((b6 >> 5) & 7)
+      if (b1 != 0xFF || (b2 & 0xF6) != 0xF0 || srIdx > 12 || frameLen < 7) ok = false
+      else {
+        val sr = SrTable(srIdx)
+        val blocks = (b7 & 3) + 1
+        val chanCfg = ((b3 & 1) << 2) | ((b4 >> 6) & 3)
+        val fullness = ((b6 & 0x1F) << 6) | ((b7 >> 2) & 0x3F)
+        frames += 1
+        durUs += blocks * 1024 * 1e6 / sr
+        bytesTotal += frameLen
+        if (fullness == 0x7FF) vbr = true
+        channels = if (chanCfg == 7) 8 else chanCfg // 0 = signalled in-band
+        sampleRate = sr
+        if (pos + frameLen > payload.length) complete = false
+        pos += frameLen
+      }
+    }
+    if (frames == 0 || (frames == 1 && !complete) || durUs <= 0) None
+    else Some(CompressedAudioMeta("aac", sampleRate, channels, frames,
+      (durUs / 1000.0).round, (bytesTotal * 8000.0 / durUs).round.toInt, vbr))
+  }
+
+  final case class CompressedAudioRow(
+      media_id: Long, format: String, sample_rate: Int, channels: Int,
+      n_frames: Long, duration_ms: Long, bitrate_kbps: Int, vbr: Boolean)
+
+  /** Compressed-audio metadata pass: one `mapPartitions` flatMap over
+    * payload bytes; rows that parse as neither ADTS-AAC nor mp3 produce
+    * no output (same demux shape as [[audioStats]]). ADTS is probed
+    * first — its sync (0xFFF + layer 00) reads as an invalid mp3 header,
+    * while an mp3 sync never satisfies the ADTS layer bits.
+    */
+  def compressedAudioMeta(media: DataFrame): Dataset[CompressedAudioRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          parseAdtsMeta(payload).orElse(parseMp3Meta(payload)).map(m =>
+            CompressedAudioRow(id, m.format, m.sample_rate, m.channels,
+              m.n_frames, m.duration_ms, m.bitrate_kbps, m.vbr))
         }
       }
   }

@@ -65,6 +65,9 @@ object ProfWeak {
         val rows = fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"$n%-22s ${dt}%7.3f s  jobs=${jobs.get() - j0}%3d  rows=$rows")
+        // with GRAFT_STAGE_CACHE=0 this drops the query's stages, so
+        // reps 2..3 price the stage-cold shape (rep 1 carries JIT)
+        graft.StageCache.endQuery()
       }
     }
     spark.stop()

@@ -1329,6 +1329,104 @@ class MultimodalSpec extends SparkSpec {
     assert(again(0).byte_mean === feats(0).byte_mean)
   }
 
+  // mp3/AAC frame-header metadata is REAL byte arithmetic (r17 stub
+  // upgrade) — hand-build frames from the spec fields and assert the
+  // parsed numbers match what the fields encode.
+
+  /** One MPEG1 Layer III 44100 Hz frame at `kbps`, zero-padded body.
+    * Frame length = floor(144 · kbps·1000 ∕ 44100).
+    */
+  private def mp3Frame(kbps: Int, mono: Boolean = false): Array[Byte] = {
+    val brIdx = Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+      .indexOf(kbps) + 1
+    require(brIdx >= 1, s"not a V1L3 bitrate: $kbps")
+    val len = 144 * kbps * 1000 / 44100
+    val f = new Array[Byte](len)
+    f(0) = 0xFF.toByte
+    f(1) = 0xFB.toByte                       // sync + V1 + Layer III + no CRC
+    f(2) = ((brIdx << 4) | (0 << 2) | 0).toByte // 44100, no padding
+    f(3) = (if (mono) 0xC0 else 0x00).toByte
+    f
+  }
+
+  /** One ADTS AAC-LC frame: 44100 Hz (srIdx 4), stereo (cfg 2), one raw
+    * block (1024 samples), total `len` bytes, buffer fullness 0.
+    */
+  private def adtsFrame(len: Int): Array[Byte] = {
+    val f = new Array[Byte](len)
+    f(0) = 0xFF.toByte
+    f(1) = 0xF1.toByte                       // MPEG-4, layer 00, no CRC
+    f(2) = ((1 << 6) | (4 << 2)).toByte      // profile LC, srIdx 4, cfg hi=0
+    f(3) = ((2 << 6) | ((len >> 11) & 3)).toByte // cfg lo=2 (stereo)
+    f(4) = ((len >> 3) & 0xFF).toByte
+    f(5) = ((len & 7) << 5).toByte           // fullness hi 5 bits = 0
+    f(6) = 0x00.toByte                       // fullness lo + blocks-1 = 0
+    f
+  }
+
+  test("mp3 metadata: frame walk yields rate/duration/bitrate; ID3v2 skipped; VBR flagged") {
+    val cbr = mp3Frame(128) ++ mp3Frame(128) ++ mp3Frame(128)
+    val m = Multimodal.parseMp3Meta(cbr).get
+    assert(m.format === "mp3" && m.sample_rate === 44100 && m.channels === 2)
+    assert(m.n_frames === 3 && m.bitrate_kbps === 128 && !m.vbr)
+    // 3 × 1152 samples at 44100 Hz = 78.37 ms
+    assert(m.duration_ms === 78L)
+
+    // ID3v2 prefix: header declares a 20-byte tag body
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 20) ++
+      new Array[Byte](20) ++ mp3Frame(64, mono = true) ++ mp3Frame(64, mono = true)
+    val t = Multimodal.parseMp3Meta(id3).get
+    assert(t.n_frames === 2 && t.bitrate_kbps === 64 && t.channels === 1)
+
+    // mixed bitrates → VBR, average bitrate
+    val vbr = mp3Frame(64) ++ mp3Frame(192) ++ mp3Frame(128)
+    val v = Multimodal.parseMp3Meta(vbr).get
+    assert(v.vbr && v.bitrate_kbps === 128)
+  }
+
+  test("mp3 metadata rejects garbage, truncation, and non-audio payloads") {
+    assert(Multimodal.parseMp3Meta(Array[Byte](1, 2, 3)) === None)
+    // one frame header whose declared length overruns the payload
+    assert(Multimodal.parseMp3Meta(mp3Frame(128).take(40)) === None)
+    // a sync word inside random-ish bytes, not spanning the blob
+    val fake = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x92.toByte, 0x00) ++ new Array[Byte](500)
+    assert(Multimodal.parseMp3Meta(fake) === None)
+    // WAV magic is not an mp3 sync
+    assert(Multimodal.parseMp3Meta("RIFFxxxxWAVE".getBytes) === None)
+  }
+
+  test("ADTS AAC metadata: frame walk, derived bitrate, channel config") {
+    val payload = adtsFrame(200) ++ adtsFrame(200) ++ adtsFrame(200) ++ adtsFrame(200)
+    val m = Multimodal.parseAdtsMeta(payload).get
+    assert(m.format === "aac" && m.sample_rate === 44100 && m.channels === 2)
+    assert(m.n_frames === 4)
+    // 4 × 1024 samples at 44100 = 92.88 ms
+    assert(m.duration_ms === 93L)
+    // 800 bytes over 92.88 ms = 68.9 kbps
+    assert(m.bitrate_kbps === 69 && !m.vbr)
+    assert(Multimodal.parseAdtsMeta(adtsFrame(200).take(10)) === None)
+  }
+
+  test("compressedAudioMeta demux: aac and mp3 parse, wav and blobs drop") {
+    val wav = { // minimal silent WAV via the JDK encoder
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val data = new Array[Byte](1600)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, 800),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, mp3Frame(128) ++ mp3Frame(128)),
+      (2L, adtsFrame(150) ++ adtsFrame(150)),
+      (3L, wav),
+      (4L, Array[Byte](9, 9, 9, 9))).toDF("media_id", "payload")
+    val rows = Multimodal.compressedAudioMeta(media).collect().sortBy(_.media_id)
+    assert(rows.map(r => r.media_id -> r.format).toSeq === Seq(1L -> "mp3", 2L -> "aac"))
+  }
+
   // The image path is REAL (javax.imageio): encode actual PNG/JPEG
   // fixtures in-test, push them through the binary media column, and
   // assert decoded-pixel behavior no byte-fold fake could produce.

@@ -52,6 +52,76 @@ class GridSpec extends SparkSpec {
     assert(utc === 2024 * 12 + 3 - 1)
   }
 
+  // VERDICT r16 #6: the fixed DST cases above mirror the reference's
+  // fixtures; this property sweeps RANDOM DST-straddling ranges (every
+  // spring-forward/fall-back transition of three zones, 2020-2025) at
+  // 15min/1h and asserts the two invariants the fixtures spot-check:
+  //  - grid length & step are absolute-time exact (engine-UTC spine,
+  //    no wall-clock wobble: n = span/freq + 1, diffs = freq)
+  //  - chunk indexes round-trip: the in-plan chunkIndexMonthly/Yearly
+  //    equals the driver-side ZonedDateTime computation per row, and
+  //    chunkRangeMonthly/Yearly are exactly (min, max) of the row set
+  test("property: spine + chunk boundaries are DST-correct over random straddling ranges") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import java.time._
+    val zones = Seq("Europe/Paris", "America/New_York", "Australia/Sydney")
+    val transitions: Map[String, IndexedSeq[Instant]] = zones.map { tz =>
+      val rules = ZoneId.of(tz).getRules
+      val out = scala.collection.mutable.ArrayBuffer.empty[Instant]
+      var t = rules.nextTransition(Instant.parse("2020-01-01T00:00:00Z"))
+      while (t != null && t.getInstant.isBefore(Instant.parse("2026-01-01T00:00:00Z"))) {
+        out += t.getInstant
+        t = rules.nextTransition(t.getInstant.plusSeconds(1))
+      }
+      tz -> out.toIndexedSeq
+    }.toMap
+    val gen = for {
+      tz <- Gen.oneOf(zones)
+      tr <- Gen.oneOf(transitions(tz))
+      before <- Gen.chooseNum(1L, 72 * 3600L)
+      after <- Gen.chooseNum(1L, 72 * 3600L)
+      freq <- Gen.oneOf(900L, 3600L)
+    } yield (tz, tr, before, after, freq)
+    val samples = (0 until 12).flatMap(i => gen(Gen.Parameters.default, Seed(1717L + i)))
+    samples.foreach { case (tz, tr, before, after, freq) =>
+      val start = LocalDateTime.ofInstant(tr.minusSeconds(before), ZoneOffset.UTC)
+      val end = LocalDateTime.ofInstant(tr.plusSeconds(after), ZoneOffset.UTC)
+      val rows = Grid.spine(spark, start, end, freq)
+        .select(col("ts"),
+          Grid.chunkIndexMonthly(col("ts"), tz).as("cm"),
+          Grid.chunkIndexYearly(col("ts"), tz).as("cy"))
+        .collect()
+      val span = before + after
+      assert(rows.length === span / freq + 1, s"grid length for $tz $tr $before $after $freq")
+      val ts = rows.map(_.getAs[LocalDateTime]("ts"))
+      assert(ts.sliding(2).forall {
+        case Array(a, b) => Duration.between(a, b).getSeconds == freq
+        case _           => true
+      }, s"grid step wobbled across DST for $tz $tr $freq")
+      // driver-side twin per row
+      val zone = ZoneId.of(tz)
+      rows.foreach { r =>
+        val z = r.getAs[LocalDateTime]("ts").atZone(ZoneOffset.UTC).withZoneSameInstant(zone)
+        assert(r.getAs[Int]("cm") === z.getYear * 12 + z.getMonthValue - 1,
+          s"monthly chunk index mismatch at ${r.get(0)} in $tz")
+        assert(r.getAs[Int]("cy") === z.getYear, s"yearly chunk index mismatch in $tz")
+      }
+      // pruning-bounds round-trip: lo is exactly the first grid point's
+      // chunk (start IS a grid point — tighter would DROP data); hi must
+      // cover every observed chunk, and is exact when end is a grid point
+      // (otherwise end may sit in a later chunk than the last grid row)
+      val (mLo, mHi) = Grid.chunkRangeMonthly(
+        tr.minusSeconds(before).atZone(ZoneOffset.UTC), tr.plusSeconds(after).atZone(ZoneOffset.UTC), tz)
+      val (yLo, yHi) = Grid.chunkRangeYearly(
+        tr.minusSeconds(before).atZone(ZoneOffset.UTC), tr.plusSeconds(after).atZone(ZoneOffset.UTC), tz)
+      val cms = rows.map(_.getAs[Int]("cm")); val cys = rows.map(_.getAs[Int]("cy"))
+      assert(mLo === cms.min && yLo === cys.min, s"lo bound drifted for $tz $tr")
+      assert(cms.max <= mHi && cys.max <= yHi, s"hi bound drops data for $tz $tr")
+      if (span % freq == 0) assert(mHi === cms.max && yHi === cys.max, s"hi bound loose for $tz $tr")
+    }
+  }
+
   test("reindex pads missing grid slots with null") {
     import spark.implicits._
     val df = Seq(("a", java.time.LocalDateTime.parse("2024-01-01T01:00"), 1.0))
