@@ -20,8 +20,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
-    // harness mode: pre-materialize hot shared stages (see StageCache.matHot)
-    StageCache.setEager(true)
+    // Harness runs LAZY stages (r17 lazy-demotion campaign): the eager
+    // matHot counts that fixed the r15 cross-job AQE double-build now cost
+    // more than the rebuilds they prevent — native one-pass expressions
+    // made every stage cheap to build, so the A/B (GRAFT_STAGE_EAGER=1 vs
+    // 0, full 121-query bench) read cold 54.1 vs 50.9 s and warm 43.2 vs
+    // 41.6 s with zero per-query regressions. Eager mode remains opt-in
+    // (GRAFT_STAGE_EAGER=1) for long-lived servers.
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
@@ -81,13 +86,26 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val samples = collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     val spills = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    // Row-stability guard (r17, the lazy-stage campaign): every query is
+    // deterministic, so its row count must be IDENTICAL across reps. A
+    // drifting count means a concurrency bug (the cross-thread lazy-cache
+    // race Verify documents) leaked into this sequential harness — that
+    // rep's time is a lie, so the query is marked failed, not just flaky.
+    val rowCounts = collection.mutable.Map.empty[String, Long]
+    val unstable = collection.mutable.Set.empty[String]
     (0 until reps).foreach { _ =>
       queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val s0 = spillAcc.get()
         var cleaned = false
         try {
-          fn(spark, sfDir).count()
+          val rows = fn(spark, sfDir).count()
+          rowCounts.get(name) match {
+            case Some(prev) if prev != rows =>
+              unstable += name
+              System.err.println(s"[bench] $name ROW COUNT UNSTABLE: $prev then $rows")
+            case _ => rowCounts(name) = rows
+          }
           // stage-cold discipline: with GRAFT_STAGE_CACHE=0 this drops
           // every stage the query persisted, INSIDE the timed window, so
           // the next query recomputes its stages and this query is
@@ -115,7 +133,7 @@ object Bench {
     val results = queries.map { case (name, _) =>
       val times = samples(name)
       repOk += name -> times.length
-      if (times.isEmpty) { failed ::= name; name -> -1.0 }
+      if (times.isEmpty || unstable(name)) { failed ::= name; name -> -1.0 }
       else {
         // an intermittent failure must surface, not dissolve into the min
         if (times.length < reps) flaky ::= name
@@ -144,7 +162,10 @@ object Bench {
       s"\"" + name + "\":" + spills(name)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_ok":$oks,"spill_bytes":$spillsJson,"sf":"$sfDir","reps":$reps,"floor_ms_before":$floorBefore,"floor_ms_after":$floorAfter,"noisy":$noisy,"n_failed":${failed.length},"n_flaky":${flaky.length}}"""
+    val rowsJson = queries.map { case (name, _) =>
+      s"\"" + name + "\":" + rowCounts.getOrElse(name, -1L)
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_ok":$oks,"rows":$rowsJson,"spill_bytes":$spillsJson,"sf":"$sfDir","reps":$reps,"floor_ms_before":$floorBefore,"floor_ms_after":$floorAfter,"noisy":$noisy,"n_failed":${failed.length},"n_flaky":${flaky.length}}"""
     // Full detail goes to the FILE; stdout gets a compact line. The
     // harness keeps only the last 2000 chars of stdout, and the full
     // ~120-query line is ~6 KB — every round so far parsed as null

@@ -22,10 +22,10 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // harness mode: dump the plans the Bench/Verify harnesses actually run
-    // (matHot stages materialized, so cached-stage partitioning is visible
-    // to consumers — e.g. q_update_merge's 0-exchange merge)
-    StageCache.setEager(true)
+    // dump the plans the Bench/Verify harnesses actually run: LAZY stages
+    // as of r17 (cached-stage partitioning is Unknown at plan time, so
+    // consumers pay their own exchange — measured cheaper than the eager
+    // counts; see Bench.scala)
 
     val names = Seq(
       "q_scan_filter",     // pushdown: PushedFilters on events scan

@@ -273,20 +273,21 @@ object SparkEntry {
     // J3 — update merge: new.combine_first(existing). ONE lineitem
     // aggregation derives BOTH feeds: ts is a group key, so the shipdate
     // predicate is constant per group and a conditional max equals the
-    // old filtered re-aggregation. The shared-stage materialization holds
-    // the 60k pre-aggregated rows once; the union's branches read it instead of
-    // re-scanning + re-aggregating 1.2M rows each (the round-8 official
-    // bench showed that 3-shuffle shape going 5.9x under contention).
-    // The merge groupBy is then the final plan's only Exchange
-    // (PlanSpec-pinned). No trailing orderBy: the correctness compare
-    // re-sorts before hashing — a global sort would be bench-only cost.
+    // old filtered re-aggregation. The shared stage is LAZY mat (r17):
+    // the union's branches build it inside one stage (no cross-job AQE
+    // race), and dropping the eager count() job measured 2.9→1.0-1.5 s
+    // stage-cold / 0.5→0.2-0.4 s warm even though the merge groupBy now
+    // pays its own Exchange (PlanSpec-pinned at exactly 1). Still never
+    // the pre-r8 shape (re-scanning + re-aggregating 1.2M rows per
+    // branch — 3 shuffles, 5.9x under contention). No trailing orderBy:
+    // the correctness compare re-sorts before hashing.
     "q_update_merge" -> ((s, d) => {
       val agg = lineitem(s, d)
         .groupBy(col("l_orderkey"), col("l_linenumber"), col("l_shipdate").as("ts"))
         .agg(
           max(when(col("l_shipdate") >= ts("1998-01-01 00:00:00"), col("l_quantity") * 2)).as("__new"),
           max(col("l_quantity")).as("__old"))
-        .pipe(graft.StageCache.matHot)
+        .pipe(graft.StageCache.mat)
       val newDf = agg.filter(col("__new").isNotNull)
         .select(col("l_orderkey"), col("l_linenumber"), col("ts"), col("__new").as("value"))
       val oldDf = agg

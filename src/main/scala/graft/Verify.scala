@@ -9,7 +9,15 @@ object Verify {
     // so any stray instant math in a dependency can't shift on a non-UTC
     // host.
     java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
-    // harness mode: pre-materialize hot shared stages (see StageCache.matHot)
+    // Verify KEEPS eager matHot (unlike Bench, lazy as of r17): this
+    // harness runs queries on 4 CONCURRENT THREADS, and two threads
+    // racing the FIRST materialization of one shared lazily-persisted
+    // stage can dump an EMPTY result (observed r17: one full lazy run
+    // wrote 0 rows for q_tfidf/q_bigram_ppl/q_mix_apply, the next ran
+    // 121/121 — a cross-thread heisenbug, disqualifying for the
+    // correctness gate). Eager registration materializes the stage
+    // before any consumer's action can race it. Bench is sequential —
+    // one query at a time — so the hazard doesn't apply there.
     StageCache.setEager(true)
     // optional 3rd arg: comma-separated query names (local iteration);
     // the driver's 2-arg form runs everything

@@ -21,7 +21,7 @@ object ProfWeak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.StageCache.setEager(true)
+    graft.StageCache.setEager(sys.env.get("GRAFT_STAGE_EAGER").exists(_.trim == "1"))
 
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val verbose = sys.env.get("PROF_VERBOSE").contains("1")

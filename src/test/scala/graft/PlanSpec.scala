@@ -274,13 +274,16 @@ class PlanSpec extends SparkSpec {
         else if ("\\bExchange\\b".r.findFirstIn(l).nonEmpty) exchanges += 1
       }
     }
-    // r15's eager StageCache materialization improved this further: the
-    // cached pre-aggregation is persisted WITH its hash partitioning on the
-    // merge keys, so the final merge groupBy reuses the cache's output
-    // partitioning and needs NO per-execution Exchange at all. The one-time
-    // pre-aggregation shuffle still exists inside the InMemoryRelation
-    // subtree (excluded above) and runs once at stage materialization.
-    assert(exchanges == 0, s"expected 0 Exchanges outside the cached stage (cache partitioning carries), got $exchanges\n" + p.take(1200))
+    // r17: the pre-aggregation went back to LAZY mat. Eager matHot's
+    // known partitioning saved the merge Exchange (r15/r16 pin: 0), but
+    // its standalone count() job cost 1.2 s stage-cold — measured 2.9 s →
+    // 1.0-1.5 s cold and 0.5 → 0.2-0.4 s warm by paying the one 600k-row
+    // merge Exchange instead (ProfWeak, r17). The union's two branches
+    // build the lazily persisted agg inside the SAME stage (partition-level
+    // race at worst), so the r15 cross-JOB double-build does not apply.
+    // Exactly ONE per-execution Exchange = the merge shuffle; a second
+    // means someone re-aggregated per branch (the pre-r8 3-shuffle shape).
+    assert(exchanges == 1, s"expected 1 Exchange outside the cached stage (the merge shuffle), got $exchanges\n" + p.take(1200))
     assert("\\bWindow\\b".r.findFirstIn(p).isEmpty)
   }
 

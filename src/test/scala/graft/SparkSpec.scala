@@ -6,9 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all suites (getOrCreate → one JVM-wide session). */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
-    // harness mode: plan pins (PlanSpec) assert the eager-materialized
-    // shapes the Bench/Verify harnesses run with
-    graft.StageCache.setEager(true)
+    // harness mode: plan pins (PlanSpec) assert the LAZY-stage shapes the
+    // Bench/Verify harnesses run with (r17 demotion — see Bench.scala);
+    // suites exercising eager mode set it themselves and restore it
     val s = SparkSession.builder()
       .master("local[4]")
       .withExtensions(new graft.plans.GraftExtensions)

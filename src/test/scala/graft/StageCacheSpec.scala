@@ -38,12 +38,19 @@ class StageCacheSpec extends SparkSpec {
       assert(!loaded(lazyDf), "mat must not materialize at registration")
       lazyDf.count()
       assert(loaded(lazyDf), "first action materializes the lazy stage")
-      // matHot in eager mode (SparkSpec enables it, as Bench/Verify do)
-      // pre-materializes at registration so concurrent AQE consumers
-      // read finished blocks instead of racing to rebuild
+      // matHot is lazy too in harness mode (r17 demotion): the eager
+      // count is an opt-in for long-lived servers only
       val hotDf = StageCache.matHot(
         Seq(5L, 6L).toDF("hot_probe_v").selectExpr("hot_probe_v + 11 as hp"))
-      assert(loaded(hotDf), "matHot in eager mode must pre-materialize")
+      assert(!loaded(hotDf), "matHot must stay lazy outside eager mode")
+      // flipping eager mode on pre-materializes at registration so
+      // concurrent AQE consumers read finished blocks instead of racing
+      StageCache.setEager(true)
+      try {
+        val eagerDf = StageCache.matHot(
+          Seq(7L, 8L).toDF("hot_probe_v2").selectExpr("hot_probe_v2 + 13 as hp2"))
+        assert(loaded(eagerDf), "matHot in eager mode must pre-materialize")
+      } finally StageCache.setEager(false)
     } finally StageCache.clear()
   }
 
