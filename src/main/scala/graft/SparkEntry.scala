@@ -270,24 +270,26 @@ object SparkEntry {
       // no trailing orderBy (500k rows; compare re-sorts)
     }),
 
-    // J3 — update merge: new.combine_first(existing). ONE lineitem
-    // aggregation derives BOTH feeds: ts is a group key, so the shipdate
-    // predicate is constant per group and a conditional max equals the
-    // old filtered re-aggregation. The shared stage is LAZY mat (r17):
-    // the union's branches build it inside one stage (no cross-job AQE
-    // race), and dropping the eager count() job measured 2.9→1.0-1.5 s
-    // stage-cold / 0.5→0.2-0.4 s warm even though the merge groupBy now
-    // pays its own Exchange (PlanSpec-pinned at exactly 1). Still never
-    // the pre-r8 shape (re-scanning + re-aggregating 1.2M rows per
-    // branch — 3 shuffles, 5.9x under contention). No trailing orderBy:
-    // the correctness compare re-sorts before hashing.
+    // J3 — update merge: new.combine_first(existing), both feeds derived
+    // from one lineitem aggregation expression (ts is a group key, so the
+    // shipdate predicate is constant per group and a conditional max
+    // equals the old filtered re-aggregation). NO stage cache at all
+    // (r17, measured end of the r8→r16 arc): column pruning splits the
+    // branches into two NARROW partial-agg shuffles — each carries only
+    // its own value column — and the union's children share one hash
+    // partitioning, so the merge groupBy needs no exchange of its own
+    // (PlanSpec pins 2 exchanges, 0 cache). Cold 2.9 s (eager cache) →
+    // 1.0-1.5 s (lazy cache) → 0.9-1.2 s (none), and bench-cold stops
+    // paying the 600k-row cache encode + endQuery unpersist. This is NOT
+    // the pre-r8 3-shuffle regression: the merge shuffle is gone and the
+    // branch shuffles run at post-aggregation density. No trailing
+    // orderBy: the correctness compare re-sorts before hashing.
     "q_update_merge" -> ((s, d) => {
       val agg = lineitem(s, d)
         .groupBy(col("l_orderkey"), col("l_linenumber"), col("l_shipdate").as("ts"))
         .agg(
           max(when(col("l_shipdate") >= ts("1998-01-01 00:00:00"), col("l_quantity") * 2)).as("__new"),
           max(col("l_quantity")).as("__old"))
-        .pipe(graft.StageCache.mat)
       val newDf = agg.filter(col("__new").isNotNull)
         .select(col("l_orderkey"), col("l_linenumber"), col("ts"), col("__new").as("value"))
       val oldDf = agg

@@ -274,16 +274,18 @@ class PlanSpec extends SparkSpec {
         else if ("\\bExchange\\b".r.findFirstIn(l).nonEmpty) exchanges += 1
       }
     }
-    // r17: the pre-aggregation went back to LAZY mat. Eager matHot's
-    // known partitioning saved the merge Exchange (r15/r16 pin: 0), but
-    // its standalone count() job cost 1.2 s stage-cold — measured 2.9 s →
-    // 1.0-1.5 s cold and 0.5 → 0.2-0.4 s warm by paying the one 600k-row
-    // merge Exchange instead (ProfWeak, r17). The union's two branches
-    // build the lazily persisted agg inside the SAME stage (partition-level
-    // race at worst), so the r15 cross-JOB double-build does not apply.
-    // Exactly ONE per-execution Exchange = the merge shuffle; a second
-    // means someone re-aggregated per branch (the pre-r8 3-shuffle shape).
-    assert(exchanges == 1, s"expected 1 Exchange outside the cached stage (the merge shuffle), got $exchanges\n" + p.take(1200))
+    // r17 (final shape): NO cache at all. Column pruning splits the two
+    // union branches into two NARROW partial-agg shuffles (each carries
+    // only its own value column at post-aggregation density), and the
+    // union's children share one hash partitioning on the merge keys, so
+    // the merge groupBy runs WITHOUT an exchange of its own. Cold 2.9 s
+    // (eager cache) → 1.0-1.5 s (lazy cache) → 0.9-1.2 s (none).
+    // Exactly TWO per-execution Exchanges (one per branch) and zero
+    // cached stages; a third exchange means the merge started
+    // re-shuffling ~600k near-identical rows again, and a cache means
+    // someone re-introduced the encode+unpersist cost this pin removed.
+    assert(exchanges == 2, s"expected the 2 branch Exchanges and an exchange-free merge, got $exchanges\n" + p.take(1200))
+    assert(!p.contains("InMemoryRelation"), "q_update_merge must not cache a stage\n" + p.take(800))
     assert("\\bWindow\\b".r.findFirstIn(p).isEmpty)
   }
 
