@@ -46,6 +46,15 @@ import org.apache.spark.storage.StorageLevel
 object StageCache {
   private def enabled: Boolean = sys.env.get("GRAFT_STAGE_CACHE").forall(_.trim != "0")
 
+  /** `GRAFT_STAGE_DISABLE=1` makes mat/matHot the identity — no persist,
+    * no registry — so a bench can price pure AQE exchange/stage reuse
+    * against the persist-based sharing (r17 A/B knob; AQE already dedups
+    * IDENTICAL shuffle subtrees within one query, which covers the
+    * classic self-join case the cache was introduced for).
+    */
+  private val disabled: Boolean =
+    sys.env.get("GRAFT_STAGE_DISABLE").exists(_.trim == "1")
+
   /** Max DISTINCT stages (by canonicalized plan) kept registered; the
     * least-recently-used stage past the cap is unpersisted. Eviction is
     * always safe — a persisted stage is recomputable from lineage (unlike
@@ -115,12 +124,14 @@ object StageCache {
     * instead of racing to rebuild the stage once each.
     */
   def matHot(df: DataFrame): DataFrame = {
+    if (disabled) return df
     val (out, fresh) = register(df)
     if (fresh && eagerHot) out.count()
     out
   }
 
-  def mat(df: DataFrame): DataFrame = register(df)._1
+  def mat(df: DataFrame): DataFrame =
+    if (disabled) df else register(df)._1
 
   /** Register + persist; returns (df, freshlyRegistered). */
   private def register(df: DataFrame): (DataFrame, Boolean) = {
