@@ -94,8 +94,11 @@ def main():
              for n in cold.get("queries", {})),
             key=lambda kv: -kv[1])[:8],
     }
+    # APPEND (JSONL): one line per paired sample — keeping every sample
+    # of a round is more honest than overwriting with the latest (host
+    # windows swing the absolute legs ±20%; read the quiet-floor lines)
     line = json.dumps(sample)
-    with open(out_file, "w") as f:
+    with open(out_file, "a") as f:
         f.write(line + "\n")
     print(line)
 
