@@ -981,6 +981,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // text analysis — markup stripping. The fixture has no HTML, so the
+    // query manufactures it deterministically in-query (the q_gopher_lines
+    // precedent) — tag wrap, bolded stopword, script block with a bare
+    // '<', entities incl. the &amp;lt; double-decode trap — then strips.
+    "q_strip_markup" -> ((s, d) => {
+      val html = concat(
+        lit("<div class=\"doc\"><!-- crawl artifact -->"),
+        replace(col("text"), lit(" the "), lit(" <b>the</b> ")),
+        lit("</div><script type=\"text/javascript\">var x = 1 < 2;</script>&amp; &lt;tail&gt;&nbsp;&amp;lt;ok"))
+      table(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.stripMarkup(html).as("clean"))
+        .orderBy("doc_id")
+    }),
+
     // text analysis — per-language length-distribution profile (exact
     // quantiles for the oracle; approx_percentile is the 100 TB default,
     // pinned against exact by PipelineSpec)
@@ -1096,6 +1110,28 @@ object SparkEntry {
           n = 3, bands = 8, rowsPerBand = 4, minSim = 0.5)
         .select(col("id_a"), col("id_b"), round(col("sig_sim"), 6).as("sig_sim"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // dedup — incremental NEAR-dup screening: a crawl increment
+    // (doc_id % 5 = 0) against the standing corpus (the rest). The pairs
+    // form exposes the matches; the survivors form is the ingest result.
+    "q_incr_neardup_pairs" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Dedup.incrementalNearDupPairs(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", n = 3, bands = 8, rowsPerBand = 4, minSim = 0.5)
+        .select(col("new_id"), col("seen_id"), round(col("sig_sim"), 6).as("sig_sim"))
+        .orderBy("new_id", "seen_id")
+    }),
+
+    "q_incr_neardup" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Dedup.incrementalNearDup(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", n = 3, bands = 8, rowsPerBand = 4, minSim = 0.5)
+        .orderBy("doc_id")
     }),
 
     // dedup — asymmetric CONTAINMENT pairs: |A∩B| / min(|A|,|B|) over

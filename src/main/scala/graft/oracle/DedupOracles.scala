@@ -158,6 +158,28 @@ private[graft] object DedupOracles {
          SELECT id_a, id_b, round(sig_sim, 6) AS sig_sim
          FROM sims WHERE sig_sim >= 0.5 ORDER BY id_a, id_b""",
 
+    // incremental near-dup: the operator's contract is minhashLshPairs
+    // over (new ∪ seen) restricted to cross-side pairs, so the replay is
+    // the SAME sims CTE with a side predicate (new = doc_id % 5 = 0)
+    "q_incr_neardup_pairs" ->
+      s"""WITH $minhashSimsCtes
+         SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS new_id,
+                CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS seen_id,
+                round(sig_sim, 6) AS sig_sim
+         FROM sims
+         WHERE sig_sim >= 0.5 AND ((id_a % 5 = 0) <> (id_b % 5 = 0))
+         ORDER BY new_id, seen_id""",
+
+    "q_incr_neardup" ->
+      s"""WITH $minhashSimsCtes,
+         matched AS (
+           SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS new_id
+           FROM sims
+           WHERE sig_sim >= 0.5 AND ((id_a % 5 = 0) <> (id_b % 5 = 0)))
+         SELECT doc_id FROM documents
+         WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT new_id FROM matched)
+         ORDER BY doc_id""",
+
     // connected components over the minhash pairs: transitive closure by
     // recursive CTE (min reachable label per node = component id)
     // containment replay: anchor-shingle candidates (each doc's 4

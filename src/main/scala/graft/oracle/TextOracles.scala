@@ -261,6 +261,29 @@ private[graft] object TextOracles {
                   '[0-9]+', '<NUM>', 'g') AS redacted
          FROM documents ORDER BY doc_id""",
 
+    // markup strip replay: same manufactured wrap, same three regex
+    // passes (RE2 reads (?is)/lazy .*? identically to Java regex), same
+    // fixed entity order with &amp; LAST (one decode pass — the
+    // manufactured &amp;lt; must come out as the literal text '&lt;')
+    "q_strip_markup" ->
+      """WITH wrapped AS (
+           SELECT doc_id,
+                  '<div class="doc"><!-- crawl artifact -->' ||
+                  replace(text, ' the ', ' <b>the</b> ') ||
+                  '</div><script type="text/javascript">var x = 1 < 2;</script>&amp; &lt;tail&gt;&nbsp;&amp;lt;ok' AS html
+           FROM documents)
+         SELECT doc_id,
+                trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(replace(
+                    regexp_replace(regexp_replace(regexp_replace(html,
+                      '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+                      '(?s)<!--.*?-->', ' ', 'g'),
+                      '<[^>]*>', ' ', 'g'),
+                    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                    '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+                  '[ \t\r\n\f]+', ' ', 'g')) AS clean
+         FROM wrapped ORDER BY doc_id""",
+
     "q_length_quantiles" ->
       """SELECT lang,
                 round(quantile_cont(n_chars, 0.25), 4) AS p25,

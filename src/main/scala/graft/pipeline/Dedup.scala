@@ -587,6 +587,95 @@ object Dedup {
       .select("id_a", "id_b", "sig_sim"))
   }
 
+  /** Cross-corpus incremental NEAR-dup matches — the MinHash companion
+    * of [[crossCorpusDedup]] (which is exact-hash only): which documents
+    * of a NEW crawl increment near-duplicate the STANDING corpus, and
+    * against whom. This is how near-dedup actually runs at 100 TB — each
+    * increment is screened against the corpus, nothing re-pairs the
+    * corpus against itself.
+    *
+    * Contract: candidate generation is IDENTICAL to [[minhashLshPairs]]
+    * over (new ∪ seen) — same signatures, same band buckets, same
+    * combined hot-band cap — restricted to CROSS-side pairs. That keeps
+    * the semantics replayable by the same SQL machinery, and means an
+    * increment that collides with a boilerplate bucket the cap drops is
+    * treated exactly as the batch operator would treat it (run
+    * [[exactGroups]] first, as there). Ids must be unique ACROSS both
+    * frames (they are, in any real ingest — and a collision would only
+    * fuse the two sides' signatures for that id).
+    *
+    * Scale shape: one signature pass per side (the seen side is the big
+    * one — its signature stage registers with [[graft.StageCache]] by
+    * plan identity, so successive increments against the same corpus
+    * snapshot reuse it warm); the band join shuffles short (band, hash)
+    * keys; verification joins fetch only candidate signatures.
+    *
+    * Output: (new_id, seen_id, sig_sim) — every cross match at
+    * `sig_sim >= minSim`.
+    */
+  def incrementalNearDupPairs(
+      newDf: DataFrame,
+      seenDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      minSim: Double = 0.5,
+      maxBandDf: Long = 1000L): DataFrame = {
+    require(maxBandDf >= 2, s"maxBandDf must be >= 2 (a pair needs a bucket of 2), got $maxBandDf")
+    val numHashes = bands * rowsPerBand
+    val tagged = newDf
+      .select(col(idCol).as("id"), col(textCol).as("__t"), lit(true).as("__new"))
+      .unionByName(seenDf
+        .select(col(idCol).as("id"), col(textCol).as("__t"), lit(false).as("__new")))
+    val sig = graft.StageCache.matHot(
+        tagged.select(col("id"), col("__new"),
+          graft.functions.ShingleOps.minhashSigCol(lower(col("__t")), n, numHashes).as("sig")))
+      .filter(size(col("sig")) > 0)
+    val cand = bandedCandidates(sig.select(col("id"), col("sig")), bands, rowsPerBand, maxBandDf)
+    val sides = sig.select(col("id"), col("__new"))
+    cand
+      .join(sides.select(col("id").as("id_a"), col("__new").as("__na")), Seq("id_a"))
+      .join(sides.select(col("id").as("id_b"), col("__new").as("__nb")), Seq("id_b"))
+      .filter(col("__na") =!= col("__nb")) // cross-side only, BEFORE sig fetch
+      .join(sig.select(col("id").as("id_a"), col("sig").as("__sa")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("__sb")), Seq("id_b"))
+      .withColumn("sig_sim",
+        graft.functions.VectorExpressions.sig_agree(col("__sa"), col("__sb")).cast("double")
+          / size(col("__sa")))
+      .filter(col("sig_sim") >= minSim)
+      .select(
+        when(col("__na"), col("id_a")).otherwise(col("id_b")).as("new_id"),
+        when(col("__na"), col("id_b")).otherwise(col("id_a")).as("seen_id"),
+        col("sig_sim"))
+  }
+
+  /** Survivors of [[incrementalNearDupPairs]]: new-increment documents
+    * with NO near-dup in the standing corpus — the rows an incremental
+    * ingest keeps (the near-dup analogue of [[crossCorpusDedup]]'s
+    * anti-join; batch-INTERNAL near-dups are a separate composition:
+    * [[minhashLshPairs]] + [[dedupKeepBest]] over the increment).
+    * Documents too short to shingle have no signature, collide with
+    * nothing, and survive — same as the batch operator's behavior.
+    * Output: one row per surviving new doc (`idCol`).
+    */
+  def incrementalNearDup(
+      newDf: DataFrame,
+      seenDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      minSim: Double = 0.5,
+      maxBandDf: Long = 1000L): DataFrame = {
+    val matched = incrementalNearDupPairs(
+      newDf, seenDf, idCol, textCol, n, bands, rowsPerBand, minSim, maxBandDf)
+      .select(col("new_id").as(idCol))
+    newDf.select(col(idCol)).join(matched, Seq(idCol), "left_anti")
+  }
+
   /** SimHash width: 60 bits — the portable md5-based hash yields 60
     * uniform bits (graft.functions.PortableHash.hash60), and 60 divides
     * evenly into 4 bands of 15 for pigeonhole blocking.

@@ -417,6 +417,37 @@ object TextAnalysis {
     regexp_replace(email, "[0-9]+", "<NUM>")
   }
 
+  /** HTML/markup stripping — the cleaning step between crawl extraction
+    * and every text filter in this file: drop script/style/comment
+    * blocks wholesale (their CONTENT is not text), strip remaining tags,
+    * decode the entities that actually occur at corpus frequency, and
+    * collapse whitespace runs. A pure per-row projection (three
+    * codegen'd `regexp_replace` + literal `replace` chain, no shuffle,
+    * composes with any scan).
+    *
+    * Cross-engine exactness (the twin hash-compares STRINGS): patterns
+    * are RE2-safe (inline `(?is)`, lazy `.*?`, no backrefs/lookaround —
+    * same semantics in Java regex and RE2); the whitespace class is
+    * written out explicitly (`[ \t\r\n\f]`) because Java's `\s` includes
+    * `\x0B` and RE2's does not; entities decode in a fixed order with
+    * `&amp;` LAST, so `&amp;lt;` becomes the literal text `&lt;` (one
+    * decode pass, never a double-decode) identically in both engines.
+    * An unterminated `<script>` keeps its content (the lazy block match
+    * fails, the tag itself still strips) — same in both engines.
+    */
+  def stripMarkup(text: Column): Column = {
+    val noBlocks = regexp_replace(text,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+      "&amp;" -> "&" // last — see scaladoc
+    ).foldLeft(noTags) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
+    trim(regexp_replace(decoded, "[ \\t\\r\\n\\f]+", " "))
+  }
+
   /** GPT-2-style pre-tokenization pattern: contractions, space-attached
     * letter runs, digit runs, punctuation runs, residual spaces. The
     * lookahead the original uses for trailing whitespace is dropped and

@@ -36,6 +36,35 @@ class DedupSpec extends SparkSpec {
     assert(groups.find(_.getAs[Long]("n_docs") === 3L).get.getAs[Long]("keep_id") === 0L)
   }
 
+  test("incrementalNearDup: cross-restriction law, survivors, short docs, disjoint corpora") {
+    // the contract: pairs == minhashLshPairs over (new ∪ seen) restricted
+    // to cross-side pairs — pin it directly against the batch operator
+    val newDf = docs.filter(col("doc_id") % 2 === 0)  // 0, 2, 4
+    val seen = docs.filter(col("doc_id") % 2 === 1)   // 1, 3
+    val all = Dedup.minhashLshPairs(docs, "doc_id", "text", minSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val crossExpected = all.filter { case (a, b, _) => (a % 2 == 0) != (b % 2 == 0) }
+      .map { case (a, b, s) => if (a % 2 == 0) (a, b, s) else (b, a, s) }
+    val pairs = Dedup.incrementalNearDupPairs(newDf, seen, "doc_id", "text", minSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs === crossExpected)
+    // fixture sanity: doc 0 (new) near-dups doc 1 (seen exact copy)
+    assert(pairs.exists { case (n, s, sim) => n == 0L && s == 1L && sim == 1.0 })
+    // survivors = new ids minus matched; "short" (doc 4) has no shingles,
+    // collides with nothing, survives
+    val survivors = Dedup.incrementalNearDup(newDf, seen, "doc_id", "text", minSim = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val matchedNew = pairs.map(_._1)
+    assert(survivors === Set(0L, 2L, 4L) -- matchedNew)
+    assert(survivors.contains(4L))
+    // disjoint corpora: nothing matches, every new doc survives
+    val foreign = Seq((100L, "entirely unrelated words about oceans and tides"))
+      .toDF("doc_id", "text")
+    assert(Dedup.incrementalNearDupPairs(newDf, foreign, "doc_id", "text").count() === 0)
+    assert(Dedup.incrementalNearDup(newDf, foreign, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet === Set(0L, 2L, 4L))
+  }
+
   test("dedupKeepBest: best score survives per component, tie breaks to lowest id") {
     val d = Seq(
       (0L, 10.0), (1L, 30.0), (2L, 30.0),  // component {0,1,2}: 1 wins (tie 1 vs 2 → min id)
@@ -939,6 +968,27 @@ class SimilaritySpec extends SparkSpec {
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
+
+  test("stripMarkup: blocks drop whole, tags strip, entities decode once, ws collapses") {
+    def strip(s: String): String =
+      Seq(Tuple1(s)).toDF("t").select(TextAnalysis.stripMarkup(col("t")).as("c"))
+        .head().getString(0)
+    // script/style CONTENT drops (incl. a bare '<' inside); comments drop;
+    // tags strip; whitespace collapses
+    assert(strip("<div>a</div><script>if (1 < 2) x();</script><style>p{}</style>b") === "a b")
+    assert(strip("pre<!-- note\nmultiline -->post") === "pre post")
+    assert(strip("a\t\tb\n\nc") === "a b c")
+    // entities decode ONCE, &amp; last: '&amp;lt;' is the literal text
+    // '&lt;', never '<'
+    assert(strip("x &amp; y &lt;z&gt; &quot;q&quot; &#39;a&apos; &nbsp;w &amp;lt;") ===
+      "x & y <z> \"q\" 'a' w &lt;")
+    // unterminated script: the tag strips, the content stays (both
+    // engines agree — the lazy block match finds no close)
+    assert(strip("a <script>orphan b") === "a orphan b")
+    // attributes with '>' quirks: the [^>]* tag rule ends at the first
+    // '>' — documented simplification, deterministic in both engines
+    assert(strip("""<a href="u">link</a>""") === "link")
+  }
 
   test("token count / quality metrics") {
     val df = Seq((1L, "the cat and the hat is on 42 mats")).toDF("doc_id", "text")
