@@ -184,18 +184,27 @@ object Sync {
     * (detectable), never silently shifts.
     */
   private[sync] def wireTs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // FULL-string shape check first: without it, an unrecognized tail
+    // (e.g. a seconds-bearing offset the extractor missed) would be
+    // silently DROPPED and the value stored shifted — the exact failure
+    // mode this function replaced. Anything outside the shape nulls out.
+    val offAlt = "Z|[+-][0-9]{2}(:[0-9]{2}(:[0-9]{2})?)?|[+-][0-9]{4}"
+    val shape = "^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}" +
+      s"(\\.[0-9]{1,6})?($offAlt)?$$"
     val base = regexp_extract(c, "^([0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2})", 1)
     val frac = regexp_extract(c, "^[0-9-]+T[0-9:]+\\.([0-9]{1,6})", 1) // "" when absent
-    val off = regexp_extract(c, "(Z|[+-][0-9]{2}(:?[0-9]{2})?)$", 1)   // "" when naive
+    val off = regexp_extract(c, s"($offAlt)$$", 1)                     // "" when naive
     val offH = when(off === "" || off === "Z", lit(0))
       .otherwise(substring(off, 2, 2).cast("int"))
-    val offMStr = regexp_extract(off, "^[+-][0-9]{2}:?([0-9]{2})$", 1)
+    val offMStr = regexp_extract(off, "^[+-][0-9]{2}:?([0-9]{2})", 1)
     val offM = when(offMStr === "", lit(0)).otherwise(offMStr.cast("int"))
+    val offSStr = regexp_extract(off, "^[+-][0-9]{2}:[0-9]{2}:([0-9]{2})$", 1)
+    val offS = when(offSStr === "", lit(0)).otherwise(offSStr.cast("int"))
     val offSecs = (when(off.startsWith("-"), lit(-1)).otherwise(lit(1)) *
-      (offH * 3600 + offM * 60)).cast("decimal(18,6)")
+      (offH * 3600 + offM * 60 + offS)).cast("decimal(18,6)")
     // regexp_extract returns "" (not null) on no-match; guard with a lazy
     // CASE so garbage nulls out instead of tripping ANSI parse errors.
-    val ntz = when(base === "", lit(null).cast("timestamp_ntz"))
+    val ntz = when(!c.rlike(shape) || base === "", lit(null).cast("timestamp_ntz"))
       .otherwise(to_timestamp_ntz(
         concat(base, lit("."), rpad(frac, 6, "0")),
         lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))

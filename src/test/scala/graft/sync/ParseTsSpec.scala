@@ -72,11 +72,18 @@ class WireTsSpec extends graft.SparkSpec {
       "2024-06-01T00:00:00+00:00",
       "2024-06-01T00:00:00.500Z",
       "2024-06-01T02:00:00+02",          // fraction-less with real offset
-      "2024-06-01T00:00:00.5+00:00")     // short fraction + offset
+      "2024-06-01T00:00:00.5+00:00",     // short fraction + offset
+      "2024-06-01T18:00:36+05:30:21")    // seconds-bearing offset (ISO-legal)
     assert(parse(spellings) === spellings.map(SyncHttp.parseTs))
   }
 
-  test("wireTs nulls garbage (detectable), never silently shifts") {
-    assert(parse(Seq("not-a-timestamp", "2024-06-01")) === Seq(null, null))
+  test("wireTs nulls garbage and unrecognized tails (detectable), never silently shifts") {
+    assert(parse(Seq(
+      "not-a-timestamp",
+      "2024-06-01",
+      "2024-06-01T12:30:15.5junk",    // tail the extractor can't consume
+      "2024-06-01T12:30:15+0530:21",  // colon-less minutes + colon seconds
+      "2024-06-01 12:30:15"           // space separator (neither parser takes it)
+    )) === Seq(null, null, null, null, null))
   }
 }
