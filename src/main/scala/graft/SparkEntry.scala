@@ -273,28 +273,22 @@ object SparkEntry {
     // J3 — update merge: new.combine_first(existing), both feeds derived
     // from one lineitem aggregation expression (ts is a group key, so the
     // shipdate predicate is constant per group and a conditional max
-    // equals the old filtered re-aggregation). NO stage cache at all
-    // (r17, measured end of the r8→r16 arc): column pruning splits the
-    // branches into two NARROW partial-agg shuffles — each carries only
-    // its own value column — and the union's children share one hash
-    // partitioning, so the merge groupBy needs no exchange of its own
-    // (PlanSpec pins 2 exchanges, 0 cache). Cold 2.9 s (eager cache) →
-    // 1.0-1.5 s (lazy cache) → 0.9-1.2 s (none), and bench-cold stops
-    // paying the 600k-row cache encode + endQuery unpersist. This is NOT
-    // the pre-r8 3-shuffle regression: the merge shuffle is gone and the
-    // branch shuffles run at post-aggregation density. No trailing
-    // orderBy: the correctness compare re-sorts before hashing.
+    // equals the old filtered re-aggregation). r18: the two sides ride
+    // updateMergeColumns — ONE aggregation pass projects both __new/__old,
+    // the (prio, value) pairs stack AFTER it, and the merge groupBy keys
+    // on the partitioning that aggregation already produced, so the whole
+    // query is one scan + ONE exchange (PlanSpec pins 1). The r17 union
+    // form paid two narrow branch shuffles because Catalyst prunes each
+    // branch to its own value column (no exchange reuse possible): warm
+    // 2.0 s / cold residue 1.3-1.9 s in every r17 gate sample. No
+    // trailing orderBy: the correctness compare re-sorts before hashing.
     "q_update_merge" -> ((s, d) => {
       val agg = lineitem(s, d)
         .groupBy(col("l_orderkey"), col("l_linenumber"), col("l_shipdate").as("ts"))
         .agg(
           max(when(col("l_shipdate") >= ts("1998-01-01 00:00:00"), col("l_quantity") * 2)).as("__new"),
           max(col("l_quantity")).as("__old"))
-      val newDf = agg.filter(col("__new").isNotNull)
-        .select(col("l_orderkey"), col("l_linenumber"), col("ts"), col("__new").as("value"))
-      val oldDf = agg
-        .select(col("l_orderkey"), col("l_linenumber"), col("ts"), col("__old").as("value"))
-      Combine.updateMerge(newDf, oldDf, Seq("l_orderkey", "l_linenumber"))
+      Combine.updateMergeColumns(agg, Seq("l_orderkey", "l_linenumber"), "__new", "__old")
     }),
 
     // G1 — gaps-and-islands: runs of equal value per key (null-safe)

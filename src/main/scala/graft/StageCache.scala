@@ -82,6 +82,26 @@ object StageCache {
     new java.util.LinkedHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](
       16, 0.75f, true)
 
+  /** Per-stage materialization state for the cross-thread race guard:
+    * which thread registered the stage, and whether its blocks are known
+    * finished. Guarded by the instance's own monitor (never the registry
+    * lock — materialization runs Spark jobs).
+    */
+  private final class StageState(val owner: Thread, val df: DataFrame) {
+    @volatile var materialized = false
+  }
+  private val states =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, StageState]
+
+  /** Registered-stage count — test hook for reuse pins (e.g. the
+    * incremental near-dup spec proves the seen-side signature stage HITS
+    * across increments by asserting the second call adds exactly one
+    * entry, not two).
+    */
+  private[graft] def registeredCount: Int =
+    registered.synchronized(registered.size())
+
   /** Materialize `df` as a shared stage: persisted (plan-matched,
     * spillable, recomputable). `GRAFT_STAGE_CACHE=0` does NOT change the
     * mechanism — it changes the LIFETIME: the harness calls [[endQuery]]
@@ -122,11 +142,27 @@ object StageCache {
     * registration as [[mat]], plus — in eager mode only — a count() on
     * first registration so the concurrent jobs read finished blocks
     * instead of racing to rebuild the stage once each.
+    *
+    * CONCURRENCY HAZARD (and its guard): two THREADS racing the first
+    * materialization of one lazily-persisted stage was observed (once,
+    * full-scale parallel Verify, r17) to produce an EMPTY result for the
+    * sharing queries. The registry now closes the practical window at
+    * the library level: a cache hit from a thread other than the
+    * registrant forces the stage's one-time materialization
+    * synchronously (under a per-stage monitor) before the hit returns,
+    * so a second consumer's action never starts against unfinished
+    * blocks. Same-thread reuse stays fully lazy. Long-lived servers with
+    * many concurrent sessions should still set `GRAFT_STAGE_EAGER=1`,
+    * which removes the window entirely (blocks finish at registration).
     */
   def matHot(df: DataFrame): DataFrame = {
     if (disabled) return df
     val (out, fresh) = register(df)
-    if (fresh && eagerHot) out.count()
+    if (fresh && eagerHot) {
+      out.count()
+      val st = states.get(out.queryExecution.analyzed.canonicalized)
+      if (st != null) st.materialized = true
+    }
     out
   }
 
@@ -147,14 +183,41 @@ object StageCache {
     // behind the registry's back must go through [[clear]], which resets
     // both sides.)
     val hit = registered.synchronized { registered.get(key) != null }
-    if (hit) return (df, false)
+    if (hit) {
+      // CROSS-THREAD FIRST-CONSUMER GUARD (ADVICE r17): two threads
+      // racing the FIRST materialization of one lazily-persisted stage
+      // was observed (once, full-scale parallel Verify) to dump an EMPTY
+      // result for the queries sharing it. A hit from a thread that did
+      // NOT register the stage is exactly the moment that hazard becomes
+      // live — this second consumer's action could start concurrently
+      // with the registrant's. Close the window here, synchronously:
+      // materialize once under the stage's own monitor before returning,
+      // so by the time the second thread's query RUNS the blocks are
+      // finished. Single-threaded callers (Bench, batch pipelines) never
+      // hit this path — same-thread reuse stays fully lazy; after the
+      // one-time count the flag short-circuits every later hit. This is
+      // a library-level fix, not harness configuration: any concurrent
+      // caller on the lazy default gets finished blocks, not a race.
+      val st = states.get(key)
+      if (st != null && !st.materialized && (st.owner ne Thread.currentThread())) {
+        st.synchronized {
+          if (!st.materialized) {
+            st.df.count()
+            st.materialized = true
+          }
+        }
+      }
+      return (df, false)
+    }
     df.persist(StorageLevel.MEMORY_AND_DISK)
     registered.synchronized {
       registered.put(key, df)
+      states.put(key, new StageState(Thread.currentThread(), df))
       while (registered.size() > maxEntries) {
         val it = registered.entrySet().iterator()
         val eldest = it.next()
         it.remove()
+        states.remove(eldest.getKey)
         try eldest.getValue.unpersist(false) catch { case _: Throwable => () }
       }
     }
@@ -174,5 +237,6 @@ object StageCache {
   def clear(): Unit = registered.synchronized {
     registered.values().forEach(df => try df.unpersist(false) catch { case _: Throwable => () })
     registered.clear()
+    states.clear()
   }
 }

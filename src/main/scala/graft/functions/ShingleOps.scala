@@ -580,11 +580,37 @@ object ShingleOps {
     * hash selects the slot, byte comparison of both token windows
     * decides equality).
     */
-  def bigramTf(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+  def bigramTf(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    bigramTfImpl(s, withVocabMarker = false)
+
+  /** [[bigramTf]] plus ONE trailing vocab-marker row `(last_token, "",
+    * 0)` for any document with at least one token — same single
+    * tokenize pass (the r18 composed form paid a SECOND full
+    * tokenization for `element_at(tokens, -1)`, ~0.4 s of pure CPU per
+    * sf0.1 corpus pass). Within a document every token but the last
+    * appears in `prev`, so `distinct(prev)` over the exploded rows is
+    * exactly the corpus vocabulary; "" is never a real token (tokens are
+    * maximal alnum runs) and the marker's tf 0 keeps any unfiltered
+    * Σ tf identical.
+    */
+  def bigramTfVocab(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    bigramTfImpl(s, withVocabMarker = true)
+
+  private def bigramTfImpl(
+      s: UTF8String,
+      withVocabMarker: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
     val bytes = s.getBytes
     val (offs, t) = tokenize(bytes)
     val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
-    if (t < 2) return empty
+    def markerRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      UTF8String.fromBytes(bytes, offs(2 * (t - 1)), offs(2 * t - 1) - offs(2 * (t - 1))),
+      UTF8String.EMPTY_UTF8,
+      0L))
+    if (t < 2) {
+      if (withVocabMarker && t == 1)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](markerRow))
+      return empty
+    }
     val m = t - 1
     var cap = 4
     while (cap < m * 2) cap <<= 1
@@ -620,7 +646,7 @@ object ShingleOps {
       }
       w += 1
     }
-    val rows = new Array[Any](outN)
+    val rows = new Array[Any](if (withVocabMarker) outN + 1 else outN)
     var i = 0
     while (i < outN) {
       val fw = firstW(i)
@@ -630,6 +656,7 @@ object ShingleOps {
         counts(i)))
       i += 1
     }
+    if (withVocabMarker) rows(outN) = markerRow
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
 
@@ -686,6 +713,11 @@ object ShingleOps {
     * ALREADY-LOWERCASED text. */
   def bigramTfCol(lowered: Column): Column =
     toColumn(BigramTfExpr(toExpr(lowered)))
+
+  /** Column: [[bigramTfCol]] rows plus the per-doc vocab-marker row
+    * (see [[ShingleOps.bigramTfVocab]]). */
+  def bigramTfVocabCol(lowered: Column): Column =
+    toColumn(BigramTfVocabExpr(toExpr(lowered)))
 
   /** Column: positional window hash mods of ALREADY-LOWERCASED text. */
   def windowHashModsCol(lowered: Column, w: Int): Column =
@@ -926,6 +958,31 @@ case class BigramTfExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.ShingleOps.bigramTf($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [[BigramTfExpr]] plus the per-doc trailing vocab-marker row
+  * (see [[ShingleOps.bigramTfVocab]]): same single tokenize pass. */
+case class BigramTfVocabExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "bigram_tf_vocab"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("prev", StringType, nullable = false),
+    StructField("cur", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got $dt")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.bigramTfVocab(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleOps.bigramTfVocab($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

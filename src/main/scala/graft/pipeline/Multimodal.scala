@@ -26,8 +26,12 @@ import org.apache.spark.sql.types._
   *    have no JVM-native codec (a real build would bind javacv/ffmpeg
   *    over JNI — unavailable offline, and the reference has no media
   *    surface at all), so sample-level features, and any undecodable
-  *    blob, take a clearly-marked DETERMINISTIC FALLBACK. VIDEO remains
-  *    fully fallback. Either way the distributed plumbing — schema,
+  *    blob, take a clearly-marked DETERMINISTIC FALLBACK.
+  *  - VIDEO container METADATA (MP4/MOV box structure: duration, track
+  *    count, codec fourccs, dimensions) parses for real via pure byte
+  *    arithmetic ([[videoMeta]] — r18, same upgrade path as audio);
+  *    frame/sample decode remains the deterministic fallback.
+  *    Either way the distributed plumbing — schema,
   *    batching, 1→n flatMap demux shape, per-partition codec
   *    amortization via `mapPartitions` (the Scala analogue of
   *    `mapInPandas`) — is fully exercised and oracle-pinned.
@@ -249,11 +253,16 @@ object Multimodal {
   private[graft] def parseMp3Meta(payload: Array[Byte]): Option[CompressedAudioMeta] = {
     if (payload == null || payload.length < 4) return None
     var pos = 0
-    // ID3v2: "ID3" + ver(2) + flags(1) + syncsafe size(4), then the tag
+    // ID3v2: "ID3" + ver(2) + flags(1) + syncsafe size(4), then the tag.
+    // The syncsafe size EXCLUDES the 10-byte header and — when the
+    // footer flag (byte 5, bit 0x10, ID3v2.4) is set — the 10-byte
+    // trailing footer, so a footered tag needs 10 extra bytes skipped or
+    // the frame walk starts inside the footer and rejects a valid file.
     if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') {
       val size = ((payload(6) & 0x7F) << 21) | ((payload(7) & 0x7F) << 14) |
         ((payload(8) & 0x7F) << 7) | (payload(9) & 0x7F)
-      pos = 10 + size
+      val footer = if ((payload(5) & 0x10) != 0) 10 else 0
+      pos = 10 + size + footer
     }
     var frames = 0L
     var durUs = 0.0
@@ -382,6 +391,166 @@ object Multimodal {
           parseAdtsMeta(payload).orElse(parseMp3Meta(payload)).map(m =>
             CompressedAudioRow(id, m.format, m.sample_rate, m.channels,
               m.n_frames, m.duration_ms, m.bitrate_kbps, m.vbr))
+        }
+      }
+  }
+
+  final case class VideoMeta(
+      container: String, brand: String, duration_ms: Long, n_tracks: Int,
+      video_codec: Option[String], audio_codec: Option[String],
+      width: Option[Int], height: Option[Int])
+
+  /** MP4/MOV (ISO BMFF, ISO 14496-12) container metadata by pure byte
+    * arithmetic — the video analogue of the r17 mp3/ADTS upgrade: real
+    * box-structure parsing (duration, track count, codec fourccs, video
+    * dimensions), no codec binding needed. Boxes are `size(u32 BE) +
+    * fourcc`, size 1 → 64-bit largesize follows, size 0 → to the end of
+    * the enclosing box; the walk descends exactly the metadata spine
+    * (`moov → mvhd/trak → tkhd + mdia → hdlr + minf → stbl → stsd`).
+    *
+    * Positive identification requires a leading `ftyp` box AND a
+    * complete `moov` — random bytes don't spell both. A file whose
+    * trailing `mdat` is truncated still parses (metadata-only contract,
+    * same stance as the audio walkers' `complete` handling); a truncated
+    * or malformed `moov` rejects. Duration: mvhd duration/timescale;
+    * dimensions: the first video trak's tkhd 16.16 fixed-point values;
+    * codecs: the first stsd sample-entry fourcc of the first video /
+    * audio handler track.
+    */
+  private[graft] def parseMp4Meta(payload: Array[Byte]): Option[VideoMeta] = {
+    if (payload == null || payload.length < 16) return None
+    val n = payload.length
+    def u32(p: Int): Long =
+      ((payload(p) & 0xFFL) << 24) | ((payload(p + 1) & 0xFFL) << 16) |
+        ((payload(p + 2) & 0xFFL) << 8) | (payload(p + 3) & 0xFFL)
+    def u64(p: Int): Long = (u32(p) << 32) | u32(p + 4)
+    def fourcc(p: Int): String =
+      new String(payload, p, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // children of the box body [start, end): (type, bodyStart, bodyEnd).
+    // None on any malformed/overrunning child — the caller decides
+    // whether truncation is tolerable at its level.
+    def children(start: Int, end: Int): Option[Vector[(String, Int, Int)]] = {
+      val out = Vector.newBuilder[(String, Int, Int)]
+      var pos = start
+      while (pos < end) {
+        if (pos + 8 > end) return None
+        var size = u32(pos)
+        var hdr = 8
+        val typ = fourcc(pos + 4)
+        if (size == 1) {
+          if (pos + 16 > end) return None
+          size = u64(pos + 8); hdr = 16
+        } else if (size == 0) size = (end - pos).toLong
+        if (size < hdr || pos.toLong + size > end) return None
+        out += ((typ, pos + hdr, pos + size.toInt))
+        pos += size.toInt
+      }
+      Some(out.result())
+    }
+    def child(cs: Vector[(String, Int, Int)], typ: String): Option[(Int, Int)] =
+      cs.collectFirst { case (t, s, e) if t == typ => (s, e) }
+
+    // top level: first box MUST be ftyp (the positive-ID gate); then walk
+    // until moov, tolerating one trailing truncated box (an interrupted
+    // mdat download) only AFTER moov was seen whole
+    if (fourcc(4) != "ftyp") return None
+    val ftypSize = u32(0)
+    if (ftypSize < 16 || ftypSize > n) return None
+    val brand = fourcc(8)
+    var pos = ftypSize.toInt
+    var moov: Option[(Int, Int)] = None
+    var walking = true
+    while (walking && moov.isEmpty && pos + 8 <= n) {
+      var size = u32(pos)
+      var hdr = 8
+      val typ = fourcc(pos + 4)
+      if (size == 1 && pos + 16 <= n) { size = u64(pos + 8); hdr = 16 }
+      else if (size == 0) size = (n - pos).toLong
+      if (size < hdr) walking = false // malformed header: stop, no moov → reject
+      else if (pos.toLong + size > n) walking = false // truncated box: moov must be whole
+      else {
+        if (typ == "moov") moov = Some((pos + hdr, pos + size.toInt))
+        pos += size.toInt
+      }
+    }
+    moov.flatMap { case (ms, me) =>
+      children(ms, me).flatMap { mc =>
+        child(mc, "mvhd").flatMap { case (q, qe) =>
+          if (qe - q < 4) None
+          else {
+            val v = payload(q) & 0xFF
+            val need = if (v == 1) 32 else 20
+            if (qe - q < need) None
+            else {
+              val timescale = if (v == 1) u32(q + 20) else u32(q + 12)
+              val duration = if (v == 1) u64(q + 24) else u32(q + 16)
+              if (timescale == 0) None
+              else {
+                val traks = mc.filter(_._1 == "trak")
+                var videoCodec: Option[String] = None
+                var audioCodec: Option[String] = None
+                var w: Option[Int] = None
+                var h: Option[Int] = None
+                traks.foreach { case (_, ts, te) =>
+                  for {
+                    tc <- children(ts, te)
+                    (mds, mde) <- child(tc, "mdia")
+                    mdc <- children(mds, mde)
+                    (hs, he) <- child(mdc, "hdlr") if he - hs >= 12
+                  } {
+                    val handler = fourcc(hs + 8)
+                    val codec = for {
+                      (mis, mie) <- child(mdc, "minf")
+                      mic <- children(mis, mie)
+                      (sts, ste) <- child(mic, "stbl")
+                      stc <- children(sts, ste)
+                      (sds, sde) <- child(stc, "stsd") if sde - sds >= 16
+                    } yield fourcc(sds + 12)
+                    if (handler == "vide" && videoCodec.isEmpty) {
+                      videoCodec = codec
+                      for ((ks, ke) <- child(tc, "tkhd") if ke - ks >= 4) {
+                        val kv = payload(ks) & 0xFF
+                        val (wOff, hOff) = if (kv == 1) (88, 92) else (76, 80)
+                        if (ke - ks >= hOff + 4) {
+                          w = Some((u32(ks + wOff) >> 16).toInt)
+                          h = Some((u32(ks + hOff) >> 16).toInt)
+                        }
+                      }
+                    } else if (handler == "soun" && audioCodec.isEmpty) {
+                      audioCodec = codec
+                    }
+                  }
+                }
+                Some(VideoMeta("mp4", brand, duration * 1000L / timescale,
+                  traks.size, videoCodec, audioCodec, w, h))
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  final case class VideoMetaRow(
+      media_id: Long, container: String, brand: String, duration_ms: Long,
+      n_tracks: Int, video_codec: Option[String], audio_codec: Option[String],
+      width: Option[Int], height: Option[Int])
+
+  /** Video container-metadata pass: one `mapPartitions` flatMap over
+    * payload bytes (the [[compressedAudioMeta]] shape); rows that don't
+    * parse as an MP4-family container produce no output. This retires
+    * the wholesale video stub — what remains stubbed is SAMPLE/frame
+    * decode only (no JVM codec offline; see [[decodeStub]]).
+    */
+  def videoMeta(media: DataFrame): Dataset[VideoMetaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          parseMp4Meta(payload).map(m =>
+            VideoMetaRow(id, m.container, m.brand, m.duration_ms, m.n_tracks,
+              m.video_codec, m.audio_codec, m.width, m.height))
         }
       }
   }

@@ -203,8 +203,16 @@ object TextAnalysis {
       k: Int = 4,
       minShared: Long = 2,
       maxDf: Long = 1000): DataFrame = {
+    // ONE exchange (on fp) feeds everything downstream: distinct's
+    // (id, fp) grouping is clustered by fp alone, the df-cap groupBy
+    // keys on fp, and both self-join sides key on fp — so the cached
+    // stage's fp partitioning satisfies all four consumers and only the
+    // final (id_a, id_b) rollup pays its own shuffle (the
+    // q_combine_first one-exchange precedent, applied r18; before, the
+    // distinct exchanged on (id, fp) and the df-count re-exchanged on
+    // fp).
     val fps = winnow(df, idCol, textCol, w, k)
-      .select(col("id"), col("fp")).distinct()
+      .select(col("id"), col("fp")).repartition(col("fp")).distinct()
       .pipe(graft.StageCache.matHot) // df-cap count + both join sides read it
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select("fp")
@@ -518,7 +526,8 @@ object TextAnalysis {
     * per token occurrence), corpus bigram + unigram count tables rolled
     * up as Σ tf and joined back on their keys (vocab-bounded; at 100 TB
     * these are term-keyed shuffle joins with map-side-combined builds),
-    * V from the shared (id, term, tf) unigram stage, and the doc rollup
+    * V off the same stage's vocab-marker rows (distinct `prev` — see
+    * [[bigramBase]]; no second corpus pass), and the doc rollup
     * as a tf-weighted mean (identical to the per-occurrence mean).
     * Single-token documents have no bigrams and are omitted (the same
     * contract as novelty's zero-shingle drop).
@@ -532,17 +541,18 @@ object TextAnalysis {
       k: Double = 1.0): DataFrame = {
     require(k > 0, s"smoothing k must be > 0, got $k")
     val bg = bigramBase(df, idCol, textCol)
-    val bc = bg.groupBy("prev", "cur").agg(sum(col("tf")).as("__cb"))
+    val real = bg.filter(col("cur") =!= "") // true bigram rows, no vocab markers
+    val bc = real.groupBy("prev", "cur").agg(sum(col("tf")).as("__cb"))
     // unigram counts OF PREDECESSOR POSITIONS come from the same bigram
     // frame (c(p) = Σ_t c(p,t) — the conditional's true denominator)
-    val uc = bg.groupBy("prev").agg(sum(col("tf")).as("__cu"))
-    // vocabulary size rides the SAME (id, term, tf) stage as
-    // tfIdfTop/perplexity — distinct map keys ARE the vocabulary
-    val vocab = graft.StageCache.matHot(
-      df.select(col(idCol).as("id"),
-        explode(graft.functions.ShingleOps.tokenTfCol(lower(col(textCol)))).as(Seq("term", "tf"))))
-      .agg(countDistinct(col("term")).as("__v"))
-    bg.join(bc, Seq("prev", "cur"))
+    val uc = real.groupBy("prev").agg(sum(col("tf")).as("__cu"))
+    // vocabulary size comes off the SAME stage: with the per-doc
+    // last-token marker rows, distinct(prev) is exactly the corpus
+    // vocabulary — no second text pass (r18; the former (id, term, tf)
+    // unigram-stage V re-read the corpus and was q_bigram_ppl's whole
+    // cold residue)
+    val vocab = bg.agg(countDistinct(col("prev")).as("__v"))
+    real.join(bc, Seq("prev", "cur"))
       .join(uc, Seq("prev"))
       .crossJoin(broadcast(vocab))
       .withColumn("__nll",
@@ -558,11 +568,26 @@ object TextAnalysis {
     * scan projection ([[graft.functions.ShingleOps.bigramTf]]). Both
     * bigram consumers ([[bigramPerplexity]], [[pmiPairs]]) ride this one
     * stage; every former per-occurrence count is Σ tf over it.
+    *
+    * The stage also carries ONE vocab-marker row per non-empty document:
+    * `(last_token, "", 0)` — within a document every token except the
+    * last appears in `prev`, so with the marker, `distinct(prev)` over
+    * the stage IS the corpus vocabulary ("" can never be a real token —
+    * the tokenizer emits [a-z0-9]+ runs only). That lets
+    * [[bigramPerplexity]] take its smoothing denominator's V off this
+    * stage instead of re-reading the corpus through the (id, term, tf)
+    * unigram stage — the r17 gate's q_bigram_ppl cold residue was
+    * exactly that second text pass. Count consumers filter
+    * `cur != ""` (the markers carry tf 0 anyway). The marker rides the
+    * native expression's own tokenize pass
+    * ([[graft.functions.ShingleOps.bigramTfVocab]]) — the composed
+    * `element_at(tokens, -1)` form re-tokenized every document and was
+    * A/B-measured ~0.4 s slower per sf0.1 corpus pass.
     */
-  private def bigramBase(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  private[graft] def bigramBase(df: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.StageCache.matHot(
       df.select(col(idCol).as("id"),
-          explode(graft.functions.ShingleOps.bigramTfCol(lower(col(textCol)))).as("__b"))
+          explode(graft.functions.ShingleOps.bigramTfVocabCol(lower(col(textCol)))).as("__b"))
         .select(col("id"), col("__b.prev").as("prev"), col("__b.cur").as("cur"),
           col("__b.tf").as("tf")))
 
@@ -588,7 +613,7 @@ object TextAnalysis {
       k: Int = 50,
       minCount: Long = 5L): DataFrame = {
     require(k >= 1 && minCount >= 1, s"need k >= 1, minCount >= 1; got $k/$minCount")
-    val bg = bigramBase(df, idCol, textCol)
+    val bg = bigramBase(df, idCol, textCol).filter(col("cur") =!= "") // drop vocab markers
     val bc = bg.groupBy("prev", "cur").agg(sum(col("tf")).as("n"))
       .filter(col("n") >= minCount)
     val pc = bg.groupBy("prev").agg(sum(col("tf")).as("__cp"))

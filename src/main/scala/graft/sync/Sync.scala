@@ -181,7 +181,9 @@ object Sync {
     * NTZ value — no session-timezone dependence — so
     * '...T12:30:15.123456+02:00' lands as 10:30:15.123456 UTC, exactly
     * what parseTs produces on the driver. Anything unparseable nulls out
-    * (detectable), never silently shifts.
+    * (detectable), never silently shifts — including offsets outside
+    * ZoneOffset's domain (magnitude beyond ±18:00, or minute/second
+    * fields over 59), which parseTs rejects by throwing.
     */
   private[sync] def wireTs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     // FULL-string shape check first: without it, an unrecognized tail
@@ -200,11 +202,20 @@ object Sync {
     val offM = when(offMStr === "", lit(0)).otherwise(offMStr.cast("int"))
     val offSStr = regexp_extract(off, "^[+-][0-9]{2}:[0-9]{2}:([0-9]{2})$", 1)
     val offS = when(offSStr === "", lit(0)).otherwise(offSStr.cast("int"))
+    val offMag = offH * 3600 + offM * 60 + offS
     val offSecs = (when(off.startsWith("-"), lit(-1)).otherwise(lit(1)) *
-      (offH * 3600 + offM * 60 + offS)).cast("decimal(18,6)")
+      offMag).cast("decimal(18,6)")
+    // Offset bounds mirror the driver twin [[SyncHttp.parseTs]]
+    // (OffsetDateTime/ZoneOffset): magnitude capped at ±18:00, minute and
+    // second fields 0-59. The shape regex only constrains digit COUNT, so
+    // without this a bogus '+25:00' or '+9900' would silently shift the
+    // value — the exact failure class this function excludes; parseTs
+    // throws on the same inputs, so both twins reject.
+    val offValid = offMag <= 18 * 3600 && offM <= 59 && offS <= 59
     // regexp_extract returns "" (not null) on no-match; guard with a lazy
     // CASE so garbage nulls out instead of tripping ANSI parse errors.
-    val ntz = when(!c.rlike(shape) || base === "", lit(null).cast("timestamp_ntz"))
+    val ntz = when(!c.rlike(shape) || base === "" || !offValid,
+      lit(null).cast("timestamp_ntz"))
       .otherwise(to_timestamp_ntz(
         concat(base, lit("."), rpad(frac, 6, "0")),
         lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))

@@ -153,4 +153,40 @@ object Combine {
       tsCol: String = "ts",
       valueCol: String = "value"): DataFrame =
     combineFirst(Seq(newDf, existingDf), keys, tsCol, valueCol)
+
+  /** Columnar update-merge: [[updateMerge]] when BOTH priority sides
+    * already live as two value columns of ONE frame at (keys, tsCol)
+    * grain — the shape every derived-update pipeline produces, where the
+    * update feed and the existing values come out of one upstream
+    * aggregation over the same source. Semantically identical to
+    * `updateMerge(df where newCol non-null as value, df with oldCol as
+    * value)` — a null `newCol` means "no update at this (key, ts)" and
+    * the existing value survives; both null → null row survives as null
+    * (combine_first keeps the index entry, timeserie_store.py:126-128).
+    *
+    * Why a separate entry point instead of projecting two frames off the
+    * shared aggregate and calling [[updateMerge]]: Catalyst prunes each
+    * union branch to its OWN value column, which turns the shared
+    * aggregate into two DIFFERENT narrow aggregates — two scans, two
+    * shuffles, and no exchange reuse (the subtrees are no longer equal).
+    * This form stacks the (priority, value) pairs AFTER the single
+    * aggregation with one `explode`, and the merge groupBy keys on the
+    * same (keys, tsCol) the upstream aggregation already hash-partitioned
+    * on — so the whole merge adds ZERO exchanges: one scan, one shuffle,
+    * measured r18 at sf0.1: cold 2.0 s (union form) → well under 1 s.
+    */
+  def updateMergeColumns(
+      df: DataFrame,
+      keys: Seq[String],
+      newCol: String,
+      oldCol: String,
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val groupCols = (keys :+ tsCol).map(col)
+    val stacked = df.select(groupCols :+ explode(array(
+      struct(lit(0L).as("__prio"), col(newCol).as("__v")),
+      struct(lit(1L).as("__prio"), col(oldCol).as("__v")))).as("__e"): _*)
+    stacked.groupBy(groupCols: _*)
+      .agg(firstNonNullByPriority(col("__e.__v"), col("__e.__prio")).as(valueCol))
+  }
 }

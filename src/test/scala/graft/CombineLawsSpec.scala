@@ -48,4 +48,37 @@ class CombineLawsSpec extends SparkSpec {
       assert(got === want, s"case $ci: stack=$stack")
     }
   }
+
+  // the columnar form must be pointwise identical to the union form it
+  // replaces in derived-update pipelines: a null new column means "no
+  // update here" (exactly the rows the union form's caller filters out
+  // of the new side), and both-null keeps the index entry as null
+  test("updateMergeColumns == updateMerge over two projections of one frame (random)") {
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    val genWide: Gen[List[(Int, Option[Double], Option[Double])]] =
+      Gen.chooseNum(0, 8).flatMap(n => Gen.pick(n, 0 to 7).flatMap { hrs =>
+        Gen.listOfN(n, Gen.zip(
+          Gen.oneOf(Gen.const(None), Gen.chooseNum(-5, 5).map(v => Some(v.toDouble))),
+          Gen.oneOf(Gen.const(None), Gen.chooseNum(-5, 5).map(v => Some(v.toDouble)))))
+          .map(vs => hrs.toList.zip(vs).map { case (h, (nv, ov)) => (h, nv, ov) })
+      })
+    val cases = (0 until 60).flatMap(i => genWide.apply(Gen.Parameters.default, Seed(21L + i)))
+    cases.zipWithIndex.foreach { case (rows, ci) =>
+      val wide =
+        if (rows.isEmpty)
+          Seq(("k", t0, Option.empty[Double], Option.empty[Double]))
+            .toDF("k", "ts", "nv", "ov").limit(0)
+        else rows.map { case (h, nv, ov) => ("k", t0.plusHours(h.toLong), nv, ov) }
+          .toDF("k", "ts", "nv", "ov")
+      def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[java.time.LocalDateTime]("ts"),
+          Option(r.get(r.fieldIndex("value"))).map(_.asInstanceOf[Double]))).toMap
+      val got = asMap(Combine.updateMergeColumns(wide, Seq("k"), "nv", "ov"))
+      val want = asMap(Combine.updateMerge(
+        wide.filter($"nv".isNotNull).select($"k", $"ts", $"nv".as("value")),
+        wide.select($"k", $"ts", $"ov".as("value")),
+        Seq("k")))
+      assert(got === want, s"case $ci: rows=$rows")
+    }
+  }
 }

@@ -186,14 +186,18 @@ class PlanSpec extends SparkSpec {
   test("q_mix_apply: rates broadcast onto the scan, no corpus shuffle for membership") {
     val p = plan("q_mix_apply")
     assert(p.contains("BroadcastHashJoin"), p.take(600))
-    // r16: mixWeights normalizes with unpartitioned window sums over the
-    // PER-GROUP frame (one row per source — metadata-sized; the q_zipf
-    // vocab-window precedent). The pin guards what matters: no
-    // single-partition exchange — the window's input — may ever carry
-    // corpus rows (doc ids or text); membership itself stays a broadcast
-    // filter on the scan.
+    // r16: mixWeights normalizes with window sums over the PER-GROUP
+    // frame (one row per source — metadata-sized; the q_zipf vocab-window
+    // precedent); r18 partitions that window by a constant-valued hash
+    // expression (pmod(xxhash64(grp), 1) — planned as a `_w0` attribute)
+    // — same one-partition plan, declared intentional (no "No Partition
+    // Defined" warning). The pin guards what matters: the window's input
+    // exchange (SinglePartition before r18, hash-on-constant since) may
+    // never carry corpus rows (doc ids or text); membership itself stays
+    // a broadcast filter on the scan.
     val singleBlocks = p.split("\n\n").filter(b =>
-      b.contains("Exchange") && b.contains("SinglePartition"))
+      b.contains("Exchange") &&
+        (b.contains("SinglePartition") || b.contains("hashpartitioning(_w")))
     assert(singleBlocks.nonEmpty, "expected the group-frame normalization window exchange")
     assert(!singleBlocks.exists(b => b.contains("id#") || b.contains("text#")),
       s"corpus rows entered the normalization window:\n${singleBlocks.mkString("\n")}")
@@ -240,14 +244,14 @@ class PlanSpec extends SparkSpec {
 
   // The round-8 official bench showed the old 3-shuffle shape (two full
   // lineitem re-aggregations + merge) going 5.9x under memory contention;
-  // the slimmed query pre-aggregates once (a materialized shared stage)
-  // and the merge groupBy must remain the final plan's ONLY Exchange.
-  // The stage's OWN pre-aggregation Exchange is visible inside its
-  // InMemoryRelation subtree (unlike the opaque localCheckpoint the pin
-  // originally ran against) — it executes once at stage materialization,
-  // not per consumer, so the pin counts exchanges OUTSIDE the cached
-  // subtree only.
-  test("q_update_merge plan: single Exchange over the materialized pre-aggregation") {
+  // since r18 the query pre-aggregates once and stacks both priority
+  // sides AFTER that aggregation (updateMergeColumns), so the pre-agg
+  // shuffle is the plan's ONLY Exchange and the merge groupBy rides its
+  // partitioning. The indentation-aware walk below survives any future
+  // reintroduction of a cached stage (exchanges inside an
+  // InMemoryRelation subtree run once at materialization, not per
+  // consumer — they are excluded from the per-execution count).
+  test("q_update_merge plan: ONE Exchange, stacked merge rides the pre-agg partitioning") {
     // traverse the physical plan PROGRAMMATICALLY: the formatted explain
     // prints the cached stage's internal plan (with its one-time
     // pre-aggregation Exchange) inside the InMemoryRelation subtree, but
@@ -274,17 +278,19 @@ class PlanSpec extends SparkSpec {
         else if ("\\bExchange\\b".r.findFirstIn(l).nonEmpty) exchanges += 1
       }
     }
-    // r17 (final shape): NO cache at all. Column pruning splits the two
-    // union branches into two NARROW partial-agg shuffles (each carries
-    // only its own value column at post-aggregation density), and the
-    // union's children share one hash partitioning on the merge keys, so
-    // the merge groupBy runs WITHOUT an exchange of its own. Cold 2.9 s
-    // (eager cache) → 1.0-1.5 s (lazy cache) → 0.9-1.2 s (none).
-    // Exactly TWO per-execution Exchanges (one per branch) and zero
-    // cached stages; a third exchange means the merge started
-    // re-shuffling ~600k near-identical rows again, and a cache means
-    // someone re-introduced the encode+unpersist cost this pin removed.
-    assert(exchanges == 2, s"expected the 2 branch Exchanges and an exchange-free merge, got $exchanges\n" + p.take(1200))
+    // r18 (updateMergeColumns): ONE aggregation pass projects both
+    // priority sides, the (prio, value) pairs stack after it via explode,
+    // and the merge groupBy keys on the hash partitioning that
+    // aggregation already produced — so the WHOLE query is one scan and
+    // exactly ONE per-execution Exchange, no cache. The r17 union form
+    // paid two narrow branch shuffles (Catalyst prunes each branch to its
+    // own value column, so the shared aggregate becomes two different
+    // subtrees and exchange reuse can't fire): warm 2.0 s / cold residue
+    // 1.3-1.9 s in every r17 gate sample. A second exchange here means
+    // the merge groupBy stopped riding the aggregation's partitioning
+    // (someone broke the key alignment or re-split the sides); a cache
+    // means someone re-introduced the encode+unpersist cost r17 removed.
+    assert(exchanges == 1, s"expected ONE Exchange (pre-agg) and an exchange-free stacked merge, got $exchanges\n" + p.take(1200))
     assert(!p.contains("InMemoryRelation"), "q_update_merge must not cache a stage\n" + p.take(800))
     assert("\\bWindow\\b".r.findFirstIn(p).isEmpty)
   }

@@ -261,6 +261,31 @@ class ShingleOpsSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w2) => assert(g === w2) }
   }
 
+  // r18: the shared bigram stage carries one (last_token, "", 0) vocab
+  // marker row per non-empty doc so distinct(prev) IS the corpus
+  // vocabulary — bigramPerplexity's smoothing V without a second text
+  // pass. Pin both halves: the real rows (cur != "") are exactly the
+  // bigramTf rows, and distinct(prev) equals the composed distinct-token
+  // count over ALL docs (single-token docs included).
+  test("bigramBase: real rows == bigramTf; marker rows complete the vocabulary") {
+    val stage = graft.pipeline.TextAnalysis.bigramBase(df, "id", "text")
+    val gotReal = stage.filter(col("cur") =!= "")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).sorted
+    val wantReal = df.select(col("id"),
+        explode(ShingleOps.bigramTfCol(lower(col("text")))).as("__b"))
+      .select(col("id"), col("__b.prev"), col("__b.cur"), col("__b.tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).sorted
+    assert(gotReal.toSeq === wantReal.toSeq)
+    val gotVocab = stage.agg(countDistinct(col("prev"))).collect().head.getLong(0)
+    val wantVocab = df.select(explode(TextAnalysis.regexTokens(lower(col("text")))).as("t"))
+      .agg(countDistinct(col("t"))).collect().head.getLong(0)
+    assert(gotVocab === wantVocab)
+    // markers carry tf 0 — any consumer that forgets the filter cannot
+    // corrupt a Σ tf count
+    assert(stage.filter(col("cur") === "").agg(sum(col("tf"))).collect()
+      .head.getLong(0) === 0L)
+  }
+
   test("bandHashes equals md5(concat_ws(slice)) per band, byte for byte") {
     val bands = 8; val rows = 4
     val sig = df.select(col("id"),

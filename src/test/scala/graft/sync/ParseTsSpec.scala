@@ -41,6 +41,15 @@ class ParseTsSpec extends AnyFunSuite {
       SyncHttp.parseTs("not-a-timestamp")
     }
   }
+
+  test("parseTs rejects offsets outside ZoneOffset's domain (ADVICE r17)") {
+    for (s <- Seq(
+        "2024-06-01T12:30:15.123456+25:00", // hour past ±18
+        "2024-06-01T12:30:15.123456+9900", // colon-less, hour 99
+        "2024-06-01T12:30:15.123456-19:00",
+        "2024-06-01T12:30:15.123456+05:71")) // minute field > 59
+      intercept[java.time.DateTimeException] { SyncHttp.parseTs(s) }
+  }
 }
 
 /** The in-plan twin of parseTs ([[Sync.wireTs]]) must agree with it on
@@ -85,5 +94,25 @@ class WireTsSpec extends graft.SparkSpec {
       "2024-06-01T12:30:15+0530:21",  // colon-less minutes + colon seconds
       "2024-06-01 12:30:15"           // space separator (neither parser takes it)
     )) === Seq(null, null, null, null, null))
+  }
+
+  // ADVICE r17: the shape regex only constrains digit COUNT, so a bogus
+  // two-digit offset hour ('+25:00') used to pass the shape check and
+  // silently shift the stored value — the failure class the scaladoc
+  // excludes. parseTs (ZoneOffset, max ±18:00) throws on the same inputs;
+  // both twins must reject.
+  test("wireTs nulls offsets outside ZoneOffset's domain, matching parseTs's rejection") {
+    val bogus = Seq(
+      "2024-06-01T12:30:15.123456+25:00",
+      "2024-06-01T12:30:15.123456+9900",
+      "2024-06-01T12:30:15.123456-19:00",
+      "2024-06-01T12:30:15.123456+05:71",
+      "2024-06-01T12:30:15.123456+18:00:01") // one second past the max
+    assert(parse(bogus) === Seq(null, null, null, null, null))
+    bogus.foreach(s =>
+      intercept[java.time.DateTimeException] { SyncHttp.parseTs(s) })
+    // the boundary itself is VALID both sides: ±18:00 exactly
+    assert(parse(Seq("2024-06-02T06:30:15.123456+18:00")) ===
+      Seq(SyncHttp.parseTs("2024-06-02T06:30:15.123456+18:00")))
   }
 }

@@ -85,7 +85,10 @@ def main():
         "warm_floor_ms": [warm.get("floor_ms_before"), warm.get("floor_ms_after")],
         "cold_floor_ms": [cold.get("floor_ms_before"), cold.get("floor_ms_after")],
         "quiet": bool(warm_quiet and cold_quiet),
-        "n_failed": warm.get("n_failed", -1) + cold.get("n_failed", -1),
+        # null when either leg omitted the key — a -1 sentinel could mask a
+        # real failure on the other leg (e.g. -1 + 1 == 0 reads as clean)
+        "n_failed": (warm["n_failed"] + cold["n_failed"]
+                     if "n_failed" in warm and "n_failed" in cold else None),
         "pass_2x": warm["value"] / duck_total <= 2.0 and cold["value"] / duck_total <= 2.0,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         # per-query cold-vs-duck residue, slowest first, for the lever list
