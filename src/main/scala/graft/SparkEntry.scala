@@ -763,6 +763,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // text analysis — canonical URL form (crawl-pipeline dedup key:
+    // case/port/fragment/tracking-param/param-order variants collapse).
+    // The fixture has no url column, so the query manufactures four
+    // variant spellings per page deterministically from doc_id (the
+    // q_gopher_lines precedent), plus a garbage row that must null out.
+    "q_url_canon" -> ((s, d) => {
+      val grp = pmod(col("doc_id"), lit(50L)).cast("string")
+      val url = when(pmod(col("doc_id"), lit(97L)) === 0, lit("garbage no scheme"))
+        .when(pmod(col("doc_id"), lit(4L)) === 0,
+          concat(lit("http://Example.COM/p"), grp, lit("/x?b=2&a=1&utm_source=s#frag")))
+        .when(pmod(col("doc_id"), lit(4L)) === 1,
+          concat(lit("HTTP://example.com:80/p"), grp, lit("/x?a=1&b=2")))
+        .when(pmod(col("doc_id"), lit(4L)) === 2,
+          concat(lit("http://example.com/p"), grp, lit("/x/?b=2&a=1&utm_campaign=c")))
+        .otherwise(concat(lit("http://example.com//p"), grp, lit("//x?a=1&ref=r&b=2")))
+      table(s, d, "documents").select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          TextAnalysis.canonicalUrl(col("url")).as("canon"))
+        .orderBy("doc_id")
+    }),
+
+    // dedup — CCNet-style paragraph-level dedup: repeated paragraphs
+    // stripped corpus-wide, first occurrence kept, text reassembled.
+    // The fixture's text is single-line, so the query manufactures
+    // paragraph structure deterministically in-query (the
+    // q_gopher_lines precedent).
+    "q_paragraph_dedup" -> ((s, d) => {
+      val lined = table(s, d, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), " (a|the) ", "\n\n").as("text"))
+      Dedup.paragraphDedup(lined, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_pars"), col("n_kept"), col("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     // dedup — n-gram Jaccard near-dup pairs. Explicit lang block keeps the
     // oracle SQL-expressible; the no-block DEFAULT routes through MinHash
     // LSH banding (scale path, DedupSpec-covered).

@@ -81,6 +81,34 @@ private[graft] object DedupOracles {
            FROM documents)
          WHERE rn > 1 ORDER BY doc_id""",
 
+    // paragraph dedup: the winner key doc_id*1e6+idx is lexicographically
+    // identical to Spark's min(struct(id, idx)) while idx < 1e6 (fixture
+    // docs have tens of paragraphs); string_agg skips NULLs exactly like
+    // collect_list, and coalesce('') matches concat_ws over an empty set
+    "q_paragraph_dedup" ->
+      """WITH lined AS (
+           SELECT doc_id, regexp_replace(text, ' (a|the) ', chr(10)||chr(10), 'g') AS text
+           FROM documents),
+         pars AS MATERIALIZED (
+           SELECT doc_id, i - 1 AS idx, parts[i] AS par,
+                  trim(regexp_replace(lower(parts[i]), '[^a-z0-9]+', ' ', 'g')) AS norm
+           FROM (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS parts FROM lined) t,
+                LATERAL unnest(generate_series(1, len(parts))) AS u(i)),
+         dupes AS (
+           SELECT norm, min(doc_id * 1000000 + idx) AS winkey
+           FROM pars WHERE norm <> '' GROUP BY norm HAVING count(*) >= 2),
+         kept AS (
+           SELECT p.doc_id, p.idx, p.par,
+                  (p.norm = '' OR d.norm IS NULL
+                   OR p.doc_id * 1000000 + p.idx = d.winkey) AS keep
+           FROM pars p LEFT JOIN dupes d USING (norm))
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_pars,
+                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                coalesce(string_agg(CASE WHEN keep THEN par END,
+                  chr(10)||chr(10) ORDER BY idx), '') AS clean_text
+         FROM kept GROUP BY doc_id ORDER BY doc_id""",
+
     "q_ngram_jaccard" ->
       """WITH d0 AS (
            SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks

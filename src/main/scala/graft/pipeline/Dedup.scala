@@ -22,6 +22,63 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** CCNet-style PARAGRAPH-level dedup (Wenzek et al., LREC 2020 §4.1:
+    * web text repeats at paragraph granularity — headers, nav bars,
+    * license blocks — long before whole documents repeat, so CCNet
+    * dedups hashed paragraphs across the corpus and keeps documents with
+    * the boilerplate cut out): split on `sep`, hash each paragraph's
+    * canonicalized form ([[graft.pipeline.TextAnalysis.canonicalize]],
+    * the same case/punct/layout folding the exact-dedup tier uses),
+    * count corpus-wide occurrences, and strip every paragraph whose form
+    * repeats `minDf`+ times — keeping the corpus-first occurrence
+    * (smallest (id, position): an order-free winner every shard computes
+    * identically) when `keepFirst`, or stripping all copies otherwise.
+    * Paragraphs that canonicalize to "" (pure formatting/whitespace)
+    * never count as duplicates and stay in place.
+    *
+    * Scale shape: the repeated-hash table is the boilerplate tier —
+    * orders of magnitude smaller than the corpus — so AQE broadcasts it
+    * and the keep decision is map-side; paragraph text then shuffles
+    * once, on the doc id, for reassembly (the floor for a text-REWRITING
+    * operator — its output IS the text). The 60-bit portable hash is the
+    * usual injective-modulo-negligible-collision stand-in for string
+    * equality (the [[ngramJaccardPairs]] stance); it never reaches the
+    * output.
+    *
+    * Output: (id, n_pars, n_kept, clean_text) — clean_text re-joined
+    * with `sep` in original paragraph order ("" when nothing survives).
+    */
+  def paragraphDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n\n",
+      minDf: Long = 2,
+      keepFirst: Boolean = true): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would strip unique paragraphs, got $minDf")
+    import graft.functions.PortableHash
+    val pars = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+          .as(Seq("idx", "par")))
+      .withColumn("__norm", TextAnalysis.canonicalize(col("par")))
+      .withColumn("__h", PortableHash.hash60(col("__norm")))
+    val dupes = pars.filter(col("__norm") =!= "")
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__df"), min(struct(col("id"), col("idx"))).as("__win"))
+      .filter(col("__df") >= minDf)
+      .select(col("__h"), col("__win"))
+    val keep = col("__norm") === "" || col("__win").isNull ||
+      (lit(keepFirst) && col("__win") === struct(col("id"), col("idx")))
+    pars.join(dupes, Seq("__h"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_pars"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(keep, struct(col("idx"), col("par"))))),
+          e => e.getField("par"))).as("clean_text"))
+  }
+
   /** Rows to drop under exact dedup (everything but the canonical doc per
     * group) — left-anti of ids against keepers, all hash-keyed.
     */

@@ -43,6 +43,42 @@ object TextAnalysis {
   def canonicalize(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
+  /** Canonical URL form — the key every crawl pipeline dedups fetch lists
+    * and cross-snapshot documents on (the same page arrives spelled a
+    * dozen ways across referrers and sitemaps). Normalizations, all
+    * RFC-3986-sanctioned or industry-standard:
+    * scheme + host lowercase; default port stripped (http:80/https:443);
+    * fragment dropped (client-side only); duplicate path slashes
+    * collapsed and one trailing slash stripped (non-root); empty path →
+    * "/"; tracking parameters dropped (utm_*, fbclid, gclid, msclkid,
+    * ref) and the remaining query params SORTED (param order is
+    * server-insignificant in practice and is the #1 spurious-variant
+    * source). Anything without a scheme://host shape nulls out
+    * (detectable, the wireTs stance). Pure codegen'd projection — ASCII
+    * regex classes keep Spark (Java regex) and RE2/DuckDB byte-identical,
+    * and the canonical key composes with [[graft.pipeline.Dedup]]'s
+    * hash-keyed dedup tiers at scan speed.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val rawPath = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val squashed = regexp_replace(rawPath, "/{2,}", "/")
+    val noTrail = when(length(squashed) > 1, regexp_replace(squashed, "/$", ""))
+      .otherwise(squashed)
+    val path = when(noTrail === "", lit("/")).otherwise(noTrail)
+    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = sort_array(filter(split(q, "&", -1),
+      p => p =!= "" && !p.rlike("^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)(=|$)")))
+    val qs = concat_ws("&", params)
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(qs === "", lit("")).otherwise(concat(lit("?"), qs))))
+  }
+
   /** Tiny per-language stopword lists for n-gram-heuristic language ID.
     * Chosen to be discriminative across the fixture's five languages.
     */

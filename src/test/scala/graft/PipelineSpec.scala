@@ -22,6 +22,37 @@ class DedupSpec extends SparkSpec {
     assert(drop.map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("paragraphDedup: repeated paragraphs strip corpus-wide, first kept, formatting stays") {
+    val sep = "\n\n"
+    val d = Seq(
+      (0L, s"unique alpha${sep}COPYRIGHT Notice!${sep}unique beta"),
+      (1L, s"copyright   notice${sep}own content here"), // norm-dup of doc 0's middle par
+      (2L, s"copyright notice"),                          // dup again — whole doc is boilerplate
+      (3L, s"standalone text$sep${sep}tail after empty"), // empty paragraph stays in place
+      (4L, ""))                                           // empty doc: one empty paragraph
+      .toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 0 holds the corpus-first occurrence of the boilerplate — kept
+    assert(got(0L) === ((3L, 3L, s"unique alpha${sep}COPYRIGHT Notice!${sep}unique beta")))
+    // docs 1 and 2 lose their copies (case/punct-insensitive match)
+    assert(got(1L) === ((2L, 1L, "own content here")))
+    assert(got(2L) === ((1L, 0L, "")))
+    // the empty middle paragraph never counts as a duplicate
+    assert(got(3L) === ((3L, 3L, s"standalone text$sep${sep}tail after empty")))
+    assert(got(4L) === ((1L, 1L, "")))
+    // keepFirst=false strips every copy, including the first
+    val all = Dedup.paragraphDedup(d, "doc_id", "text", keepFirst = false)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(all(0L) === s"unique alpha${sep}unique beta")
+    assert(all(1L) === "own content here")
+    // minDf=3 tolerates a one-repeat paragraph (df 3 here, so still cut)
+    val df3 = Dedup.paragraphDedup(d, "doc_id", "text", minDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(df3(0L) === 3L && df3(1L) === 1L && df3(2L) === 0L)
+  }
+
   test("canonicalize: case/punct/whitespace variants collapse, distinct content survives") {
     val d = Seq(
       (0L, "Hello, World!"), (1L, "hello   world"), (2L, "HELLO-WORLD."),
@@ -988,6 +1019,30 @@ class TextAnalysisSpec extends SparkSpec {
     // attributes with '>' quirks: the [^>]* tag rule ends at the first
     // '>' — documented simplification, deterministic in both engines
     assert(strip("""<a href="u">link</a>""") === "link")
+  }
+
+  test("canonicalUrl: case/port/fragment/tracking/param-order variants collapse; garbage nulls") {
+    val cases = Seq(
+      // the full gauntlet in one URL
+      "http://Example.COM:80/a//b/?b=2&a=1&utm_source=x#f" -> "http://example.com/a/b?a=1&b=2",
+      // empty path → "/", https default port stripped
+      "https://Host.com:443"                 -> "https://host.com/",
+      // non-default port survives
+      "https://host.com:8080/p"              -> "https://host.com:8080/p",
+      // non-http scheme: kept, port untouched; PATH case preserved
+      "ftp://Files.com:21/A/"                -> "ftp://files.com:21/A",
+      // all params tracking → query drops entirely
+      "http://h/?utm_source=a&utm_medium=b"  -> "http://h/",
+      // 'ref' is dropped, 'refx' is NOT (anchored param match)
+      "http://h/p?ref=1&refx=2"              -> "http://h/p?refx=2",
+      // bare tracking param without '=' drops too
+      "http://h/p?fbclid&z=1"                -> "http://h/p?z=1",
+      "no-scheme.com/x"                      -> null,
+      "http:///x"                            -> null)
+    val got = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (in, want)) => assert(g === want, in) }
   }
 
   test("token count / quality metrics") {
