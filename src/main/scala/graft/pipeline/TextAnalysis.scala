@@ -625,7 +625,13 @@ object TextAnalysis {
       df.select(col(idCol).as("id"),
           explode(graft.functions.ShingleOps.bigramTfVocabCol(lower(col(textCol)))).as("__b"))
         .select(col("id"), col("__b.prev").as("prev"), col("__b.cur").as("cur"),
-          col("__b.tf").as("tf")))
+          col("__b.tf").as("tf"))
+        // partitioned on prev INSIDE the cached stage: every consumer
+        // grouping/joining leads with prev — bc (prev, cur), uc (prev),
+        // pmi's pc, and the bg⋈bc⋈uc joins — so this one exchange
+        // satisfies them all (subset-clustering) and the count tables
+        // come back co-partitioned with the stage they join against
+        .repartition(col("prev")))
 
   /** Top-k PMI collocations — pointwise mutual information of adjacent
     * token pairs, `ln(N·c(a,b) / (c(a)·c(b)))` over predecessor/successor

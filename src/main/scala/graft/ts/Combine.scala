@@ -169,11 +169,19 @@ object Combine {
     * union branch to its OWN value column, which turns the shared
     * aggregate into two DIFFERENT narrow aggregates — two scans, two
     * shuffles, and no exchange reuse (the subtrees are no longer equal).
-    * This form stacks the (priority, value) pairs AFTER the single
-    * aggregation with one `explode`, and the merge groupBy keys on the
-    * same (keys, tsCol) the upstream aggregation already hash-partitioned
-    * on — so the whole merge adds ZERO exchanges: one scan, one shuffle,
-    * measured r18 at sf0.1: cold 2.0 s (union form) → well under 1 s.
+    *
+    * Implementation: a pure PROJECTION. At (keys, tsCol) grain each
+    * merge group holds exactly the two stacked rows (priority 0 =
+    * newCol, priority 1 = oldCol), so `firstNonNullByPriority` over
+    * them IS `coalesce(newCol, oldCol)` — first non-null in priority
+    * order, null only when both are (the index entry survives as null,
+    * combine_first's contract). The law spec pins this equal to the
+    * union-form [[updateMerge]] on random frames; the general
+    * many-rows-per-(key, ts) fold stays on [[combineFirst]]'s
+    * aggregation (q_combine_first / the store's update path). Measured
+    * r18 at sf0.1 cold: 2.0 s (union form) → 1.3-1.6 s (explode +
+    * exchange-free merge agg) → the pre-aggregation alone (this form
+    * adds zero operators past it).
     */
   def updateMergeColumns(
       df: DataFrame,
@@ -181,12 +189,7 @@ object Combine {
       newCol: String,
       oldCol: String,
       tsCol: String = "ts",
-      valueCol: String = "value"): DataFrame = {
-    val groupCols = (keys :+ tsCol).map(col)
-    val stacked = df.select(groupCols :+ explode(array(
-      struct(lit(0L).as("__prio"), col(newCol).as("__v")),
-      struct(lit(1L).as("__prio"), col(oldCol).as("__v")))).as("__e"): _*)
-    stacked.groupBy(groupCols: _*)
-      .agg(firstNonNullByPriority(col("__e.__v"), col("__e.__prio")).as(valueCol))
-  }
+      valueCol: String = "value"): DataFrame =
+    df.select((keys :+ tsCol).map(col) :+
+      coalesce(col(newCol), col(oldCol)).as(valueCol): _*)
 }

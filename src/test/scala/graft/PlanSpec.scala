@@ -244,14 +244,16 @@ class PlanSpec extends SparkSpec {
 
   // The round-8 official bench showed the old 3-shuffle shape (two full
   // lineitem re-aggregations + merge) going 5.9x under memory contention;
-  // since r18 the query pre-aggregates once and stacks both priority
-  // sides AFTER that aggregation (updateMergeColumns), so the pre-agg
-  // shuffle is the plan's ONLY Exchange and the merge groupBy rides its
-  // partitioning. The indentation-aware walk below survives any future
-  // reintroduction of a cached stage (exchanges inside an
-  // InMemoryRelation subtree run once at materialization, not per
-  // consumer — they are excluded from the per-execution count).
-  test("q_update_merge plan: ONE Exchange, stacked merge rides the pre-agg partitioning") {
+  // since r18 the query pre-aggregates once and merges both priority
+  // columns as a PROJECTION (updateMergeColumns — at (keys, ts) grain
+  // the two-row ordered coalesce IS coalesce(new, old), law-pinned in
+  // CombineLawsSpec), so the pre-agg shuffle is the plan's ONLY
+  // Exchange and nothing but a Project follows the final aggregate. The
+  // indentation-aware walk below survives any future reintroduction of
+  // a cached stage (exchanges inside an InMemoryRelation subtree run
+  // once at materialization, not per consumer — they are excluded from
+  // the per-execution count).
+  test("q_update_merge plan: ONE Exchange, merge is a projection over the pre-agg") {
     // traverse the physical plan PROGRAMMATICALLY: the formatted explain
     // prints the cached stage's internal plan (with its one-time
     // pre-aggregation Exchange) inside the InMemoryRelation subtree, but
@@ -279,18 +281,17 @@ class PlanSpec extends SparkSpec {
       }
     }
     // r18 (updateMergeColumns): ONE aggregation pass projects both
-    // priority sides, the (prio, value) pairs stack after it via explode,
-    // and the merge groupBy keys on the hash partitioning that
-    // aggregation already produced — so the WHOLE query is one scan and
-    // exactly ONE per-execution Exchange, no cache. The r17 union form
-    // paid two narrow branch shuffles (Catalyst prunes each branch to its
-    // own value column, so the shared aggregate becomes two different
-    // subtrees and exchange reuse can't fire): warm 2.0 s / cold residue
-    // 1.3-1.9 s in every r17 gate sample. A second exchange here means
-    // the merge groupBy stopped riding the aggregation's partitioning
-    // (someone broke the key alignment or re-split the sides); a cache
-    // means someone re-introduced the encode+unpersist cost r17 removed.
-    assert(exchanges == 1, s"expected ONE Exchange (pre-agg) and an exchange-free stacked merge, got $exchanges\n" + p.take(1200))
+    // priority sides and the merge itself is coalesce(new, old) — a pure
+    // projection, zero operators past the pre-aggregation — so the WHOLE
+    // query is one scan and exactly ONE per-execution Exchange, no
+    // cache. The r17 union form paid two narrow branch shuffles
+    // (Catalyst prunes each branch to its own value column, so the
+    // shared aggregate becomes two different subtrees and exchange reuse
+    // can't fire): warm 2.0 s / cold residue 1.3-1.9 s in every r17 gate
+    // sample. A second exchange here means the merge stopped being a
+    // projection (someone re-split the sides); a cache means someone
+    // re-introduced the encode+unpersist cost r17 removed.
+    assert(exchanges == 1, s"expected ONE Exchange (pre-agg) and a projection merge, got $exchanges\n" + p.take(1200))
     assert(!p.contains("InMemoryRelation"), "q_update_merge must not cache a stage\n" + p.take(800))
     assert("\\bWindow\\b".r.findFirstIn(p).isEmpty)
   }
