@@ -27,10 +27,11 @@ import org.apache.spark.sql.types._
   *    over JNI — unavailable offline, and the reference has no media
   *    surface at all), so sample-level features, and any undecodable
   *    blob, take a clearly-marked DETERMINISTIC FALLBACK.
-  *  - VIDEO container METADATA (MP4/MOV box structure: duration, track
-  *    count, codec fourccs, dimensions) parses for real via pure byte
-  *    arithmetic ([[videoMeta]] — r18, same upgrade path as audio);
-  *    frame/sample decode remains the deterministic fallback.
+  *  - VIDEO container METADATA (MP4/MOV box structure and Matroska/WebM
+  *    EBML elements: duration, track count, codec fourccs, dimensions)
+  *    parses for real via pure byte arithmetic ([[videoMeta]] — r18,
+  *    same upgrade path as audio); frame/sample decode remains the
+  *    deterministic fallback.
   *    Either way the distributed plumbing — schema,
   *    batching, 1→n flatMap demux shape, per-partition codec
   *    amortization via `mapPartitions` (the Scala analogue of
@@ -531,6 +532,150 @@ object Multimodal {
     }
   }
 
+  /** Matroska/WebM (EBML, RFC 8794 + the public Matroska element IDs)
+    * container metadata — the second video container family, same pure
+    * byte arithmetic as [[parseMp4Meta]]. EBML elements are
+    * `VINT id + VINT size + payload` (id keeps its length-marker bit,
+    * size clears it; all-ones size = unknown extent, runs to the end of
+    * the enclosing element — a live-stream Segment). The walk descends
+    * `Segment → Info (TimestampScale, Duration) + Tracks → TrackEntry
+    * (TrackType, CodecID, Video → PixelWidth/PixelHeight)`.
+    *
+    * Positive identification: the EBML magic 0x1A45DFA3 AND a DocType
+    * ("matroska"/"webm" — reported as the brand) AND a parsable Tracks
+    * element. Truncated Cluster (media) data after the metadata is
+    * tolerated — the walk keeps whole children parsed before the
+    * overrun; a malformed header/Tracks rejects. Duration is optional
+    * in Matroska (live streams): absent → 0 ms, scale defaults to the
+    * spec's 1,000,000 ns/tick.
+    */
+  private[graft] def parseMkvMeta(payload: Array[Byte]): Option[VideoMeta] = {
+    if (payload == null || payload.length < 8) return None
+    val n = payload.length
+    // VINT: leading-zero count of the first byte gives the length;
+    // `clear` strips the marker bit (sizes) or keeps it (ids)
+    def vint(pos: Int, end: Int, clear: Boolean): Option[(Long, Int)] = {
+      if (pos >= end) return None
+      val b0 = payload(pos) & 0xFF
+      if (b0 == 0) return None // would be a >8-byte VINT
+      val len = Integer.numberOfLeadingZeros(b0) - 23
+      if (len > 8 || pos + len > end) return None
+      var v = (if (clear) b0 & ((1 << (8 - len)) - 1) else b0).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (payload(pos + i) & 0xFF); i += 1 }
+      Some((v, len))
+    }
+    // children of [start, end): (id, bodyStart, bodyEnd); stops BEFORE a
+    // malformed/overrunning child, keeping what parsed whole (truncated
+    // trailing Clusters are the mdat case)
+    def children(start: Int, end: Int): Vector[(Long, Int, Int)] = {
+      val out = Vector.newBuilder[(Long, Int, Int)]
+      var pos = start
+      var walking = true
+      while (walking && pos < end) {
+        val parsed = for {
+          (id, idLen) <- vint(pos, end, clear = false)
+          (size, szLen) <- vint(pos + idLen, end, clear = true)
+        } yield {
+          val bodyStart = pos + idLen + szLen
+          val unknown = size == (1L << (7 * szLen)) - 1
+          val bodyEnd = if (unknown) end.toLong else bodyStart + size
+          (id, bodyStart, bodyEnd)
+        }
+        parsed match {
+          case Some((id, bs, be)) if be <= end =>
+            out += ((id, bs, be.toInt)); pos = be.toInt
+          case _ => walking = false
+        }
+      }
+      out.result()
+    }
+    def uint(s: Int, e: Int): Long = {
+      var v = 0L; var i = s
+      while (i < e && i - s < 8) { v = (v << 8) | (payload(i) & 0xFF); i += 1 }
+      v
+    }
+    def fl(s: Int, e: Int): Double = (e - s) match {
+      case 4 => java.lang.Float.intBitsToFloat(uint(s, e).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(uint(s, e))
+      case _ => 0.0
+    }
+    def str(s: Int, e: Int): String =
+      new String(payload, s, e - s, java.nio.charset.StandardCharsets.ISO_8859_1)
+        .takeWhile(_ != 0.toChar) // EBML strings may be zero-padded to reserve space
+
+    val top = children(0, n)
+    val header = top.collectFirst { case (0x1A45DFA3L, s, e) => (s, e) }
+    if (header.isEmpty || top.head._1 != 0x1A45DFA3L) return None
+    val docType = header.flatMap { case (s, e) =>
+      children(s, e).collectFirst { case (0x4282L, ds, de) => str(ds, de) }
+    }.getOrElse("matroska") // DocType's spec default
+    if (docType != "matroska" && docType != "webm") return None
+    // Find the Segment at top level ourselves: a Segment whose declared
+    // extent overruns the payload (an interrupted download cut inside
+    // trailing Cluster media — the mdat case) must be CLAMPED to the
+    // payload end, not dropped; the inner walk then keeps whole metadata
+    // children and the Tracks requirement decides whether enough
+    // survived. children() would drop the whole overrunning element.
+    var segBounds: Option[(Int, Int)] = None
+    var pos = header.get._2
+    var walking = true
+    while (walking && segBounds.isEmpty && pos < n) {
+      val next = for {
+        (idv, idLen) <- vint(pos, n, clear = false)
+        (size, szLen) <- vint(pos + idLen, n, clear = true)
+      } yield {
+        val bs = pos + idLen + szLen
+        val beL = if (size == (1L << (7 * szLen)) - 1) n.toLong else bs.toLong + size
+        (idv, bs, beL)
+      }
+      next match {
+        case Some((idv, bs, beL)) =>
+          if (idv == 0x18538067L) segBounds = Some((bs, math.min(beL, n.toLong).toInt))
+          else if (beL > n) walking = false
+          else pos = beL.toInt
+        case None => walking = false
+      }
+    }
+    segBounds.flatMap { case (ss, se) =>
+      val seg = children(ss, se)
+      var scale = 1000000L // TimestampScale default: ns per tick
+      var durTicks = 0.0
+      seg.collectFirst { case (0x1549A966L, s, e) => (s, e) }.foreach { case (is, ie) =>
+        children(is, ie).foreach {
+          case (0x2AD7B1L, s, e) => scale = uint(s, e)
+          case (0x4489L, s, e)   => durTicks = fl(s, e)
+          case _                 => ()
+        }
+      }
+      seg.collectFirst { case (0x1654AE6BL, s, e) => (s, e) }.map { case (ts, te) =>
+        val entries = children(ts, te).filter(_._1 == 0xAEL)
+        var videoCodec: Option[String] = None
+        var audioCodec: Option[String] = None
+        var w: Option[Int] = None
+        var h: Option[Int] = None
+        entries.foreach { case (_, es, ee) =>
+          val tc = children(es, ee)
+          val kind = tc.collectFirst { case (0x83L, s, e) => uint(s, e) }
+          val codec = tc.collectFirst { case (0x86L, s, e) => str(s, e) }
+          if (kind.contains(1L) && videoCodec.isEmpty) {
+            videoCodec = codec
+            tc.collectFirst { case (0xE0L, s, e) => (s, e) }.foreach { case (vs, ve) =>
+              children(vs, ve).foreach {
+                case (0xB0L, s, e) => w = Some(uint(s, e).toInt)
+                case (0xBAL, s, e) => h = Some(uint(s, e).toInt)
+                case _             => ()
+              }
+            }
+          } else if (kind.contains(2L) && audioCodec.isEmpty) audioCodec = codec
+        }
+        val durMs = if (scale <= 0) 0L else math.round(durTicks * scale / 1e6)
+        VideoMeta(if (docType == "webm") "webm" else "mkv", docType, durMs,
+          entries.size, videoCodec, audioCodec, w, h)
+      }
+    }
+  }
+
   final case class VideoMetaRow(
       media_id: Long, container: String, brand: String, duration_ms: Long,
       n_tracks: Int, video_codec: Option[String], audio_codec: Option[String],
@@ -538,7 +683,8 @@ object Multimodal {
 
   /** Video container-metadata pass: one `mapPartitions` flatMap over
     * payload bytes (the [[compressedAudioMeta]] shape); rows that don't
-    * parse as an MP4-family container produce no output. This retires
+    * parse as an MP4-family or Matroska/WebM container produce no
+    * output. This retires
     * the wholesale video stub — what remains stubbed is SAMPLE/frame
     * decode only (no JVM codec offline; see [[decodeStub]]).
     */
@@ -548,7 +694,7 @@ object Multimodal {
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
-          parseMp4Meta(payload).map(m =>
+          parseMp4Meta(payload).orElse(parseMkvMeta(payload)).map(m =>
             VideoMetaRow(id, m.container, m.brand, m.duration_ms, m.n_tracks,
               m.video_codec, m.audio_codec, m.width, m.height))
         }

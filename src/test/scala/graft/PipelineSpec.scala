@@ -1619,14 +1619,73 @@ class MultimodalSpec extends SparkSpec {
     ((b(p) & 0xFFL) << 24) | ((b(p + 1) & 0xFFL) << 16) |
       ((b(p + 2) & 0xFFL) << 8) | (b(p + 3) & 0xFFL)
 
-  test("videoMeta demux: mp4 parses, compressed audio and blobs drop") {
+  // Matroska/WebM: hand-built EBML elements (VINT id kept-marker, VINT
+  // size cleared-marker) — same upgrade-path pinning as mp4.
+
+  /** One EBML element: raw id bytes + 1-byte VINT size + body. */
+  private def ebml(idBytes: Array[Byte], body: Array[Byte]*): Array[Byte] = {
+    val content = body.flatMap(_.toSeq).toArray
+    require(content.length < 127, "1-byte VINT size only in this fixture builder")
+    idBytes ++ Array((0x80 | content.length).toByte) ++ content
+  }
+  private def id(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+  /** A 5-second VP9+Opus 1280x720 matroska file with a trailing Cluster. */
+  private def mkvFile(docType: String = "matroska"): Array[Byte] = {
+    val header = ebml(id(0x1A, 0x45, 0xDF, 0xA3),
+      ebml(id(0x42, 0x82), docType.getBytes("ISO-8859-1")))
+    val info = ebml(id(0x15, 0x49, 0xA9, 0x66),
+      ebml(id(0x2A, 0xD7, 0xB1), Array(0x0F.toByte, 0x42.toByte, 0x40.toByte)), // 1e6 ns
+      ebml(id(0x44, 0x89), { // Duration: float32 5000.0 ticks
+        val bits = java.lang.Float.floatToIntBits(5000.0f)
+        Array((bits >> 24).toByte, (bits >> 16).toByte, (bits >> 8).toByte, bits.toByte)
+      }))
+    def track(kind: Int, codec: String, video: Boolean) = ebml(id(0xAE),
+      Seq(ebml(id(0x83), Array(kind.toByte)),
+        ebml(id(0x86), codec.getBytes("ISO-8859-1"))) ++
+        (if (video) Seq(ebml(id(0xE0),
+          ebml(id(0xB0), Array(0x05.toByte, 0x00.toByte)),  // 1280
+          ebml(id(0xBA), Array(0x02.toByte, 0xD0.toByte)))) // 720
+        else Nil): _*)
+    val tracks = ebml(id(0x16, 0x54, 0xAE, 0x6B),
+      track(1, "V_VP9", video = true), track(2, "A_OPUS", video = false))
+    val cluster = ebml(id(0x1F, 0x43, 0xB6, 0x75), new Array[Byte](32))
+    header ++ ebml(id(0x18, 0x53, 0x80, 0x67), info, tracks, cluster)
+  }
+
+  test("mkv metadata: EBML walk yields duration/tracks/codecs/dimensions") {
+    val m = Multimodal.parseMkvMeta(mkvFile()).get
+    assert(m.container === "mkv" && m.brand === "matroska")
+    assert(m.duration_ms === 5000L && m.n_tracks === 2)
+    assert(m.video_codec === Some("V_VP9") && m.audio_codec === Some("A_OPUS"))
+    assert(m.width === Some(1280) && m.height === Some(720))
+    val w = Multimodal.parseMkvMeta(mkvFile("webm")).get
+    assert(w.container === "webm" && w.brand === "webm")
+  }
+
+  test("mkv metadata: truncated Cluster tolerated, truncated Tracks and garbage reject") {
+    val f = mkvFile()
+    // cut inside the trailing Cluster: metadata still whole
+    assert(Multimodal.parseMkvMeta(f.dropRight(10)).isDefined)
+    // cut inside Tracks (before the Cluster's 34 bytes + some of tracks)
+    assert(Multimodal.parseMkvMeta(f.dropRight(60)) === None)
+    // wrong magic / non-EBML payloads
+    assert(Multimodal.parseMkvMeta("RIFFxxxxWAVE".getBytes) === None)
+    assert(Multimodal.parseMkvMeta(new Array[Byte](64)) === None)
+    assert(Multimodal.parseMkvMeta(mp4File()) === None)
+    // unknown DocType rejects (not a matroska-family container)
+    assert(Multimodal.parseMkvMeta(mkvFile("weird")) === None)
+  }
+
+  test("videoMeta demux: mp4 and mkv parse, compressed audio and blobs drop") {
     val media = Seq(
       (1L, mp4File()),
       (2L, mp3Frame(128) ++ mp3Frame(128)),
-      (3L, Array[Byte](7, 7, 7, 7))).toDF("media_id", "payload")
-    val rows = Multimodal.videoMeta(media).collect()
-    assert(rows.map(_.media_id).toSeq === Seq(1L))
-    assert(rows.head.n_tracks === 2 && rows.head.width === Some(640))
+      (3L, Array[Byte](7, 7, 7, 7)),
+      (4L, mkvFile())).toDF("media_id", "payload")
+    val rows = Multimodal.videoMeta(media).collect().sortBy(_.media_id)
+    assert(rows.map(_.media_id).toSeq === Seq(1L, 4L))
+    assert(rows(0).n_tracks === 2 && rows(0).width === Some(640))
+    assert(rows(1).container === "mkv" && rows(1).video_codec === Some("V_VP9"))
   }
 
   // The image path is REAL (javax.imageio): encode actual PNG/JPEG
