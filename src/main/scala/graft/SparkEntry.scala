@@ -1201,6 +1201,14 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // dedup — duplicated spans CUT OUT of the text (Lee et al.'s removal
+    // step; output is the token stream with covered tokens dropped)
+    "q_strip_spans" -> ((s, d) => {
+      Dedup.stripDuplicateSpans(table(s, d, "documents"), "doc_id", "text", w = 5)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"), col("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     // dedup — SimHash near-dup pairs (60-bit portable signatures)
     "q_simhash_pairs" -> ((s, d) => {
       Dedup.simhashPairs(table(s, d, "documents"), "doc_id", "text", maxHamming = 3)

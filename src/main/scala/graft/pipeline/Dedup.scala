@@ -951,6 +951,48 @@ object Dedup {
       .select("id", "span_start", "span_end", "n_windows")
   }
 
+  /** CUT the duplicated spans out of each document — the action half of
+    * [[duplicateSpans]] (Lee et al. ACL'22 REMOVE the matched substrings
+    * from the training set; detection alone is only the audit). Every
+    * token covered by a merged duplicated span is dropped and the
+    * survivors re-join in order. The output text is the TOKEN stream
+    * (lowercase [a-z0-9]+ runs joined by single spaces) — span positions
+    * are token positions, so token granularity is the faithful unit; a
+    * byte-exact splice would need the tokenizer to carry byte offsets
+    * for no semantic gain (the paper operates on token sequences too).
+    *
+    * Scale shape: the span table is the duplicated-boilerplate tier
+    * (small → AQE broadcasts it), each token matches at most one span
+    * (spans are merged maximal), so the coverage join is map-side and
+    * duplication-free; token text shuffles once, on the doc id, for
+    * reassembly — the text-rewriting floor, as [[paragraphDedup]].
+    * Documents with no tokens have no rows here (the bigram-family
+    * contract); documents shorter than `w` tokens pass through whole.
+    *
+    * Output: (id, n_tokens, n_removed, clean_text).
+    */
+  def stripDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 5,
+      minCount: Long = 2): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, w, minCount)
+      .select(col("id").as("__sid"), col("span_start"), col("span_end"))
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(TextAnalysis.tokens(lower(col(textCol)))).as(Seq("__p0", "tok")))
+      .select(col("id"), (col("__p0") + 1).cast("long").as("pos"), col("tok"))
+    toks.join(spans, col("id") === col("__sid") &&
+        col("pos").between(col("span_start"), col("span_end")), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__sid").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__sid").isNull, struct(col("pos"), col("tok"))))),
+          e => e.getField("tok"))).as("clean_text"))
+  }
+
   /** SemDeDup-style semantic dedup over an embedding column: k-means
     * clusters the corpus (deterministic Lloyd's,
     * [[graft.pipeline.Clustering.kmeans]]), then exact cosine is computed

@@ -2415,6 +2415,31 @@ class DuplicateSpansSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(got === Set((1L, 6L), (14L, 19L)))
   }
+
+  test("stripDuplicateSpans: covered tokens cut, survivors re-join in order, short docs whole") {
+    val phrase = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two three four five six $phrase tail1 tail2 tail3"),
+      (2L, s"$phrase other words here now ok yes"),
+      (3L, "totally unrelated text with nothing shared at all"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val got = Dedup.stripDuplicateSpans(docs, "doc_id", "text", w = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1: span tokens 7..14 (the phrase) cut; 17 tokens total
+    assert(got(1L) === ((17L, 8L, "one two three four five six tail1 tail2 tail3")))
+    // doc 2: span 1..8 cut (8 + 6 = 14 tokens total)
+    assert(got(2L) === ((14L, 8L, "other words here now ok yes")))
+    // unique doc untouched (token-stream form of the original)
+    assert(got(3L) === ((8L, 0L, "totally unrelated text with nothing shared at all")))
+    // shorter than w: passes through whole
+    assert(got(4L) === ((2L, 0L, "tiny doc")))
+    // a doc that is ENTIRELY boilerplate empties out
+    val all = Seq((1L, phrase), (2L, phrase)).toDF("doc_id", "text")
+    val cut = Dedup.stripDuplicateSpans(all, "doc_id", "text", w = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(cut(1L) === "" && cut(2L) === "")
+  }
 }
 
 class TokenCountsSpec extends SparkSpec {
