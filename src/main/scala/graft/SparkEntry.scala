@@ -797,6 +797,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // dedup — incremental paragraph dedup: odd docs are the crawl
+    // increment, even docs the standing corpus; any corpus occurrence
+    // drops the paragraph, within-increment repeats keep their first
+    "q_incr_paragraph_dedup" -> ((s, d) => {
+      val lined = table(s, d, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), " (a|the) ", "\n\n").as("text"))
+      val seen = lined.filter(pmod(col("doc_id"), lit(2L)) === 0)
+      val inc = lined.filter(pmod(col("doc_id"), lit(2L)) === 1)
+      Dedup.incrementalParagraphDedup(inc, seen, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_pars"), col("n_kept"), col("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     // dedup — n-gram Jaccard near-dup pairs. Explicit lang block keeps the
     // oracle SQL-expressible; the no-block DEFAULT routes through MinHash
     // LSH banding (scale path, DedupSpec-covered).

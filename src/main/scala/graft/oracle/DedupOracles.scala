@@ -109,6 +109,35 @@ private[graft] object DedupOracles {
                   chr(10)||chr(10) ORDER BY idx), '') AS clean_text
          FROM kept GROUP BY doc_id ORDER BY doc_id""",
 
+    // incremental paragraph dedup: seen membership by normalized string
+    // (the hash is an injective stand-in), then the batch winner rule
+    // within the increment
+    "q_incr_paragraph_dedup" ->
+      """WITH lined AS (
+           SELECT doc_id, regexp_replace(text, ' (a|the) ', chr(10)||chr(10), 'g') AS text
+           FROM documents),
+         pars AS MATERIALIZED (
+           SELECT doc_id, i - 1 AS idx, parts[i] AS par,
+                  trim(regexp_replace(lower(parts[i]), '[^a-z0-9]+', ' ', 'g')) AS norm
+           FROM (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS parts FROM lined) t,
+                LATERAL unnest(generate_series(1, len(parts))) AS u(i)),
+         seenh AS (SELECT DISTINCT norm FROM pars WHERE doc_id % 2 = 0 AND norm <> ''),
+         np AS (SELECT * FROM pars WHERE doc_id % 2 = 1),
+         dupes AS (
+           SELECT norm, min(doc_id * 1000000 + idx) AS winkey
+           FROM np WHERE norm <> '' GROUP BY norm HAVING count(*) >= 2),
+         kept AS (
+           SELECT np.doc_id, np.idx, np.par,
+                  (np.norm = '' OR (s.norm IS NULL AND
+                    (d.norm IS NULL OR np.doc_id * 1000000 + np.idx = d.winkey))) AS keep
+           FROM np LEFT JOIN seenh s USING (norm) LEFT JOIN dupes d USING (norm))
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_pars,
+                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                coalesce(string_agg(CASE WHEN keep THEN par END,
+                  chr(10)||chr(10) ORDER BY idx), '') AS clean_text
+         FROM kept GROUP BY doc_id ORDER BY doc_id""",
+
     "q_ngram_jaccard" ->
       """WITH d0 AS (
            SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks

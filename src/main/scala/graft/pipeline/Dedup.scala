@@ -79,6 +79,66 @@ object Dedup {
           e => e.getField("par"))).as("clean_text"))
   }
 
+  /** Cross-corpus (incremental) paragraph dedup — how [[paragraphDedup]]
+    * actually runs at 100 TB: each crawl increment screens its
+    * paragraphs against the STANDING corpus (any seen occurrence drops
+    * the paragraph — the corpus always wins), and within-increment
+    * repeats fall to the batch rule (corpus-first keeper by minimal
+    * (id, position), or none with `keepFirst = false`). With the default
+    * `minDf = 2` this equals the batch operator over (seen ∪ new) with
+    * every seen id ordered below every new id, restricted to new docs —
+    * the law DedupSpec pins; for `minDf > 2` the seen rule stays
+    * absolute (one corpus occurrence suffices) while `minDf` governs
+    * within-increment repeats only.
+    *
+    * Scale shape: the seen side reduces to its DISTINCT paragraph-hash
+    * set — registered with [[graft.StageCache]] on a corpus-only plan,
+    * so successive increments against one corpus snapshot reuse it warm
+    * (the [[incrementalNearDupPairs]] precedent); the membership join
+    * keys on 60-bit hashes (Spark injects a runtime Bloom on the probe
+    * side), paragraph text never joins, and reassembly shuffles the
+    * increment's text once, on the doc id.
+    *
+    * Output: one row per NEW doc — (id, n_pars, n_kept, clean_text).
+    */
+  def incrementalParagraphDedup(
+      newDf: DataFrame,
+      seenDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n\n",
+      minDf: Long = 2,
+      keepFirst: Boolean = true): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would strip unique paragraphs, got $minDf")
+    import graft.functions.PortableHash
+    def pars(df: DataFrame) = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+          .as(Seq("idx", "par")))
+      .withColumn("__norm", TextAnalysis.canonicalize(col("par")))
+      .withColumn("__h", PortableHash.hash60(col("__norm")))
+    val seenH = graft.StageCache.matHot(
+      pars(seenDf).filter(col("__norm") =!= "").select(col("__h")).distinct())
+    val np = pars(newDf)
+    val dupes = np.filter(col("__norm") =!= "")
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__df"), min(struct(col("id"), col("idx"))).as("__win"))
+      .filter(col("__df") >= minDf)
+      .select(col("__h"), col("__win"))
+    val keep = col("__norm") === "" ||
+      (col("__seen").isNull &&
+        (col("__win").isNull ||
+          (lit(keepFirst) && col("__win") === struct(col("id"), col("idx")))))
+    np.join(seenH.withColumn("__seen", lit(true)), Seq("__h"), "left")
+      .join(dupes, Seq("__h"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_pars"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(keep, struct(col("idx"), col("par"))))),
+          e => e.getField("par"))).as("clean_text"))
+  }
+
   /** Rows to drop under exact dedup (everything but the canonical doc per
     * group) — left-anti of ids against keepers, all hash-keyed.
     */

@@ -53,6 +53,39 @@ class DedupSpec extends SparkSpec {
     assert(df3(0L) === 3L && df3(1L) === 1L && df3(2L) === 0L)
   }
 
+  // the incremental contract (minDf = 2): equals the batch operator over
+  // (seen ∪ new) with every seen id ordered BELOW every new id (so the
+  // corpus always holds the winner), restricted to the new docs
+  test("incrementalParagraphDedup == batch over reordered union, restricted to the increment") {
+    val sep = "\n\n"
+    val seen = Seq(
+      (100L, s"corpus boilerplate one${sep}corpus unique body"),
+      (101L, s"corpus boilerplate two")).toDF("doc_id", "text")
+    val inc = Seq(
+      (200L, s"corpus boilerplate one${sep}fresh content alpha"),
+      (201L, s"increment repeat${sep}corpus boilerplate two"),
+      (202L, s"increment repeat${sep}$sep"), // + empty paragraphs
+      (203L, "all new text here")).toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_pars"), r.getAs[Long]("n_kept"), r.getAs[String]("clean_text")))).toMap
+    for (kf <- Seq(true, false)) {
+      val got = asMap(Dedup.incrementalParagraphDedup(
+        inc, seen, "doc_id", "text", keepFirst = kf))
+      // relabel seen ids below every new id, run the batch operator
+      val union = seen.withColumn("doc_id", col("doc_id") - 100L).unionByName(inc)
+      val want = asMap(Dedup.paragraphDedup(union, "doc_id", "text", keepFirst = kf))
+        .filter { case (id, _) => id >= 200L }
+      assert(got === want, s"keepFirst=$kf")
+    }
+    // spot semantics: corpus always wins; increment-first kept among new
+    val got = asMap(Dedup.incrementalParagraphDedup(inc, seen, "doc_id", "text"))
+    assert(got(200L) === ((2L, 1L, "fresh content alpha")))
+    assert(got(201L) === ((2L, 1L, "increment repeat"))) // first occurrence of the new repeat
+    assert(got(202L) === ((3L, 2L, sep))) // repeat dropped, both empties stay
+    assert(got(203L) === ((1L, 1L, "all new text here")))
+  }
+
   test("canonicalize: case/punct/whitespace variants collapse, distinct content survives") {
     val d = Seq(
       (0L, "Hello, World!"), (1L, "hello   world"), (2L, "HELLO-WORLD."),
