@@ -373,15 +373,116 @@ object Multimodal {
       (durUs / 1000.0).round, (bytesTotal * 8000.0 / durUs).round.toInt, vbr))
   }
 
+  /** FLAC STREAMINFO metadata (the format spec's mandatory first block):
+    * "fLaC" magic, then metadata blocks of `(last-flag | type) +
+    * 24-bit length`; STREAMINFO (type 0, 34 bytes) carries sample rate
+    * (20 bits), channels-1 (3), bits-1 (5), and the 36-bit total sample
+    * count. FLAC frames are inherently variable-size, so `vbr` is true
+    * and `n_frames` is 0 (the frame count is not in the header — a walk
+    * would decode audio); bitrate derives from payload bytes over the
+    * header-declared duration. A zero total-sample count (streaming
+    * encoder) yields duration 0 and bitrate 0, still a positive parse.
+    */
+  private[graft] def parseFlacMeta(payload: Array[Byte]): Option[CompressedAudioMeta] = {
+    if (payload == null || payload.length < 42) return None
+    if (!(payload(0) == 'f' && payload(1) == 'L' && payload(2) == 'a' && payload(3) == 'C'))
+      return None
+    val hdr = payload(4) & 0xFF
+    val len = ((payload(5) & 0xFF) << 16) | ((payload(6) & 0xFF) << 8) | (payload(7) & 0xFF)
+    // the spec REQUIRES STREAMINFO first (type 0, length 34)
+    if ((hdr & 0x7F) != 0 || len != 34) return None
+    val b = (i: Int) => payload(8 + i) & 0xFF
+    val sampleRate = (b(10) << 12) | (b(11) << 4) | (b(12) >> 4)
+    val channels = ((b(12) >> 1) & 7) + 1
+    val totalSamples = ((b(13) & 0x0FL) << 32) |
+      (b(14).toLong << 24) | (b(15).toLong << 16) | (b(16).toLong << 8) | b(17).toLong
+    if (sampleRate == 0) return None // spec: 0 is invalid for audio streams
+    val durMs = totalSamples * 1000.0 / sampleRate
+    val kbps = if (durMs <= 0) 0 else (payload.length * 8.0 / durMs).round.toInt
+    Some(CompressedAudioMeta("flac", sampleRate, channels, 0L,
+      durMs.round, kbps, vbr = true))
+  }
+
+  /** Ogg (Opus/Vorbis) metadata: "OggS" page framing (version 0, 27-byte
+    * header + segment table), identification header in the first page's
+    * payload — `OpusHead` (channel count byte 9; Opus granules tick at
+    * 48 kHz regardless of input rate) or `\x01vorbis` (channels byte 11,
+    * rate LE-32 at byte 12). Duration comes from the LAST parsable
+    * page's granule position over the granule rate — so a truncated
+    * stream reports the duration of what's actually present (the
+    * framing's own design intent). Ogg payloads are variable-bitrate by
+    * nature.
+    */
+  private[graft] def parseOggMeta(payload: Array[Byte]): Option[CompressedAudioMeta] = {
+    if (payload == null || payload.length < 28) return None
+    def isPage(p: Int): Boolean = p + 27 <= payload.length &&
+      payload(p) == 'O' && payload(p + 1) == 'g' && payload(p + 2) == 'g' &&
+      payload(p + 3) == 'S' && payload(p + 4) == 0
+    if (!isPage(0)) return None
+    var pos = 0
+    var lastGranule = 0L
+    var firstBody: Option[(Int, Int)] = None
+    var pages = 0L
+    while (isPage(pos)) {
+      var granule = 0L
+      var i = 7
+      while (i >= 0) { granule = (granule << 8) | (payload(pos + 6 + i) & 0xFF); i -= 1 }
+      val nsegs = payload(pos + 26) & 0xFF
+      if (pos + 27 + nsegs > payload.length) return if (pages == 0) None else finishOgg(
+        payload, firstBody, lastGranule, pages)
+      var bodyLen = 0
+      var s = 0
+      while (s < nsegs) { bodyLen += payload(pos + 27 + s) & 0xFF; s += 1 }
+      val bodyStart = pos + 27 + nsegs
+      val whole = bodyStart + bodyLen <= payload.length
+      if (pages == 0) firstBody = Some((bodyStart, math.min(bodyStart + bodyLen, payload.length)))
+      if (whole && granule >= 0) lastGranule = math.max(lastGranule, granule)
+      pages += 1
+      if (!whole) return finishOgg(payload, firstBody, lastGranule, pages)
+      pos = bodyStart + bodyLen
+    }
+    if (pages == 0) None else finishOgg(payload, firstBody, lastGranule, pages)
+  }
+
+  private def finishOgg(
+      payload: Array[Byte],
+      firstBody: Option[(Int, Int)],
+      lastGranule: Long,
+      pages: Long): Option[CompressedAudioMeta] = firstBody.flatMap { case (s, e) =>
+    def bytesAt(p: Int, magic: String): Boolean =
+      p + magic.length <= e && magic.zipWithIndex.forall { case (c, i) => payload(p + i) == c }
+    def le32(p: Int): Int =
+      (payload(p) & 0xFF) | ((payload(p + 1) & 0xFF) << 8) |
+        ((payload(p + 2) & 0xFF) << 16) | ((payload(p + 3) & 0xFF) << 24)
+    if (bytesAt(s, "OpusHead") && e - s >= 19) {
+      val channels = payload(s + 9) & 0xFF
+      val durMs = lastGranule * 1000.0 / 48000.0 // Opus granules tick at 48 kHz
+      val kbps = if (durMs <= 0) 0 else (payload.length * 8.0 / durMs).round.toInt
+      Some(CompressedAudioMeta("opus", 48000, channels, pages, durMs.round, kbps, vbr = true))
+    } else if (e - s >= 30 && payload(s) == 1 && bytesAt(s + 1, "vorbis")) {
+      val channels = payload(s + 11) & 0xFF
+      val rate = le32(s + 12)
+      if (rate <= 0) None
+      else {
+        val durMs = lastGranule * 1000.0 / rate
+        val kbps = if (durMs <= 0) 0 else (payload.length * 8.0 / durMs).round.toInt
+        Some(CompressedAudioMeta("vorbis", rate, channels, pages, durMs.round, kbps, vbr = true))
+      }
+    } else None
+  }
+
   final case class CompressedAudioRow(
       media_id: Long, format: String, sample_rate: Int, channels: Int,
       n_frames: Long, duration_ms: Long, bitrate_kbps: Int, vbr: Boolean)
 
   /** Compressed-audio metadata pass: one `mapPartitions` flatMap over
-    * payload bytes; rows that parse as neither ADTS-AAC nor mp3 produce
-    * no output (same demux shape as [[audioStats]]). ADTS is probed
-    * first — its sync (0xFFF + layer 00) reads as an invalid mp3 header,
-    * while an mp3 sync never satisfies the ADTS layer bits.
+    * payload bytes; rows that parse as none of ADTS-AAC / mp3 / FLAC /
+    * Ogg (Opus/Vorbis) produce no output (same demux shape as
+    * [[audioStats]]). ADTS is probed first — its sync (0xFFF + layer 00)
+    * reads as an invalid mp3 header, while an mp3 sync never satisfies
+    * the ADTS layer bits; FLAC and Ogg have unambiguous magics. For Ogg,
+    * `n_frames` counts PAGES (the container's framing unit); FLAC's
+    * header has no frame count, so it reports 0.
     */
   def compressedAudioMeta(media: DataFrame): Dataset[CompressedAudioRow] = {
     val spark = media.sparkSession
@@ -389,7 +490,8 @@ object Multimodal {
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
-          parseAdtsMeta(payload).orElse(parseMp3Meta(payload)).map(m =>
+          parseAdtsMeta(payload).orElse(parseMp3Meta(payload))
+            .orElse(parseFlacMeta(payload)).orElse(parseOggMeta(payload)).map(m =>
             CompressedAudioRow(id, m.format, m.sample_rate, m.channels,
               m.n_frames, m.duration_ms, m.bitrate_kbps, m.vbr))
         }

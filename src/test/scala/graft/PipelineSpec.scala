@@ -1561,7 +1561,66 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseAdtsMeta(adtsFrame(200).take(10)) === None)
   }
 
-  test("compressedAudioMeta demux: aac and mp3 parse, wav and blobs drop") {
+  /** STREAMINFO-only FLAC header: 44100 Hz stereo 16-bit, `samples`
+    * total (duration = samples/44100).
+    */
+  private def flacHeader(samples: Long): Array[Byte] = {
+    val si = new Array[Byte](34)
+    si(10) = 0x0A; si(11) = 0xC4.toByte // 44100 >> 12, (44100 >> 4) & 0xFF
+    si(12) = 0x42                       // rate low nibble 4 | (ch-1)=1 << 1 | bits hi 0
+    si(13) = (0xF0 | ((samples >> 32) & 0xF)).toByte // bits-1 low nibble F | samples hi
+    si(14) = (samples >> 24).toByte; si(15) = (samples >> 16).toByte
+    si(16) = (samples >> 8).toByte; si(17) = samples.toByte
+    "fLaC".getBytes ++ Array[Byte](0x80.toByte, 0, 0, 34) ++ si
+  }
+
+  /** One Ogg page: BOS/EOS flags via `htype`, 64-bit granule, one body. */
+  private def oggPage(htype: Int, granule: Long, body: Array[Byte]): Array[Byte] = {
+    require(body.length < 255)
+    val h = new Array[Byte](27)
+    h(0) = 'O'; h(1) = 'g'; h(2) = 'g'; h(3) = 'S'; h(4) = 0; h(5) = htype.toByte
+    for (i <- 0 until 8) h(6 + i) = ((granule >> (8 * i)) & 0xFF).toByte
+    h(26) = 1 // one segment
+    h ++ Array(body.length.toByte) ++ body
+  }
+
+  test("flac metadata: STREAMINFO fields; ogg opus/vorbis: id header + last granule") {
+    val f = Multimodal.parseFlacMeta(flacHeader(441000L)).get
+    assert(f.format === "flac" && f.sample_rate === 44100 && f.channels === 2)
+    assert(f.duration_ms === 10000L && f.vbr)
+    // zero total samples (streaming encoder): positive parse, duration 0
+    val z = Multimodal.parseFlacMeta(flacHeader(0L)).get
+    assert(z.duration_ms === 0L && z.bitrate_kbps === 0)
+
+    val opusHead = "OpusHead".getBytes ++
+      Array[Byte](1, 2, 0x38, 0x01) ++ Array[Byte](0x80.toByte, 0xBB.toByte, 0, 0) ++
+      Array[Byte](0, 0, 0)
+    val opus = oggPage(2, 0L, opusHead) ++ oggPage(4, 96000L, new Array[Byte](10))
+    val o = Multimodal.parseOggMeta(opus).get
+    assert(o.format === "opus" && o.sample_rate === 48000 && o.channels === 2)
+    assert(o.duration_ms === 2000L && o.n_frames === 2L) // pages
+
+    val vorbisId = Array[Byte](1) ++ "vorbis".getBytes ++
+      Array[Byte](0, 0, 0, 0) ++ Array[Byte](1) ++
+      Array[Byte](0x22, 0x56, 0, 0) ++ // 22050 LE
+      new Array[Byte](12) ++ Array[Byte](0x44, 1)
+    val vorb = oggPage(2, 0L, vorbisId) ++ oggPage(4, 44100L, new Array[Byte](10))
+    val v = Multimodal.parseOggMeta(vorb).get
+    assert(v.format === "vorbis" && v.sample_rate === 22050 && v.channels === 1)
+    assert(v.duration_ms === 2000L)
+
+    // a truncated final page still reports the duration of what parsed
+    val cut = Multimodal.parseOggMeta(opus.dropRight(5)).get
+    assert(cut.format === "opus" && cut.duration_ms === 0L) // final granule lost
+
+    // rejections: wrong magics, undersized, non-STREAMINFO-first flac
+    assert(Multimodal.parseFlacMeta("fLaCxx".getBytes) === None)
+    assert(Multimodal.parseFlacMeta("RIFFxxxxWAVE".getBytes) === None)
+    assert(Multimodal.parseOggMeta("OggX".getBytes ++ new Array[Byte](40)) === None)
+    assert(Multimodal.parseOggMeta(mp3Frame(128)) === None)
+  }
+
+  test("compressedAudioMeta demux: aac/mp3/flac/ogg parse, wav and blobs drop") {
     val wav = { // minimal silent WAV via the JDK encoder
       val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
       val data = new Array[Byte](1600)
@@ -1572,13 +1631,19 @@ class MultimodalSpec extends SparkSpec {
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
     }
+    val opus = oggPage(2, 0L, "OpusHead".getBytes ++
+      Array[Byte](1, 2, 0x38, 0x01, 0x80.toByte, 0xBB.toByte, 0, 0, 0, 0, 0)) ++
+      oggPage(4, 48000L, new Array[Byte](10))
     val media = Seq(
       (1L, mp3Frame(128) ++ mp3Frame(128)),
       (2L, adtsFrame(150) ++ adtsFrame(150)),
       (3L, wav),
-      (4L, Array[Byte](9, 9, 9, 9))).toDF("media_id", "payload")
+      (4L, Array[Byte](9, 9, 9, 9)),
+      (5L, flacHeader(441000L)),
+      (6L, opus)).toDF("media_id", "payload")
     val rows = Multimodal.compressedAudioMeta(media).collect().sortBy(_.media_id)
-    assert(rows.map(r => r.media_id -> r.format).toSeq === Seq(1L -> "mp3", 2L -> "aac"))
+    assert(rows.map(r => r.media_id -> r.format).toSeq ===
+      Seq(1L -> "mp3", 2L -> "aac", 5L -> "flac", 6L -> "opus"))
   }
 
   // MP4 container metadata is REAL byte arithmetic (r18 stub upgrade,
