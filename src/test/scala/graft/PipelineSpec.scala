@@ -53,6 +53,26 @@ class DedupSpec extends SparkSpec {
     assert(df3(0L) === 3L && df3(1L) === 1L && df3(2L) === 0L)
   }
 
+  // after one keepFirst pass every canonical form occurs at most once
+  // corpus-wide, so a second pass must be the identity on (n_kept == the
+  // new n_pars) — the fixed-point law that makes re-running the dedup on
+  // already-cleaned data safe
+  test("paragraphDedup is idempotent: a second pass drops nothing") {
+    val sep = "\n\n"
+    val d = Seq(
+      (0L, s"unique alpha${sep}shared block${sep}unique beta"),
+      (1L, s"shared block${sep}own content"),
+      (2L, s"shared block"),
+      (3L, s"own content${sep}${sep}tail")).toDF("doc_id", "text")
+    val pass1 = Dedup.paragraphDedup(d, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("clean_text").as("text"))
+    val pass2 = Dedup.paragraphDedup(pass1, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    pass2.foreach { case (id, (nPars, nKept)) =>
+      assert(nPars === nKept, s"second pass dropped paragraphs in doc $id")
+    }
+  }
+
   // the incremental contract (minDf = 2): equals the batch operator over
   // (seen ∪ new) with every seen id ordered BELOW every new id (so the
   // corpus always holds the winner), restricted to the new docs
@@ -1076,6 +1096,17 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.canonicalUrl(col("url")).as("c"))
       .collect().map(_.getString(0))
     got.zip(cases).foreach { case (g, (in, want)) => assert(g === want, in) }
+  }
+
+  test("canonicalUrl is idempotent: a canonical form maps to itself") {
+    val urls = Seq(
+      "http://Example.COM:80/a//b/?b=2&a=1&utm_source=x#f",
+      "https://Host.com:443", "https://host.com:8080/p",
+      "ftp://Files.com:21/A/", "http://h/?utm_source=a",
+      "http://h/p?ref=1&refx=2&z=9&c=1")
+    val once = urls.toDF("url").select(TextAnalysis.canonicalUrl(col("url")).as("c"))
+    val twice = once.select(TextAnalysis.canonicalUrl(col("c")).as("c2"), col("c"))
+    twice.collect().foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 
   test("token count / quality metrics") {
