@@ -1222,6 +1222,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // dedup — incremental span removal: odd docs are the increment,
+    // even docs the standing corpus; a window seen in the corpus (or
+    // repeated within the increment) marks its span for cutting
+    "q_incr_strip_spans" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val seen = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+      val inc = docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+      Dedup.incrementalStripDuplicateSpans(inc, seen, "doc_id", "text", w = 5)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"), col("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     // dedup — SimHash near-dup pairs (60-bit portable signatures)
     "q_simhash_pairs" -> ((s, d) => {
       Dedup.simhashPairs(table(s, d, "documents"), "doc_id", "text", maxHamming = 3)

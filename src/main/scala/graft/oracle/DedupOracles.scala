@@ -467,6 +467,56 @@ private[graft] object DedupOracles {
          FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start"""
     },
 
+    // incremental span removal: a new-side window is duplicated iff its
+    // hash is in the corpus OR repeats within the increment (== the
+    // batch >= 2 rule over the union, restricted to new docs)
+    "q_incr_strip_spans" -> {
+      import graft.functions.PortableHash.sqlHashMod
+      val w = 5
+      s"""WITH t AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+           FROM documents),
+         px AS (
+           SELECT doc_id, ws, unnest(range(1, len(ws) - $w + 2)) AS pos FROM t),
+         win AS MATERIALIZED (
+           SELECT doc_id, pos,
+                  ${sqlHashMod(s"array_to_string(ws[pos:pos+${w - 1}], ' ')")} AS h
+           FROM px),
+         seenh AS (SELECT DISTINCT h FROM win WHERE doc_id % 2 = 0),
+         nwin AS (SELECT doc_id, pos, h FROM win WHERE doc_id % 2 = 1),
+         dup AS (
+           SELECT h FROM nwin GROUP BY h HAVING count(*) >= 2
+           UNION SELECT h FROM seenh),
+         dw AS (SELECT doc_id, pos FROM nwin JOIN dup USING (h)),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos <= max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + $w
+                       THEN 0 ELSE 1 END AS brk
+           FROM dw),
+         g AS (SELECT doc_id, pos,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+               FROM isl),
+         spans AS MATERIALIZED (
+           SELECT doc_id, min(pos) AS s, max(pos) + ${w - 1} AS e
+           FROM g GROUP BY doc_id, grp),
+         tok AS (
+           SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos,
+                  unnest(ws) AS tok
+           FROM t WHERE doc_id % 2 = 1),
+         cov AS (
+           SELECT DISTINCT k.doc_id, k.pos
+           FROM tok k JOIN spans sp
+             ON sp.doc_id = k.doc_id AND k.pos BETWEEN sp.s AND sp.e)
+         SELECT k.doc_id,
+                CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                coalesce(string_agg(CASE WHEN c.pos IS NULL THEN k.tok END,
+                  ' ' ORDER BY k.pos), '') AS clean_text
+         FROM tok k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.pos = k.pos
+         GROUP BY k.doc_id ORDER BY k.doc_id"""
+    },
+
     // span removal: the q_dup_spans CTE chain through `g`, then tokens
     // LEFT JOIN the merged spans (each token covers ≤ 1 merged span, so
     // the join cannot duplicate rows) and survivors re-join in order

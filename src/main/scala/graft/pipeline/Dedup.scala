@@ -987,17 +987,31 @@ object Dedup {
       textCol: String,
       w: Int = 5,
       minCount: Long = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wins = df
-      .select(col(idCol).as("id"), posexplode(windowHashes(col(textCol), w)).as(Seq("__p0", "__h")))
-      .select(col("id"), (col("__p0") + 1).cast("long").as("pos"), col("__h"))
+    val wins = windowHashTable(df, idCol, textCol, w)
       .pipe(graft.StageCache.matHot) // count branch + semi-join branch both read it
     val dup = wins.groupBy("__h").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount)
       .select("__h")
-    val dw = wins.join(dup, "__h").select("id", "pos")
-    // islands: a window extends the current span iff pos <= prevEnd + 1,
-    // where prevEnd = max(pos)+w-1 over preceding rows (w is constant)
+    mergeSpans(wins.join(dup, "__h").select("id", "pos"), w)
+  }
+
+  /** (id, pos, __h) rows — every `w`-token window's portable hash, at
+    * 1-based token position. The shared front half of the span family.
+    */
+  private def windowHashTable(
+      df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(windowHashes(col(textCol), w)).as(Seq("__p0", "__h")))
+      .select(col("id"), (col("__p0") + 1).cast("long").as("pos"), col("__h"))
+
+  /** Merge duplicated-window positions (id, pos) into maximal token
+    * spans — islands: a window extends the current span iff
+    * pos <= prevEnd + 1, where prevEnd = max(pos)+w-1 over preceding
+    * rows (w is constant). Bounded by document length, never corpus
+    * size. Output: (id, span_start, span_end, n_windows).
+    */
+  private def mergeSpans(dw: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ord = Window.partitionBy(col("id")).orderBy(col("pos"))
     val prevMax = max(col("pos")).over(ord.rowsBetween(Window.unboundedPreceding, -1))
     val grp = sum(col("__brk")).over(ord)
@@ -1036,13 +1050,57 @@ object Dedup {
       idCol: String,
       textCol: String,
       w: Int = 5,
+      minCount: Long = 2): DataFrame =
+    cutSpans(df, idCol, textCol, duplicateSpans(df, idCol, textCol, w, minCount))
+
+  /** Cross-corpus (incremental) span removal — [[stripDuplicateSpans]]
+    * as it runs at 100 TB: a crawl increment's windows screen against
+    * the STANDING corpus's window-hash set (any seen occurrence makes
+    * the window duplicated) plus within-increment repeats (>= `minCount`
+    * occurrences). With the default `minCount = 2` this equals the batch
+    * operator over (seen ∪ new) restricted to new docs EXACTLY — total
+    * count >= 2 for a window present in the increment ⟺ it is in the
+    * corpus at least once OR repeats within the increment — the law
+    * DedupSpec pins. The seen side reduces to its distinct window-hash
+    * set, registered with [[graft.StageCache]] on a corpus-only plan, so
+    * successive increments reuse it warm (the [[incrementalNearDupPairs]]
+    * precedent); membership joins key on 60-bit hashes.
+    *
+    * Output: one row per NEW doc with tokens —
+    * (id, n_tokens, n_removed, clean_text).
+    */
+  def incrementalStripDuplicateSpans(
+      newDf: DataFrame,
+      seenDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 5,
       minCount: Long = 2): DataFrame = {
-    val spans = duplicateSpans(df, idCol, textCol, w, minCount)
-      .select(col("id").as("__sid"), col("span_start"), col("span_end"))
+    val seenH = graft.StageCache.matHot(
+      windowHashTable(seenDf, idCol, textCol, w).select(col("__h")).distinct())
+    val wins = windowHashTable(newDf, idCol, textCol, w)
+      .pipe(graft.StageCache.matHot) // within-count + both dup joins read it
+    val dupWithin = wins.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select("__h")
+    val dup = dupWithin.unionByName(seenH.join(wins.select("__h").distinct(), "__h"))
+      .distinct()
+    val spans = mergeSpans(wins.join(dup, "__h").select("id", "pos"), w)
+    cutSpans(newDf, idCol, textCol, spans)
+  }
+
+  /** The cut half of the span family: drop every token of `df` covered
+    * by a span of `spans` ((id, span_start, span_end) at token
+    * granularity) and re-join survivors in order — see
+    * [[stripDuplicateSpans]] for the token-stream output contract.
+    */
+  private def cutSpans(
+      df: DataFrame, idCol: String, textCol: String, spans: DataFrame): DataFrame = {
+    val sp = spans.select(col("id").as("__sid"), col("span_start"), col("span_end"))
     val toks = df.select(col(idCol).as("id"),
         posexplode(TextAnalysis.tokens(lower(col(textCol)))).as(Seq("__p0", "tok")))
       .select(col("id"), (col("__p0") + 1).cast("long").as("pos"), col("tok"))
-    toks.join(spans, col("id") === col("__sid") &&
+    toks.join(sp, col("id") === col("__sid") &&
         col("pos").between(col("span_start"), col("span_end")), "left")
       .groupBy(col("id"))
       .agg(

@@ -2545,6 +2545,34 @@ class DuplicateSpansSpec extends SparkSpec {
     assert(got === Set((1L, 6L), (14L, 19L)))
   }
 
+  // incremental contract (minCount = 2): total count >= 2 for a window
+  // present in the increment ⟺ it is in the corpus at least once OR
+  // repeats within the increment — so the incremental form must equal
+  // the batch operator over (seen ∪ new) restricted to new docs
+  test("incrementalStripDuplicateSpans == batch over the union, restricted to the increment") {
+    val phrase = "alpha beta gamma delta epsilon zeta eta theta"
+    val seen = Seq(
+      (100L, s"corpus prefix words here $phrase corpus suffix"),
+      (101L, "corpus only content nothing shared")).toDF("doc_id", "text")
+    val inc = Seq(
+      (200L, s"new head tokens $phrase new tail tokens"),
+      (201L, "i1 i2 i3 i4 i5 i6 filler a b c i1 i2 i3 i4 i5 i6"), // within-increment repeat
+      (202L, "entirely novel increment text with no duplication at all"),
+      (203L, "tiny")).toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))).toMap
+    val got = asMap(Dedup.incrementalStripDuplicateSpans(inc, seen, "doc_id", "text", w = 5))
+    val want = asMap(Dedup.stripDuplicateSpans(seen.unionByName(inc), "doc_id", "text", w = 5))
+      .filter { case (id, _) => id >= 200L }
+    assert(got === want)
+    // spot semantics: the corpus phrase is cut from the increment doc
+    assert(got(200L)._3 === "new head tokens new tail tokens")
+    // within-increment repeat: BOTH occurrences cut (no keeper in span dedup)
+    assert(got(201L)._3 === "filler a b c")
+    assert(got(202L)._2 === 0L)
+  }
+
   test("stripDuplicateSpans: covered tokens cut, survivors re-join in order, short docs whole") {
     val phrase = "alpha beta gamma delta epsilon zeta eta theta"
     val docs = Seq(
