@@ -147,4 +147,40 @@ class StageCacheSpec extends SparkSpec {
       assert(r2.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((201L, 2L)))
     } finally StageCache.clear()
   }
+
+  // the same corpus-only-plan reuse contract for the two r18 incremental
+  // text-rewriting operators: increment 2 against the same corpus
+  // snapshot must HIT the seen-side stage (exactly one new registry
+  // entry — its own increment-side stage), not re-derive the corpus
+  test("incremental paragraph dedup and span removal reuse the seen-side stage across increments") {
+    val seen = Seq(
+      (1L, "standing corpus paragraph body\n\nanother corpus block"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val inc1 = Seq((101L, "fresh one\n\nstanding corpus paragraph body")).toDF("doc_id", "text")
+    val inc2 = Seq((201L, "another corpus block\n\nfresh two")).toDF("doc_id", "text")
+    try {
+      StageCache.clear()
+      val base = StageCache.registeredCount
+      graft.pipeline.Dedup.incrementalParagraphDedup(inc1, seen, "doc_id", "text").collect()
+      val a1 = StageCache.registeredCount
+      graft.pipeline.Dedup.incrementalParagraphDedup(inc2, seen, "doc_id", "text").collect()
+      val a2 = StageCache.registeredCount
+      // paragraph dedup registers ONE stage per call pair: the seen-side
+      // hash set (the increment side is not cached) — so the second call
+      // must add NOTHING
+      assert(a1 === base + 1 && a2 === a1,
+        s"paragraph dedup: expected seen-stage reuse, got +${a1 - base} then +${a2 - a1}")
+
+      StageCache.clear()
+      val b0 = StageCache.registeredCount
+      graft.pipeline.Dedup.incrementalStripDuplicateSpans(inc1, seen, "doc_id", "text").collect()
+      val b1 = StageCache.registeredCount
+      graft.pipeline.Dedup.incrementalStripDuplicateSpans(inc2, seen, "doc_id", "text").collect()
+      val b2 = StageCache.registeredCount
+      // span removal registers the seen-side hash set AND the increment's
+      // own window table per call — increment 2 adds exactly its own
+      assert(b1 === b0 + 2 && b2 === b1 + 1,
+        s"span removal: expected seen-stage reuse, got +${b1 - b0} then +${b2 - b1}")
+    } finally StageCache.clear()
+  }
 }
