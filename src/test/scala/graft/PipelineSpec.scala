@@ -1805,6 +1805,38 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMkvMeta(mkvFile("weird")) === None)
   }
 
+  // crawl blobs are adversarial: every byte parser must REJECT garbage
+  // (return None), never throw — random bytes, magic-bearing prefixes
+  // with garbage tails, and bit-flipped valid fixtures all included
+  test("byte parsers never throw: random, magic-prefixed, and bit-flipped payloads") {
+    val rnd = new scala.util.Random(20260815L)
+    val magics = Seq(
+      "fLaC".getBytes, "OggS".getBytes, Array[Byte]('I', 'D', '3'),
+      Array[Byte](0xFF.toByte, 0xFB.toByte), Array[Byte](0xFF.toByte, 0xF1.toByte),
+      Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte),
+      u32b(20) ++ "ftypisom".getBytes)
+    val valid = Seq(mp4File(), mkvFile(), flacHeader(441000L),
+      mp3Frame(128) ++ mp3Frame(128), adtsFrame(150) ++ adtsFrame(150),
+      oggPage(2, 0L, "OpusHead".getBytes ++ new Array[Byte](11)))
+    val payloads =
+      (0 until 150).map { i => val b = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(b); b } ++
+      magics.flatMap { m => (0 until 20).map { _ =>
+        val tail = new Array[Byte](rnd.nextInt(120)); rnd.nextBytes(tail); m ++ tail } } ++
+      valid.flatMap { v => (0 until 30).map { _ =>
+        val b = v.clone()
+        b(rnd.nextInt(b.length)) = (b(rnd.nextInt(b.length)) ^ (1 << rnd.nextInt(8))).toByte
+        b } } ++
+      valid.flatMap { v => (1 until math.min(v.length, 40)).map(v.take) } // truncations
+    payloads.foreach { p =>
+      Multimodal.parseMp3Meta(p)
+      Multimodal.parseAdtsMeta(p)
+      Multimodal.parseFlacMeta(p)
+      Multimodal.parseOggMeta(p)
+      Multimodal.parseMp4Meta(p)
+      Multimodal.parseMkvMeta(p) // any throw fails the test
+    }
+  }
+
   test("videoMeta demux: mp4 and mkv parse, compressed audio and blobs drop") {
     val media = Seq(
       (1L, mp4File()),
