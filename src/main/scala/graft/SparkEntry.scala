@@ -1359,6 +1359,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // similarity — product-quantization code table (Jégou et al. 2011):
+    // m per-subspace k-means codebooks, each vector stored as m small
+    // codes — the compressed index artifact the ADC scan reads at scale
+    "q_pq_codes" -> ((s, d) => {
+      val enc = Similarity.pqEncode(table(s, d, "embeddings"),
+        m = 4, ksub = 8, iters = 2, dim = 64, cacheKey = Some(s"$d/embeddings"))
+      enc.select(col("id").as("vec_id") +:
+          (0 until 4).map(j => element_at(col("codes"), j + 1).as(s"c$j")): _*)
+        .orderBy("vec_id")
+    }),
+
+    // similarity — PQ-ADC approximate top-k: exhaustive scan over the
+    // m-byte codes with per-query codeword lookup tables (the
+    // memory-bandwidth trade; corpus never shuffles)
+    "q_pq_topk" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb,
+          k = 5, m = 4, ksub = 8, iters = 2, dim = 64,
+          cacheKey = Some(s"$d/embeddings"))
+        .select(col("query_id"), col("vec_id"),
+          round(col("adc_dist"), 6).as("adc_dist"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // curation — cluster-balanced diversity sample (kmeans cells +
     // deterministic per-cluster hash-rate membership; no top-N window)
     "q_diversity_sample" -> ((s, d) => {

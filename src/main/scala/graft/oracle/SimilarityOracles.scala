@@ -30,14 +30,15 @@ private[graft] object SimilarityOracles {
     * is the IVF probe ranking; `where` filters the assigned side.
     */
   private[oracle] def kmeansAssign(
-      name: String, cents: String, dim: Int, keep: Int = 1, where: String = ""): String =
+      name: String, cents: String, dim: Int, keep: Int = 1, where: String = "",
+      from: String = "dv"): String =
     s"""$name AS (
          SELECT vec_id, v, cl, dist FROM (
            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS r FROM (
              SELECT d.vec_id, d.v, c.cl,
                     list_sum(list_transform(range(1, ${dim + 1}),
                       i -> (d.v[i] - c.cent[i]) * (d.v[i] - c.cent[i]))) AS dist
-             FROM dv d CROSS JOIN $cents c$where))
+             FROM $from d CROSS JOIN $cents c$where))
          WHERE r <= $keep)"""
 
   /** Unrolled Lloyd's-iteration CTE chain (no leading WITH) — mirrors
@@ -70,7 +71,18 @@ private[graft] object SimilarityOracles {
 
   private[oracle] def kmeansCtes(k: Int, iters: Int, dim: Int): String =
     kmeansCtes(k, iters, dim, floatDvCte)
-  private[oracle] def kmeansCtes(k: Int, iters: Int, dim: Int, dvCte: String): String = {
+  private[oracle] def kmeansCtes(k: Int, iters: Int, dim: Int, dvCte: String): String =
+    s"""$dvCte,
+         ${chainCtes("", "dv", k, iters, dim)}"""
+
+  /** One full Lloyd's chain with PREFIXED CTE names over an arbitrary
+    * `(vec_id, v)` source table — `chainCtes("", "dv", …)` reproduces
+    * [[kmeansCtes]]'s original text exactly; the PQ oracles instantiate
+    * it once per subspace (`s0…`, `s1…`) over the per-subspace slice
+    * CTEs. Ends at centroid table `<pfx>c<iters>(cl, cent)`.
+    */
+  private[oracle] def chainCtes(
+      pfx: String, from: String, k: Int, iters: Int, dim: Int): String = {
     def update(aName: String, prevC: String, mName: String, cName: String): String = {
       val meanCols = (1 to dim).map(i => s"round(avg(v[$i]), 6) AS d$i").mkString(", ")
       val centList = (1 to dim).map(i => s"m.d$i").mkString("[", ", ", "]")
@@ -80,16 +92,73 @@ private[graft] object SimilarityOracles {
            FROM $prevC c LEFT JOIN $mName m ON m.cl = c.cl)"""
     }
     val iterCtes = (0 until iters).map { i =>
-      kmeansAssign(s"a$i", s"c$i", dim) + ",\n         " +
-        update(s"a$i", s"c$i", s"m$i", s"c${i + 1}")
+      kmeansAssign(s"${pfx}a$i", s"${pfx}c$i", dim, from = from) + ",\n         " +
+        update(s"${pfx}a$i", s"${pfx}c$i", s"${pfx}m$i", s"${pfx}c${i + 1}")
     }.mkString(",\n         ")
-    s"""$dvCte,
-         c0 AS (
+    s"""${pfx}c0 AS (
            SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cl,
                   v AS cent
-           FROM (SELECT vec_id, v FROM dv
+           FROM (SELECT vec_id, v FROM $from
                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)),
          $iterCtes"""
+  }
+
+  /** Shared PQ CTE stack: per-subspace slice views (`s<j>dv` — DuckDB
+    * list slicing is 1-based inclusive, matching Spark's `slice(v,
+    * j·ds+1, ds)`), one [[chainCtes]] codebook fit per subspace, one
+    * corpus assignment per subspace, and the joined m-column code table
+    * `enc(vec_id, c0…c<m-1>)` — mirrors
+    * [[graft.pipeline.Similarity.pqEncode]].
+    */
+  private[oracle] def pqEncCtes(m: Int, ksub: Int, iters: Int, dim: Int): String = {
+    val ds = dim / m
+    val subDvs = (0 until m).map { j =>
+      s"s${j}dv AS (SELECT vec_id, v[${j * ds + 1}:${(j + 1) * ds}] AS v FROM dv)"
+    }
+    val chains = (0 until m).map(j => chainCtes(s"s$j", s"s${j}dv", ksub, iters, ds))
+    val encs = (0 until m).map(j =>
+      kmeansAssign(s"s${j}e", s"s${j}c$iters", ds, from = s"s${j}dv"))
+    val encCols = (0 until m).map(j => s"e$j.cl AS c$j").mkString(", ")
+    val encJoins = (1 until m).map(j => s" JOIN s${j}e e$j ON e$j.vec_id = e0.vec_id").mkString
+    s"""WITH $floatDvCte,
+         ${subDvs.mkString(",\n         ")},
+         ${chains.mkString(",\n         ")},
+         ${encs.mkString(",\n         ")},
+         enc AS (SELECT e0.vec_id, $encCols FROM s0e e0$encJoins)"""
+  }
+
+  /** PQ code-table oracle — mirrors [[graft.pipeline.Similarity.pqEncode]]. */
+  private[oracle] def pqCodesOracleSql(m: Int, ksub: Int, iters: Int, dim: Int): String = {
+    val cols = (0 until m).map(j => s"c$j").mkString(", ")
+    s"""${pqEncCtes(m, ksub, iters, dim)}
+         SELECT vec_id, $cols FROM enc ORDER BY vec_id"""
+  }
+
+  /** PQ-ADC top-k oracle — mirrors [[graft.pipeline.Similarity.pqTopK]]:
+    * per-subspace query-to-EVERY-codeword distances (keep = ksub), the
+    * left-assoc m-term LUT sum, (adc asc, vec_id) ranking.
+    */
+  private[oracle] def pqTopKOracleSql(
+      k: Int, m: Int, ksub: Int, iters: Int, dim: Int): String = {
+    val ds = dim / m
+    val qds = (0 until m).map(j =>
+      kmeansAssign(s"s${j}q", s"s${j}c$iters", ds, keep = ksub,
+        where = " WHERE d.vec_id < 10", from = s"s${j}dv"))
+    val adc = (0 until m).map(j => s"q$j.dist").mkString(" + ")
+    val qJoins = (1 until m)
+      .map(j => s" JOIN s${j}q q$j ON q$j.vec_id = q0.vec_id AND q$j.cl = e.c$j")
+      .mkString
+    s"""${pqEncCtes(m, ksub, iters, dim)},
+         ${qds.mkString(",\n         ")},
+         scored AS (
+           SELECT q0.vec_id AS query_id, e.vec_id, $adc AS adc
+           FROM enc e JOIN s0q q0 ON q0.cl = e.c0$qJoins
+           WHERE e.vec_id <> q0.vec_id),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+           FROM scored)
+         SELECT query_id, vec_id, round(adc, 6) AS adc_dist, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
   private[oracle] def kmeansOracleSql(k: Int, iters: Int, dim: Int): String =
@@ -565,6 +634,10 @@ private[graft] object SimilarityOracles {
     "q_ivf_kmeans" -> ivfKmeansOracleSql(k = 5, nlist = 8, nprobe = 2, iters = 2, dim = 64),
 
     "q_ivf_int8" -> ivfKmeansOracleSql(k = 5, nlist = 8, nprobe = 2, iters = 2, dim = 64, int8DvCte),
+
+    "q_pq_codes" -> pqCodesOracleSql(m = 4, ksub = 8, iters = 2, dim = 64),
+
+    "q_pq_topk" -> pqTopKOracleSql(k = 5, m = 4, ksub = 8, iters = 2, dim = 64),
 
     "q_diversity_sample" -> {
       val score = graft.pipeline.Sampling.sqlHashScore("vec_id", "diversity")

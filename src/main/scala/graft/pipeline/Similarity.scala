@@ -261,6 +261,145 @@ object Similarity {
       cacheKey = cacheKey.map(_ + ":int8"))
   }
 
+  /** Train the `m` per-subspace PQ codebooks: subspace `j` is the
+    * contiguous dim-slice `[j·ds+1, (j+1)·ds]` and gets its own
+    * deterministic k-means fit ([[Clustering.kmeansCentroids]] — md5
+    * init, quantized means) over the corpus restricted to that slice.
+    * All m fits scan ONE materialized (id, double-vector) stage; each
+    * fit is m-independent so the codebooks are reusable across pqEncode
+    * / pqTopK calls via `cacheKey` (the trained-IVF precedent).
+    */
+  private def pqBooks(
+      corpusD: DataFrame,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      ds: Int,
+      cacheKey: Option[String]): Array[Array[Seq[Double]]] = {
+    import graft.pipeline.Clustering
+    (0 until m).map { j =>
+      val sub = corpusD.select(col("vec_id"),
+        slice(col("__v"), j * ds + 1, ds).as("__s"))
+      Clustering.kmeansCentroids(sub, "vec_id", "__s", ksub, iters,
+        cacheKey = cacheKey.map(ck => s"$ck:pq:m$m:ds$ds:sub$j"))
+    }.toArray
+  }
+
+  /** Per-subspace code columns: argmin squared-euclidean against the
+    * subspace codebook literals — first index achieving the array min,
+    * exactly [[Clustering.kmeans]]'s assignment rule (ties → lowest
+    * code), so the DuckDB replay's `(dist, cl)` row_number agrees.
+    */
+  private def pqCodeCols(
+      v: Column, books: Array[Array[Seq[Double]]], ds: Int): Seq[Column] = {
+    import graft.pipeline.Clustering
+    books.toSeq.zipWithIndex.map { case (b, j) =>
+      val dists = Clustering.centroidDists(slice(v, j * ds + 1, ds), b)
+      (array_position(dists, array_min(dists)) - 1).cast("long")
+    }
+  }
+
+  /** Normalized double-cast projection both PQ entry points train and
+    * encode from — materialized once: training runs m·(1+iters) actions
+    * over it, and in production the (id, vector) projection is the
+    * persisted index input, not a per-pass recompute.
+    */
+  private def pqCorpus(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    graft.StageCache.mat(df.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v")))
+
+  /** Product-quantization encoding (Jégou, Douze, Schmid, "Product
+    * quantization for nearest neighbor search", IEEE TPAMI 2011): each
+    * vector becomes `m` small codes — the id of its nearest codeword in
+    * each of the m per-subspace k-means codebooks. At ksub ≤ 256 a code
+    * is one byte, so a 64-dim float vector (256 B) compresses to m bytes
+    * — the storage artifact an exhaustive ADC scan reads at 100 TB
+    * instead of the raw floats. One codegen'd projection pass encodes
+    * the corpus (codebooks are literals — no join).
+    * Output: (id, codes array&lt;long&gt;), codes[j] ∈ [0, ksub).
+    */
+  def pqEncode(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      m: Int = 4,
+      ksub: Int = 8,
+      iters: Int = 2,
+      dim: Int = 64,
+      cacheKey: Option[String] = None): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"need dim divisible by m; got dim=$dim m=$m")
+    val ds = dim / m
+    val corpusD = pqCorpus(df, idCol, vecCol)
+    val books = pqBooks(corpusD, m, ksub, iters, ds, cacheKey)
+    corpusD.select(col("vec_id").as("id"),
+      array(pqCodeCols(col("__v"), books, ds): _*).as("codes"))
+  }
+
+  /** PQ-ADC approximate top-k (asymmetric distance computation): the
+    * corpus is scanned as its m-byte PQ codes; each query precomputes a
+    * lookup table of m×ksub exact sub-distances to every codeword, and
+    * the approximate distance is the m-term LUT sum
+    * `adc = Σ_j ‖q_j − cent_j[code_j(x)]‖²` — no float arithmetic per
+    * corpus row beyond m array lookups and m−1 adds. This is the
+    * classic memory-bandwidth trade that keeps an EXHAUSTIVE scan
+    * feasible at 100 TB: the scan reads m bytes per vector (not dim
+    * floats), queries broadcast with their LUTs, the corpus never
+    * shuffles, and the per-query top-k is the salted two-phase window
+    * ([[bruteForceTopK]]'s pattern — no single task ever sorts a
+    * corpus). Ranking by (adc asc, vec_id) is total, so the result is
+    * independent of `numSalts`.
+    * Output: (query_id, vec_id, adc_dist, rank) — adc_dist is the
+    * approximate SQUARED euclidean distance.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      m: Int = 4,
+      ksub: Int = 8,
+      iters: Int = 2,
+      dim: Int = 64,
+      numSalts: Int = 64,
+      cacheKey: Option[String] = None): DataFrame = {
+    import graft.pipeline.Clustering
+    require(m >= 1 && dim % m == 0, s"need dim divisible by m; got dim=$dim m=$m")
+    require(numSalts >= 1, s"numSalts must be >= 1, got $numSalts")
+    val ds = dim / m
+    val corpusD = pqCorpus(corpus, idCol, vecCol)
+    val books = pqBooks(corpusD, m, ksub, iters, ds, cacheKey)
+    val enc = corpusD.select(col("vec_id") +:
+      pqCodeCols(col("__v"), books, ds).zipWithIndex.map { case (c, j) => c.as(s"__c$j") }: _*)
+    val q = queries
+      .select(col(idCol).as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("__qv"))
+      .select(col("query_id") +: books.toSeq.zipWithIndex.map { case (b, j) =>
+        Clustering.centroidDists(slice(col("__qv"), j * ds + 1, ds), b).as(s"__lut$j")
+      }: _*)
+    // left-assoc LUT sum — the oracle's `q0.dist + q1.dist + …` is the
+    // same fold order, so adc is bit-identical across engines
+    val adc = (0 until m)
+      .map(j => element_at(col(s"__lut$j"), (col(s"__c$j") + 1).cast("int")))
+      .reduce(_ + _)
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_dist", adc)
+      .select("query_id", "vec_id", "adc_dist")
+    val ord = Seq(col("adc_dist").asc, col("vec_id").asc)
+    val w1 = Window
+      .partitionBy(col("query_id"), pmod(xxhash64(col("vec_id")), lit(numSalts.toLong)))
+      .orderBy(ord: _*)
+    val w2 = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+    scored
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "adc_dist", "rank")
+  }
+
   /** Multi-probe probe-bucket list for a query vector: the base sign-LSH
     * bucket plus `numProbes - 1` variants with the LOWEST-MARGIN bit
     * flipped (smallest |projection| = the hyperplane the vector sits

@@ -965,6 +965,95 @@ class SimilaritySpec extends SparkSpec {
     assert(run() === ivf) // seedless determinism
   }
 
+  test("pq codes: bounded, deterministic, argmin of an independently trained codebook") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val enc = Similarity.pqEncode(emb, m = 4, ksub = 8, iters = 2, dim = 64)
+    val rows = enc.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows.size === emb.count())
+    rows.values.foreach { codes =>
+      assert(codes.length === 4)
+      codes.foreach(c => assert(c >= 0 && c < 8, s"code $c out of [0,8)"))
+    }
+    // determinism (seedless md5 init, quantized means)
+    val again = Similarity.pqEncode(emb, m = 4, ksub = 8, iters = 2, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(again === rows)
+    // cross-check: retrain subspace codebooks independently with the same
+    // public API and recompute the argmin through the INTERPRETED
+    // distance path — must agree code-for-code with the native pass
+    val corpusD = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("__v"))
+    (0 until 4).foreach { j =>
+      val sub = corpusD.select(col("vec_id"), slice(col("__v"), j * 16 + 1, 16).as("__s"))
+      val book = Clustering.kmeansCentroids(sub, "vec_id", "__s", 8, 2)
+      val decl = sub.select(col("vec_id"),
+          Clustering.centroidDistsDecl(col("__s"), book).as("__ds"))
+        .select(col("vec_id"),
+          (array_position(col("__ds"), array_min(col("__ds"))) - 1).as("code"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows.foreach { case (id, codes) =>
+        assert(decl(id) === codes(j), s"vec $id subspace $j: native ${codes(j)} != decl ${decl(id)}")
+      }
+    }
+  }
+
+  test("pq topk: one codeword per vector + zero iterations is EXACT squared-L2 search") {
+    // ksub = corpus size, iters = 0: the codebook IS the corpus (md5
+    // init keeps all n vectors), every vector's code is itself at
+    // distance 0, and the ADC sum telescopes to the exact ||q - x||^2 —
+    // the degenerate law pinning the ADC arithmetic end-to-end
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 40)
+    val got = Similarity.pqTopK(emb.filter(col("vec_id") < 3), emb,
+        k = 5, m = 1, ksub = 40, iters = 0, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + (a(i) - b(i)) * (a(i) - b(i)))
+    (0L until 3L).foreach { q =>
+      val want = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, l2(vecs(q), v)) }
+        .sortBy { case (id, d) => (d, id) }.take(5)
+      want.zipWithIndex.foreach { case ((id, d), i) =>
+        val (gotId, gotD) = got((q, i + 1))
+        assert(gotId === id, s"query $q rank ${i + 1}: got $gotId want $id")
+        assert(math.abs(gotD - d) < 1e-9, s"query $q rank ${i + 1}: adc $gotD != exact $d")
+      }
+    }
+  }
+
+  test("pq topk: blob recall, salt-independence, rank shape") {
+    // two tight 4-dim blobs; m=2 subspaces of 2 dims — every subspace
+    // separates the blobs, so ADC must recall the same-blob neighbor
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.02f, 0.9f, 0.01f)), (1L, Array(0.98f, 0.0f, 0.95f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.92f, 0.02f)), (3L, Array(0.0f, 1.0f, 0.02f, 0.9f)),
+      (4L, Array(0.01f, 0.98f, 0.0f, 0.95f)), (5L, Array(0.02f, 0.99f, 0.01f, 0.92f)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id").isin(0L, 3L))
+    def run(salts: Int) = Similarity.pqTopK(queries, corpus,
+        k = 1, m = 2, ksub = 2, iters = 3, dim = 4, numSalts = salts)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = run(64)
+    assert(got(0L) === 1L || got(0L) === 2L, s"query 0 left its blob: ${got(0L)}")
+    assert(got(3L) === 4L || got(3L) === 5L, s"query 3 left its blob: ${got(3L)}")
+    assert(run(1) === got, "result depends on numSalts")
+    // rank shape on the real fixture: ranks 1..k, adc non-decreasing
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val full = Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb,
+        k = 5, m = 4, ksub = 8, iters = 2, dim = 64)
+      .collect().groupBy(_.getLong(0))
+    assert(full.keySet === (0L until 5L).toSet)
+    full.values.foreach { rs =>
+      val byRank = rs.sortBy(_.getInt(3))
+      assert(byRank.map(_.getInt(3)).toSeq === (1 to 5).toSeq)
+      val ds = byRank.map(_.getDouble(2)).toSeq
+      assert(ds === ds.sorted, s"adc not ascending: $ds")
+      ds.foreach(d => assert(d >= 0.0))
+    }
+  }
+
   test("rerankExact: exact float scores over an int8 shortlist; full shortlist == brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
