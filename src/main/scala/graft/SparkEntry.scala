@@ -784,6 +784,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // text analysis — per-domain corpus composition (docs, distinct
+    // canonical pages, token mass, duplicate-fetch ratio). URLs are
+    // manufactured as in q_url_canon but with the host varying by
+    // doc_id%7, so the rollup has real per-domain structure; the garbage
+    // row must fall out (no domain).
+    "q_domain_stats" -> ((s, d) => {
+      val grp = pmod(col("doc_id"), lit(50L)).cast("string")
+      val hn = pmod(col("doc_id"), lit(7L)).cast("string")
+      val url = when(pmod(col("doc_id"), lit(97L)) === 0, lit("garbage no scheme"))
+        .when(pmod(col("doc_id"), lit(4L)) === 0,
+          concat(lit("http://H"), hn, lit(".Example.COM/p"), grp, lit("/x?b=2&a=1&utm_source=s#frag")))
+        .when(pmod(col("doc_id"), lit(4L)) === 1,
+          concat(lit("HTTP://h"), hn, lit(".example.com:80/p"), grp, lit("/x?a=1&b=2")))
+        .when(pmod(col("doc_id"), lit(4L)) === 2,
+          concat(lit("http://h"), hn, lit(".example.com/p"), grp, lit("/x/?b=2&a=1&utm_campaign=c")))
+        .otherwise(concat(lit("http://h"), hn, lit(".example.com//p"), grp, lit("//x?a=1&ref=r&b=2")))
+      TextAnalysis.domainStats(
+          table(s, d, "documents").withColumn("url", url), "url", "text")
+        .select(col("host"), col("n_docs"), col("n_pages"), col("n_tokens"),
+          round(col("dup_ratio"), 6).as("dup_ratio"))
+        .orderBy("host")
+    }),
+
     // dedup — CCNet-style paragraph-level dedup: repeated paragraphs
     // stripped corpus-wide, first occurrence kept, text reassembled.
     // The fixture's text is single-line, so the query manufactures

@@ -297,6 +297,49 @@ private[graft] object TextOracles {
                      CASE WHEN qs = '' THEN '' ELSE '?' || qs END END AS canon
          FROM n ORDER BY doc_id""",
 
+    // per-domain rollup over the same canonicalization pipeline — host
+    // varies by doc_id%7 so the grouping has real structure; token mass
+    // is the engine-wide alnum tokenizer; sums cast BIGINT (HUGEINT)
+    "q_domain_stats" ->
+      """WITH u AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 97 = 0 THEN 'garbage no scheme'
+                  WHEN doc_id % 4 = 0 THEN 'http://H' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM/p' || CAST(doc_id % 50 AS VARCHAR) || '/x?b=2&a=1&utm_source=s#frag'
+                  WHEN doc_id % 4 = 1 THEN 'HTTP://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com:80/p' || CAST(doc_id % 50 AS VARCHAR) || '/x?a=1&b=2'
+                  WHEN doc_id % 4 = 2 THEN 'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p' || CAST(doc_id % 50 AS VARCHAR) || '/x/?b=2&a=1&utm_campaign=c'
+                  ELSE 'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com//p' || CAST(doc_id % 50 AS VARCHAR) || '//x?a=1&ref=r&b=2' END AS url,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS nt
+           FROM documents),
+         c AS (
+           SELECT doc_id, nt, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+             regexp_extract(url, '\?([^#]*)', 1) AS q
+           FROM u),
+         n AS (
+           SELECT doc_id, nt, scheme,
+             CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                  ELSE auth END AS host,
+             CASE WHEN p2 = '' THEN '/' ELSE p2 END AS path,
+             array_to_string(list_sort(list_filter(string_split(q, '&'),
+               x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)(=|$)'))), '&') AS qs
+           FROM (SELECT *, CASE WHEN length(p1) > 1 THEN regexp_replace(p1, '/$', '') ELSE p1 END AS p2
+                 FROM (SELECT *, regexp_replace(rawpath, '/{2,}', '/', 'g') AS p1 FROM c))),
+         k AS (
+           SELECT host, nt,
+             CASE WHEN scheme = '' OR host = '' THEN NULL
+                  ELSE scheme || '://' || host || path ||
+                       CASE WHEN qs = '' THEN '' ELSE '?' || qs END END AS canon
+           FROM n)
+         SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT canon) AS BIGINT) AS n_pages,
+                CAST(sum(nt) AS BIGINT) AS n_tokens,
+                round(1.0 - CAST(count(DISTINCT canon) AS DOUBLE) / count(*), 6) AS dup_ratio
+         FROM k WHERE canon IS NOT NULL
+         GROUP BY host ORDER BY host""",
+
     // markup strip replay: same manufactured wrap, same three regex
     // passes (RE2 reads (?is)/lazy .*? identically to Java regex), same
     // fixed entity order with &amp; LAST (one decode pass — the

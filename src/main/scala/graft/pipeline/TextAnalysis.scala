@@ -79,6 +79,43 @@ object TextAnalysis {
         when(qs === "", lit("")).otherwise(concat(lit("?"), qs))))
   }
 
+  /** Host component of a [[canonicalUrl]]-normalized URL — already
+    * lowercased with default ports stripped, so it is the per-domain
+    * grouping key as-is. Null for null/garbage canon.
+    */
+  def canonicalHost(canon: Column): Column = {
+    val h = regexp_extract(canon, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    when(h === "", lit(null).cast("string")).otherwise(h)
+  }
+
+  /** Per-domain corpus composition — the rollup every crawl curation
+    * step reads before domain capping or mixing
+    * ([[Curation.capPerDomain]] composes on the same host key): doc
+    * count, DISTINCT canonical pages (the same page fetched under
+    * variant spellings counts once — [[canonicalUrl]] collapses them),
+    * token mass ([[tokens]], the engine-wide tokenizer), and the
+    * duplicate-fetch ratio `1 − n_pages/n_docs` (the crawler-efficiency
+    * / dup-risk signal per domain). Docs whose URL doesn't canonicalize
+    * (no scheme://host) are excluded — they have no domain.
+    *
+    * Scale shape: token counting is a pure scan-side projection; ONE
+    * hash aggregation keyed by host (partial agg reduces each partition
+    * to its distinct hosts before the shuffle — host cardinality, not
+    * corpus size, crosses the wire; bodies never shuffle).
+    * Output: (host, n_docs, n_pages, n_tokens, dup_ratio).
+    */
+  def domainStats(df: DataFrame, urlCol: String, textCol: String): DataFrame =
+    df.select(canonicalUrl(col(urlCol)).as("__canon"),
+        tokenCount(col(textCol)).cast("long").as("__nt"))
+      .filter(col("__canon").isNotNull)
+      .select(canonicalHost(col("__canon")).as("host"), col("__canon"), col("__nt"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__canon")).as("n_pages"),
+        sum(col("__nt")).as("n_tokens"),
+        (lit(1.0) - countDistinct(col("__canon")).cast("double") / count(lit(1)))
+          .as("dup_ratio"))
+
   /** Tiny per-language stopword lists for n-gram-heuristic language ID.
     * Chosen to be discriminative across the fixture's five languages.
     */

@@ -1198,6 +1198,36 @@ class TextAnalysisSpec extends SparkSpec {
     twice.collect().foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 
+  test("domainStats: variant spellings collapse per host; garbage excluded; hand-computed") {
+    val docs = Seq(
+      // host a.com: same page twice (variant spellings) + one distinct page
+      (1L, "http://A.com:80/p?b=2&a=1&utm_source=s", "one two three"),   // 3 tokens
+      (2L, "http://a.com/p/?a=1&b=2",                "four five"),       // 2 tokens, same canon as 1
+      (3L, "http://a.com/q",                         "six"),             // 1 token
+      // host b.com: one page
+      (4L, "https://B.com:443/x",                    "seven eight"),     // 2 tokens
+      // no domain: excluded
+      (5L, "garbage",                                "ignored tokens"))
+      .toDF("doc_id", "url", "text")
+    val got = TextAnalysis.domainStats(docs, "url", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet === Set("a.com", "b.com"))
+    assert(got("a.com") === ((3L, 2L, 6L, 1.0 - 2.0 / 3.0)))
+    assert(got("b.com") === ((1L, 1L, 2L, 0.0)))
+  }
+
+  test("canonicalHost: lowercased host with default port stripped; null-safe") {
+    val cases = Seq(
+      "http://Example.COM:80/a?x=1" -> "example.com",
+      "https://host.com:8080/p"     -> "host.com:8080",
+      "not a url"                   -> null)
+    val got = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.canonicalHost(TextAnalysis.canonicalUrl(col("url"))).as("h"))
+      .collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (in, want)) => assert(g === want, in) }
+  }
+
   test("token count / quality metrics") {
     val df = Seq((1L, "the cat and the hat is on 42 mats")).toDF("doc_id", "text")
     val q = TextAnalysis.qualityScore(df).head()
