@@ -803,6 +803,253 @@ object Multimodal {
       }
   }
 
+  /** Generic compressed-blob metadata (gzip members / zstd frames) — the
+    * r17-audio / r18-video byte-walk family applied to the compression
+    * containers training corpora actually arrive in (WARC/WET dumps,
+    * .jsonl.gz shards, .zst archives). No codec library involved:
+    *
+    *  - **zstd** (RFC 8878): pure header arithmetic — magic, frame-header
+    *    descriptor (content-size / single-segment / checksum / dict-id
+    *    flags, reserved bit rejects), window descriptor
+    *    (`2^(10+exp) + 2^(10+exp)/8·mantissa`), dictionary id, frame
+    *    content size (the 2-byte spelling carries +256), then the block
+    *    walk: every block header states its on-wire length (raw = size,
+    *    RLE = 1 byte, compressed = size; reserved type rejects), so
+    *    frames are walked WITHOUT entropy decoding. Skippable frames
+    *    (magic 0x184D2A5x) are skipped by their stated length.
+    *  - **gzip** (RFC 1952): header fields (CM=8, reserved FLG bits
+    *    reject; MTIME/OS/FNAME/FEXTRA/FCOMMENT/FHCRC), but DEFLATE has
+    *    no length framing, so member bodies are walked with the JDK
+    *    `Inflater` (public java.util.zip, a REAL decode — not a stub)
+    *    and each member's CRC32 and ISIZE trailer is VERIFIED against
+    *    the inflated bytes: random bytes that spell a plausible header
+    *    cannot masquerade as a member. `uncompressed_size` is therefore
+    *    exact (not ISIZE's mod-2^32 value).
+    *
+    * Multi-member/multi-frame payloads (pigz/zstd concatenation) walk
+    * member-by-member; a malformed or truncated tail stops the walk —
+    * members parsed so far are reported with `complete = false` (the
+    * mp3 walker's stance). Nothing parsed at all → no row.
+    */
+  final case class CompressionMeta(
+      format: String, n_members: Int, uncompressed_size: Long,
+      has_checksum: Boolean, mtime: Long, os: Int, fname: Option[String],
+      window_size: Long, dict_id: Long, n_blocks: Long, complete: Boolean)
+
+  private def lu16(payload: Array[Byte], p: Int): Int =
+    (payload(p) & 0xFF) | ((payload(p + 1) & 0xFF) << 8)
+  private def lu32(payload: Array[Byte], p: Int): Long =
+    (payload(p) & 0xFFL) | ((payload(p + 1) & 0xFFL) << 8) |
+      ((payload(p + 2) & 0xFFL) << 16) | ((payload(p + 3) & 0xFFL) << 24)
+
+  private[graft] def parseGzipMeta(payload: Array[Byte]): Option[CompressionMeta] = {
+    // 10-byte header + 2-byte minimal deflate + 8-byte trailer
+    if (payload == null || payload.length < 20) return None
+    val n = payload.length
+    var pos = 0
+    var members = 0
+    var total = 0L
+    var mtime0 = 0L; var os0 = -1; var fname0: Option[String] = None
+    var hdrCrc = false
+    var ok = true
+    while (ok && pos + 10 <= n &&
+        (payload(pos) & 0xFF) == 0x1F && (payload(pos + 1) & 0xFF) == 0x8B) {
+      val cm = payload(pos + 2) & 0xFF
+      val flg = payload(pos + 3) & 0xFF
+      if (cm != 8 || (flg & 0xE0) != 0) ok = false // only deflate; reserved FLG bits reject
+      else {
+        val mtime = lu32(payload, pos + 4)
+        val os = payload(pos + 9) & 0xFF
+        var p = pos + 10
+        var name: Option[String] = None
+        if ((flg & 4) != 0) { // FEXTRA: u16 LE length + payload
+          if (p + 2 > n) ok = false
+          else { p += 2 + lu16(payload, p) }
+        }
+        if (ok && (flg & 8) != 0) { // FNAME: zero-terminated ISO 8859-1
+          var e = p
+          while (e < n && payload(e) != 0) e += 1
+          if (e >= n) ok = false
+          else {
+            name = Some(new String(payload, p, e - p, java.nio.charset.StandardCharsets.ISO_8859_1))
+            p = e + 1
+          }
+        }
+        if (ok && (flg & 16) != 0) { // FCOMMENT: zero-terminated
+          var e = p
+          while (e < n && payload(e) != 0) e += 1
+          if (e >= n) ok = false else p = e + 1
+        }
+        if (ok && (flg & 2) != 0) p += 2 // FHCRC (header CRC16)
+        if (!ok || p >= n) ok = false
+        else {
+          // DEFLATE carries no length framing: inflate to find the member
+          // end, verifying the trailer CRC32/ISIZE against the real bytes
+          val inf = new java.util.zip.Inflater(true)
+          try {
+            inf.setInput(payload, p, n - p)
+            val crc = new java.util.zip.CRC32
+            val buf = new Array[Byte](65536)
+            var sz = 0L
+            var stalled = false
+            while (!inf.finished() && !stalled) {
+              val k = inf.inflate(buf)
+              if (k > 0) { crc.update(buf, 0, k); sz += k }
+              else if (inf.needsInput() || inf.needsDictionary()) stalled = true
+            }
+            if (!inf.finished()) ok = false // truncated body
+            else {
+              val tp = p + ((n - p) - inf.getRemaining)
+              if (tp + 8 > n) ok = false // truncated trailer
+              else if (lu32(payload, tp) != crc.getValue ||
+                  lu32(payload, tp + 4) != (sz & 0xFFFFFFFFL)) ok = false
+              else {
+                members += 1
+                total += sz
+                if (members == 1) {
+                  mtime0 = mtime; os0 = os; fname0 = name; hdrCrc = (flg & 2) != 0
+                }
+                pos = tp + 8
+              }
+            }
+          } catch {
+            case _: java.util.zip.DataFormatException => ok = false
+          } finally inf.end()
+        }
+      }
+    }
+    if (members == 0) None
+    else Some(CompressionMeta("gzip", members, total, hdrCrc, mtime0, os0, fname0,
+      -1L, -1L, -1L, ok && pos == n))
+  }
+
+  private[graft] def parseZstdMeta(payload: Array[Byte]): Option[CompressionMeta] = {
+    if (payload == null || payload.length < 4) return None
+    val n = payload.length
+    var pos = 0
+    var frames = 0
+    var blocks = 0L
+    var fcsSum = 0L; var fcsAll = true
+    var window = -1L; var dict = 0L; var checksum = false
+    var ok = true
+    while (ok && pos + 4 <= n) {
+      val magic = lu32(payload, pos)
+      if (magic == 0xFD2FB528L) {
+        if (pos + 5 > n) ok = false
+        else {
+          val fhd = payload(pos + 4) & 0xFF
+          if ((fhd & 0x08) != 0) ok = false // reserved bit MUST be zero
+          else {
+            val fcsFlag = fhd >>> 6
+            val single = (fhd & 0x20) != 0
+            val cksum = (fhd & 0x04) != 0
+            var p = pos + 5
+            var wsz = -1L
+            if (!single) {
+              if (p + 1 > n) ok = false
+              else {
+                val wd = payload(p) & 0xFF
+                val base = 1L << (10 + (wd >>> 3))
+                wsz = base + (base / 8) * (wd & 7)
+                p += 1
+              }
+            }
+            val didBytes = Array(0, 1, 2, 4)(fhd & 3)
+            var did = 0L
+            if (ok && didBytes > 0) {
+              if (p + didBytes > n) ok = false
+              else {
+                var i = 0
+                while (i < didBytes) { did |= (payload(p + i) & 0xFFL) << (8 * i); i += 1 }
+                p += didBytes
+              }
+            }
+            val fcsBytes = fcsFlag match {
+              case 0 => if (single) 1 else 0
+              case 1 => 2
+              case 2 => 4
+              case _ => 8
+            }
+            var fcs = -1L
+            if (ok && fcsBytes > 0) {
+              if (p + fcsBytes > n) ok = false
+              else {
+                var v = 0L
+                var i = 0
+                while (i < fcsBytes) { v |= (payload(p + i) & 0xFFL) << (8 * i); i += 1 }
+                fcs = if (fcsBytes == 2) v + 256 else v // 2-byte spelling is offset by 256
+                p += fcsBytes
+              }
+            }
+            if (single) wsz = fcs // single-segment: window IS the content size
+            // block walk: every block header states its on-wire length
+            var last = false
+            while (ok && !last) {
+              if (p + 3 > n) ok = false
+              else {
+                val bh = (payload(p) & 0xFFL) | ((payload(p + 1) & 0xFFL) << 8) |
+                  ((payload(p + 2) & 0xFFL) << 16)
+                last = (bh & 1) != 0
+                val contentLen = ((bh >> 1) & 3) match {
+                  case 0 => (bh >> 3) // raw
+                  case 1 => 1L        // RLE: one byte, regenerated (bh>>3) times
+                  case 2 => (bh >> 3) // compressed
+                  case _ => -1L       // reserved type
+                }
+                if (contentLen < 0 || p + 3 + contentLen > n) ok = false
+                else { p += 3 + contentLen.toInt; blocks += 1 }
+              }
+            }
+            if (ok && cksum) { if (p + 4 > n) ok = false else p += 4 }
+            if (ok) {
+              frames += 1
+              if (frames == 1) { window = wsz; dict = did }
+              checksum = checksum || cksum
+              if (fcs >= 0) fcsSum += fcs else fcsAll = false
+              pos = p
+            }
+          }
+        }
+      } else if ((magic & 0xFFFFFFF0L) == 0x184D2A50L) { // skippable frame
+        if (pos + 8 > n) ok = false
+        else {
+          val sz = lu32(payload, pos + 4)
+          if (pos + 8 + sz > n) ok = false else pos += 8 + sz.toInt
+        }
+      } else ok = false
+    }
+    if (frames == 0) None
+    else Some(CompressionMeta("zstd", frames, if (fcsAll) fcsSum else -1L, checksum,
+      0L, -1, None, window, dict, blocks, ok && pos == n))
+  }
+
+  final case class CompressionMetaRow(
+      media_id: Long, format: String, n_members: Int, uncompressed_size: Long,
+      has_checksum: Boolean, mtime: Long, os: Int, fname: Option[String],
+      window_size: Long, dict_id: Long, n_blocks: Long, complete: Boolean)
+
+  /** Compressed-blob metadata pass: one `mapPartitions` flatMap over
+    * payload bytes (the [[compressedAudioMeta]] shape); rows that parse
+    * as neither gzip nor zstd produce no output. The magics are
+    * disjoint, so probe order is immaterial. Cost note for 100 TB: the
+    * zstd walk reads only headers; the gzip walk must inflate (deflate
+    * has no length framing) — still one streaming pass per blob with a
+    * fixed 64 KiB scratch buffer, no shuffle, no driver data.
+    */
+  def compressionMeta(media: DataFrame): Dataset[CompressionMetaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          parseGzipMeta(payload).orElse(parseZstdMeta(payload)).map(m =>
+            CompressionMetaRow(id, m.format, m.n_members, m.uncompressed_size,
+              m.has_checksum, m.mtime, m.os, m.fname,
+              m.window_size, m.dict_id, m.n_blocks, m.complete))
+        }
+      }
+  }
+
   /** ==== DETERMINISTIC FALLBACK ==== for payloads with no JVM decoder
     * (compressed audio/video; a real build binds javacv here): an 8-float vector
     * folded from the payload bytes, so the distributed plumbing behaves

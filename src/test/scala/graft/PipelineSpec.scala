@@ -1924,6 +1924,144 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMkvMeta(mkvFile("weird")) === None)
   }
 
+  // ---- generic compression containers (gzip members / zstd frames) ----
+
+  private def deflateRaw(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(data); d.finish()
+    val buf = new Array[Byte](data.length * 2 + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) { val k = d.deflate(buf); out.write(buf, 0, k) }
+    d.end(); out.toByteArray
+  }
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  /** Hand-built RFC 1952 member with the optional header fields. */
+  private def gzipMember(data: Array[Byte], fname: Option[String] = None,
+      mtime: Long = 0L, fextra: Option[Array[Byte]] = None, fhcrc: Boolean = false): Array[Byte] = {
+    val flg = (if (fhcrc) 2 else 0) | (if (fextra.isDefined) 4 else 0) |
+      (if (fname.isDefined) 8 else 0)
+    val hdr = Array[Byte](0x1F, 0x8B.toByte, 8, flg.toByte) ++ le32(mtime) ++ Array[Byte](0, 3)
+    val ex = fextra.map(e =>
+      Array[Byte]((e.length & 0xFF).toByte, ((e.length >> 8) & 0xFF).toByte) ++ e)
+      .getOrElse(Array.empty[Byte])
+    val nm = fname.map(s =>
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) :+ 0.toByte)
+      .getOrElse(Array.empty[Byte])
+    val hc = if (fhcrc) Array[Byte](0x12, 0x34) else Array.empty[Byte]
+    val crc = new java.util.zip.CRC32(); crc.update(data)
+    hdr ++ ex ++ nm ++ hc ++ deflateRaw(data) ++ le32(crc.getValue) ++ le32(data.length.toLong)
+  }
+  private def gzipReal(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(data); g.close(); bos.toByteArray
+  }
+  /** One zstd block: 3-byte LE header (last | type<<1 | size<<3) + content. */
+  private def zstdBlock(content: Array[Byte], last: Boolean, btype: Int = 0,
+      rleSize: Int = 0): Array[Byte] = {
+    val size = if (btype == 1) rleSize.toLong else content.length.toLong
+    val bh = (if (last) 1L else 0L) | (btype.toLong << 1) | (size << 3)
+    Array((bh & 0xFF).toByte, ((bh >> 8) & 0xFF).toByte, ((bh >> 16) & 0xFF).toByte) ++ content
+  }
+  private val ZstdMagic = Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte)
+
+  test("gzip metadata: real JDK members walk, CRC-verified; multi-member sums; fields decode") {
+    val data = ("the quick brown fox " * 40).getBytes
+    val one = Multimodal.parseGzipMeta(gzipReal(data)).get
+    assert(one.format === "gzip" && one.n_members === 1 && one.complete)
+    assert(one.uncompressed_size === data.length)
+    assert(!one.has_checksum && one.fname === None) // JDK writes no FNAME/FHCRC
+    // pigz-style concatenation: members walk, sizes sum
+    val two = Multimodal.parseGzipMeta(gzipReal(data) ++ gzipReal(data.take(100))).get
+    assert(two.n_members === 2 && two.uncompressed_size === data.length + 100 && two.complete)
+    // hand-built header: FNAME + MTIME + FEXTRA + FHCRC all decode
+    val h = Multimodal.parseGzipMeta(gzipMember(data, fname = Some("train.jsonl"),
+      mtime = 1723780000L, fextra = Some(Array[Byte](1, 2, 3, 4)), fhcrc = true)).get
+    assert(h.fname === Some("train.jsonl") && h.mtime === 1723780000L && h.has_checksum)
+    assert(h.os === 3 && h.uncompressed_size === data.length && h.complete)
+  }
+
+  test("gzip metadata: corrupt CRC rejects; truncation rejects; trailing garbage flags incomplete") {
+    val data = ("payload bytes " * 30).getBytes
+    val g = gzipReal(data)
+    val bad = g.clone(); bad(g.length - 6) = (bad(g.length - 6) ^ 0x01).toByte // CRC32 byte
+    assert(Multimodal.parseGzipMeta(bad) === None)
+    assert(Multimodal.parseGzipMeta(g.dropRight(12)) === None) // body/trailer truncated
+    val trail = Multimodal.parseGzipMeta(g ++ Array[Byte](9, 9, 9, 9, 9)).get
+    assert(trail.n_members === 1 && !trail.complete)
+    // first member good + second member corrupt: the walk stops, reports one
+    val twoBad = g ++ gzipReal(data).dropRight(4)
+    val partial = Multimodal.parseGzipMeta(twoBad).get
+    assert(partial.n_members === 1 && !partial.complete)
+  }
+
+  test("zstd metadata: frame fields decode; blocks walk by stated length; skippable skipped") {
+    // single-segment frame: FHD 0x20, 1-byte FCS, one raw last block
+    val content = "hello zstd".getBytes
+    val single = ZstdMagic ++ Array[Byte](0x20, content.length.toByte) ++
+      zstdBlock(content, last = true)
+    val s = Multimodal.parseZstdMeta(single).get
+    assert(s.format === "zstd" && s.n_members === 1 && s.n_blocks === 1 && s.complete)
+    assert(s.uncompressed_size === content.length)
+    assert(s.window_size === content.length) // single-segment: window IS the content size
+    assert(!s.has_checksum && s.dict_id === 0L)
+    // windowed frame: FHD 0x40 (2-byte FCS +256), wd 0 → 1 KiB window,
+    // two raw blocks; then a skippable frame; then a 1-byte-dict-id
+    // RLE frame with checksum
+    val frameB = ZstdMagic ++ Array[Byte](0x40, 0x00) ++ le32(300 - 256).take(2) ++
+      zstdBlock(new Array[Byte](200), last = false) ++
+      zstdBlock(new Array[Byte](100), last = true)
+    val skippable = Array[Byte](0x52, 0x2A, 0x4D, 0x18) ++ le32(4) ++ Array[Byte](1, 2, 3, 4)
+    val frameC = ZstdMagic ++ Array[Byte]((0x20 | 0x04 | 0x01).toByte, 77, 60) ++
+      zstdBlock(Array[Byte](0x41), last = true, btype = 1, rleSize = 60) ++
+      Array[Byte](0, 0, 0, 0) // content checksum
+    val m = Multimodal.parseZstdMeta(frameB ++ skippable ++ frameC).get
+    assert(m.n_members === 2 && m.n_blocks === 3 && m.complete)
+    assert(m.uncompressed_size === 300 + 60)
+    assert(m.window_size === 1024 && m.dict_id === 0L) // first frame's window/dict
+    assert(m.has_checksum)                             // any frame's checksum flag
+    // no-FCS frame → total size unknown (-1)
+    val noFcs = ZstdMagic ++ Array[Byte](0x00, 0x00) ++ zstdBlock(content, last = true)
+    assert(Multimodal.parseZstdMeta(noFcs).get.uncompressed_size === -1L)
+  }
+
+  test("zstd metadata: reserved bits and types reject; truncation rejects or flags incomplete") {
+    val content = "x".getBytes
+    val okFrame = ZstdMagic ++ Array[Byte](0x20, 1) ++ zstdBlock(content, last = true)
+    assert(Multimodal.parseZstdMeta(okFrame).isDefined)
+    // FHD reserved bit set
+    assert(Multimodal.parseZstdMeta(
+      ZstdMagic ++ Array[Byte](0x28, 1) ++ zstdBlock(content, last = true)) === None)
+    // reserved block type (3)
+    assert(Multimodal.parseZstdMeta(
+      ZstdMagic ++ Array[Byte](0x20, 1) ++ zstdBlock(content, last = true, btype = 3)) === None)
+    // truncated first frame → nothing parsed
+    assert(Multimodal.parseZstdMeta(okFrame.dropRight(1)) === None)
+    // good frame + truncated second → one frame, incomplete
+    val partial = Multimodal.parseZstdMeta(okFrame ++ okFrame.dropRight(1)).get
+    assert(partial.n_members === 1 && !partial.complete)
+    // zstd magic is not gzip and vice versa
+    assert(Multimodal.parseGzipMeta(okFrame) === None)
+    assert(Multimodal.parseZstdMeta(gzipReal(("y" * 64).getBytes)) === None)
+  }
+
+  test("compressionMeta demux: gzip and zstd parse, other blobs drop") {
+    val data = ("shard content " * 20).getBytes
+    val zf = ZstdMagic ++ Array[Byte](0x20, 9) ++ zstdBlock("nine char".getBytes, last = true)
+    val media = Seq(
+      (1L, gzipReal(data)),
+      (2L, zf),
+      (3L, Array[Byte](7, 7, 7, 7)),
+      (4L, mp3Frame(128) ++ mp3Frame(128))).toDF("media_id", "payload")
+    val rows = Multimodal.compressionMeta(media).collect().sortBy(_.media_id)
+    assert(rows.map(_.media_id).toSeq === Seq(1L, 2L))
+    assert(rows(0).format === "gzip" && rows(0).uncompressed_size === data.length)
+    assert(rows(1).format === "zstd" && rows(1).uncompressed_size === 9L)
+  }
+
   // crawl blobs are adversarial: every byte parser must REJECT garbage
   // (return None), never throw — random bytes, magic-bearing prefixes
   // with garbage tails, and bit-flipped valid fixtures all included
@@ -1933,10 +2071,14 @@ class MultimodalSpec extends SparkSpec {
       "fLaC".getBytes, "OggS".getBytes, Array[Byte]('I', 'D', '3'),
       Array[Byte](0xFF.toByte, 0xFB.toByte), Array[Byte](0xFF.toByte, 0xF1.toByte),
       Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte),
-      u32b(20) ++ "ftypisom".getBytes)
+      u32b(20) ++ "ftypisom".getBytes,
+      Array[Byte](0x1F, 0x8B.toByte, 8, 0), ZstdMagic,
+      Array[Byte](0x50, 0x2A, 0x4D, 0x18))
     val valid = Seq(mp4File(), mkvFile(), flacHeader(441000L),
       mp3Frame(128) ++ mp3Frame(128), adtsFrame(150) ++ adtsFrame(150),
-      oggPage(2, 0L, "OpusHead".getBytes ++ new Array[Byte](11)))
+      oggPage(2, 0L, "OpusHead".getBytes ++ new Array[Byte](11)),
+      gzipReal(("fuzz corpus " * 16).getBytes),
+      ZstdMagic ++ Array[Byte](0x20, 5) ++ zstdBlock("fuzzy".getBytes, last = true))
     val payloads =
       (0 until 150).map { i => val b = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(b); b } ++
       magics.flatMap { m => (0 until 20).map { _ =>
@@ -1952,7 +2094,9 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.parseFlacMeta(p)
       Multimodal.parseOggMeta(p)
       Multimodal.parseMp4Meta(p)
-      Multimodal.parseMkvMeta(p) // any throw fails the test
+      Multimodal.parseMkvMeta(p)
+      Multimodal.parseGzipMeta(p)
+      Multimodal.parseZstdMeta(p) // any throw fails the test
     }
   }
 
