@@ -807,6 +807,22 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    // text analysis — Unicode NFC normalization: even docs carry the
+    // DECOMPOSED spelling (e + U+0301), odd docs the precomposed U+00E9;
+    // after NFC both spell identically (and the char count shrinks by
+    // one on the decomposed side), so hash-dedup keys agree
+    "q_nfc_normalize" -> ((s, d) => {
+      val variant = when(pmod(col("doc_id"), lit(2L)) === 0,
+          concat(lit("caf"), lit("e\u0301"), lit(" menu "), col("text")))
+        .otherwise(concat(lit("caf"), lit("\u00e9"), lit(" menu "), col("text")))
+      table(s, d, "documents").select(col("doc_id"), variant.as("raw"))
+        .select(col("doc_id"),
+          TextAnalysis.nfcNormalize(col("raw")).as("nfc"),
+          length(col("raw")).cast("long").as("raw_chars"))
+        .withColumn("nfc_chars", length(col("nfc")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // dedup — CCNet-style paragraph-level dedup: repeated paragraphs
     // stripped corpus-wide, first occurrence kept, text reassembled.
     // The fixture's text is single-line, so the query manufactures

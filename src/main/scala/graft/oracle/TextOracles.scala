@@ -297,6 +297,20 @@ private[graft] object TextOracles {
                      CASE WHEN qs = '' THEN '' ELSE '?' || qs END END AS canon
          FROM n ORDER BY doc_id""",
 
+    // NFC replay: chr(769) = combining acute, chr(233) = precomposed é;
+    // DuckDB's utf8proc nfc_normalize and java.text.Normalizer both
+    // implement UAX#15, so the normalized strings match byte-for-byte
+    "q_nfc_normalize" ->
+      """WITH u AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'caf' || chr(101) || chr(769) || ' menu ' || text
+                  ELSE 'caf' || chr(233) || ' menu ' || text END AS raw
+           FROM documents)
+         SELECT doc_id, nfc_normalize(raw) AS nfc,
+                CAST(length(raw) AS BIGINT) AS raw_chars,
+                CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_chars
+         FROM u ORDER BY doc_id""",
+
     // per-domain rollup over the same canonicalization pipeline — host
     // varies by doc_id%7 so the grouping has real structure; token mass
     // is the engine-wide alnum tokenizer; sums cast BIGINT (HUGEINT)

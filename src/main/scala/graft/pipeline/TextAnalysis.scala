@@ -79,6 +79,20 @@ object TextAnalysis {
         when(qs === "", lit("")).otherwise(concat(lit("?"), qs))))
   }
 
+  /** Unicode NFC normalization (UAX#15 canonical composition) — the
+    * lossless normalization tier BEFORE any byte-keyed dedup: precomposed
+    * and combining-mark spellings of the same text (é vs e+U+0301) hash
+    * identically after it, while compatibility characters (ﬁ, ²) are
+    * deliberately preserved — folding those is lossy and belongs to
+    * [[canonicalize]]-style keys. Native codegen'd expression
+    * ([[graft.functions.UnicodeExpressions]]); already-normalized rows
+    * (all ASCII trivially) return as-is with zero allocation, so it
+    * composes with any scan at full speed. DuckDB's `nfc_normalize` is
+    * the exact oracle twin (both implement UAX#15).
+    */
+  def nfcNormalize(text: Column): Column =
+    graft.functions.UnicodeExpressions.nfc_normalize(text)
+
   /** Host component of a [[canonicalUrl]]-normalized URL — already
     * lowercased with default ports stripped, so it is the per-domain
     * grouping key as-is. Null for null/garbage canon.

@@ -1228,6 +1228,43 @@ class TextAnalysisSpec extends SparkSpec {
     got.zip(cases).foreach { case (g, (in, want)) => assert(g === want, in) }
   }
 
+  test("nfcNormalize: combining marks compose; NFC-clean and compatibility text untouched; fuzz == JDK") {
+    val cases = Seq(
+      "caf" + "e\u0301" -> "caf\u00e9", // decomposed -> precomposed
+      "caf\u00e9"  -> "caf\u00e9",      // already NFC: unchanged
+      "\ufb01n"    -> "\ufb01n",        // fi ligature preserved (NFC, not NFKC)
+      "ascii only" -> "ascii only",
+      "A\u030aB"   -> "\u00c5B")        // A + combining ring -> A-ring
+    val got = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.nfcNormalize(col("t")).as("n")).collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g === want, in.codePoints().toArray.toSeq)
+    }
+    // idempotence and null passthrough
+    val twice = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.nfcNormalize(TextAnalysis.nfcNormalize(col("t"))).as("n"))
+      .collect().map(_.getString(0))
+    assert(twice.toSeq === got.toSeq)
+    assert(Seq((1, null: String)).toDF("i", "t")
+      .select(TextAnalysis.nfcNormalize(col("t"))).head().isNullAt(0))
+    // fuzz: the codegen'd expression == driver-side java.text.Normalizer
+    // on random combining-mark-bearing strings
+    val rnd = new scala.util.Random(20260816L)
+    val marks = Seq('\u0300', '\u0301', '\u0308', '\u030a', '\u0327')
+    val base = "aeiouncAEOU"
+    val fuzz = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(12)).map { _ =>
+        val c = base(rnd.nextInt(base.length)).toString
+        if (rnd.nextBoolean()) c + marks(rnd.nextInt(marks.size)) else c
+      }.mkString
+    }
+    val sparkSide = fuzz.toDF("t").select(TextAnalysis.nfcNormalize(col("t")).as("n"))
+      .collect().map(_.getString(0))
+    val jdkSide = fuzz.map(s =>
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    assert(sparkSide.toSeq === jdkSide)
+  }
+
   test("token count / quality metrics") {
     val df = Seq((1L, "the cat and the hat is on 42 mats")).toDF("doc_id", "text")
     val q = TextAnalysis.qualityScore(df).head()
