@@ -77,7 +77,10 @@ object Explain {
       "q_pmi_pairs",       // shared bigram stage + vocab-bounded marginals
       "q_winnow",          // fused scan-side winnow selection (r16)
       "q_bigram_ppl",      // scan-side bigram TF stage, Σtf marginals (r16)
-      "q_tfidf")           // scan-side tokenTf map explode, no occurrence shuffle
+      "q_tfidf",           // scan-side tokenTf map explode, no occurrence shuffle
+      "q_pq_topk",         // literal-codebook codes + broadcast LUTs; corpus never shuffles
+      "q_domain_stats",    // one host-keyed agg; partials reduce to distinct hosts
+      "q_nfc_normalize")   // pure codegen'd normalization projection
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

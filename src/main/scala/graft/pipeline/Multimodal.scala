@@ -1050,6 +1050,252 @@ object Multimodal {
       }
   }
 
+  /** Split a (possibly multi-member) gzip payload into its decompressed
+    * members with trailer CRC32/ISIZE verification — the [[parseGzipMeta]]
+    * walk, but KEEPING the bytes. The standard `.warc.gz` layout is one
+    * gzip member per WARC record, so this is the crawl-archive demuxer.
+    * None if the payload isn't gzip or its FIRST member is malformed; a
+    * malformed tail stops the walk and returns the good prefix (the
+    * byte-walk family's stance).
+    */
+  private[graft] def gunzipMembers(payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (payload == null || payload.length < 20 ||
+        (payload(0) & 0xFF) != 0x1F || (payload(1) & 0xFF) != 0x8B) return None
+    val n = payload.length
+    val members = Seq.newBuilder[Array[Byte]]
+    var count = 0
+    var pos = 0
+    var ok = true
+    while (ok && pos + 10 <= n &&
+        (payload(pos) & 0xFF) == 0x1F && (payload(pos + 1) & 0xFF) == 0x8B) {
+      val flg = payload(pos + 3) & 0xFF
+      if ((payload(pos + 2) & 0xFF) != 8 || (flg & 0xE0) != 0) ok = false
+      else {
+        var p = pos + 10
+        if ((flg & 4) != 0) { if (p + 2 > n) ok = false else p += 2 + lu16(payload, p) }
+        if (ok && (flg & 8) != 0) { while (p < n && payload(p) != 0) p += 1; if (p >= n) ok = false else p += 1 }
+        if (ok && (flg & 16) != 0) { while (p < n && payload(p) != 0) p += 1; if (p >= n) ok = false else p += 1 }
+        if (ok && (flg & 2) != 0) p += 2
+        if (!ok || p >= n) ok = false
+        else {
+          val inf = new java.util.zip.Inflater(true)
+          try {
+            inf.setInput(payload, p, n - p)
+            val crc = new java.util.zip.CRC32
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](65536)
+            var stalled = false
+            while (!inf.finished() && !stalled) {
+              val k = inf.inflate(buf)
+              if (k > 0) { crc.update(buf, 0, k); out.write(buf, 0, k) }
+              else if (inf.needsInput() || inf.needsDictionary()) stalled = true
+            }
+            if (!inf.finished()) ok = false
+            else {
+              val tp = p + ((n - p) - inf.getRemaining)
+              val bytes = out.toByteArray
+              if (tp + 8 > n || lu32(payload, tp) != crc.getValue ||
+                  lu32(payload, tp + 4) != (bytes.length & 0xFFFFFFFFL)) ok = false
+              else { members += bytes; count += 1; pos = tp + 8 }
+            }
+          } catch {
+            case _: java.util.zip.DataFormatException => ok = false
+          } finally inf.end()
+        }
+      }
+    }
+    if (count == 0) None else Some(members.result())
+  }
+
+  final case class WarcRecord(
+      media_id: Long, record_idx: Int, warc_type: String,
+      target_uri: Option[String], warc_date: Option[String],
+      content_type: Option[String], content_length: Long, body: Array[Byte])
+
+  /** Parse one plain (non-gzip) WARC stream into records. ISO 28500
+    * grammar: `WARC/<ver>` CRLF, header lines `Name: value` to a blank
+    * line, `Content-Length` bytes of body, CRLF CRLF. Tolerant of
+    * bare-`\n` line endings (real crawls contain them); a record without
+    * Content-Length is unskippable, so the walk stops there (records
+    * parsed so far are kept). Returns None if the payload doesn't start
+    * with a `WARC/` version line.
+    */
+  private[graft] def parseWarcRecords(payload: Array[Byte]): Option[Seq[
+      (String, Option[String], Option[String], Option[String], Long, Array[Byte])]] = {
+    if (payload == null || payload.length < 8) return None
+    val n = payload.length
+    def lineEnd(p: Int): Int = { var e = p; while (e < n && payload(e) != '\n') e += 1; e }
+    def lineStr(p: Int, e: Int): String = {
+      val stop = if (e > p && payload(e - 1) == '\r') e - 1 else e
+      new String(payload, p, stop - p, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val out = Seq.newBuilder[(String, Option[String], Option[String], Option[String], Long, Array[Byte])]
+    var count = 0
+    var pos = 0
+    var ok = true
+    while (ok && pos < n) {
+      // skip inter-record blank lines
+      while (pos < n && (payload(pos) == '\r' || payload(pos) == '\n')) pos += 1
+      if (pos >= n) ok = false
+      else {
+        val ve = lineEnd(pos)
+        val vline = lineStr(pos, ve)
+        if (!vline.startsWith("WARC/")) ok = false
+        else {
+          pos = ve + 1
+          var wtype: String = null
+          var uri: Option[String] = None
+          var date: Option[String] = None
+          var ctype: Option[String] = None
+          var clen = -1L
+          var headersDone = false
+          while (ok && !headersDone) {
+            if (pos >= n) ok = false
+            else {
+              val e = lineEnd(pos)
+              val l = lineStr(pos, e)
+              pos = e + 1
+              if (l.isEmpty) headersDone = true
+              else l.indexOf(':') match {
+                case -1 => ok = false // not a header line — malformed record
+                case c =>
+                  val k = l.substring(0, c).trim.toLowerCase
+                  val v = l.substring(c + 1).trim
+                  k match {
+                    case "warc-type" => wtype = v
+                    case "warc-target-uri" => uri = Some(v)
+                    case "warc-date" => date = Some(v)
+                    case "content-type" => ctype = Some(v)
+                    case "content-length" =>
+                      clen = try v.toLong catch { case _: NumberFormatException => -1L }
+                    case _ => // other headers carried but not projected
+                  }
+              }
+            }
+          }
+          if (ok) {
+            if (clen < 0 || pos + clen > n) ok = false // unskippable / truncated body
+            else {
+              val body = java.util.Arrays.copyOfRange(payload, pos, pos + clen.toInt)
+              out += ((if (wtype == null) "" else wtype, uri, date, ctype, clen, body))
+              count += 1
+              pos += clen.toInt
+            }
+          }
+        }
+      }
+    }
+    if (count == 0) None else Some(out.result())
+  }
+
+  /** WARC crawl-archive records (ISO 28500) — the format training
+    * corpora are actually crawled into (Common-Crawl-style). Handles
+    * both spellings: a plain `.warc` stream, and `.warc.gz` where each
+    * record is its own gzip member ([[gunzipMembers]], CRC-verified,
+    * the standard layout so archives are seekable per record). One
+    * `mapPartitions` flatMap; payloads that are neither produce no
+    * rows. Bodies stay binary (HTTP responses can be anything);
+    * `record_idx` preserves archive order within a payload.
+    *
+    * Scale shape: one streaming pass per blob, no shuffle — the 100 TB
+    * ingest is `binaryFile scan → warcRecords → text extraction`, all
+    * scan-side.
+    */
+  def warcRecords(media: DataFrame): Dataset[WarcRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val plain = parseWarcRecords(payload).map(_.toIndexedSeq)
+            .orElse(gunzipMembers(payload).map(_.flatMap(m =>
+              parseWarcRecords(m).getOrElse(Seq.empty)).toIndexedSeq))
+          plain.getOrElse(IndexedSeq.empty).zipWithIndex.map {
+            case ((t, uri, date, ctype, clen, body), i) =>
+              WarcRecord(id, i, t, uri, date, ctype, clen, body)
+          }
+        }
+      }
+  }
+
+  final case class SniffedFormat(media_id: Long, format: String)
+
+  private def startsWith(p: Array[Byte], at: Int, sig: String): Boolean =
+    p.length >= at + sig.length && sig.indices.forall(i => p(at + i) == sig.charAt(i).toByte)
+
+  /** Classify ONE payload. Deep formats are CONFIRMED by their real
+    * parsers, not magic prefixes alone.
+    */
+  private[graft] def sniffOne(p: Array[Byte]): String = {
+    if (p == null || p.length == 0) return "empty"
+    if (p.length >= 8 && (p(0) & 0xFF) == 0x89 && startsWith(p, 1, "PNG\r\n") &&
+        p(6) == 0x1A && p(7) == '\n') return "png"
+    if (p.length >= 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8 &&
+        (p(2) & 0xFF) == 0xFF) return "jpeg"
+    if (startsWith(p, 0, "GIF87a") || startsWith(p, 0, "GIF89a")) return "gif"
+    if (startsWith(p, 0, "RIFF") && startsWith(p, 8, "WAVE")) return "wav"
+    if (startsWith(p, 0, "RIFF") && startsWith(p, 8, "WEBP")) return "webp"
+    if (startsWith(p, 0, "FORM") && (startsWith(p, 8, "AIFF") || startsWith(p, 8, "AIFC")))
+      return "aiff"
+    if (startsWith(p, 0, ".snd")) return "au"
+    if (startsWith(p, 0, "fLaC")) return "flac"
+    if (startsWith(p, 0, "OggS")) return "ogg"
+    if (startsWith(p, 0, "%PDF")) return "pdf"
+    if (p.length >= 4 && p(0) == 'P' && p(1) == 'K' && p(2) == 3 && p(3) == 4) return "zip"
+    if (parseWarcRecords(p).isDefined) return "warc"
+    if ((p(0) & 0xFF) == 0x1F && p.length > 1 && (p(1) & 0xFF) == 0x8B) {
+      // gzip: if the members contain WARC records it's a crawl archive
+      gunzipMembers(p) match {
+        case Some(ms) if ms.exists(m => parseWarcRecords(m).isDefined) => return "warc.gz"
+        case Some(_) => return "gzip"
+        case None => // fall through — bad gzip is not gzip
+      }
+    }
+    if (parseZstdMeta(p).isDefined) return "zstd"
+    if (parseMp4Meta(p).isDefined) return "mp4"
+    parseMkvMeta(p) match {
+      case Some(m) => return m.container // "mkv" | "webm"
+      case None =>
+    }
+    if (parseAdtsMeta(p).isDefined) return "aac"
+    if (parseMp3Meta(p).isDefined) return "mp3"
+    // text vs binary: strict UTF-8 decode + >=85% printable/whitespace
+    try {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val s = dec.decode(java.nio.ByteBuffer.wrap(p)).toString
+      var printable = 0
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c >= 0x20 || c == '\t' || c == '\n' || c == '\r') printable += 1
+        i += 1
+      }
+      if (s.nonEmpty && printable.toDouble / s.length >= 0.85) "text" else "binary"
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => "binary"
+    }
+  }
+
+  /** Magic-byte format triage over a blob column — the dispatch step of
+    * a mixed-media ingest (route images to decode, audio/video to the
+    * metadata walkers, archives to [[warcRecords]]/decompression, text
+    * onward). Deep formats (mp3/AAC framing, MP4/MKV containers,
+    * gzip/zstd, WARC) are confirmed by their real byte-walk parsers —
+    * random bytes that spell a 2-byte magic do NOT classify; `.warc.gz`
+    * is distinguished from plain gzip by demuxing the members. TOTAL
+    * over the input: unrecognized payloads fall to "text" (strict UTF-8
+    * + printable ratio) or "binary", so the result partitions the
+    * corpus. One scan-side pass, no shuffle.
+    */
+  def sniffFormat(media: DataFrame): Dataset[SniffedFormat] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, p) => SniffedFormat(id, sniffOne(p)) })
+  }
+
   /** ==== DETERMINISTIC FALLBACK ==== for payloads with no JVM decoder
     * (compressed audio/video; a real build binds javacv here): an 8-float vector
     * folded from the payload bytes, so the distributed plumbing behaves

@@ -2099,6 +2099,105 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).format === "zstd" && rows(1).uncompressed_size === 9L)
   }
 
+  // ---- WARC crawl archives + format triage ----
+
+  private def warcRecordBytes(wtype: String, uri: Option[String], body: Array[Byte],
+      eol: String = "\r\n"): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append(s"WARC/1.0$eol")
+    sb.append(s"WARC-Type: $wtype$eol")
+    uri.foreach(u => sb.append(s"WARC-Target-URI: $u$eol"))
+    sb.append(s"WARC-Date: 2026-08-16T00:00:00Z$eol")
+    sb.append(s"Content-Type: text/plain$eol")
+    sb.append(s"Content-Length: ${body.length}$eol")
+    sb.append(eol)
+    sb.toString.getBytes ++ body ++ s"$eol$eol".getBytes
+  }
+
+  test("warcRecords: plain stream parses in order; per-record gzip members parse identically") {
+    val recs = Seq(
+      warcRecordBytes("warcinfo", None, "software: test-crawler".getBytes),
+      warcRecordBytes("response", Some("http://a.com/p1"), "<html>page one</html>".getBytes),
+      warcRecordBytes("response", Some("http://a.com/p2"), "page two body".getBytes))
+    val plain = recs.reduce(_ ++ _)
+    val gz = recs.map(gzipReal).reduce(_ ++ _) // the standard .warc.gz layout
+    val media = Seq((1L, plain), (2L, gz), (3L, Array[Byte](9, 9, 9))).toDF("media_id", "payload")
+    val rows = Multimodal.warcRecords(media).collect()
+      .groupBy(_.media_id).view.mapValues(_.sortBy(_.record_idx)).toMap
+    assert(!rows.contains(3L))
+    Seq(1L, 2L).foreach { id =>
+      val rs = rows(id)
+      assert(rs.map(_.warc_type).toSeq === Seq("warcinfo", "response", "response"))
+      assert(rs.map(_.record_idx).toSeq === Seq(0, 1, 2))
+      assert(rs(0).target_uri === None)
+      assert(rs(1).target_uri === Some("http://a.com/p1"))
+      assert(new String(rs(1).body) === "<html>page one</html>")
+      assert(rs(2).content_length === 13L)
+      assert(rs.forall(_.content_type === Some("text/plain")))
+      assert(rs.forall(_.warc_date === Some("2026-08-16T00:00:00Z")))
+    }
+  }
+
+  test("warcRecords: bare-LF endings tolerated; malformed/truncated records stop the walk") {
+    val lf = warcRecordBytes("response", Some("http://b.com"), "lf body".getBytes, eol = "\n")
+    val got = Multimodal.parseWarcRecords(lf).get
+    assert(got.length === 1 && new String(got.head._6) === "lf body")
+    // truncated body: the good prefix is kept, the tail dropped
+    val good = warcRecordBytes("response", Some("http://c.com"), "complete".getBytes)
+    val trunc = warcRecordBytes("response", Some("http://c.com/2"), "never arrives".getBytes)
+      .dropRight(20)
+    val partial = Multimodal.parseWarcRecords(good ++ trunc).get
+    assert(partial.length === 1 && partial.head._2 === Some("http://c.com"))
+    // no Content-Length → unskippable → rejected outright as first record
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n\r\n").getBytes ++ "body".getBytes
+    assert(Multimodal.parseWarcRecords(noLen) === None)
+    // not WARC at all
+    assert(Multimodal.parseWarcRecords("HTTP/1.1 200 OK\r\n\r\n".getBytes) === None)
+    assert(Multimodal.parseWarcRecords("WARC/1.0\r\ngarbage line no colon\r\n".getBytes) === None)
+  }
+
+  test("gunzipMembers: multi-member roundtrip bit-exact; malformed tail keeps good prefix") {
+    val a = ("alpha " * 50).getBytes
+    val b = "beta".getBytes
+    val ms = Multimodal.gunzipMembers(gzipReal(a) ++ gzipReal(b)).get
+    assert(ms.length === 2)
+    assert(ms(0).toSeq === a.toSeq && ms(1).toSeq === b.toSeq)
+    val partial = Multimodal.gunzipMembers(gzipReal(a) ++ gzipReal(b).dropRight(3)).get
+    assert(partial.length === 1 && partial(0).toSeq === a.toSeq)
+    assert(Multimodal.gunzipMembers("not gzip at all......".getBytes) === None)
+  }
+
+  test("sniffFormat: confirmed classification across the whole parser family") {
+    val pngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n') ++
+      new Array[Byte](16)
+    val warcPlain = warcRecordBytes("response", Some("http://x"), "hi".getBytes)
+    val cases: Seq[(Array[Byte], String)] = Seq(
+      pngSig -> "png",
+      (Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte) ++ new Array[Byte](8)) -> "jpeg",
+      ("RIFF" + "    " + "WAVE").getBytes("ISO-8859-1") -> "wav",
+      "fLaC0000".getBytes -> "flac",
+      "%PDF-1.7".getBytes -> "pdf",
+      mp4File() -> "mp4",
+      mkvFile() -> "mkv",
+      (mp3Frame(128) ++ mp3Frame(128)) -> "mp3",
+      (adtsFrame(150) ++ adtsFrame(150)) -> "aac",
+      gzipReal(("plain shard " * 10).getBytes) -> "gzip",
+      warcRecordBytes("response", Some("http://x"), "hi".getBytes) -> "warc",
+      gzipReal(warcPlain) -> "warc.gz",
+      (ZstdMagic ++ Array[Byte](0x20, 5) ++ zstdBlock("abcde".getBytes, last = true)) -> "zstd",
+      "just some plain ascii prose, nothing else.".getBytes -> "text",
+      Array[Byte](0, 1, 2, 3, 4, 5, 6, 7) -> "binary",
+      Array.empty[Byte] -> "empty")
+    cases.zipWithIndex.foreach { case ((p, want), i) =>
+      assert(Multimodal.sniffOne(p) === want, s"case $i")
+    }
+    // the Dataset pass is total: one row per input
+    val media = cases.zipWithIndex.map { case ((p, _), i) => (i.toLong, p) }
+      .toDF("media_id", "payload")
+    val got = Multimodal.sniffFormat(media).collect().sortBy(_.media_id)
+    assert(got.map(_.format).toSeq === cases.map(_._2))
+  }
+
   // crawl blobs are adversarial: every byte parser must REJECT garbage
   // (return None), never throw — random bytes, magic-bearing prefixes
   // with garbage tails, and bit-flipped valid fixtures all included
@@ -2110,12 +2209,14 @@ class MultimodalSpec extends SparkSpec {
       Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte),
       u32b(20) ++ "ftypisom".getBytes,
       Array[Byte](0x1F, 0x8B.toByte, 8, 0), ZstdMagic,
-      Array[Byte](0x50, 0x2A, 0x4D, 0x18))
+      Array[Byte](0x50, 0x2A, 0x4D, 0x18), "WARC/1.0\r\n".getBytes)
     val valid = Seq(mp4File(), mkvFile(), flacHeader(441000L),
       mp3Frame(128) ++ mp3Frame(128), adtsFrame(150) ++ adtsFrame(150),
       oggPage(2, 0L, "OpusHead".getBytes ++ new Array[Byte](11)),
       gzipReal(("fuzz corpus " * 16).getBytes),
-      ZstdMagic ++ Array[Byte](0x20, 5) ++ zstdBlock("fuzzy".getBytes, last = true))
+      ZstdMagic ++ Array[Byte](0x20, 5) ++ zstdBlock("fuzzy".getBytes, last = true),
+      warcRecordBytes("response", Some("http://f"), "fuzz body".getBytes),
+      gzipReal(warcRecordBytes("warcinfo", None, "w".getBytes)))
     val payloads =
       (0 until 150).map { i => val b = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(b); b } ++
       magics.flatMap { m => (0 until 20).map { _ =>
@@ -2133,7 +2234,10 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.parseMp4Meta(p)
       Multimodal.parseMkvMeta(p)
       Multimodal.parseGzipMeta(p)
-      Multimodal.parseZstdMeta(p) // any throw fails the test
+      Multimodal.parseZstdMeta(p)
+      Multimodal.parseWarcRecords(p)
+      Multimodal.gunzipMembers(p)
+      Multimodal.sniffOne(p) // any throw fails the test
     }
   }
 
