@@ -1422,6 +1422,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // similarity — IVF-PQ (the composed FAISS-style IVFADC index):
+    // coarse cells prune the candidate set, shared residual-PQ codebooks
+    // compress what is scanned; per-(query, probed-cell) residual LUTs
+    "q_ivfpq_topk" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb,
+          k = 5, nlist = 8, nprobe = 2, m = 4, ksub = 8, iters = 2, dim = 64,
+          cacheKey = Some(s"$d/embeddings"))
+        .select(col("query_id"), col("vec_id"),
+          round(col("adc_dist"), 6).as("adc_dist"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // curation — cluster-balanced diversity sample (kmeans cells +
     // deterministic per-cluster hash-rate membership; no top-N window)
     "q_diversity_sample" -> ((s, d) => {

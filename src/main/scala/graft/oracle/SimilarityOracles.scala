@@ -196,6 +196,70 @@ private[graft] object SimilarityOracles {
          FROM r WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** IVF-PQ oracle — mirrors [[graft.pipeline.Similarity.ivfPqTopK]]:
+    * coarse chain (`g` prefix) + corpus cell assignment + residual frame,
+    * then one [[chainCtes]] PQ fit per RESIDUAL subspace, residual codes,
+    * nprobe query cells with per-(query, cell) residual LUTs (cross join
+    * to every codeword — no rank filter, the LUT needs them all), and
+    * the left-assoc m-term ADC sum ranked (adc asc, vec_id).
+    */
+  private[oracle] def ivfPqOracleSql(
+      k: Int, nlist: Int, nprobe: Int, m: Int, ksub: Int, iters: Int, dim: Int): String = {
+    val ds = dim / m
+    def resList(a: String, c: String) =
+      s"list_transform(range(1, ${dim + 1}), i -> $a.v[i] - $c.cent[i])"
+    def subDist(q: String, c: String) =
+      s"""list_sum(list_transform(range(1, ${ds + 1}),
+                      i -> ($q.v[i] - $c.cent[i]) * ($q.v[i] - $c.cent[i])))"""
+    val subRdvs = (0 until m).map { j =>
+      s"s${j}rdv AS (SELECT vec_id, cell, v[${j * ds + 1}:${(j + 1) * ds}] AS v FROM rdv)"
+    }
+    val chains = (0 until m).map(j => chainCtes(s"s$j", s"s${j}rdv", ksub, iters, ds))
+    val encs = (0 until m).map(j =>
+      kmeansAssign(s"s${j}e", s"s${j}c$iters", ds, from = s"s${j}rdv"))
+    val encCols = (0 until m).map(j => s"e$j.cl AS c$j").mkString(", ")
+    val encJoins = (1 until m).map(j => s" JOIN s${j}e e$j ON e$j.vec_id = e0.vec_id").mkString
+    val qSubRdvs = (0 until m).map { j =>
+      s"s${j}qr AS (SELECT vec_id, cell, v[${j * ds + 1}:${(j + 1) * ds}] AS v FROM qrdv)"
+    }
+    val qds = (0 until m).map { j =>
+      s"""s${j}q AS (
+           SELECT q.vec_id, q.cell, c.cl, ${subDist("q", "c")} AS dist
+           FROM s${j}qr q CROSS JOIN s${j}c$iters c)"""
+    }
+    val adc = (0 until m).map(j => s"q$j.dist").mkString(" + ")
+    val qJoins = (1 until m).map(j =>
+      s" JOIN s${j}q q$j ON q$j.vec_id = q0.vec_id AND q$j.cell = e.cell AND q$j.cl = e.c$j")
+      .mkString
+    s"""WITH $floatDvCte,
+         ${chainCtes("g", "dv", nlist, iters, dim)},
+         ${kmeansAssign("gca", s"gc$iters", dim)},
+         rdv AS (
+           SELECT a.vec_id, a.cl AS cell, ${resList("a", "c")} AS v
+           FROM gca a JOIN gc$iters c ON c.cl = a.cl),
+         ${subRdvs.mkString(",\n         ")},
+         ${chains.mkString(",\n         ")},
+         ${encs.mkString(",\n         ")},
+         enc AS (SELECT e0.vec_id, r.cell, $encCols
+                 FROM s0e e0$encJoins JOIN rdv r ON r.vec_id = e0.vec_id),
+         ${kmeansAssign("gqa", s"gc$iters", dim, keep = nprobe, where = " WHERE d.vec_id < 10")},
+         qrdv AS (
+           SELECT a.vec_id, a.cl AS cell, ${resList("a", "c")} AS v
+           FROM gqa a JOIN gc$iters c ON c.cl = a.cl),
+         ${qSubRdvs.mkString(",\n         ")},
+         ${qds.mkString(",\n         ")},
+         scored AS (
+           SELECT q0.vec_id AS query_id, e.vec_id, $adc AS adc
+           FROM enc e
+           JOIN s0q q0 ON q0.cell = e.cell AND q0.cl = e.c0$qJoins
+           WHERE e.vec_id <> q0.vec_id),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+           FROM scored)
+         SELECT query_id, vec_id, round(adc, 6) AS adc_dist, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   def sql: Map[String, String] = Map(
     "q_embed_dedup" ->
       """WITH a AS (SELECT vec_id AS id_a, embedding AS va, label FROM embeddings),
@@ -638,6 +702,8 @@ private[graft] object SimilarityOracles {
     "q_pq_codes" -> pqCodesOracleSql(m = 4, ksub = 8, iters = 2, dim = 64),
 
     "q_pq_topk" -> pqTopKOracleSql(k = 5, m = 4, ksub = 8, iters = 2, dim = 64),
+
+    "q_ivfpq_topk" -> ivfPqOracleSql(k = 5, nlist = 8, nprobe = 2, m = 4, ksub = 8, iters = 2, dim = 64),
 
     "q_diversity_sample" -> {
       val score = graft.pipeline.Sampling.sqlHashScore("vec_id", "diversity")

@@ -275,11 +275,12 @@ object Similarity {
       ksub: Int,
       iters: Int,
       ds: Int,
-      cacheKey: Option[String]): Array[Array[Seq[Double]]] = {
+      cacheKey: Option[String],
+      vcol: String = "__v"): Array[Array[Seq[Double]]] = {
     import graft.pipeline.Clustering
     (0 until m).map { j =>
       val sub = corpusD.select(col("vec_id"),
-        slice(col("__v"), j * ds + 1, ds).as("__s"))
+        slice(col(vcol), j * ds + 1, ds).as("__s"))
       Clustering.kmeansCentroids(sub, "vec_id", "__s", ksub, iters,
         cacheKey = cacheKey.map(ck => s"$ck:pq:m$m:ds$ds:sub$j"))
     }.toArray
@@ -383,6 +384,109 @@ object Similarity {
       .map(j => element_at(col(s"__lut$j"), (col(s"__c$j") + 1).cast("int")))
       .reduce(_ + _)
     val scored = enc.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_dist", adc)
+      .select("query_id", "vec_id", "adc_dist")
+    val ord = Seq(col("adc_dist").asc, col("vec_id").asc)
+    val w1 = Window
+      .partitionBy(col("query_id"), pmod(xxhash64(col("vec_id")), lit(numSalts.toLong)))
+      .orderBy(ord: _*)
+    val w2 = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+    scored
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "adc_dist", "rank")
+  }
+
+  /** IVF-PQ ANN — the composed billion-scale index (Jégou et al. TPAMI'11
+    * §V, "IVFADC"; what FAISS ships as IndexIVFPQ): a coarse k-means
+    * quantizer routes each vector to one of `nlist` cells, and the
+    * RESIDUAL `v − centroid(cell)` is product-quantized with ONE shared
+    * m-subspace codebook (residuals cluster near 0, so one codebook
+    * serves every cell). A query probes its `nprobe` nearest cells and
+    * ADC-scores only those cells' candidates — against per-(query, cell)
+    * LUTs built from the query's OWN residual in that cell, so
+    * `adc = Σ_j ‖(q−c)_j − cent_j[code_j(x)]‖² ≈ ‖q − x‖²` for x in
+    * cell c. Combines IVF's candidate pruning (scan nprobe/nlist of the
+    * corpus) with PQ's m-byte compression of what IS scanned.
+    *
+    * Scale shape: the stored index is (cell, m codes) per vector — the
+    * coarse assignment and codes are literal-codebook projections (no
+    * joins); candidates come from an equi-join on the cell id against
+    * the BROADCAST (query, cell, LUTs) frame (nprobe·|Q| rows); the
+    * per-query top-k is the salted two-phase window. The corpus never
+    * shuffles; a corpus vector lives in exactly one cell, so no
+    * cross-probe dup pairs.
+    *
+    * Deterministic end-to-end (every fit is [[Clustering.kmeansCentroids]]);
+    * the DuckDB oracle replays the coarse chain AND all m residual
+    * chains in SQL. Degenerate law (SimilaritySpec): nprobe = nlist +
+    * one codeword per vector + zero PQ iterations is EXACT squared-L2
+    * search — the residual algebra telescopes,
+    * `‖(q−c) − (x−c)‖² = ‖q−x‖²`.
+    * Output: (query_id, vec_id, adc_dist, rank).
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      nlist: Int = 8,
+      nprobe: Int = 2,
+      m: Int = 4,
+      ksub: Int = 8,
+      iters: Int = 2,
+      dim: Int = 64,
+      numSalts: Int = 64,
+      cacheKey: Option[String] = None): DataFrame = {
+    import graft.pipeline.Clustering
+    require(m >= 1 && dim % m == 0, s"need dim divisible by m; got dim=$dim m=$m")
+    require(nprobe >= 1 && nprobe <= nlist, s"need 1 <= nprobe <= nlist; got $nprobe/$nlist")
+    val ds = dim / m
+    val corpusD = pqCorpus(corpus, idCol, vecCol)
+    val coarse = Clustering.kmeansCentroids(corpusD, "vec_id", "__v", nlist, iters,
+      cacheKey = cacheKey.map(_ + ":ivfpq:coarse"))
+    val coarseLit = typedlit(coarse.map(_.toSeq).toSeq)
+    def residual(v: Column, cell: Column): Column =
+      zip_with(v, element_at(coarseLit, (cell + 1).cast("int")), (a, b) => a - b)
+    // residual frame materialized ONCE: the m codebook fits re-scan it
+    val rdv = graft.StageCache.mat {
+      val ds0 = Clustering.centroidDists(col("__v"), coarse)
+      corpusD
+        .withColumn("__cell", (array_position(ds0, array_min(ds0)) - 1).cast("long"))
+        .select(col("vec_id"), col("__cell"),
+          residual(col("__v"), col("__cell")).as("__r"))
+    }
+    val books = pqBooks(rdv, m, ksub, iters, ds,
+      cacheKey.map(_ + ":ivfpq-res"), vcol = "__r")
+    val enc = rdv.select(col("vec_id") +: col("__cell") +:
+      pqCodeCols(col("__r"), books, ds).zipWithIndex
+        .map { case (c, j) => c.as(s"__c$j") }: _*)
+    // query side: nprobe nearest cells, then per-(query, cell) residual LUTs
+    val qD = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__qv"))
+    val qds = Clustering.centroidDists(col("__qv"), coarse)
+    val probes = slice(
+      array_sort(flatten(transform(array(qds), dsx =>
+        transform(sequence(lit(0), lit(coarse.length - 1)),
+          i => struct(element_at(dsx, i + 1).as("d"), i.cast("long").as("cell")))))),
+      1, nprobe)
+    val q = qD
+      .withColumn("__probe", explode(probes))
+      .withColumn("__cell", col("__probe.cell"))
+      .withColumn("__qr", residual(col("__qv"), col("__cell")))
+      .select(col("query_id") +: col("__cell") +: books.toSeq.zipWithIndex.map {
+        case (b, j) =>
+          Clustering.centroidDists(slice(col("__qr"), j * ds + 1, ds), b).as(s"__lut$j")
+      }: _*)
+    val adc = (0 until m)
+      .map(j => element_at(col(s"__lut$j"), (col(s"__c$j") + 1).cast("int")))
+      .reduce(_ + _)
+    val scored = enc.join(broadcast(q), Seq("__cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc_dist", adc)
       .select("query_id", "vec_id", "adc_dist")

@@ -1054,6 +1054,56 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfpq topk: full probing + one codeword per residual is EXACT squared-L2 search") {
+    // nprobe = nlist (no candidates pruned), ksub = corpus size, PQ
+    // iters via the shared `iters` = 0: every residual is its own
+    // codeword, and the residual algebra telescopes —
+    // ||(q-c) - (x-c)||^2 = ||q-x||^2 — so IVF-PQ degenerates to exact
+    // squared-L2 search, pinning coarse routing + residuals + ADC at once
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 40)
+    val got = Similarity.ivfPqTopK(emb.filter(col("vec_id") < 3), emb,
+        k = 5, nlist = 4, nprobe = 4, m = 1, ksub = 40, iters = 0, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + (a(i) - b(i)) * (a(i) - b(i)))
+    (0L until 3L).foreach { q =>
+      val want = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, l2(vecs(q), v)) }
+        .sortBy { case (id, d) => (d, id) }.take(5)
+      want.zipWithIndex.foreach { case ((id, d), i) =>
+        val (gotId, gotD) = got((q, i + 1))
+        assert(gotId === id, s"query $q rank ${i + 1}: got $gotId want $id")
+        assert(math.abs(gotD - d) < 1e-9, s"query $q rank ${i + 1}: adc $gotD != exact $d")
+      }
+    }
+  }
+
+  test("ivfpq topk: blob recall through cells+residuals; salt-independent; deterministic") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.02f, 0.9f, 0.01f)), (1L, Array(0.98f, 0.0f, 0.95f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.92f, 0.02f)), (3L, Array(0.0f, 1.0f, 0.02f, 0.9f)),
+      (4L, Array(0.01f, 0.98f, 0.0f, 0.95f)), (5L, Array(0.02f, 0.99f, 0.01f, 0.92f)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id").isin(0L, 3L))
+    def run(salts: Int) = Similarity.ivfPqTopK(queries, corpus,
+        k = 1, nlist = 2, nprobe = 1, m = 2, ksub = 2, iters = 3, dim = 4, numSalts = salts)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = run(64)
+    assert(got(0L) === 1L || got(0L) === 2L, s"query 0 left its blob: ${got(0L)}")
+    assert(got(3L) === 4L || got(3L) === 5L, s"query 3 left its blob: ${got(3L)}")
+    assert(run(1) === got, "result depends on numSalts")
+    assert(run(64) === got) // seedless determinism
+    // pruning is real: with nprobe=1, each query scores ONLY its own
+    // cell's candidates — the 2-blob corpus yields at most 3 per query
+    val all = Similarity.ivfPqTopK(queries, corpus,
+        k = 10, nlist = 2, nprobe = 1, m = 2, ksub = 2, iters = 3, dim = 4)
+      .collect().groupBy(_.getLong(0))
+    all.values.foreach(rs => assert(rs.length <= 3, s"probed beyond one cell: ${rs.length}"))
+  }
+
   test("rerankExact: exact float scores over an int8 shortlist; full shortlist == brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
@@ -2196,6 +2246,37 @@ class MultimodalSpec extends SparkSpec {
       .toDF("media_id", "payload")
     val got = Multimodal.sniffFormat(media).collect().sortBy(_.media_id)
     assert(got.map(_.format).toSeq === cases.map(_._2))
+  }
+
+  // the 100 TB ingest path end-to-end, all scan-side: .warc.gz blobs →
+  // records → markup stripped → canonical-URL dedup keys, composed as
+  // one DataFrame plan (no intermediate actions)
+  test("crawl ingest integration: warc.gz -> records -> stripMarkup -> canonicalUrl dedup") {
+    val pages = Seq(
+      ("http://A.com:80/p?b=2&a=1&utm_source=s", "<html><body>Page <b>one</b></body></html>"),
+      ("http://a.com/p/?a=1&b=2",                "<html><body>Page <b>one</b></body></html>"),
+      ("http://a.com/q",                         "<p>other &amp; different</p>"))
+    val archive = pages.map { case (u, html) =>
+      gzipReal(warcRecordBytes("response", Some(u), html.getBytes))
+    }.reduce(_ ++ _)
+    val media = Seq((7L, archive)).toDF("media_id", "payload")
+    val cleaned = Multimodal.warcRecords(media)
+      .select(col("media_id"), col("record_idx"), col("target_uri"),
+        TextAnalysis.stripMarkup(col("body").cast("string")).as("clean"),
+        TextAnalysis.canonicalUrl(col("target_uri")).as("canon"))
+    val rows = cleaned.collect().sortBy(_.getInt(1))
+    assert(rows.length === 3)
+    assert(rows.map(_.getString(3)).toSeq ===
+      Seq("Page one", "Page one", "other & different"))
+    // variant spellings of the same page collapse to ONE canonical key
+    assert(rows(0).getString(4) === rows(1).getString(4))
+    assert(rows(0).getString(4) === "http://a.com/p?a=1&b=2")
+    // exact dedup over (canon, clean) drops the re-fetched variant
+    val dd = Dedup.exactGroups(
+      cleaned.withColumn("k", concat_ws(" ", col("canon"), col("clean"))),
+      "record_idx", "k").collect()
+    assert(dd.length === 2) // page-one (two fetches) + the distinct page
+    assert(dd.map(_.getAs[Long]("n_docs")).sorted.toSeq === Seq(1L, 2L))
   }
 
   // crawl blobs are adversarial: every byte parser must REJECT garbage
