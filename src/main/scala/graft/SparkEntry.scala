@@ -807,6 +807,52 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    // text analysis — robots.txt fetch gating (RFC 9309): per-host
+    // robots text parsed into the graftbot-effective rule groups (exact
+    // group beats *, h1 names neither -> unruled), then longest-rule
+    // wildcard matching with allow-wins-ties over manufactured fetch URLs
+    "q_robots_filter" -> ((s, d) => {
+      import s.implicits._
+      val robots = Seq(
+        ("h0.example.com",
+          "User-agent: *\nDisallow: /private\nAllow: /private/ok\n\n" +
+            "User-agent: graftbot\nDisallow: /p1\nDisallow: /*.tmp$\n"),
+        ("h1.example.com", "# comments only\nUser-agent: other\nDisallow: /\n"),
+        ("h2.example.com", "User-agent: *\nDisallow: /\nAllow: /p"))
+        .toDF("host", "rtxt")
+      val rules = TextAnalysis.robotsRules(robots, "host", "rtxt", agent = "graftbot")
+      val path = element_at(
+        typedlit(Seq("/p1/x", "/q", "/file.tmp", "/file.tmp2", "/p")),
+        (pmod(col("doc_id"), lit(5L)) + 1).cast("int"))
+      val urls = table(s, d, "documents").select(col("doc_id"),
+        concat(lit("http://h"), pmod(col("doc_id"), lit(3L)).cast("string"),
+          lit(".example.com"), path).as("canon"))
+      TextAnalysis.robotsAllowed(urls, "doc_id", "canon", rules)
+        .select(col("doc_id"), col("canon"), col("allowed"))
+        .orderBy("doc_id")
+    }),
+
+    // text analysis — SURT keys over the q_domain_stats URL gauntlet:
+    // variant spellings collapse through canonicalUrl first, then the
+    // host labels reverse into the archive-sortable form; the garbage
+    // row's key must null out
+    "q_surt_key" -> ((s, d) => {
+      val grp = pmod(col("doc_id"), lit(50L)).cast("string")
+      val hn = pmod(col("doc_id"), lit(7L)).cast("string")
+      val url = when(pmod(col("doc_id"), lit(97L)) === 0, lit("garbage no scheme"))
+        .when(pmod(col("doc_id"), lit(4L)) === 0,
+          concat(lit("http://H"), hn, lit(".Example.COM/p"), grp, lit("/x?b=2&a=1&utm_source=s#frag")))
+        .when(pmod(col("doc_id"), lit(4L)) === 1,
+          concat(lit("HTTP://h"), hn, lit(".example.com:80/p"), grp, lit("/x?a=1&b=2")))
+        .when(pmod(col("doc_id"), lit(4L)) === 2,
+          concat(lit("http://h"), hn, lit(".example.com/p"), grp, lit("/x/?b=2&a=1&utm_campaign=c")))
+        .otherwise(concat(lit("http://h"), hn, lit(".example.com//p"), grp, lit("//x?a=1&ref=r&b=2")))
+      table(s, d, "documents").select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          TextAnalysis.surtKey(TextAnalysis.canonicalUrl(col("url"))).as("surt"))
+        .orderBy("doc_id")
+    }),
+
     // text analysis — Unicode NFC normalization: even docs carry the
     // DECOMPOSED spelling (e + U+0301), odd docs the precomposed U+00E9;
     // after NFC both spell identically (and the char count shrinks by

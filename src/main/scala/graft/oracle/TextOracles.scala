@@ -311,6 +311,117 @@ private[graft] object TextOracles {
                 CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_chars
          FROM u ORDER BY doc_id""",
 
+    // robots replay: the FULL pipeline — line split with positions,
+    // comment strip, group assembly (lag + running sum), exact-beats-*
+    // group selection, RFC wildcard translation (RE2 '\0' backref where
+    // Java uses '$0' — same produced pattern), longest-rule/allow-ties
+    // struct max. E'' strings carry the newlines.
+    "q_robots_filter" ->
+      """WITH rb(host, rtxt) AS (VALUES
+           ('h0.example.com', E'User-agent: *\nDisallow: /private\nAllow: /private/ok\n\nUser-agent: graftbot\nDisallow: /p1\nDisallow: /*.tmp$\n'),
+           ('h1.example.com', E'# comments only\nUser-agent: other\nDisallow: /\n'),
+           ('h2.example.com', E'User-agent: *\nDisallow: /\nAllow: /p')),
+         lines AS (
+           SELECT host,
+                  generate_subscripts(string_split(rtxt, chr(10)), 1) AS ln,
+                  trim(regexp_replace(unnest(string_split(rtxt, chr(10))), '#.*$', '')) AS line
+           FROM rb),
+         kv AS (
+           SELECT host, ln,
+                  lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS key,
+                  trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) AS val
+           FROM lines
+           WHERE lower(trim(regexp_extract(line, '^([^:]+):', 1)))
+                 IN ('user-agent', 'allow', 'disallow')),
+         g1 AS (
+           SELECT *, CASE WHEN key = 'user-agent' AND
+                  coalesce(lag(key) OVER (PARTITION BY host ORDER BY ln), '') <> 'user-agent'
+                  THEN 1 ELSE 0 END AS hdr
+           FROM kv),
+         g2 AS (SELECT *, sum(hdr) OVER (PARTITION BY host ORDER BY ln) AS gid FROM g1),
+         grp AS (
+           SELECT host, gid,
+                  max(CASE WHEN lower(val) = 'graftbot' THEN 1 ELSE 0 END) AS ex,
+                  max(CASE WHEN val = '*' THEN 1 ELSE 0 END) AS star
+           FROM g2 WHERE key = 'user-agent' GROUP BY host, gid),
+         he AS (SELECT host, max(ex) AS has_exact FROM grp GROUP BY host),
+         rules AS (
+           SELECT g2.host, (key = 'allow') AS allow, val AS prefix
+           FROM g2 JOIN grp USING (host, gid) JOIN he USING (host)
+           WHERE key <> 'user-agent' AND val <> ''
+             AND CASE WHEN has_exact = 1 THEN ex = 1 ELSE star = 1 END),
+         pat AS (
+           SELECT host, allow, prefix,
+                  '^' || regexp_replace(regexp_replace(regexp_replace(prefix,
+                    '[.^$+?()\[\]{}|\\]', '\\\0', 'g'), '\*', '.*', 'g'), '\\\$$', '$') AS rx
+           FROM rules),
+         urls AS (
+           SELECT doc_id,
+                  'http://h' || CAST(doc_id % 3 AS VARCHAR) || '.example.com' ||
+                  (['/p1/x', '/q', '/file.tmp', '/file.tmp2', '/p'])[CAST(doc_id % 5 AS INT) + 1] AS canon
+           FROM documents),
+         uu AS (
+           SELECT doc_id, canon,
+                  regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+                  regexp_replace(canon, '^[a-z][a-z0-9+.-]*://[^/?#]+', '') AS pathq
+           FROM urls),
+         wins AS (
+           SELECT u.doc_id,
+                  max(struct_pack(l := length(p.prefix),
+                                  a := CASE WHEN p.allow THEN 1 ELSE 0 END)) AS w
+           FROM uu u JOIN pat p ON p.host = u.host AND regexp_matches(u.pathq, p.rx)
+           GROUP BY u.doc_id)
+         SELECT u.doc_id, u.canon,
+                coalesce(struct_extract(wins.w, 'a') = 1, TRUE) AS allowed
+         FROM uu u LEFT JOIN wins ON wins.doc_id = u.doc_id
+         ORDER BY u.doc_id""",
+
+    // SURT replay: the q_domain_stats canonicalization chain, then host
+    // labels reversed comma-joined + optional port + ')' + path?query
+    "q_surt_key" ->
+      """WITH u AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 97 = 0 THEN 'garbage no scheme'
+                  WHEN doc_id % 4 = 0 THEN 'http://H' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM/p' || CAST(doc_id % 50 AS VARCHAR) || '/x?b=2&a=1&utm_source=s#frag'
+                  WHEN doc_id % 4 = 1 THEN 'HTTP://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com:80/p' || CAST(doc_id % 50 AS VARCHAR) || '/x?a=1&b=2'
+                  WHEN doc_id % 4 = 2 THEN 'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p' || CAST(doc_id % 50 AS VARCHAR) || '/x/?b=2&a=1&utm_campaign=c'
+                  ELSE 'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com//p' || CAST(doc_id % 50 AS VARCHAR) || '//x?a=1&ref=r&b=2' END AS url
+           FROM documents),
+         c AS (
+           SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+             regexp_extract(url, '\?([^#]*)', 1) AS q
+           FROM u),
+         n AS (
+           SELECT doc_id, scheme,
+             CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                  ELSE auth END AS host,
+             CASE WHEN p2 = '' THEN '/' ELSE p2 END AS path,
+             array_to_string(list_sort(list_filter(string_split(q, '&'),
+               x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)(=|$)'))), '&') AS qs
+           FROM (SELECT *, CASE WHEN length(p1) > 1 THEN regexp_replace(p1, '/$', '') ELSE p1 END AS p2
+                 FROM (SELECT *, regexp_replace(rawpath, '/{2,}', '/', 'g') AS p1 FROM c))),
+         k AS (
+           SELECT doc_id,
+             CASE WHEN scheme = '' OR host = '' THEN NULL
+                  ELSE scheme || '://' || host || path ||
+                       CASE WHEN qs = '' THEN '' ELSE '?' || qs END END AS canon
+           FROM n),
+         s AS (
+           SELECT doc_id, canon,
+             regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS hostport
+           FROM k)
+         SELECT doc_id,
+           CASE WHEN canon IS NULL THEN NULL
+                ELSE array_to_string(list_reverse(string_split(
+                       regexp_extract(hostport, '^([^:]+)', 1), '.')), ',')
+                     || regexp_extract(hostport, '(:[0-9]+)$', 1) || ')'
+                     || regexp_replace(canon, '^[a-z][a-z0-9+.-]*://[^/?#]+', '') END AS surt
+         FROM s ORDER BY doc_id""",
+
     // per-domain rollup over the same canonicalization pipeline — host
     // varies by doc_id%7 so the grouping has real structure; token mass
     // is the engine-wide alnum tokenizer; sums cast BIGINT (HUGEINT)

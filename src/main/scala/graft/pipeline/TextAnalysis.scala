@@ -102,6 +102,29 @@ object TextAnalysis {
     when(h === "", lit(null).cast("string")).otherwise(h)
   }
 
+  /** SURT key (Sort-friendly URI Reordering Transform — the key format
+    * web archives' CDX indexes sort and partition by): host labels
+    * reversed and comma-joined, then `)` and the path+query, e.g.
+    * `http://a.example.com/p?x=1` → `com,example,a)/p?x=1`. All pages
+    * of a registrable domain become ONE key-range prefix, so a 100 TB
+    * crawl partitioned/sorted by SURT answers per-domain scans with
+    * range pruning instead of a full-corpus host filter — the storage
+    * complement to [[domainStats]]. Input is a [[canonicalUrl]]-form
+    * URL (apply that first for raw URLs); scheme is dropped (archives
+    * treat http/https as one identity), non-default ports survive after
+    * the labels (`com,example:8080)/p`). Null canon → null key. Pure
+    * codegen'd projection.
+    */
+  def surtKey(canon: Column): Column = {
+    val hostPort = canonicalHost(canon)
+    val host = regexp_extract(hostPort, "^([^:]+)", 1)
+    val port = regexp_extract(hostPort, "(:[0-9]+)$", 1)
+    val rest = regexp_replace(canon, "^[a-z][a-z0-9+.-]*://[^/?#]+", "")
+    when(hostPort.isNull, lit(null).cast("string"))
+      .otherwise(concat(
+        array_join(reverse(split(host, "\\.", -1)), ","), port, lit(")"), rest))
+  }
+
   /** Per-domain corpus composition — the rollup every crawl curation
     * step reads before domain capping or mixing
     * ([[Curation.capPerDomain]] composes on the same host key): doc
@@ -129,6 +152,102 @@ object TextAnalysis {
         sum(col("__nt")).as("n_tokens"),
         (lit(1.0) - countDistinct(col("__canon")).cast("double") / count(lit(1)))
           .as("dup_ratio"))
+
+  /** Parse per-host robots.txt text into the EFFECTIVE rule set for one
+    * crawler product token (RFC 9309): lines are `key: value` with
+    * `#`-comments stripped; consecutive `User-agent` lines form a
+    * group header and the Allow/Disallow lines after them belong to all
+    * those agents (until the next header); if any group names `agent`
+    * exactly (case-insensitive), those groups apply and the `*` groups
+    * are ignored — else the `*` groups apply. Empty rule values bind
+    * nothing (an empty Disallow means allow-all) and are dropped.
+    *
+    * Scale shape: one explode over line numbers, two per-host windows
+    * (lag + running sum — robots files are KBs, so per-host windows are
+    * bounded by file size, never corpus size), one aggregation per
+    * group. Output: (host, allow boolean, prefix) — feed
+    * [[robotsAllowed]].
+    */
+  def robotsRules(
+      robots: DataFrame, hostCol: String, textCol: String,
+      agent: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val lines = robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("__ln", "__raw")))
+      .withColumn("__line", trim(regexp_replace(col("__raw"), "#.*$", "")))
+      .withColumn("__key", lower(trim(regexp_extract(col("__line"), "^([^:]+):", 1))))
+      .withColumn("__val", trim(regexp_extract(col("__line"), "^[^:]+:(.*)$", 1)))
+      .filter(col("__key").isin("user-agent", "allow", "disallow"))
+    val w = Window.partitionBy("host").orderBy("__ln")
+    val grouped = lines
+      .withColumn("__hdr",
+        (col("__key") === "user-agent" &&
+          coalesce(lag(col("__key"), 1).over(w) =!= "user-agent", lit(true))).cast("int"))
+      .withColumn("__gid", sum(col("__hdr")).over(w))
+    val groups = grouped.filter(col("__key") === "user-agent")
+      .groupBy("host", "__gid")
+      .agg(
+        max((lower(col("__val")) === agentLc).cast("int")).as("__exact"),
+        max((col("__val") === "*").cast("int")).as("__star"))
+    val hostExact = groups.groupBy("host").agg(max(col("__exact")).as("__has_exact"))
+    val rules = grouped
+      .filter(col("__key") =!= "user-agent" && col("__val") =!= "")
+      .select(col("host"), col("__gid"),
+        (col("__key") === "allow").as("allow"), col("__val").as("prefix"))
+    rules
+      .join(groups, Seq("host", "__gid"))
+      .join(hostExact, Seq("host"))
+      .filter(when(col("__has_exact") === 1, col("__exact") === 1)
+        .otherwise(col("__star") === 1))
+      .select("host", "allow", "prefix")
+  }
+
+  /** RFC 9309 rule-to-regex translation: regex metacharacters escaped,
+    * `*` becomes `.*`, and a TRAILING `$` anchors the match end; the
+    * produced pattern is `^`-anchored. ASCII-only rewrite chain, so
+    * Spark (Java regex) and the DuckDB twin (RE2) translate and match
+    * identically.
+    */
+  private[graft] def robotsPattern(prefix: Column): Column = {
+    // escape everything special EXCEPT '*' (kept as the wildcard) —
+    // '$' is escaped here and un-escaped below only in trailing position
+    val esc = regexp_replace(prefix, "[.^$+?()\\[\\]{}|\\\\]", "\\\\$0")
+    val starred = regexp_replace(esc, "\\*", ".*")
+    val anchored = regexp_replace(starred, "\\\\\\$$", "\\$")
+    concat(lit("^"), anchored)
+  }
+
+  /** Apply a [[robotsRules]] table to canonical URLs: per URL the
+    * matching rules (RFC wildcard semantics via [[robotsPattern]])
+    * compete by rule-string length — longest wins, allow wins ties —
+    * and a URL with no matching rule (or an unruled host) is allowed.
+    * Matching runs against path+query of the [[canonicalUrl]] form.
+    *
+    * Scale shape: the rule table joins on host (rules ~ KBs per host —
+    * AQE broadcasts it for any realistic rule corpus); the winner is a
+    * (length, allow)-struct max aggregation per URL, never a sort.
+    * Output: the input plus an `allowed` boolean.
+    */
+  def robotsAllowed(
+      urls: DataFrame, idCol: String, canonCol: String, rules: DataFrame): DataFrame = {
+    val u = urls
+      .withColumn("__host", canonicalHost(col(canonCol)))
+      .withColumn("__pathq",
+        regexp_replace(col(canonCol), "^[a-z][a-z0-9+.-]*://[^/?#]+", ""))
+    val winners = u.select(col(idCol).as("__id"), col("__host"), col("__pathq"))
+      .join(rules.select(col("host").as("__rhost"), col("allow"), col("prefix")),
+        col("__host") === col("__rhost"))
+      .filter(regexp_like(col("__pathq"), robotsPattern(col("prefix"))))
+      .groupBy("__id")
+      .agg(max(struct(length(col("prefix")).as("l"),
+        col("allow").cast("int").as("a"))).as("__w"))
+      .select(col("__id"), (col("__w.a") === 1).as("__ruled"))
+    u.join(winners, col(idCol) === col("__id"), "left")
+      .withColumn("allowed", coalesce(col("__ruled"), lit(true)))
+      .drop("__id", "__ruled", "__host", "__pathq")
+  }
 
   /** Tiny per-language stopword lists for n-gram-heuristic language ID.
     * Chosen to be discriminative across the fixture's five languages.

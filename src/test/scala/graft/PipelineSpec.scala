@@ -1278,6 +1278,71 @@ class TextAnalysisSpec extends SparkSpec {
     got.zip(cases).foreach { case (g, (in, want)) => assert(g === want, in) }
   }
 
+  test("robotsRules: group assembly, exact-beats-star, comments, case, empty rules") {
+    val robots = Seq(
+      // two-agent header shares rules; exact group later in the file
+      ("a.com", "User-agent: foo\nUser-agent: bar\nDisallow: /x\n\n" +
+        "USER-AGENT: graftbot\nDISALLOW: /only # trailing comment\nAllow:\n"),
+      // star only
+      ("b.com", "User-agent: *\nDisallow: /b\n"),
+      // named-other only: graftbot gets NO rules
+      ("c.com", "User-agent: zzz\nDisallow: /\n"))
+      .toDF("host", "rtxt")
+    val got = TextAnalysis.robotsRules(robots, "host", "rtxt", agent = "graftbot")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSet
+    // a.com: ONLY the exact group's non-empty rules (the foo/bar group is
+    // not graftbot's; the empty Allow binds nothing); b.com: the star rule
+    assert(got === Set(("a.com", false, "/only"), ("b.com", false, "/b")))
+    // shared header: bar inherits the foo/bar group's rule
+    val forBar = TextAnalysis.robotsRules(robots, "host", "rtxt", agent = "BAR")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSet
+    assert(forBar === Set(("a.com", false, "/x"), ("b.com", false, "/b")))
+  }
+
+  test("robotsAllowed: longest rule wins, allow wins ties, wildcards anchor, unruled passes") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rules = Seq(
+      ("h.com", false, "/private"),
+      ("h.com", true, "/private/ok"),
+      ("h.com", false, "/*.tmp$"),
+      ("h.com", false, "/a+b"),
+      ("t.com", false, "/p"),
+      ("t.com", true, "/p")) // exact tie: allow wins
+      .toDF("host", "allow", "prefix")
+    val urls = Seq(
+      (1L, "http://h.com/private/x"),    // /private (8) -> disallow
+      (2L, "http://h.com/private/ok/y"), // /private/ok (11) beats /private -> allow
+      (3L, "http://h.com/dir/f.tmp"),    // wildcard + $ -> disallow
+      (4L, "http://h.com/dir/f.tmp2"),   // $ anchors: no match -> allow
+      (5L, "http://h.com/a+b/z"),        // '+' is literal, not regex -> disallow
+      (6L, "http://h.com/aab/z"),        // would match a regex 'a+b' -> must pass
+      (7L, "http://t.com/p/q"),          // equal-length allow vs disallow -> allow
+      (8L, "http://nowhere.com/x"))      // unruled host -> allow
+      .toDF("id", "canon")
+    val got = TextAnalysis.robotsAllowed(urls, "id", "canon", rules)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("allowed")).toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> false, 4L -> true,
+      5L -> false, 6L -> true, 7L -> true, 8L -> true))
+  }
+
+  test("surtKey: host labels reverse, ports survive, scheme drops, domain prefix property") {
+    val cases = Seq(
+      "http://a.example.com/p?x=1"   -> "com,example,a)/p?x=1",
+      "https://example.com/"         -> "com,example)/",
+      "http://example.com:8080/p"    -> "com,example:8080)/p",
+      "http://h/p"                   -> "h)/p",
+      (null: String)                 -> null)
+    val got = cases.map(_._1).toDF("c")
+      .select(TextAnalysis.surtKey(col("c")).as("s")).collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (in, want)) => assert(g === want, s"in=$in") }
+    // the property SURT exists for: every page of a domain shares the
+    // domain's key prefix, so per-domain scans are key-range scans
+    val pages = Seq("http://x.shop.example.com/a", "http://shop.example.com/b?z=1")
+    val keys = pages.toDF("c").select(TextAnalysis.surtKey(col("c"))).collect().map(_.getString(0))
+    keys.foreach(k => assert(k.startsWith("com,example,shop"), k))
+  }
+
   test("nfcNormalize: combining marks compose; NFC-clean and compatibility text untouched; fuzz == JDK") {
     val cases = Seq(
       "caf" + "e\u0301" -> "caf\u00e9", // decomposed -> precomposed
