@@ -309,6 +309,93 @@ object StreamIngest {
       }
   }
 
+  final case class BandOcc(bandKey: String, docId: Long, ts: java.sql.Timestamp, sig: Seq[Long])
+  final case class BandEntry(docId: Long, sig: Seq[Long])
+  final case class BandState(hot: Boolean, entries: Seq[BandEntry])
+  final case class NearDupAlert(docId: Long, seenId: Long, bandKey: String, estJaccard: Double)
+
+  /** Streaming NEAR-dup monitor — the streaming face of
+    * [[graft.pipeline.Dedup.minhashLshPairs]]: documents arrive as a
+    * stream, each gets the SAME fused MinHash signature and band keys as
+    * the batch operator ([[graft.functions.ShingleOps]] native passes),
+    * and a new document landing in a band bucket the stream has seen
+    * alerts against each document stored there — with the standard
+    * MinHash estimate (matching signature component fraction) as
+    * `estJaccard`, so downstream can threshold without re-reading text.
+    * A pair sharing several bands alerts once per shared band (streams
+    * can't retract; collapse downstream with
+    * `dropDuplicatesWithinWatermark(docId, seenId)` if one alert per
+    * pair is wanted).
+    *
+    * State per band bucket (`flatMapGroupsWithState`): up to
+    * `maxBucket` (docId, signature) entries. A bucket exceeding the cap
+    * flips to a HOT marker — entries are dropped and the bucket goes
+    * silent, the streaming analogue of the batch hot-band cap
+    * (boilerplate bands produce no pairs; alerts already emitted stand).
+    * Event-time TTL as [[dupWindowMonitor]]: a bucket quiet past the
+    * watermark by `stateTtlMs` is forgotten. State is therefore bounded
+    * by (retention-horizon distinct bands) × maxBucket × numHashes
+    * longs. Within a batch, occurrences process in (ts, docId) order,
+    * so alerts are deterministic.
+    */
+  def nearDupMonitor(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes",
+      stateTtlMs: Long = 3600L * 1000): Dataset[NearDupAlert] = {
+    import docs.sparkSession.implicits._
+    require(bands * rowsPerBand <= numHashes,
+      s"bands x rowsPerBand must fit the signature; got $bands x $rowsPerBand > $numHashes")
+    val sigged = docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).cast("long").as("docId"), col(tsCol).as("ts"),
+        graft.functions.ShingleOps.minhashSigCol(lower(col(textCol)), n, numHashes).as("sig"))
+      .filter(size(col("sig")) > 0) // < n tokens: no signature (batch parity)
+      .select(col("docId"), col("ts"), col("sig"),
+        posexplode(graft.functions.ShingleOps.bandHashesCol(col("sig"), bands, rowsPerBand))
+          .as(Seq("__band", "__bh")))
+      .select(concat_ws(":", col("__band"), col("__bh")).as("bandKey"),
+        col("docId"), col("ts"), col("sig"))
+      .as[BandOcc]
+    sigged
+      .groupByKey(_.bandKey)
+      .flatMapGroupsWithState[BandState, NearDupAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state: GroupState[BandState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(BandState(hot = false, Seq.empty))
+            val rs = rows.toSeq.sortBy(r => (r.ts.getTime, r.docId))
+            val alerts = Seq.newBuilder[NearDupAlert]
+            rs.foreach { r =>
+              if (!st.hot && !st.entries.exists(_.docId == r.docId)) {
+                st.entries.foreach { e =>
+                  val eq = r.sig.zip(e.sig).count { case (a, b) => a == b }
+                  alerts += NearDupAlert(r.docId, e.docId, key,
+                    eq.toDouble / math.max(r.sig.length, 1))
+                }
+                val grown = st.entries :+ BandEntry(r.docId, r.sig)
+                st = if (grown.length > maxBucket) BandState(hot = true, Seq.empty)
+                else st.copy(entries = grown)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(rs.last.ts.getTime + stateTtlMs, state.getCurrentWatermarkMs() + 1))
+            alerts.result().iterator
+          }
+      }
+  }
+
   /** Stream-static enrichment: join a live point stream against a
     * versioned-store snapshot (e.g. the latest reference profile per
     * series from `VersionedStore.getManyLc`, aggregated to ONE row per

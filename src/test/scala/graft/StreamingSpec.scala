@@ -192,6 +192,72 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupMonitor: alerts carry the batch signature estimate and are a subset of batch pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup-src").toString + "/data"
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base + " tail words"
+    val unrel = "completely unrelated vocabulary nothing shared here at all ever"
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    def ts(i: Int) = java.sql.Timestamp.valueOf(t0.plusMinutes(i.toLong))
+    Seq((1L, ts(0), base), (2L, ts(1), unrel))
+      .toDF("doc_id", "ts", "text").write.parquet(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val alerts = StreamIngest.nearDupMonitor(
+      spark.readStream.schema(schema).parquet(dir),
+      n = 3, numHashes = 32, bands = 8, rowsPerBand = 4)
+    val q = StreamIngest.runToMemory(alerts.toDF(), "neardup", OutputMode.Append())
+    try {
+      assert(spark.table("neardup").count() === 0) // nothing repeated yet
+      Seq((3L, ts(2), near)).toDF("doc_id", "ts", "text")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table("neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      assert(got.nonEmpty)
+      // the batch operator over the same corpus: every streaming alert
+      // pair must be a batch candidate pair with the SAME sig estimate
+      val batch = graft.pipeline.Dedup.minhashLshPairs(
+          Seq((1L, base), (2L, unrel), (3L, near)).toDF("doc_id", "text"),
+          "doc_id", "text", n = 3, bands = 8, rowsPerBand = 4,
+          minSim = 0.0, maxBandDf = 1000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      got.foreach { case (a, b, est) =>
+        val pair = (math.min(a, b), math.max(a, b))
+        assert(batch.contains(pair), s"streaming pair $pair not a batch candidate")
+        assert(math.abs(batch(pair) - est) < 1e-12, s"estimate drift on $pair")
+      }
+      // the near-dup pair is found, repeatedly (once per shared band)
+      assert(got.exists { case (a, b, est) => Set(a, b) === Set(1L, 3L) && est > 0.4 })
+      assert(!got.exists { case (a, b, _) => Set(a, b) === Set(1L, 2L) })
+    } finally q.stop()
+  }
+
+  test("nearDupMonitor: a hot band bucket flips silent at the cap (batch hot-band analogue)") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup-hot").toString + "/data"
+    val boiler = "identical boilerplate text repeated across many documents verbatim"
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00")
+    def ts(i: Int) = java.sql.Timestamp.valueOf(t0.plusMinutes(i.toLong))
+    (1 to 10).map(i => (i.toLong, ts(i), boiler))
+      .toDF("doc_id", "ts", "text").write.parquet(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val alerts = StreamIngest.nearDupMonitor(
+      spark.readStream.schema(schema).parquet(dir),
+      n = 3, numHashes = 32, bands = 8, rowsPerBand = 4, maxBucket = 3)
+    val q = StreamIngest.runToMemory(alerts.toDF(), "neardup_hot", OutputMode.Append())
+    try {
+      val got = spark.table("neardup_hot").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // identical text -> identical signature -> all 8 bands share one
+      // bucket; docs 2..4 alert against the 1..3 already stored, doc 4
+      // overflows the cap (3) so docs 5+ are silent: 8 x (1+2+3) alerts
+      assert(got.length === 8 * 6, s"got ${got.length}")
+      assert(got.map(_._1).max === 4L)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins a snapshot; missing keys survive with NULL") {
     val dir = writeSource() // keys k0/k1
     val stream = spark.readStream.schema(srcSchema).parquet(dir)
