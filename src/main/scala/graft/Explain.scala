@@ -80,7 +80,9 @@ object Explain {
       "q_tfidf",           // scan-side tokenTf map explode, no occurrence shuffle
       "q_pq_topk",         // literal-codebook codes + broadcast LUTs; corpus never shuffles
       "q_domain_stats",    // one host-keyed agg; partials reduce to distinct hosts
-      "q_nfc_normalize")   // pure codegen'd normalization projection
+      "q_nfc_normalize",   // pure codegen'd normalization projection
+      "q_ivfpq_topk",      // coarse cells prune the ADC join; residual LUTs broadcast
+      "q_robots_filter")   // tiny rule table joined per host; struct-max winner, no sort
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
