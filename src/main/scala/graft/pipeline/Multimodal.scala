@@ -1218,6 +1218,81 @@ object Multimodal {
       }
   }
 
+  /** One serialized WARC record (ISO 28500 framing — the shape
+    * [[parseWarcRecords]] reads back).
+    */
+  private[graft] def buildWarcRecord(
+      wtype: String, uri: Option[String], date: Option[String],
+      contentType: String, body: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    sb.append(s"WARC-Type: $wtype\r\n")
+    uri.foreach(u => sb.append(s"WARC-Target-URI: $u\r\n"))
+    date.foreach(d => sb.append(s"WARC-Date: $d\r\n"))
+    sb.append(s"Content-Type: $contentType\r\n")
+    sb.append(s"Content-Length: ${body.length}\r\n")
+    sb.append("\r\n")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8) ++
+      body ++ "\r\n\r\n".getBytes
+  }
+
+  /** One gzip member (JDK GZIPOutputStream) — the `.warc.gz`
+    * record-per-member spelling [[gunzipMembers]] demuxes.
+    */
+  private def gzipMemberBytes(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(data); g.close()
+    bos.toByteArray
+  }
+
+  final case class WetShard(shard_id: Long, n_records: Long, payload: Array[Byte])
+
+  /** WET-style export — the WRITER face of [[warcRecords]]: serialize
+    * extracted text as WARC `conversion` records (what Common-Crawl WET
+    * files carry) into `numShards` archive blobs, by default with one
+    * gzip member PER RECORD (the standard `.warc.wet.gz` layout, which
+    * keeps archives record-seekable and is exactly what
+    * [[gunzipMembers]] demuxes back). Docs are hash-sharded on id and
+    * serialized in id order within a shard, so output is deterministic
+    * and round-trips: `warcRecords(wetExport(docs))` recovers every
+    * (uri, text) — the law MultimodalSpec pins.
+    *
+    * Scale shape: text shuffles ONCE, on the shard id (the packed-export
+    * precedent); `numShards` controls blob size, raise it for bigger
+    * corpora — shards never concentrate in one task beyond their hash
+    * share. Null texts serialize as empty bodies.
+    */
+  def wetExport(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      uriCol: String = "url",
+      textCol: String = "text",
+      numShards: Int = 16,
+      gzipPerRecord: Boolean = true,
+      date: Option[String] = None): Dataset[WetShard] = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(pmod(xxhash64(col(idCol)), lit(numShards.toLong)).as("__shard"),
+        col(idCol).cast("long").as("__id"), col(uriCol).cast("string").as("__uri"),
+        col(textCol).cast("string").as("__text"))
+      .as[(Long, Long, String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val rows = it.toSeq.sortBy(_._2)
+        val out = new java.io.ByteArrayOutputStream()
+        rows.foreach { case (_, _, uri, text) =>
+          val body = Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val rec = buildWarcRecord("conversion", Option(uri), date, "text/plain", body)
+          out.write(if (gzipPerRecord) gzipMemberBytes(rec) else rec)
+        }
+        WetShard(shard, rows.length.toLong, out.toByteArray)
+      }
+  }
+
   final case class SniffedFormat(media_id: Long, format: String)
 
   private def startsWith(p: Array[Byte], at: Int, sig: String): Boolean =

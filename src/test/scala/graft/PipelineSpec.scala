@@ -2313,6 +2313,42 @@ class MultimodalSpec extends SparkSpec {
     assert(got.map(_.format).toSeq === cases.map(_._2))
   }
 
+  test("wetExport round-trips through warcRecords: gzip and plain spellings, sniffed right") {
+    val docs = (0L until 20L).map(i => (i, s"http://d$i.example.com/p", s"text body number $i"))
+      .toDF("doc_id", "url", "text")
+    def roundtrip(gz: Boolean): Unit = {
+      val shards = Multimodal.wetExport(docs, numShards = 4, gzipPerRecord = gz,
+        date = Some("2026-08-16T00:00:00Z"))
+      val blobs = shards.collect()
+      assert(blobs.map(_.n_records).sum === 20L)
+      assert(blobs.forall(b =>
+        Multimodal.sniffOne(b.payload) === (if (gz) "warc.gz" else "warc")))
+      val media = blobs.toSeq.map(b => (b.shard_id, b.payload)).toDF("media_id", "payload")
+      val recs = Multimodal.warcRecords(media).collect()
+      assert(recs.length === 20)
+      assert(recs.forall(_.warc_type === "conversion"))
+      assert(recs.forall(_.warc_date === Some("2026-08-16T00:00:00Z")))
+      val got = recs.map(r => r.target_uri.get -> new String(r.body)).toMap
+      (0L until 20L).foreach { i =>
+        assert(got(s"http://d$i.example.com/p") === s"text body number $i")
+      }
+      // within a shard, records are in id order (deterministic output)
+      recs.groupBy(_.media_id).values.foreach { rs =>
+        val ids = rs.sortBy(_.record_idx).map(_.target_uri.get)
+          .map(u => u.stripPrefix("http://d").takeWhile(_.isDigit).toLong)
+        assert(ids.toSeq === ids.sorted.toSeq)
+      }
+    }
+    roundtrip(gz = true)
+    roundtrip(gz = false)
+    // null text serializes as an empty body and still round-trips
+    val nullDoc = Seq((99L, "http://n.example.com", null: String)).toDF("doc_id", "url", "text")
+    val blob = Multimodal.wetExport(nullDoc, numShards = 1).collect().head
+    val back = Multimodal.warcRecords(
+      Seq((0L, blob.payload)).toDF("media_id", "payload")).collect()
+    assert(back.length === 1 && back.head.content_length === 0L)
+  }
+
   // the 100 TB ingest path end-to-end, all scan-side: .warc.gz blobs →
   // records → markup stripped → canonical-URL dedup keys, composed as
   // one DataFrame plan (no intermediate actions)
