@@ -832,6 +832,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // text analysis — crawl-frontier budget: the robots verdicts rolled
+    // up per host (how much of each domain's fetch list robots lets
+    // through — the number a crawl scheduler allocates against)
+    "q_crawl_frontier" -> ((s, d) => {
+      import s.implicits._
+      val robots = Seq(
+        ("h0.example.com",
+          "User-agent: *\nDisallow: /private\nAllow: /private/ok\n\n" +
+            "User-agent: graftbot\nDisallow: /p1\nDisallow: /*.tmp$\n"),
+        ("h1.example.com", "# comments only\nUser-agent: other\nDisallow: /\n"),
+        ("h2.example.com", "User-agent: *\nDisallow: /\nAllow: /p"))
+        .toDF("host", "rtxt")
+      val rules = TextAnalysis.robotsRules(robots, "host", "rtxt", agent = "graftbot")
+      val path = element_at(
+        typedlit(Seq("/p1/x", "/q", "/file.tmp", "/file.tmp2", "/p")),
+        (pmod(col("doc_id"), lit(5L)) + 1).cast("int"))
+      val urls = table(s, d, "documents").select(col("doc_id"),
+        concat(lit("http://h"), pmod(col("doc_id"), lit(3L)).cast("string"),
+          lit(".example.com"), path).as("canon"))
+      TextAnalysis.robotsAllowed(urls, "doc_id", "canon", rules)
+        .groupBy(TextAnalysis.canonicalHost(col("canon")).as("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(col("allowed").cast("long")).as("n_allowed"),
+          round(avg(col("allowed").cast("double")), 6).as("allowed_ratio"))
+        .orderBy("host")
+    }),
+
     // text analysis — SURT keys over the q_domain_stats URL gauntlet:
     // variant spellings collapse through canonicalUrl first, then the
     // host labels reverse into the archive-sortable form; the garbage

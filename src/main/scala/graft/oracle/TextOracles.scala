@@ -10,6 +10,68 @@ import graft.pipeline.{Sampling, TextAnalysis}
   */
 private[graft] object TextOracles {
 
+  /** Shared robots-pipeline CTE chain (rules parse + group selection +
+    * pattern translation + per-URL struct-max winner) — `q_robots_filter`
+    * projects the per-URL verdicts, `q_crawl_frontier` rolls them up per
+    * host. One text, two finals, identical semantics.
+    */
+  private val robotsCtes: String =
+    """WITH rb(host, rtxt) AS (VALUES
+           ('h0.example.com', E'User-agent: *\nDisallow: /private\nAllow: /private/ok\n\nUser-agent: graftbot\nDisallow: /p1\nDisallow: /*.tmp$\n'),
+           ('h1.example.com', E'# comments only\nUser-agent: other\nDisallow: /\n'),
+           ('h2.example.com', E'User-agent: *\nDisallow: /\nAllow: /p')),
+         lines AS (
+           SELECT host,
+                  generate_subscripts(string_split(rtxt, chr(10)), 1) AS ln,
+                  trim(regexp_replace(unnest(string_split(rtxt, chr(10))), '#.*$', '')) AS line
+           FROM rb),
+         kv AS (
+           SELECT host, ln,
+                  lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS key,
+                  trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) AS val
+           FROM lines
+           WHERE lower(trim(regexp_extract(line, '^([^:]+):', 1)))
+                 IN ('user-agent', 'allow', 'disallow')),
+         g1 AS (
+           SELECT *, CASE WHEN key = 'user-agent' AND
+                  coalesce(lag(key) OVER (PARTITION BY host ORDER BY ln), '') <> 'user-agent'
+                  THEN 1 ELSE 0 END AS hdr
+           FROM kv),
+         g2 AS (SELECT *, sum(hdr) OVER (PARTITION BY host ORDER BY ln) AS gid FROM g1),
+         grp AS (
+           SELECT host, gid,
+                  max(CASE WHEN lower(val) = 'graftbot' THEN 1 ELSE 0 END) AS ex,
+                  max(CASE WHEN val = '*' THEN 1 ELSE 0 END) AS star
+           FROM g2 WHERE key = 'user-agent' GROUP BY host, gid),
+         he AS (SELECT host, max(ex) AS has_exact FROM grp GROUP BY host),
+         rules AS (
+           SELECT g2.host, (key = 'allow') AS allow, val AS prefix
+           FROM g2 JOIN grp USING (host, gid) JOIN he USING (host)
+           WHERE key <> 'user-agent' AND val <> ''
+             AND CASE WHEN has_exact = 1 THEN ex = 1 ELSE star = 1 END),
+         pat AS (
+           SELECT host, allow, prefix,
+                  '^' || regexp_replace(regexp_replace(regexp_replace(prefix,
+                    '[.^$+?()\[\]{}|\\]', '\\\0', 'g'), '\*', '.*', 'g'), '\\\$$', '$') AS rx
+           FROM rules),
+         urls AS (
+           SELECT doc_id,
+                  'http://h' || CAST(doc_id % 3 AS VARCHAR) || '.example.com' ||
+                  (['/p1/x', '/q', '/file.tmp', '/file.tmp2', '/p'])[CAST(doc_id % 5 AS INT) + 1] AS canon
+           FROM documents),
+         uu AS (
+           SELECT doc_id, canon,
+                  regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+                  regexp_replace(canon, '^[a-z][a-z0-9+.-]*://[^/?#]+', '') AS pathq
+           FROM urls),
+         wins AS (
+           SELECT u.doc_id,
+                  max(struct_pack(l := length(p.prefix),
+                                  a := CASE WHEN p.allow THEN 1 ELSE 0 END)) AS w
+           FROM uu u JOIN pat p ON p.host = u.host AND regexp_matches(u.pathq, p.rx)
+           GROUP BY u.doc_id)"""
+
+
   def sql: Map[String, String] = Map(
     "q_lang_scores" -> {
       val langs = TextAnalysis.StopwordsByLang.toSeq.sortBy(_._1)
@@ -316,65 +378,20 @@ private[graft] object TextOracles {
     // group selection, RFC wildcard translation (RE2 '\0' backref where
     // Java uses '$0' — same produced pattern), longest-rule/allow-ties
     // struct max. E'' strings carry the newlines.
-    "q_robots_filter" ->
-      """WITH rb(host, rtxt) AS (VALUES
-           ('h0.example.com', E'User-agent: *\nDisallow: /private\nAllow: /private/ok\n\nUser-agent: graftbot\nDisallow: /p1\nDisallow: /*.tmp$\n'),
-           ('h1.example.com', E'# comments only\nUser-agent: other\nDisallow: /\n'),
-           ('h2.example.com', E'User-agent: *\nDisallow: /\nAllow: /p')),
-         lines AS (
-           SELECT host,
-                  generate_subscripts(string_split(rtxt, chr(10)), 1) AS ln,
-                  trim(regexp_replace(unnest(string_split(rtxt, chr(10))), '#.*$', '')) AS line
-           FROM rb),
-         kv AS (
-           SELECT host, ln,
-                  lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS key,
-                  trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) AS val
-           FROM lines
-           WHERE lower(trim(regexp_extract(line, '^([^:]+):', 1)))
-                 IN ('user-agent', 'allow', 'disallow')),
-         g1 AS (
-           SELECT *, CASE WHEN key = 'user-agent' AND
-                  coalesce(lag(key) OVER (PARTITION BY host ORDER BY ln), '') <> 'user-agent'
-                  THEN 1 ELSE 0 END AS hdr
-           FROM kv),
-         g2 AS (SELECT *, sum(hdr) OVER (PARTITION BY host ORDER BY ln) AS gid FROM g1),
-         grp AS (
-           SELECT host, gid,
-                  max(CASE WHEN lower(val) = 'graftbot' THEN 1 ELSE 0 END) AS ex,
-                  max(CASE WHEN val = '*' THEN 1 ELSE 0 END) AS star
-           FROM g2 WHERE key = 'user-agent' GROUP BY host, gid),
-         he AS (SELECT host, max(ex) AS has_exact FROM grp GROUP BY host),
-         rules AS (
-           SELECT g2.host, (key = 'allow') AS allow, val AS prefix
-           FROM g2 JOIN grp USING (host, gid) JOIN he USING (host)
-           WHERE key <> 'user-agent' AND val <> ''
-             AND CASE WHEN has_exact = 1 THEN ex = 1 ELSE star = 1 END),
-         pat AS (
-           SELECT host, allow, prefix,
-                  '^' || regexp_replace(regexp_replace(regexp_replace(prefix,
-                    '[.^$+?()\[\]{}|\\]', '\\\0', 'g'), '\*', '.*', 'g'), '\\\$$', '$') AS rx
-           FROM rules),
-         urls AS (
-           SELECT doc_id,
-                  'http://h' || CAST(doc_id % 3 AS VARCHAR) || '.example.com' ||
-                  (['/p1/x', '/q', '/file.tmp', '/file.tmp2', '/p'])[CAST(doc_id % 5 AS INT) + 1] AS canon
-           FROM documents),
-         uu AS (
-           SELECT doc_id, canon,
-                  regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
-                  regexp_replace(canon, '^[a-z][a-z0-9+.-]*://[^/?#]+', '') AS pathq
-           FROM urls),
-         wins AS (
-           SELECT u.doc_id,
-                  max(struct_pack(l := length(p.prefix),
-                                  a := CASE WHEN p.allow THEN 1 ELSE 0 END)) AS w
-           FROM uu u JOIN pat p ON p.host = u.host AND regexp_matches(u.pathq, p.rx)
-           GROUP BY u.doc_id)
+    "q_robots_filter" -> s"""$robotsCtes
          SELECT u.doc_id, u.canon,
                 coalesce(struct_extract(wins.w, 'a') = 1, TRUE) AS allowed
          FROM uu u LEFT JOIN wins ON wins.doc_id = u.doc_id
          ORDER BY u.doc_id""",
+
+    // frontier rollup over the same pipeline: per-host fetch-budget
+    // shape — how much of each domain's URL list robots lets through
+    "q_crawl_frontier" -> s"""$robotsCtes
+         SELECT u.host, CAST(count(*) AS BIGINT) AS n_urls,
+                CAST(sum(CASE WHEN coalesce(struct_extract(wins.w, 'a') = 1, TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+                round(avg(CASE WHEN coalesce(struct_extract(wins.w, 'a') = 1, TRUE) THEN 1.0 ELSE 0.0 END), 6) AS allowed_ratio
+         FROM uu u LEFT JOIN wins ON wins.doc_id = u.doc_id
+         GROUP BY u.host ORDER BY u.host""",
 
     // SURT replay: the q_domain_stats canonicalization chain, then host
     // labels reversed comma-joined + optional port + ')' + path?query
