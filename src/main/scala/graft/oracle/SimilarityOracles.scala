@@ -31,8 +31,8 @@ private[graft] object SimilarityOracles {
     */
   private[oracle] def kmeansAssign(
       name: String, cents: String, dim: Int, keep: Int = 1, where: String = "",
-      from: String = "dv"): String =
-    s"""$name AS (
+      from: String = "dv", mat: Boolean = false): String =
+    s"""$name AS ${if (mat) "MATERIALIZED " else ""}(
          SELECT vec_id, v, cl, dist FROM (
            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS r FROM (
              SELECT d.vec_id, d.v, c.cl,
@@ -82,20 +82,22 @@ private[graft] object SimilarityOracles {
     * CTEs. Ends at centroid table `<pfx>c<iters>(cl, cent)`.
     */
   private[oracle] def chainCtes(
-      pfx: String, from: String, k: Int, iters: Int, dim: Int): String = {
+      pfx: String, from: String, k: Int, iters: Int, dim: Int,
+      mat: Boolean = false): String = {
+    val matKw = if (mat) "MATERIALIZED " else ""
     def update(aName: String, prevC: String, mName: String, cName: String): String = {
       val meanCols = (1 to dim).map(i => s"round(avg(v[$i]), 6) AS d$i").mkString(", ")
       val centList = (1 to dim).map(i => s"m.d$i").mkString("[", ", ", "]")
-      s"""$mName AS (SELECT cl, $meanCols FROM $aName GROUP BY cl),
-         $cName AS (
+      s"""$mName AS $matKw(SELECT cl, $meanCols FROM $aName GROUP BY cl),
+         $cName AS $matKw(
            SELECT c.cl, CASE WHEN m.cl IS NULL THEN c.cent ELSE $centList END AS cent
            FROM $prevC c LEFT JOIN $mName m ON m.cl = c.cl)"""
     }
     val iterCtes = (0 until iters).map { i =>
-      kmeansAssign(s"${pfx}a$i", s"${pfx}c$i", dim, from = from) + ",\n         " +
+      kmeansAssign(s"${pfx}a$i", s"${pfx}c$i", dim, from = from, mat = mat) + ",\n         " +
         update(s"${pfx}a$i", s"${pfx}c$i", s"${pfx}m$i", s"${pfx}c${i + 1}")
     }.mkString(",\n         ")
-    s"""${pfx}c0 AS (
+    s"""${pfx}c0 AS $matKw(
            SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cl,
                   v AS cent
            FROM (SELECT vec_id, v FROM $from
@@ -202,6 +204,15 @@ private[graft] object SimilarityOracles {
     * nprobe query cells with per-(query, cell) residual LUTs (cross join
     * to every codeword — no rank filter, the LUT needs them all), and
     * the left-assoc m-term ADC sum ranked (adc asc, vec_id).
+    *
+    * EVERY CTE here is MATERIALIZED (the q_ngram_jaccard precedent,
+    * DedupOracles): without the hints DuckDB inlines the
+    * multiply-referenced chains — `rdv` into all m subspace slices,
+    * `gc<iters>` into four consumers, and each Lloyd's step's `c<i>`
+    * into BOTH its assign and its update — so the coarse+residual
+    * k-means work re-evaluates combinatorially per reference. Measured
+    * at sf0.1: 95.1 s inlined → expected ~1 s materialized, identical
+    * rows (the hint is semantics-neutral).
     */
   private[oracle] def ivfPqOracleSql(
       k: Int, nlist: Int, nprobe: Int, m: Int, ksub: Int, iters: Int, dim: Int): String = {
@@ -212,18 +223,18 @@ private[graft] object SimilarityOracles {
       s"""list_sum(list_transform(range(1, ${ds + 1}),
                       i -> ($q.v[i] - $c.cent[i]) * ($q.v[i] - $c.cent[i])))"""
     val subRdvs = (0 until m).map { j =>
-      s"s${j}rdv AS (SELECT vec_id, cell, v[${j * ds + 1}:${(j + 1) * ds}] AS v FROM rdv)"
+      s"s${j}rdv AS MATERIALIZED (SELECT vec_id, cell, v[${j * ds + 1}:${(j + 1) * ds}] AS v FROM rdv)"
     }
-    val chains = (0 until m).map(j => chainCtes(s"s$j", s"s${j}rdv", ksub, iters, ds))
+    val chains = (0 until m).map(j => chainCtes(s"s$j", s"s${j}rdv", ksub, iters, ds, mat = true))
     val encs = (0 until m).map(j =>
-      kmeansAssign(s"s${j}e", s"s${j}c$iters", ds, from = s"s${j}rdv"))
+      kmeansAssign(s"s${j}e", s"s${j}c$iters", ds, from = s"s${j}rdv", mat = true))
     val encCols = (0 until m).map(j => s"e$j.cl AS c$j").mkString(", ")
     val encJoins = (1 until m).map(j => s" JOIN s${j}e e$j ON e$j.vec_id = e0.vec_id").mkString
     val qSubRdvs = (0 until m).map { j =>
-      s"s${j}qr AS (SELECT vec_id, cell, v[${j * ds + 1}:${(j + 1) * ds}] AS v FROM qrdv)"
+      s"s${j}qr AS MATERIALIZED (SELECT vec_id, cell, v[${j * ds + 1}:${(j + 1) * ds}] AS v FROM qrdv)"
     }
     val qds = (0 until m).map { j =>
-      s"""s${j}q AS (
+      s"""s${j}q AS MATERIALIZED (
            SELECT q.vec_id, q.cell, c.cl, ${subDist("q", "c")} AS dist
            FROM s${j}qr q CROSS JOIN s${j}c$iters c)"""
     }
@@ -231,19 +242,20 @@ private[graft] object SimilarityOracles {
     val qJoins = (1 until m).map(j =>
       s" JOIN s${j}q q$j ON q$j.vec_id = q0.vec_id AND q$j.cell = e.cell AND q$j.cl = e.c$j")
       .mkString
-    s"""WITH $floatDvCte,
-         ${chainCtes("g", "dv", nlist, iters, dim)},
-         ${kmeansAssign("gca", s"gc$iters", dim)},
-         rdv AS (
+    val matDvCte = floatDvCte.replaceFirst("dv AS \\(", "dv AS MATERIALIZED (")
+    s"""WITH $matDvCte,
+         ${chainCtes("g", "dv", nlist, iters, dim, mat = true)},
+         ${kmeansAssign("gca", s"gc$iters", dim, mat = true)},
+         rdv AS MATERIALIZED (
            SELECT a.vec_id, a.cl AS cell, ${resList("a", "c")} AS v
            FROM gca a JOIN gc$iters c ON c.cl = a.cl),
          ${subRdvs.mkString(",\n         ")},
          ${chains.mkString(",\n         ")},
          ${encs.mkString(",\n         ")},
-         enc AS (SELECT e0.vec_id, r.cell, $encCols
+         enc AS MATERIALIZED (SELECT e0.vec_id, r.cell, $encCols
                  FROM s0e e0$encJoins JOIN rdv r ON r.vec_id = e0.vec_id),
-         ${kmeansAssign("gqa", s"gc$iters", dim, keep = nprobe, where = " WHERE d.vec_id < 10")},
-         qrdv AS (
+         ${kmeansAssign("gqa", s"gc$iters", dim, keep = nprobe, where = " WHERE d.vec_id < 10", mat = true)},
+         qrdv AS MATERIALIZED (
            SELECT a.vec_id, a.cl AS cell, ${resList("a", "c")} AS v
            FROM gqa a JOIN gc$iters c ON c.cl = a.cl),
          ${qSubRdvs.mkString(",\n         ")},

@@ -96,6 +96,16 @@ def main():
             ((n, round(cold["queries"][n] - duck["queries"].get(n, 0.0), 2))
              for n in cold.get("queries", {})),
             key=lambda kv: -kv[1])[:8],
+        # ...and the most-NEGATIVE residues: a query whose ORACLE is the
+        # slow side flatters the total ratio while hiding in the
+        # descending list (r18 lesson: q_ivfpq_topk's un-MATERIALIZED
+        # oracle CTEs cost 36+ s of the duck leg and read as "host
+        # noise"). Any entry below ~-1 s means inspect the oracle SQL,
+        # not the engine.
+        "cold_residue_bottom": sorted(
+            ((n, round(cold["queries"][n] - duck["queries"].get(n, 0.0), 2))
+             for n in cold.get("queries", {})),
+            key=lambda kv: kv[1])[:8],
     }
     # APPEND (JSONL): one line per paired sample — keeping every sample
     # of a round is more honest than overwriting with the latest (host
