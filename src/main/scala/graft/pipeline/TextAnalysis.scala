@@ -748,16 +748,18 @@ object TextAnalysis {
     require(k > 0, s"smoothing k must be > 0, got $k")
     val bg = bigramBase(df, idCol, textCol)
     val real = bg.filter(col("cur") =!= "") // true bigram rows, no vocab markers
-    val bc = real.groupBy("prev", "cur").agg(sum(col("tf")).as("__cb"))
-    // unigram counts OF PREDECESSOR POSITIONS come from the same bigram
-    // frame (c(p) = Σ_t c(p,t) — the conditional's true denominator)
-    val uc = real.groupBy("prev").agg(sum(col("tf")).as("__cu"))
-    // vocabulary size comes off the SAME stage: with the per-doc
-    // last-token marker rows, distinct(prev) is exactly the corpus
-    // vocabulary — no second text pass (r18; the former (id, term, tf)
-    // unigram-stage V re-read the corpus and was q_bigram_ppl's whole
-    // cold residue)
-    val vocab = bg.agg(countDistinct(col("prev")).as("__v"))
+    // corpus count tables come off the SHARED vocab-bounded rollup stage
+    // (r19): __cb IS its n, the unigram counts of predecessor positions
+    // are its prev-rollup (c(p) = Σ_t c(p,t) — the conditional's true
+    // denominator), and V is distinct(prev) over it (the marker rows
+    // survive the rollup, so last-only tokens are counted — no second
+    // text pass; the r17 unigram-stage V re-read the corpus and was
+    // q_bigram_ppl's whole cold residue)
+    val cnt = bigramCounts(df, idCol, textCol)
+    val cntReal = cnt.filter(col("cur") =!= "")
+    val bc = cntReal.select(col("prev"), col("cur"), col("n").as("__cb"))
+    val uc = cntReal.groupBy("prev").agg(sum(col("n")).as("__cu"))
+    val vocab = cnt.agg(countDistinct(col("prev")).as("__v"))
     real.join(bc, Seq("prev", "cur"))
       .join(uc, Seq("prev"))
       .crossJoin(broadcast(vocab))
@@ -797,11 +799,30 @@ object TextAnalysis {
         .select(col("id"), col("__b.prev").as("prev"), col("__b.cur").as("cur"),
           col("__b.tf").as("tf"))
         // partitioned on prev INSIDE the cached stage: every consumer
-        // grouping/joining leads with prev — bc (prev, cur), uc (prev),
-        // pmi's pc, and the bg⋈bc⋈uc joins — so this one exchange
+        // grouping/joining leads with prev — the [[bigramCounts]] rollup
+        // (prev, cur) and the bg⋈bc⋈uc joins — so this one exchange
         // satisfies them all (subset-clustering) and the count tables
         // come back co-partitioned with the stage they join against
+        // (r19 A/B: dropping it read warm 0.60→0.78 / cold 0.87→1.08
+        // on the pmi+ppl pair — the exchange earns its keep)
         .repartition(col("prev")))
+
+  /** Corpus bigram-count stage: `(prev, cur, n)` with `n = Σ_docs tf` —
+    * the VOCAB-BOUNDED rollup of [[bigramBase]], cached in its own right
+    * (r19). [[pmiPairs]] derives all four of its tables from it (the
+    * filtered pair counts plus three marginal rollups — before this
+    * stage each marginal re-aggregated the corpus-sized bigram frame,
+    * which was the whole q_pmi_pairs warm regression), and
+    * [[bigramPerplexity]]'s `__cb`/`__cu`/V tables are the same rollup,
+    * so the two operators now share BOTH corpus passes. Marker rows
+    * (`cur = ""`, tf 0) survive with n = 0 so `distinct(prev)` over this
+    * stage is still exactly the corpus vocabulary; count consumers
+    * filter them as before.
+    */
+  private[graft] def bigramCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.StageCache.matHot(
+      bigramBase(df, idCol, textCol)
+        .groupBy("prev", "cur").agg(sum(col("tf")).as("n")))
 
   /** Top-k PMI collocations — pointwise mutual information of adjacent
     * token pairs, `ln(N·c(a,b) / (c(a)·c(b)))` over predecessor/successor
@@ -825,13 +846,12 @@ object TextAnalysis {
       k: Int = 50,
       minCount: Long = 5L): DataFrame = {
     require(k >= 1 && minCount >= 1, s"need k >= 1, minCount >= 1; got $k/$minCount")
-    val bg = bigramBase(df, idCol, textCol).filter(col("cur") =!= "") // drop vocab markers
-    // every marginal derives from ONE distinct-bigram rollup (r18):
-    // Σ_docs tf per (prev, cur) rides the stage's prev partitioning
-    // exchange-free, and the prev/cur/total marginals then aggregate the
-    // vocab-bounded rollup instead of re-passing the (doc, prev, cur)
-    // stage three times — identical sums, strictly fewer rows touched
-    val bcAll = bg.groupBy("prev", "cur").agg(sum(col("tf")).as("n"))
+    // every table derives from the CACHED vocab-bounded rollup stage
+    // (r19): before, each marginal re-aggregated the corpus-sized bigram
+    // frame from scratch (4 full passes over the cached stage — the
+    // q_pmi_pairs warm regression); now the rollup materializes once and
+    // the marginals are tiny aggregations over it
+    val bcAll = bigramCounts(df, idCol, textCol).filter(col("cur") =!= "")
     val bc = bcAll.filter(col("n") >= minCount)
     val pc = bcAll.groupBy("prev").agg(sum(col("n")).as("__cp"))
     val cc = bcAll.groupBy("cur").agg(sum(col("n")).as("__cc"))
