@@ -1495,6 +1495,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // similarity — OPQ-ADC top-k (Ge et al. CVPR'13 parametric OPQ):
+    // eigenvalue-balanced PCA rotation composed in front of the PQ scan;
+    // the fitted rotation publishes for the oracle (the q_pca_topk
+    // pattern) so DuckDB replays rotation + all m codebook chains + ADC
+    "q_opq_topk" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val rot = Similarity.opqRotation(emb, "vec_id", "embedding",
+        m = 4, dim = 64, cacheKey = Some(s"$d/embeddings"))
+      lastOpqRotation = Some(rot)
+      Similarity.opqTopK(emb.filter(col("vec_id") < 10), emb,
+          k = 5, m = 4, ksub = 8, iters = 2, dim = 64,
+          rotation = Some(rot), cacheKey = Some(s"$d/embeddings"))
+        .select(col("query_id"), col("vec_id"),
+          round(col("adc_dist"), 6).as("adc_dist"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // similarity — IVF-PQ (the composed FAISS-style IVFADC index):
     // coarse cells prune the candidate set, shared residual-PQ codebooks
     // compress what is scanned; per-(query, probed-cell) residual LUTs
@@ -1861,6 +1878,23 @@ object SparkEntry {
     */
   @volatile private var lastPcaBasis: Option[Array[Array[Double]]] = None
 
+  /** The OPQ rotation the last q_opq_topk evaluation fitted, published
+    * for [[oracleSql]] — same contract as [[lastPcaBasis]]: a filtered
+    * Verify run that skips q_opq_topk omits the entry (rows-only check).
+    */
+  @volatile private var lastOpqRotation: Option[Array[Array[Double]]] = None
+
+  /** q_opq_topk's DuckDB twin over the published rotation — rotation
+    * literals + the full m-chain PQ replay
+    * ([[graft.oracle.SimilarityOracles.opqTopKOracleSql]]).
+    */
+  private def opqTopkOracle: Map[String, String] = lastOpqRotation match {
+    case None => Map.empty
+    case Some(rot) => Map("q_opq_topk" ->
+      graft.oracle.SimilarityOracles.opqTopKOracleSql(
+        rot, k = 5, m = 4, ksub = 8, iters = 2, dim = 64))
+  }
+
   /** q_pca_topk's DuckDB twin, built around the published basis: the 48
     * eigenvectors become literal list rows, projection is the same
     * left-to-right Σ x_i·b_ki fold, and the reduced-space exact top-k
@@ -1901,7 +1935,7 @@ object SparkEntry {
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""")
   }
 
-  def oracleSql: Map[String, String] = pcaTopkOracle ++
+  def oracleSql: Map[String, String] = pcaTopkOracle ++ opqTopkOracle ++
     graft.oracle.StoreOracles.sql ++ graft.oracle.TsOracles.sql ++
     graft.oracle.TpchOracles.sql ++ graft.oracle.TextOracles.sql ++
     graft.oracle.DedupOracles.sql ++ graft.oracle.SimilarityOracles.sql ++

@@ -112,7 +112,10 @@ private[graft] object SimilarityOracles {
     * `enc(vec_id, c0…c<m-1>)` — mirrors
     * [[graft.pipeline.Similarity.pqEncode]].
     */
-  private[oracle] def pqEncCtes(m: Int, ksub: Int, iters: Int, dim: Int): String = {
+  private[oracle] def pqEncCtes(m: Int, ksub: Int, iters: Int, dim: Int): String =
+    pqEncCtes(m, ksub, iters, dim, floatDvCte)
+  private[oracle] def pqEncCtes(
+      m: Int, ksub: Int, iters: Int, dim: Int, dvCte: String): String = {
     val ds = dim / m
     val subDvs = (0 until m).map { j =>
       s"s${j}dv AS (SELECT vec_id, v[${j * ds + 1}:${(j + 1) * ds}] AS v FROM dv)"
@@ -122,7 +125,7 @@ private[graft] object SimilarityOracles {
       kmeansAssign(s"s${j}e", s"s${j}c$iters", ds, from = s"s${j}dv"))
     val encCols = (0 until m).map(j => s"e$j.cl AS c$j").mkString(", ")
     val encJoins = (1 until m).map(j => s" JOIN s${j}e e$j ON e$j.vec_id = e0.vec_id").mkString
-    s"""WITH $floatDvCte,
+    s"""WITH $dvCte,
          ${subDvs.mkString(",\n         ")},
          ${chains.mkString(",\n         ")},
          ${encs.mkString(",\n         ")},
@@ -141,7 +144,10 @@ private[graft] object SimilarityOracles {
     * left-assoc m-term LUT sum, (adc asc, vec_id) ranking.
     */
   private[oracle] def pqTopKOracleSql(
-      k: Int, m: Int, ksub: Int, iters: Int, dim: Int): String = {
+      k: Int, m: Int, ksub: Int, iters: Int, dim: Int): String =
+    pqTopKOracleSql(k, m, ksub, iters, dim, floatDvCte)
+  private[oracle] def pqTopKOracleSql(
+      k: Int, m: Int, ksub: Int, iters: Int, dim: Int, dvCte: String): String = {
     val ds = dim / m
     val qds = (0 until m).map(j =>
       kmeansAssign(s"s${j}q", s"s${j}c$iters", ds, keep = ksub,
@@ -150,7 +156,7 @@ private[graft] object SimilarityOracles {
     val qJoins = (1 until m)
       .map(j => s" JOIN s${j}q q$j ON q$j.vec_id = q0.vec_id AND q$j.cl = e.c$j")
       .mkString
-    s"""${pqEncCtes(m, ksub, iters, dim)},
+    s"""${pqEncCtes(m, ksub, iters, dim, dvCte)},
          ${qds.mkString(",\n         ")},
          scored AS (
            SELECT q0.vec_id AS query_id, e.vec_id, $adc AS adc
@@ -161,6 +167,35 @@ private[graft] object SimilarityOracles {
            FROM scored)
          SELECT query_id, vec_id, round(adc, 6) AS adc_dist, CAST(rank AS BIGINT) AS rank
          FROM r WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** OPQ-ADC oracle — [[pqTopKOracleSql]] over a ROTATED `dv`: the
+    * fitted rotation rows (published by the Spark evaluation, the
+    * q_pca_topk pattern — the eigen solve + allocation are driver-side
+    * and law-pinned, everything data-touching replays here) become
+    * literal list rows, and the rotated components are the same
+    * left-to-right Σ x_i·r_ki fold [[graft.pipeline.Similarity
+    * .projectEmbeddings]] codegens, so the PQ chains downstream see
+    * bit-identical inputs. `dv` is MATERIALIZED — the m subspace slices
+    * would otherwise re-evaluate the d² rotation per reference.
+    */
+  private[graft] def opqTopKOracleSql(
+      rotation: Array[Array[Double]],
+      k: Int, m: Int, ksub: Int, iters: Int, dim: Int): String = {
+    val rows = rotation.zipWithIndex.map { case (r, i) =>
+      r.mkString(s"($i, [", ", ", "])")
+    }.mkString(",\n           ")
+    val dvCte =
+      s"""rot(comp, bv) AS (VALUES
+           $rows),
+         rl AS (SELECT list(bv ORDER BY comp) AS bs FROM rot),
+         dv AS MATERIALIZED (
+           SELECT vec_id,
+                  list_transform(rl.bs, bv ->
+                    list_sum(list_transform(range(1, ${dim + 1}),
+                      i -> CAST(embedding[i] AS DOUBLE) * bv[i]))) AS v
+           FROM embeddings CROSS JOIN rl)"""
+    pqTopKOracleSql(k, m, ksub, iters, dim, dvCte)
   }
 
   private[oracle] def kmeansOracleSql(k: Int, iters: Int, dim: Int): String =

@@ -1050,23 +1050,51 @@ object Multimodal {
       }
   }
 
-  /** Split a (possibly multi-member) gzip payload into its decompressed
-    * members with trailer CRC32/ISIZE verification — the [[parseGzipMeta]]
-    * walk, but KEEPING the bytes. The standard `.warc.gz` layout is one
-    * gzip member per WARC record, so this is the crawl-archive demuxer.
-    * None if the payload isn't gzip or its FIRST member is malformed; a
-    * malformed tail stops the walk and returns the good prefix (the
-    * byte-walk family's stance).
+  /** Per-payload inflation budget for the demuxing walks: gzip carries
+    * no trustworthy length framing (ISIZE is mod-2³², and a crafted
+    * stream lies), so an unbounded walk over an adversarial crawl blob
+    * is a decompression bomb — a 1 MB payload can inflate to GBs and
+    * OOM the executor. The other byte-walkers are bounded by
+    * construction (headers only); this bound closes the one unbounded
+    * path. Hitting it stops the walk with the good prefix and
+    * `complete = false`, the same observable as a malformed tail. 256
+    * MiB comfortably covers a [[wetExport]] shard (sized to
+    * ~128 MiB of uncompressed text) while capping per-task buffering.
     */
-  private[graft] def gunzipMembers(payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
+  private[graft] val MaxInflatedPayloadBytes: Long = 256L << 20
+
+  /** One demuxed gzip member: byte offset and compressed length of the
+    * member within the payload (the CDX(J) locator pair — slicing
+    * `payload[offset, offset + comp_len)` yields a standalone gzip
+    * stream), plus the verified decompressed bytes.
+    */
+  private[graft] final case class GzMember(
+      offset: Long, compLen: Long, bytes: Array[Byte])
+
+  /** The [[gunzipMembers]] walk with the knobs the archive tooling
+    * needs: member byte offsets (CDX indexing), a total-inflation cap
+    * (bomb safety), an optional member cap (`maxMembers` — the sniff
+    * probe inflates only the first member), and an explicit
+    * completeness flag (`true` iff the walk consumed the payload to its
+    * last byte with every trailer verified — a truncated, malformed, or
+    * over-budget tail returns the good prefix with `false`, so partial
+    * parses are countable downstream instead of indistinguishable from
+    * full ones). None if the payload isn't gzip or its first member is
+    * malformed.
+    */
+  private[graft] def gunzipMembersBounded(
+      payload: Array[Byte],
+      maxInflated: Long = MaxInflatedPayloadBytes,
+      maxMembers: Int = Int.MaxValue): Option[(Seq[GzMember], Boolean)] = {
     if (payload == null || payload.length < 20 ||
         (payload(0) & 0xFF) != 0x1F || (payload(1) & 0xFF) != 0x8B) return None
     val n = payload.length
-    val members = Seq.newBuilder[Array[Byte]]
+    val members = Seq.newBuilder[GzMember]
     var count = 0
     var pos = 0
     var ok = true
-    while (ok && pos + 10 <= n &&
+    var inflated = 0L
+    while (ok && count < maxMembers && pos + 10 <= n &&
         (payload(pos) & 0xFF) == 0x1F && (payload(pos + 1) & 0xFF) == 0x8B) {
       val flg = payload(pos + 3) & 0xFF
       if ((payload(pos + 2) & 0xFF) != 8 || (flg & 0xE0) != 0) ok = false
@@ -1087,16 +1115,26 @@ object Multimodal {
             var stalled = false
             while (!inf.finished() && !stalled) {
               val k = inf.inflate(buf)
-              if (k > 0) { crc.update(buf, 0, k); out.write(buf, 0, k) }
+              if (k > 0) {
+                crc.update(buf, 0, k); out.write(buf, 0, k)
+                if (inflated + out.size() > maxInflated) stalled = true // budget blown
+              }
               else if (inf.needsInput() || inf.needsDictionary()) stalled = true
             }
-            if (!inf.finished()) ok = false
+            // a member that finished inflating but lands past the budget
+            // is rejected too — the bound is on total buffered bytes,
+            // not on mid-stream chunks only
+            if (!inf.finished() || inflated + out.size() > maxInflated) ok = false
             else {
               val tp = p + ((n - p) - inf.getRemaining)
               val bytes = out.toByteArray
               if (tp + 8 > n || lu32(payload, tp) != crc.getValue ||
                   lu32(payload, tp + 4) != (bytes.length & 0xFFFFFFFFL)) ok = false
-              else { members += bytes; count += 1; pos = tp + 8 }
+              else {
+                members += GzMember(pos.toLong, (tp + 8 - pos).toLong, bytes)
+                inflated += bytes.length
+                count += 1; pos = tp + 8
+              }
             }
           } catch {
             case _: java.util.zip.DataFormatException => ok = false
@@ -1104,13 +1142,67 @@ object Multimodal {
         }
       }
     }
-    if (count == 0) None else Some(members.result())
+    if (count == 0) None
+    // complete: every byte consumed and nothing stopped the walk early
+    // (maxMembers is the caller's own probe cap — reaching it with bytes
+    // left is by definition not a full parse either)
+    else Some((members.result(), ok && pos >= n))
+  }
+
+  /** Split a (possibly multi-member) gzip payload into its decompressed
+    * members with trailer CRC32/ISIZE verification — the [[parseGzipMeta]]
+    * walk, but KEEPING the bytes. The standard `.warc.gz` layout is one
+    * gzip member per WARC record, so this is the crawl-archive demuxer.
+    * None if the payload isn't gzip or its FIRST member is malformed; a
+    * malformed tail stops the walk and returns the good prefix (the
+    * byte-walk family's stance). Inflation is bounded by
+    * [[MaxInflatedPayloadBytes]]; [[gunzipMembersBounded]] exposes the
+    * budget, member offsets, and the completeness flag.
+    */
+  private[graft] def gunzipMembers(payload: Array[Byte]): Option[Seq[Array[Byte]]] =
+    gunzipMembersBounded(payload).map(_._1.map(_.bytes))
+
+  /** Inflate at most `maxBytes` of the FIRST gzip member — the bounded
+    * sniff probe for payloads whose first member exceeds the demux
+    * budget (no CRC verification possible without full inflation; the
+    * caller classifies from the prefix). None if the payload isn't
+    * gzip-framed or its deflate stream yields nothing.
+    */
+  private[graft] def inflateFirstPrefix(
+      payload: Array[Byte], maxBytes: Int): Option[Array[Byte]] = {
+    if (payload == null || payload.length < 11 ||
+        (payload(0) & 0xFF) != 0x1F || (payload(1) & 0xFF) != 0x8B) return None
+    val n = payload.length
+    val flg = payload(3) & 0xFF
+    if ((payload(2) & 0xFF) != 8 || (flg & 0xE0) != 0) return None
+    var p = 10
+    if ((flg & 4) != 0) { if (p + 2 > n) return None else p += 2 + lu16(payload, p) }
+    if ((flg & 8) != 0) { while (p < n && payload(p) != 0) p += 1; if (p >= n) return None else p += 1 }
+    if ((flg & 16) != 0) { while (p < n && payload(p) != 0) p += 1; if (p >= n) return None else p += 1 }
+    if ((flg & 2) != 0) p += 2
+    if (p >= n) return None
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(payload, p, n - p)
+      val out = new java.io.ByteArrayOutputStream(math.min(maxBytes, 65536))
+      val buf = new Array[Byte](math.min(maxBytes, 65536))
+      var stalled = false
+      while (!inf.finished() && !stalled && out.size() < maxBytes) {
+        val k = inf.inflate(buf, 0, math.min(buf.length, maxBytes - out.size()))
+        if (k > 0) out.write(buf, 0, k)
+        else if (inf.needsInput() || inf.needsDictionary()) stalled = true
+      }
+      if (out.size() == 0) None else Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
   }
 
   final case class WarcRecord(
       media_id: Long, record_idx: Int, warc_type: String,
       target_uri: Option[String], warc_date: Option[String],
-      content_type: Option[String], content_length: Long, body: Array[Byte])
+      content_type: Option[String], content_length: Long, body: Array[Byte],
+      complete: Boolean)
 
   /** Parse one plain (non-gzip) WARC stream into records. ISO 28500
     * grammar: `WARC/<ver>` CRLF, header lines `Name: value` to a blank
@@ -1121,7 +1213,20 @@ object Multimodal {
     * with a `WARC/` version line.
     */
   private[graft] def parseWarcRecords(payload: Array[Byte]): Option[Seq[
-      (String, Option[String], Option[String], Option[String], Long, Array[Byte])]] = {
+      (String, Option[String], Option[String], Option[String], Long, Array[Byte])]] =
+    parseWarcRecordsOff(payload).map(_._1.map(_._1))
+
+  /** The [[parseWarcRecords]] walk, additionally reporting each record's
+    * byte offset and length within the payload (version line through end
+    * of body — a slice over that span re-parses as a standalone record;
+    * the CDX(J) locator for the plain-`.warc` spelling) and whether the
+    * walk consumed the payload COMPLETELY (`false` on a truncated,
+    * malformed, or unskippable tail — mirrors `CompressionMeta.complete`
+    * so partial archive parses are countable, not silent).
+    */
+  private[graft] def parseWarcRecordsOff(payload: Array[Byte]): Option[(Seq[
+      ((String, Option[String], Option[String], Option[String], Long, Array[Byte]),
+        Long, Long)], Boolean)] = {
     if (payload == null || payload.length < 8) return None
     val n = payload.length
     def lineEnd(p: Int): Int = { var e = p; while (e < n && payload(e) != '\n') e += 1; e }
@@ -1129,15 +1234,19 @@ object Multimodal {
       val stop = if (e > p && payload(e - 1) == '\r') e - 1 else e
       new String(payload, p, stop - p, java.nio.charset.StandardCharsets.UTF_8)
     }
-    val out = Seq.newBuilder[(String, Option[String], Option[String], Option[String], Long, Array[Byte])]
+    val out = Seq.newBuilder[(
+      (String, Option[String], Option[String], Option[String], Long, Array[Byte]),
+      Long, Long)]
     var count = 0
     var pos = 0
     var ok = true
+    var clean = false // true only when the walk consumes to end-of-payload
     while (ok && pos < n) {
       // skip inter-record blank lines
       while (pos < n && (payload(pos) == '\r' || payload(pos) == '\n')) pos += 1
-      if (pos >= n) ok = false
+      if (pos >= n) { ok = false; clean = true } // clean EOF, not an error
       else {
+        val recStart = pos
         val ve = lineEnd(pos)
         val vline = lineStr(pos, ve)
         if (!vline.startsWith("WARC/")) ok = false
@@ -1177,15 +1286,18 @@ object Multimodal {
             if (clen < 0 || pos + clen > n) ok = false // unskippable / truncated body
             else {
               val body = java.util.Arrays.copyOfRange(payload, pos, pos + clen.toInt)
-              out += ((if (wtype == null) "" else wtype, uri, date, ctype, clen, body))
-              count += 1
               pos += clen.toInt
+              out += (((if (wtype == null) "" else wtype, uri, date, ctype, clen, body),
+                recStart.toLong, (pos - recStart).toLong))
+              count += 1
             }
           }
         }
       }
     }
-    if (count == 0) None else Some(out.result())
+    // a payload ending exactly at a record body (no trailing blank lines)
+    // is also a clean end — the loop condition, not the EOF branch, exits
+    if (count == 0) None else Some((out.result(), clean || (ok && pos >= n)))
   }
 
   /** WARC crawl-archive records (ISO 28500) — the format training
@@ -1197,6 +1309,17 @@ object Multimodal {
     * rows. Bodies stay binary (HTTP responses can be anything);
     * `record_idx` preserves archive order within a payload.
     *
+    * Every record carries the payload-level `complete` flag: `true` iff
+    * the WHOLE archive parsed — the gzip walk consumed every byte with
+    * trailers verified, every member parsed as WARC, and every record
+    * walk ran to its end. At archive scale a truncated tail is
+    * otherwise indistinguishable from a full parse; downstream counts
+    * `complete = false` payloads and routes them (the
+    * `CompressionMeta.complete` convention). Inflation is bounded per
+    * payload ([[MaxInflatedPayloadBytes]]) — an over-budget archive
+    * keeps its prefix with `complete = false` instead of OOMing the
+    * executor.
+    *
     * Scale shape: one streaming pass per blob, no shuffle — the 100 TB
     * ingest is `binaryFile scan → warcRecords → text extraction`, all
     * scan-side.
@@ -1207,12 +1330,24 @@ object Multimodal {
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
-          val plain = parseWarcRecords(payload).map(_.toIndexedSeq)
-            .orElse(gunzipMembers(payload).map(_.flatMap(m =>
-              parseWarcRecords(m).getOrElse(Seq.empty)).toIndexedSeq))
-          plain.getOrElse(IndexedSeq.empty).zipWithIndex.map {
-            case ((t, uri, date, ctype, clen, body), i) =>
-              WarcRecord(id, i, t, uri, date, ctype, clen, body)
+          val plain = parseWarcRecordsOff(payload)
+            .map { case (rs, c) => (rs.map(_._1).toIndexedSeq, c) }
+            .orElse(gunzipMembersBounded(payload).map { case (ms, gzc) =>
+              var all = gzc
+              val recs = ms.flatMap { m =>
+                parseWarcRecordsOff(m.bytes) match {
+                  case Some((rs, c)) => if (!c) all = false; rs.map(_._1)
+                  case None => all = false; Seq.empty
+                }
+              }.toIndexedSeq
+              (recs, all)
+            })
+          plain match {
+            case None => IndexedSeq.empty[WarcRecord]
+            case Some((recs, complete)) => recs.zipWithIndex.map {
+              case ((t, uri, date, ctype, clen, body), i) =>
+                WarcRecord(id, i, t, uri, date, ctype, clen, body, complete)
+            }
           }
         }
       }
@@ -1259,23 +1394,47 @@ object Multimodal {
     * (uri, text) — the law MultimodalSpec pins.
     *
     * Scale shape: text shuffles ONCE, on the shard id (the packed-export
-    * precedent); `numShards` controls blob size, raise it for bigger
-    * corpora — shards never concentrate in one task beyond their hash
-    * share. Null texts serialize as empty bodies.
+    * precedent). A shard is assembled in ONE task (one blob per row is
+    * the contract), so per-task memory IS the shard size — which is why
+    * `numShards = 0` (the default) DERIVES the count from the corpus:
+    * one cheap column-pruned pre-pass sums text bytes and sizes shards
+    * to `targetShardBytes` (~128 MiB, the HDFS-block convention; well
+    * under the 2 GB JVM array cap and the [[MaxInflatedPayloadBytes]]
+    * re-ingest budget). An explicit `numShards` is honored as given —
+    * the caller owns the memory math then (the r18 fixed-16 default
+    * made a 100 TB corpus mean 6 TB per task; that foot-gun is gone).
+    * Null texts serialize as empty bodies.
     */
   def wetExport(
       docs: DataFrame,
       idCol: String = "doc_id",
       uriCol: String = "url",
       textCol: String = "text",
-      numShards: Int = 16,
+      numShards: Int = 0,
       gzipPerRecord: Boolean = true,
-      date: Option[String] = None): Dataset[WetShard] = {
-    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+      date: Option[String] = None,
+      targetShardBytes: Long = 128L << 20): Dataset[WetShard] = {
+    require(numShards >= 0, s"numShards must be >= 1 (or 0 = derive from size), got $numShards")
+    require(targetShardBytes >= 1024, s"targetShardBytes must be >= 1 KiB, got $targetShardBytes")
     val spark = docs.sparkSession
     import spark.implicits._
+    val shards =
+      if (numShards >= 1) numShards
+      else {
+        // estimated serialized bytes: text octets + ~160 B of WARC
+        // framing per record (headers + separators; gzip-per-record
+        // roughly offsets its own member overhead with text compression)
+        val est = docs.agg(
+            coalesce(sum(octet_length(col(textCol).cast("string"))), lit(0L))
+              .as("b"),
+            count(lit(1)).as("n"))
+          .head()
+        val bytes = est.getLong(0) + est.getLong(1) * 160L
+        math.max(1L, (bytes + targetShardBytes - 1) / targetShardBytes)
+          .min(Int.MaxValue.toLong).toInt
+      }
     docs
-      .select(pmod(xxhash64(col(idCol)), lit(numShards.toLong)).as("__shard"),
+      .select(pmod(xxhash64(col(idCol)), lit(shards.toLong)).as("__shard"),
         col(idCol).cast("long").as("__id"), col(uriCol).cast("string").as("__uri"),
         col(textCol).cast("string").as("__text"))
       .as[(Long, Long, String, String)]
@@ -1291,6 +1450,85 @@ object Multimodal {
         }
         WetShard(shard, rows.length.toLong, out.toByteArray)
       }
+  }
+
+  final case class CdxjEntry(
+      media_id: Long, record_idx: Int, surt: String, ts: String, url: String,
+      mime: String, digest: String, offset: Long, length: Long)
+
+  /** Locate every WARC record in a payload with its CDX byte span:
+    * plain `.warc` spans come from [[parseWarcRecordsOff]] (version line
+    * through body end); `.warc.gz` spans are the enclosing gzip MEMBER's
+    * (offset, compressed length) — the convention web-archive CDX files
+    * use, because `payload[offset, offset+length)` must be independently
+    * fetchable and decodable (a member is a standalone gzip stream).
+    */
+  private def locateWarcRecords(payload: Array[Byte]): Seq[
+      ((String, Option[String], Option[String], Option[String], Long, Array[Byte]),
+        Long, Long)] =
+    parseWarcRecordsOff(payload).map(_._1)
+      .orElse(gunzipMembersBounded(payload).map(_._1.flatMap { m =>
+        parseWarcRecordsOff(m.bytes).map(_._1).getOrElse(Seq.empty)
+          .map { case (rec, _, _) => (rec, m.offset, m.compLen) }
+      }))
+      .getOrElse(Seq.empty)
+
+  /** RFC 4648 base32 (no padding needed: SHA-1's 160 bits are exactly
+    * 32 chars) — the WARC-Payload-Digest spelling CDX files carry.
+    */
+  private def sha1Base32(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
+    val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new StringBuilder(32)
+    var acc = 0L; var bits = 0; var i = 0
+    while (i < d.length) {
+      acc = (acc << 8) | (d(i) & 0xFF); bits += 8
+      while (bits >= 5) { bits -= 5; sb.append(alpha(((acc >> bits) & 31).toInt)) }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** CDX(J) index entries for a WARC/WET shard set — the lookup sibling
+    * of [[wetExport]]: web archives pair every `.warc(.gz)` with a
+    * CDX(J) index whose lines carry (SURT key, 14-digit timestamp) and
+    * the locator fields (url, digest, mime, byte offset, length) needed
+    * to fetch ONE record without scanning the archive. `offset/length`
+    * follow the archive convention: the gzip MEMBER span for `.warc.gz`
+    * (a standalone re-inflatable stream), the record's own byte span
+    * for plain `.warc`. `digest` is the WARC-Payload-Digest spelling
+    * (`sha1:` + base32 of the body); `ts` is the WARC-Date's digits
+    * (yyyyMMddhhmmss). The SURT key is the SAME
+    * [[TextAnalysis.surtKey]]∘[[TextAnalysis.canonicalUrl]] column the
+    * dedup keys use, grafted onto the scan rows — so sorting entries by
+    * (surt, ts) yields the CDX ordering and per-domain lookups are
+    * key-range scans.
+    *
+    * Scale shape: one streaming pass per blob (bounded inflation, like
+    * [[warcRecords]]), digest/offset computed scan-side, no shuffle; the
+    * CDX sort, if the caller wants files, is one `orderBy` over
+    * index-sized rows (never the bodies).
+    */
+  def cdxjRecords(media: DataFrame): Dataset[CdxjEntry] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val base = media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          locateWarcRecords(payload).zipWithIndex.map {
+            case (((_, uri, date, ctype, _, body), off, len), i) =>
+              (id, i, date.map(_.filter(_.isDigit).take(14)).getOrElse(""),
+                uri.orNull, ctype.orNull, "sha1:" + sha1Base32(body), off, len)
+          }
+        }
+      }
+      .toDF("media_id", "record_idx", "ts", "url", "mime", "digest", "offset", "length")
+    base
+      .withColumn("surt",
+        TextAnalysis.surtKey(TextAnalysis.canonicalUrl(col("url"))))
+      .select(col("media_id"), col("record_idx"), col("surt"), col("ts"),
+        col("url"), col("mime"), col("digest"), col("offset"), col("length"))
+      .as[CdxjEntry]
   }
 
   final case class SniffedFormat(media_id: Long, format: String)
@@ -1319,11 +1557,29 @@ object Multimodal {
     if (p.length >= 4 && p(0) == 'P' && p(1) == 'K' && p(2) == 3 && p(3) == 4) return "zip"
     if (parseWarcRecords(p).isDefined) return "warc"
     if ((p(0) & 0xFF) == 0x1F && p.length > 1 && (p(1) & 0xFF) == 0x8B) {
-      // gzip: if the members contain WARC records it's a crawl archive
-      gunzipMembers(p) match {
-        case Some(ms) if ms.exists(m => parseWarcRecords(m).isDefined) => return "warc.gz"
-        case Some(_) => return "gzip"
-        case None => // fall through — bad gzip is not gzip
+      // gzip vs warc.gz: classify from the FIRST member only, under a
+      // small inflation budget — triage must never demux a whole
+      // (possibly adversarial) archive just to name it (r19, the
+      // decompression-bomb stance). The standard warc.gz layout has
+      // EVERY member a record, so member 1 decides; a first member too
+      // big for the probe budget classifies by its inflated prefix
+      // (deflate structure already verified over the probed span).
+      gunzipMembersBounded(p, maxInflated = 4L << 20, maxMembers = 1) match {
+        case Some((ms, _)) if ms.nonEmpty =>
+          // full first member in budget: the real parser decides
+          return if (parseWarcRecords(ms.head.bytes).isDefined) "warc.gz" else "gzip"
+        case _ =>
+          // first member malformed OR bigger than the probe budget:
+          // decide from a small inflated prefix (header + deflate
+          // structure verified over the probed span); a stream whose
+          // deflate breaks immediately falls through — bad gzip is
+          // not gzip
+          inflateFirstPrefix(p, 4096) match {
+            case Some(pre) if pre.length >= 5 && startsWith(pre, 0, "WARC/") =>
+              return "warc.gz"
+            case Some(pre) if pre.nonEmpty => return "gzip"
+            case _ => // fall through
+          }
       }
     }
     if (parseZstdMeta(p).isDefined) return "zstd"

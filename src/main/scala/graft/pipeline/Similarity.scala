@@ -336,6 +336,93 @@ object Similarity {
       array(pqCodeCols(col("__v"), books, ds): _*).as("codes"))
   }
 
+  /** OPQ rotation — the PARAMETRIC optimized-product-quantization
+    * pre-transform (Ge, He, Ke, Sun, "Optimized Product Quantization",
+    * CVPR 2013 §4; FAISS ships it as the `OPQx` transform): a d×d
+    * orthonormal rotation applied before PQ so the m subspaces carry
+    * BALANCED variance — naive dim-order slicing lets a few
+    * high-variance dimensions dominate one subspace's codebook while
+    * others quantize noise, which is exactly the independence/balance
+    * assumption PQ's distortion bound needs. The parametric (Gaussian)
+    * solution is: rotate to the PCA basis, then PERMUTE the components
+    * by greedy eigenvalue allocation — eigenvalues in descending order,
+    * each assigned to the non-full subspace with the smallest current
+    * log-variance product (balancing Π λ across buckets). A permuted
+    * orthonormal basis is still orthonormal, so L2 distances — and
+    * therefore the exact search PQ approximates — are preserved.
+    *
+    * Fit cost at 100 TB: the covariance is the one-pass d²-statistic
+    * [[embeddingCovariance]] pass (corpus never moves); the eigen solve
+    * and the allocation are driver-side on the d×d matrix. The returned
+    * rows become plan LITERALS downstream — no join, no shuffle.
+    */
+  def opqRotation(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      m: Int = 4,
+      dim: Int = 64,
+      cacheKey: Option[String] = None): Array[Array[Double]] = {
+    require(m >= 1 && dim % m == 0, s"need dim divisible by m; got dim=$dim m=$m")
+    def fit(): Array[Array[Double]] = {
+      val cov = embeddingCovariance(corpus, idCol, vecCol, cacheKey)
+      val (evals, basis) = pcaBasis(cov, dim)
+      val ds = dim / m
+      // greedy eigenvalue allocation: λ descending (pcaBasis order),
+      // each to the emptiest-variance non-full bucket
+      val bucketLog = new Array[Double](m)
+      val buckets = Array.fill(m)(List.empty[Int])
+      (0 until dim).foreach { i =>
+        val open = (0 until m).filter(buckets(_).length < ds)
+        val j = open.minBy(bucketLog)
+        buckets(j) ::= i
+        bucketLog(j) += math.log(math.max(evals(i), 1e-12))
+      }
+      // subspace j's components occupy rotated rows [j·ds, (j+1)·ds),
+      // eigenvalue-descending within the bucket (undo the prepend)
+      buckets.flatMap(_.reverse.map(basis)).toArray
+    }
+    cacheKey match {
+      case Some(key) => ModelCache.getOrFit(s"opqrot:$key:$vecCol:m$m:d$dim")(fit())
+      case None => fit()
+    }
+  }
+
+  /** OPQ-ADC approximate top-k: [[opqRotation]] composed in front of
+    * the plain [[pqTopK]] scan — both sides are rotated by the SAME
+    * orthonormal literal basis ([[projectEmbeddings]]: native
+    * dot-product codegen, no join), then codebook fit, encoding, LUTs,
+    * and the salted two-phase top-k all run unchanged in the rotated
+    * space. Since the rotation preserves L2, the result approximates
+    * the same exact search as [[pqTopK]], with strictly better-balanced
+    * codebooks (the OPQ guarantee); `rotation = identity` reproduces
+    * [[pqTopK]] bit-for-bit (the SimilaritySpec law — dot against a
+    * one-hot literal row is exact), which pins the composition.
+    * Output: (query_id, vec_id, adc_dist, rank), adc in ROTATED space
+    * = approximate squared L2 in the original space.
+    */
+  def opqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      k: Int = 5,
+      m: Int = 4,
+      ksub: Int = 8,
+      iters: Int = 2,
+      dim: Int = 64,
+      numSalts: Int = 64,
+      rotation: Option[Array[Array[Double]]] = None,
+      cacheKey: Option[String] = None): DataFrame = {
+    val rot = rotation.getOrElse(opqRotation(corpus, idCol, vecCol, m, dim, cacheKey))
+    require(rot.length == dim && rot.forall(_.length == dim),
+      s"rotation must be $dim x $dim, got ${rot.length} x ${rot.headOption.map(_.length)}")
+    val corpusR = projectEmbeddings(corpus, idCol, vecCol, rot)
+    val queriesR = projectEmbeddings(queries, idCol, vecCol, rot)
+    pqTopK(queriesR, corpusR, idCol, "proj", k, m, ksub, iters, dim, numSalts,
+      cacheKey = cacheKey.map(_ + s":opq:m$m"))
+  }
+
   /** PQ-ADC approximate top-k (asymmetric distance computation): the
     * corpus is scanned as its m-byte PQ codes; each query precomputes a
     * lookup table of m×ksub exact sub-distances to every codeword, and

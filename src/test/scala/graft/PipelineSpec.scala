@@ -1054,6 +1054,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("opq topk: identity rotation reproduces plain pq bit-for-bit") {
+    // dot against a one-hot literal row is exact (0.0 terms + x_i·1.0 in
+    // a left-to-right fold), so the rotated corpus IS the corpus and the
+    // whole composition — codebooks, codes, LUTs, ADC — must agree to
+    // the bit, distances included
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val id64 = Array.tabulate(64, 64)((i, j) => if (i == j) 1.0 else 0.0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val opq = rows(Similarity.opqTopK(emb.filter(col("vec_id") < 3), emb,
+      k = 5, m = 4, ksub = 8, iters = 2, dim = 64, rotation = Some(id64)))
+    val pq = rows(Similarity.pqTopK(emb.filter(col("vec_id") < 3), emb,
+      k = 5, m = 4, ksub = 8, iters = 2, dim = 64))
+    assert(opq === pq)
+  }
+
+  test("opq rotation: orthonormal, deterministic; rotated exact search == original") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rot = Similarity.opqRotation(emb, m = 4, dim = 64)
+    assert(rot.length === 64 && rot.forall(_.length === 64))
+    // R·Rᵀ = I: the eigenvalue-allocation permutation of an orthonormal
+    // basis is still orthonormal — the property that makes OPQ distances
+    // the same distances
+    for (i <- 0 until 64; j <- i until 64) {
+      val dot = (0 until 64).map(t => rot(i)(t) * rot(j)(t)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"R·Rᵀ[$i][$j] = $dot")
+    }
+    // seedless determinism (exact covariance → same basis → same greedy
+    // allocation every run)
+    val again = Similarity.opqRotation(emb, m = 4, dim = 64)
+    assert(again.map(_.toSeq).toSeq === rot.map(_.toSeq).toSeq)
+    // the rotation preserves inner products and norms, so the exact
+    // top-k in rotated space matches the original space rank-for-rank
+    val corpusR = Similarity.projectEmbeddings(emb, "vec_id", "embedding", rot)
+    def ranks(df: org.apache.spark.sql.DataFrame, vc: String) =
+      Similarity.bruteForceTopK(df.filter(col("vec_id") < 5), df, vecCol = vc, k = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(ranks(corpusR, "proj") === ranks(emb, "embedding"))
+  }
+
   test("ivfpq topk: full probing + one codeword per residual is EXACT squared-L2 search") {
     // nprobe = nlist (no candidates pruned), ksub = corpus size, PQ
     // iters via the shared `iters` = 0: every residual is its own
@@ -2419,8 +2459,124 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.parseZstdMeta(p)
       Multimodal.parseWarcRecords(p)
       Multimodal.gunzipMembers(p)
+      Multimodal.inflateFirstPrefix(p, 4096)
       Multimodal.sniffOne(p) // any throw fails the test
     }
+  }
+
+  test("gunzipMembersBounded: completeness flag; inflation budget stops the walk") {
+    val a = ("alpha " * 50).getBytes
+    val b = ("beta " * 40).getBytes
+    val full = Multimodal.gunzipMembersBounded(gzipReal(a) ++ gzipReal(b)).get
+    assert(full._1.length === 2 && full._2 === true)
+    // member offsets locate standalone gzip streams
+    val payload = gzipReal(a) ++ gzipReal(b)
+    full._1.foreach { m =>
+      val slice = java.util.Arrays.copyOfRange(
+        payload, m.offset.toInt, (m.offset + m.compLen).toInt)
+      assert(Multimodal.gunzipMembers(slice).get.head.toSeq === m.bytes.toSeq)
+    }
+    // truncated tail: prefix kept, complete=false
+    val trunc = Multimodal.gunzipMembersBounded(gzipReal(a) ++ gzipReal(b).dropRight(3)).get
+    assert(trunc._1.length === 1 && trunc._2 === false)
+    // budget smaller than the second member's inflated size: walk stops
+    // after the first member, complete=false — the decompression-bomb
+    // guard observable
+    val capped = Multimodal.gunzipMembersBounded(
+      gzipReal(a) ++ gzipReal(b), maxInflated = a.length.toLong + 3).get
+    assert(capped._1.length === 1 && capped._1.head.bytes.toSeq === a.toSeq)
+    assert(capped._2 === false)
+    // budget smaller than the FIRST member: nothing demuxable
+    assert(Multimodal.gunzipMembersBounded(gzipReal(a), maxInflated = 8) === None)
+  }
+
+  test("warcRecords complete flag: full parses true, truncated tails false (both spellings)") {
+    val good = warcRecordBytes("response", Some("http://c.com"), "complete".getBytes)
+    val trunc = warcRecordBytes("response", Some("http://c.com/2"), "never arrives".getBytes)
+      .dropRight(20)
+    val media = Seq(
+      (1L, good),                          // plain, full
+      (2L, good ++ trunc),                 // plain, truncated tail
+      (3L, gzipReal(good)),                // gzip, full
+      (4L, gzipReal(good) ++ gzipReal(trunc).dropRight(2))) // gzip, truncated tail
+      .toDF("media_id", "payload")
+    val rows = Multimodal.warcRecords(media).collect()
+      .groupBy(_.media_id).view.mapValues(_.map(_.complete).distinct.toSeq).toMap
+    assert(rows(1L) === Seq(true))
+    assert(rows(2L) === Seq(false))
+    assert(rows(3L) === Seq(true))
+    assert(rows(4L) === Seq(false))
+  }
+
+  test("sniffOne: oversized first member classifies from a bounded prefix, never full demux") {
+    // an 8 MiB body blows the 4 MiB probe budget in one member
+    val bigBody = ("x" * (8 << 20)).getBytes
+    val bigWarc = gzipReal(warcRecordBytes("response", Some("http://big"), bigBody))
+    assert(Multimodal.sniffOne(bigWarc) === "warc.gz")
+    val bigPlainGz = gzipReal(("y" * (8 << 20)).getBytes)
+    assert(Multimodal.sniffOne(bigPlainGz) === "gzip")
+    // inflateFirstPrefix is bounded: returns at most maxBytes
+    val pre = Multimodal.inflateFirstPrefix(bigPlainGz, 4096).get
+    assert(pre.length === 4096 && pre.forall(_ === 'y'.toByte))
+  }
+
+  test("wetExport auto-sharding: shard count derives from corpus size, round-trip intact") {
+    val docs = (0L until 60L)
+      .map(i => (i, s"http://d$i.example.com/p", "lorem ipsum dolor sit " * 18)) // ~396 B each
+      .toDF("doc_id", "url", "text")
+    // bytes ≈ 60·(396 + 160) ≈ 33 KB; a 1 KiB target must fan far past
+    // the old fixed-16 default (the foot-gun case, scaled down)
+    val blobs = Multimodal.wetExport(docs, targetShardBytes = 1024,
+      date = Some("2026-08-16T00:00:00Z")).collect()
+    assert(blobs.length > 16, s"got ${blobs.length} shards")
+    assert(blobs.map(_.n_records).sum === 60L)
+    // no shard concentrates: payloads stay within a few multiples of
+    // the target (hash-share skew at tiny counts)
+    assert(blobs.forall(_.payload.length < 8 * 1024))
+    val media = blobs.toSeq.map(b => (b.shard_id, b.payload)).toDF("media_id", "payload")
+    val recs = Multimodal.warcRecords(media).collect()
+    assert(recs.length === 60 && recs.forall(_.complete))
+    // the default target at this corpus size is a single shard
+    assert(Multimodal.wetExport(docs).collect().length === 1)
+  }
+
+  test("cdxjRecords: every record locatable by its entry, both spellings; surt/ts/digest forms") {
+    val docs = (0L until 12L)
+      .map(i => (i, s"http://WWW.Site$i.example.com:80/a/b?z=1&utm_source=x", s"body text $i"))
+      .toDF("doc_id", "url", "text")
+    def check(gz: Boolean): Unit = {
+      val blobs = Multimodal.wetExport(docs, numShards = 3, gzipPerRecord = gz,
+        date = Some("2026-08-16T01:02:03Z")).collect()
+      val media = blobs.toSeq.map(b => (b.shard_id, b.payload)).toDF("media_id", "payload")
+      val entries = Multimodal.cdxjRecords(media).collect()
+      val recs = Multimodal.warcRecords(media).collect()
+      assert(entries.length === recs.length && entries.length === 12)
+      val payloadOf = blobs.map(b => b.shard_id -> b.payload).toMap
+      entries.foreach { e =>
+        assert(e.ts === "20260816010203")
+        assert(e.surt != null && e.surt.startsWith("com,example,"), e.surt)
+        // the locator law: slicing [offset, offset+length) re-parses to
+        // exactly one record with the entry's url and digest
+        val slice = java.util.Arrays.copyOfRange(
+          payloadOf(e.media_id), e.offset.toInt, (e.offset + e.length).toInt)
+        val rec =
+          if (gz) Multimodal.parseWarcRecords(Multimodal.gunzipMembers(slice).get.head).get
+          else Multimodal.parseWarcRecords(slice).get
+        assert(rec.length === 1)
+        assert(rec.head._2 === Some(e.url))
+        // digest is the RFC 4648 base32 of the body's SHA-1, recomputed here
+        val d = java.security.MessageDigest.getInstance("SHA-1").digest(rec.head._6)
+        val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+        val bits = d.flatMap(x => (7 to 0 by -1).map(i => (x >> i) & 1))
+        val b32 = bits.grouped(5).map(g => alpha(g.foldLeft(0)((a, v) => a * 2 + v))).mkString
+        assert(e.digest === s"sha1:$b32")
+      }
+      // (surt, ts) ordering groups by reversed domain — the CDX partition form
+      val surts = entries.map(_.surt).sorted
+      assert(surts.head.startsWith("com,example,site"))
+    }
+    check(gz = true)
+    check(gz = false)
   }
 
   test("videoMeta demux: mp4 and mkv parse, compressed audio and blobs drop") {
