@@ -82,7 +82,8 @@ object Explain {
       "q_domain_stats",    // one host-keyed agg; partials reduce to distinct hosts
       "q_nfc_normalize",   // pure codegen'd normalization projection
       "q_ivfpq_topk",      // coarse cells prune the ADC join; residual LUTs broadcast
-      "q_robots_filter")   // tiny rule table joined per host; struct-max winner, no sort
+      "q_robots_filter",   // tiny rule table joined per host; struct-max winner, no sort
+      "q_opq_topk")        // rotation literals in front of the PQ-ADC scan (r19)
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

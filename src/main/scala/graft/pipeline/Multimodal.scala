@@ -1531,6 +1531,24 @@ object Multimodal {
       .as[CdxjEntry]
   }
 
+  /** Serialize [[CdxjEntry]] rows as CDXJ text lines — `<surt> <ts>
+    * {json}`, the sort-merge-able index file format web archives pair
+    * with their WARCs. The JSON block is Spark's codegen'd `to_json`
+    * over the locator struct (null url/mime fields are omitted, the
+    * CDXJ convention); `media_id` stands in for the archive filename
+    * (this engine addresses shards by id, not path). Writing actual
+    * files is the caller's one-liner —
+    * `cdxjLines(e).orderBy("surt", "ts").select("line").write.text(dir)`
+    * — a global sort over INDEX-sized rows (never bodies), which Spark
+    * range-partitions; the engine does not reimplement the text sink.
+    */
+  def cdxjLines(entries: Dataset[CdxjEntry]): DataFrame =
+    entries.toDF().select(col("surt"), col("ts"),
+      concat_ws(" ", col("surt"), col("ts"),
+        to_json(struct(col("url"), col("mime"), col("digest"),
+          col("offset"), col("length"), col("media_id"), col("record_idx"))))
+        .as("line"))
+
   final case class SniffedFormat(media_id: Long, format: String)
 
   private def startsWith(p: Array[Byte], at: Int, sig: String): Boolean =

@@ -2579,6 +2579,32 @@ class MultimodalSpec extends SparkSpec {
     check(gz = false)
   }
 
+  test("cdxjLines: '<surt> <ts> {json}' round-trips every locator field, CDX-sortable") {
+    val docs = (0L until 6L)
+      .map(i => (i, s"http://site$i.example.com/p", s"line body $i"))
+      .toDF("doc_id", "url", "text")
+    val blobs = Multimodal.wetExport(docs, numShards = 2,
+      date = Some("2026-08-16T01:02:03Z")).collect()
+    val media = blobs.toSeq.map(b => (b.shard_id, b.payload)).toDF("media_id", "payload")
+    val entries = Multimodal.cdxjRecords(media)
+    val lines = Multimodal.cdxjLines(entries).orderBy("surt", "ts")
+      .select("line").collect().map(_.getString(0))
+    assert(lines.length === 6)
+    // sorted output IS the CDX file order
+    assert(lines.toSeq === lines.sorted.toSeq)
+    val byKey = entries.collect().map(e => (e.media_id, e.record_idx) -> e).toMap
+    lines.foreach { l =>
+      val Array(surt, ts, json) = l.split(" ", 3)
+      val m = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .readTree(json)
+      val e = byKey((m.get("media_id").asLong, m.get("record_idx").asInt))
+      assert(surt === e.surt && ts === e.ts)
+      assert(m.get("url").asText === e.url)
+      assert(m.get("digest").asText === e.digest)
+      assert(m.get("offset").asLong === e.offset && m.get("length").asLong === e.length)
+    }
+  }
+
   test("videoMeta demux: mp4 and mkv parse, compressed audio and blobs drop") {
     val media = Seq(
       (1L, mp4File()),
