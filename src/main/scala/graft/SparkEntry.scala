@@ -1495,6 +1495,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // similarity — OPQ code table: the stored index artifact of
+    // q_opq_topk (same rotation, same codebooks via the shared cacheKey)
+    "q_opq_codes" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val rot = Similarity.opqRotation(emb, "vec_id", "embedding",
+        m = 4, dim = 64, cacheKey = Some(s"$d/embeddings"))
+      lastOpqRotation = Some(rot)
+      val enc = Similarity.opqEncode(emb, m = 4, ksub = 8, iters = 2, dim = 64,
+        rotation = Some(rot), cacheKey = Some(s"$d/embeddings"))
+      enc.select(col("id").as("vec_id") +:
+          (0 until 4).map(j => element_at(col("codes"), j + 1).as(s"c$j")): _*)
+        .orderBy("vec_id")
+    }),
+
     // similarity — OPQ-ADC top-k (Ge et al. CVPR'13 parametric OPQ):
     // eigenvalue-balanced PCA rotation composed in front of the PQ scan;
     // the fitted rotation publishes for the oracle (the q_pca_topk
@@ -1890,9 +1904,11 @@ object SparkEntry {
     */
   private def opqTopkOracle: Map[String, String] = lastOpqRotation match {
     case None => Map.empty
-    case Some(rot) => Map("q_opq_topk" ->
-      graft.oracle.SimilarityOracles.opqTopKOracleSql(
-        rot, k = 5, m = 4, ksub = 8, iters = 2, dim = 64))
+    case Some(rot) => Map(
+      "q_opq_topk" -> graft.oracle.SimilarityOracles.opqTopKOracleSql(
+        rot, k = 5, m = 4, ksub = 8, iters = 2, dim = 64),
+      "q_opq_codes" -> graft.oracle.SimilarityOracles.opqCodesOracleSql(
+        rot, m = 4, ksub = 8, iters = 2, dim = 64))
   }
 
   /** q_pca_topk's DuckDB twin, built around the published basis: the 48

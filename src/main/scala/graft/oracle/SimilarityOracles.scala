@@ -133,9 +133,12 @@ private[graft] object SimilarityOracles {
   }
 
   /** PQ code-table oracle — mirrors [[graft.pipeline.Similarity.pqEncode]]. */
-  private[oracle] def pqCodesOracleSql(m: Int, ksub: Int, iters: Int, dim: Int): String = {
+  private[oracle] def pqCodesOracleSql(m: Int, ksub: Int, iters: Int, dim: Int): String =
+    pqCodesOracleSql(m, ksub, iters, dim, floatDvCte)
+  private[oracle] def pqCodesOracleSql(
+      m: Int, ksub: Int, iters: Int, dim: Int, dvCte: String): String = {
     val cols = (0 until m).map(j => s"c$j").mkString(", ")
-    s"""${pqEncCtes(m, ksub, iters, dim)}
+    s"""${pqEncCtes(m, ksub, iters, dim, dvCte)}
          SELECT vec_id, $cols FROM enc ORDER BY vec_id"""
   }
 
@@ -179,14 +182,11 @@ private[graft] object SimilarityOracles {
     * bit-identical inputs. `dv` is MATERIALIZED — the m subspace slices
     * would otherwise re-evaluate the d² rotation per reference.
     */
-  private[graft] def opqTopKOracleSql(
-      rotation: Array[Array[Double]],
-      k: Int, m: Int, ksub: Int, iters: Int, dim: Int): String = {
+  private def rotatedDvCte(rotation: Array[Array[Double]], dim: Int): String = {
     val rows = rotation.zipWithIndex.map { case (r, i) =>
       r.mkString(s"($i, [", ", ", "])")
     }.mkString(",\n           ")
-    val dvCte =
-      s"""rot(comp, bv) AS (VALUES
+    s"""rot(comp, bv) AS (VALUES
            $rows),
          rl AS (SELECT list(bv ORDER BY comp) AS bs FROM rot),
          dv AS MATERIALIZED (
@@ -195,8 +195,18 @@ private[graft] object SimilarityOracles {
                     list_sum(list_transform(range(1, ${dim + 1}),
                       i -> CAST(embedding[i] AS DOUBLE) * bv[i]))) AS v
            FROM embeddings CROSS JOIN rl)"""
-    pqTopKOracleSql(k, m, ksub, iters, dim, dvCte)
   }
+
+  private[graft] def opqTopKOracleSql(
+      rotation: Array[Array[Double]],
+      k: Int, m: Int, ksub: Int, iters: Int, dim: Int): String =
+    pqTopKOracleSql(k, m, ksub, iters, dim, rotatedDvCte(rotation, dim))
+
+  /** OPQ code-table oracle — [[pqCodesOracleSql]] over the rotated `dv`. */
+  private[graft] def opqCodesOracleSql(
+      rotation: Array[Array[Double]],
+      m: Int, ksub: Int, iters: Int, dim: Int): String =
+    pqCodesOracleSql(m, ksub, iters, dim, rotatedDvCte(rotation, dim))
 
   private[oracle] def kmeansOracleSql(k: Int, iters: Int, dim: Int): String =
     s"""WITH ${kmeansCtes(k, iters, dim)},

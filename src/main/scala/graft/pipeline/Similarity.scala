@@ -401,6 +401,27 @@ object Similarity {
     * Output: (query_id, vec_id, adc_dist, rank), adc in ROTATED space
     * = approximate squared L2 in the original space.
     */
+  /** OPQ encoding — [[pqEncode]] over the rotated corpus: the stored
+    * index artifact of [[opqTopK]] (m small codes per vector, codebooks
+    * fit in the rotated space). Same output contract as pqEncode.
+    */
+  def opqEncode(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      m: Int = 4,
+      ksub: Int = 8,
+      iters: Int = 2,
+      dim: Int = 64,
+      rotation: Option[Array[Array[Double]]] = None,
+      cacheKey: Option[String] = None): DataFrame = {
+    val rot = rotation.getOrElse(opqRotation(df, idCol, vecCol, m, dim, cacheKey))
+    require(rot.length == dim && rot.forall(_.length == dim),
+      s"rotation must be $dim x $dim, got ${rot.length} x ${rot.headOption.map(_.length)}")
+    pqEncode(projectEmbeddings(df, idCol, vecCol, rot), idCol, "proj",
+      m, ksub, iters, dim, cacheKey = cacheKey.map(_ + s":opq:m$m"))
+  }
+
   def opqTopK(
       queries: DataFrame,
       corpus: DataFrame,

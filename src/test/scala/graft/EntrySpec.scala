@@ -16,13 +16,13 @@ class EntrySpec extends SparkSpec {
     // q_pca_topk is deliberately twin-less: the driver-side Jacobi eigen
     // solve is not SQL-expressible in DuckDB; PipelineSpec pins it by law
     // (full-basis rotation invariance, recall-vs-variance, determinism).
-    // q_opq_topk's twin is publish-after-run (the rotation literals exist
-    // only after the query evaluates — Verify runs every query before
-    // dumping, so the driver's selfcheck always sees it), so in a fresh
-    // session it is legitimately absent from the static map.
-    assert(rowsOnly.contains("q_pca_topk") &&
-      rowsOnly.subsetOf(Set("q_pca_topk", "q_opq_topk")),
-      s"unexpected rows-only queries: ${rowsOnly -- Set("q_pca_topk", "q_opq_topk")}")
+    // The q_opq_* twins are publish-after-run (the rotation literals
+    // exist only after a query evaluates — Verify runs every query
+    // before dumping, so the driver's selfcheck always sees them), so in
+    // a fresh session they are legitimately absent from the static map.
+    val deferred = Set("q_pca_topk", "q_opq_topk", "q_opq_codes")
+    assert(rowsOnly.contains("q_pca_topk") && rowsOnly.subsetOf(deferred),
+      s"unexpected rows-only queries: ${rowsOnly -- deferred}")
   }
 
   test("simhash column form and corpus form agree") {

@@ -1070,6 +1070,17 @@ class SimilaritySpec extends SparkSpec {
     assert(opq === pq)
   }
 
+  test("opq codes: identity rotation reproduces pqEncode code-for-code") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val id64 = Array.tabulate(64, 64)((i, j) => if (i == j) 1.0 else 0.0)
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val opq = codes(Similarity.opqEncode(emb, m = 4, ksub = 8, iters = 2, dim = 64,
+      rotation = Some(id64)))
+    val pq = codes(Similarity.pqEncode(emb, m = 4, ksub = 8, iters = 2, dim = 64))
+    assert(opq === pq)
+  }
+
   test("opq rotation: orthonormal, deterministic; rotated exact search == original") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val rot = Similarity.opqRotation(emb, m = 4, dim = 64)
