@@ -1418,25 +1418,32 @@ object Multimodal {
     require(targetShardBytes >= 1024, s"targetShardBytes must be >= 1 KiB, got $targetShardBytes")
     val spark = docs.sparkSession
     import spark.implicits._
-    val shards =
-      if (numShards >= 1) numShards
+    val proj = docs.select(col(idCol).as("__rawid"),
+      col(idCol).cast("long").as("__id"), col(uriCol).cast("string").as("__uri"),
+      col(textCol).cast("string").as("__text"))
+    val (base, shards) =
+      if (numShards >= 1) (proj, numShards)
       else {
+        // the size estimate and the export share ONE materialization:
+        // on a DERIVED input frame the eager pre-pass would otherwise
+        // recompute the whole upstream lineage twice (a full extra
+        // corpus pass at scale); the persisted stage is exactly the rows
+        // the export shuffles right after, spillable and recomputable
+        val cached = graft.StageCache.mat(proj)
         // estimated serialized bytes: text octets + ~160 B of WARC
         // framing per record (headers + separators; gzip-per-record
         // roughly offsets its own member overhead with text compression)
-        val est = docs.agg(
-            coalesce(sum(octet_length(col(textCol).cast("string"))), lit(0L))
-              .as("b"),
+        val est = cached.agg(
+            coalesce(sum(octet_length(col("__text"))), lit(0L)).as("b"),
             count(lit(1)).as("n"))
           .head()
         val bytes = est.getLong(0) + est.getLong(1) * 160L
-        math.max(1L, (bytes + targetShardBytes - 1) / targetShardBytes)
-          .min(Int.MaxValue.toLong).toInt
+        (cached, math.max(1L, (bytes + targetShardBytes - 1) / targetShardBytes)
+          .min(Int.MaxValue.toLong).toInt)
       }
-    docs
-      .select(pmod(xxhash64(col(idCol)), lit(shards.toLong)).as("__shard"),
-        col(idCol).cast("long").as("__id"), col(uriCol).cast("string").as("__uri"),
-        col(textCol).cast("string").as("__text"))
+    base
+      .select(pmod(xxhash64(col("__rawid")), lit(shards.toLong)).as("__shard"),
+        col("__id"), col("__uri"), col("__text"))
       .as[(Long, Long, String, String)]
       .groupByKey(_._1)
       .mapGroups { (shard, it) =>
@@ -1542,12 +1549,20 @@ object Multimodal {
     * — a global sort over INDEX-sized rows (never bodies), which Spark
     * range-partitions; the engine does not reimplement the text sink.
     */
-  def cdxjLines(entries: Dataset[CdxjEntry]): DataFrame =
-    entries.toDF().select(col("surt"), col("ts"),
-      concat_ws(" ", col("surt"), col("ts"),
+  def cdxjLines(entries: Dataset[CdxjEntry]): DataFrame = {
+    // missing key fields serialize as the CDX "-" placeholder — a
+    // warcinfo record has no WARC-Target-URI (null surt) and a record
+    // can lack WARC-Date (empty ts); concat_ws would silently DROP a
+    // null column and field-shift the line for its consumer
+    val surtOut = coalesce(col("surt"), lit("-"))
+    val tsOut = when(col("ts").isNull || col("ts") === "", lit("-"))
+      .otherwise(col("ts"))
+    entries.toDF().select(surtOut.as("surt"), tsOut.as("ts"),
+      concat_ws(" ", surtOut, tsOut,
         to_json(struct(col("url"), col("mime"), col("digest"),
           col("offset"), col("length"), col("media_id"), col("record_idx"))))
         .as("line"))
+  }
 
   final case class SniffedFormat(media_id: Long, format: String)
 
@@ -1582,20 +1597,23 @@ object Multimodal {
       // EVERY member a record, so member 1 decides; a first member too
       // big for the probe budget classifies by its inflated prefix
       // (deflate structure already verified over the probed span).
-      gunzipMembersBounded(p, maxInflated = 4L << 20, maxMembers = 1) match {
+      val probeBudget = 4 << 20
+      gunzipMembersBounded(p, maxInflated = probeBudget.toLong, maxMembers = 1) match {
         case Some((ms, _)) if ms.nonEmpty =>
           // full first member in budget: the real parser decides
           return if (parseWarcRecords(ms.head.bytes).isDefined) "warc.gz" else "gzip"
         case _ =>
-          // first member malformed OR bigger than the probe budget:
-          // decide from a small inflated prefix (header + deflate
-          // structure verified over the probed span); a stream whose
-          // deflate breaks immediately falls through — bad gzip is
-          // not gzip
-          inflateFirstPrefix(p, 4096) match {
-            case Some(pre) if pre.length >= 5 && startsWith(pre, 0, "WARC/") =>
-              return "warc.gz"
-            case Some(pre) if pre.nonEmpty => return "gzip"
+          // first member malformed OR bigger than the probe budget.
+          // Only the OVERSIZED case classifies from the inflated
+          // prefix: asking for budget+1 bytes distinguishes them — a
+          // member whose deflate stream is still producing past the
+          // budget is genuinely too big to verify (classify by
+          // prefix); anything shorter means the stream ended and the
+          // bounded demux rejected its trailer/CRC, so the old
+          // contract holds: bad gzip is not gzip, fall through
+          inflateFirstPrefix(p, probeBudget + 1) match {
+            case Some(pre) if pre.length > probeBudget =>
+              return if (startsWith(pre, 0, "WARC/")) "warc.gz" else "gzip"
             case _ => // fall through
           }
       }

@@ -388,19 +388,6 @@ object Similarity {
     }
   }
 
-  /** OPQ-ADC approximate top-k: [[opqRotation]] composed in front of
-    * the plain [[pqTopK]] scan — both sides are rotated by the SAME
-    * orthonormal literal basis ([[projectEmbeddings]]: native
-    * dot-product codegen, no join), then codebook fit, encoding, LUTs,
-    * and the salted two-phase top-k all run unchanged in the rotated
-    * space. Since the rotation preserves L2, the result approximates
-    * the same exact search as [[pqTopK]], with strictly better-balanced
-    * codebooks (the OPQ guarantee); `rotation = identity` reproduces
-    * [[pqTopK]] bit-for-bit (the SimilaritySpec law — dot against a
-    * one-hot literal row is exact), which pins the composition.
-    * Output: (query_id, vec_id, adc_dist, rank), adc in ROTATED space
-    * = approximate squared L2 in the original space.
-    */
   /** OPQ encoding — [[pqEncode]] over the rotated corpus: the stored
     * index artifact of [[opqTopK]] (m small codes per vector, codebooks
     * fit in the rotated space). Same output contract as pqEncode.
@@ -419,9 +406,43 @@ object Similarity {
     require(rot.length == dim && rot.forall(_.length == dim),
       s"rotation must be $dim x $dim, got ${rot.length} x ${rot.headOption.map(_.length)}")
     pqEncode(projectEmbeddings(df, idCol, vecCol, rot), idCol, "proj",
-      m, ksub, iters, dim, cacheKey = cacheKey.map(_ + s":opq:m$m"))
+      m, ksub, iters, dim, cacheKey = cacheKey.map(_ + opqKeySuffix(m, rot)))
   }
 
+  /** Codebook cache-key suffix for the OPQ entry points: the rotation is
+    * a fit-determining input (codebooks are fit in the ROTATED space),
+    * so its content fingerprint is part of the key — two calls sharing a
+    * `cacheKey` but passing different explicit rotations must not reuse
+    * each other's codebooks. Deterministic (bit-content fold), so the
+    * fitted-default path still cache-hits across queries.
+    */
+  private def opqKeySuffix(m: Int, rot: Array[Array[Double]]): String = {
+    var h = 17L
+    var i = 0
+    while (i < rot.length) {
+      val r = rot(i)
+      var j = 0
+      while (j < r.length) {
+        h = h * 31 + java.lang.Double.doubleToLongBits(r(j)); j += 1
+      }
+      i += 1
+    }
+    s":opq:m$m:r${java.lang.Long.toHexString(h)}"
+  }
+
+  /** OPQ-ADC approximate top-k: [[opqRotation]] composed in front of
+    * the plain [[pqTopK]] scan — both sides are rotated by the SAME
+    * orthonormal literal basis ([[projectEmbeddings]]: native
+    * dot-product codegen, no join), then codebook fit, encoding, LUTs,
+    * and the salted two-phase top-k all run unchanged in the rotated
+    * space. Since the rotation preserves L2, the result approximates
+    * the same exact search as [[pqTopK]], with strictly better-balanced
+    * codebooks (the OPQ guarantee); `rotation = identity` reproduces
+    * [[pqTopK]] bit-for-bit (the SimilaritySpec law — dot against a
+    * one-hot literal row is exact), which pins the composition.
+    * Output: (query_id, vec_id, adc_dist, rank), adc in ROTATED space
+    * = approximate squared L2 in the original space.
+    */
   def opqTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -441,7 +462,7 @@ object Similarity {
     val corpusR = projectEmbeddings(corpus, idCol, vecCol, rot)
     val queriesR = projectEmbeddings(queries, idCol, vecCol, rot)
     pqTopK(queriesR, corpusR, idCol, "proj", k, m, ksub, iters, dim, numSalts,
-      cacheKey = cacheKey.map(_ + s":opq:m$m"))
+      cacheKey = cacheKey.map(_ + opqKeySuffix(m, rot)))
   }
 
   /** PQ-ADC approximate top-k (asymmetric distance computation): the

@@ -2529,6 +2529,14 @@ class MultimodalSpec extends SparkSpec {
     // inflateFirstPrefix is bounded: returns at most maxBytes
     val pre = Multimodal.inflateFirstPrefix(bigPlainGz, 4096).get
     assert(pre.length === 4096 && pre.forall(_ === 'y'.toByte))
+    // CRC-corrupt trailer with an intact (small) deflate stream: the
+    // bounded demux rejects it and the prefix fallback must NOT rescue
+    // it — bad gzip is not gzip (the member ended under budget, so the
+    // rejection was a verification failure, not a size limit)
+    val crcBad = gzipReal(("z" * 2000).getBytes)
+    crcBad(crcBad.length - 5) = (crcBad(crcBad.length - 5) ^ 0x7F).toByte
+    val got = Multimodal.sniffOne(crcBad)
+    assert((got !== "gzip") && (got !== "warc.gz"), s"got $got")
   }
 
   test("wetExport auto-sharding: shard count derives from corpus size, round-trip intact") {
@@ -2614,6 +2622,16 @@ class MultimodalSpec extends SparkSpec {
       assert(m.get("digest").asText === e.digest)
       assert(m.get("offset").asLong === e.offset && m.get("length").asLong === e.length)
     }
+    // URI-less (warcinfo-style) and date-less records serialize with the
+    // CDX '-' placeholders — concat_ws must NOT field-shift the line
+    val bare = Multimodal.buildWarcRecord("warcinfo", None, None,
+      "application/warc-fields", "software: test".getBytes)
+    val bareLines = Multimodal.cdxjLines(Multimodal.cdxjRecords(
+        Seq((7L, bare)).toDF("media_id", "payload")))
+      .select("line").collect().map(_.getString(0))
+    assert(bareLines.length === 1)
+    val toks = bareLines.head.split(" ", 3)
+    assert(toks(0) === "-" && toks(1) === "-" && toks(2).startsWith("{"), bareLines.head)
   }
 
   test("videoMeta demux: mp4 and mkv parse, compressed audio and blobs drop") {
