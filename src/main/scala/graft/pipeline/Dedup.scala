@@ -407,13 +407,30 @@ object Dedup {
     // every downstream quantity (df, set sizes, intersections) a
     // distinct-HASH-set measure — the exact semantics the SQL oracle
     // replays with SELECT DISTINCT.
-    val exd = graft.StageCache.matHot(
+    //
+    // ONE materialization serves every consumer (r20; previously exd and
+    // exd⋈dfc were two separate matHot stages): the exploded rows are
+    // keyed by `__b` up front, so the document frequency is a window
+    // COUNT within the key's partition — no groupBy shuffle, no df join —
+    // and the `(id, n_sh, __b, __df)` stage is a superset of the plain
+    // exploded rows, so the intersection joins read it too. The per-doc
+    // set size `n_sh` is size() of the scan-side array BEFORE the explode
+    // — free at scan time — and riding every exploded row it reaches the
+    // final containment division through the intersection groupBy (max()
+    // of a per-id constant), so the old separate `sizes` aggregation and
+    // its two closing joins (two broadcast exchanges + two aggregation
+    // jobs at sf0.1) are gone entirely.
+    // Skew note (100 TB): a hot shingle hash colocates on one task here,
+    // exactly as it did in the previous exd⋈dfc join on `__b`; the maxDf
+    // cap discards those rows immediately downstream either way.
+    val withDf =
       df.select(col(idCol).as("id"),
-        explode(graft.functions.ShingleOps.shingleHashModSet(
-          lower(col(textCol)), n)).as("__b")))
-    val sizes = exd.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val dfc = exd.groupBy("__b").agg(count(lit(1)).as("__df"))
-    val withDf = graft.StageCache.matHot(exd.join(dfc, Seq("__b")))
+          graft.functions.ShingleOps.shingleHashModSet(
+            lower(col(textCol)), n).as("__hs"))
+        .select(col("id"), size(col("__hs")).as("n_sh"),
+          explode(col("__hs")).as("__b"))
+        .repartition(col("__b"))
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__b"))))
     // anchors: each doc's numAnchors rarest shingles (per-doc window,
     // bounded by shingles-per-doc) that clear the df cap
     val wDoc = Window.partitionBy(col("id")).orderBy(col("__df"), col("__b"))
@@ -435,15 +452,16 @@ object Dedup {
     // earlier collect_set/array_intersect form shipped a popular doc's
     // whole hash ARRAY once per candidate it appeared in; here the rows
     // shuffle by join key, partial-aggregate map-side, and spill instead
-    // of blowing a task on a hot doc.
+    // of blowing a task on a hot doc. Both sides' set sizes fold into the
+    // same aggregation as max() of the per-id constant each row carries.
     val inter = cand
-      .join(exd.select(col("id").as("id_a"), col("__b")), Seq("id_a"))
-      .join(exd.select(col("id").as("id_b"), col("__b")), Seq("id_b", "__b"))
+      .join(withDf.select(col("id").as("id_a"), col("n_sh").as("__na"), col("__b")),
+        Seq("id_a"))
+      .join(withDf.select(col("id").as("id_b"), col("n_sh").as("__nb"), col("__b")),
+        Seq("id_b", "__b"))
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("__ni"))
+      .agg(count(lit(1)).as("__ni"), max(col("__na")).as("na"), max(col("__nb")).as("nb"))
     inter
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
       .withColumn("containment", col("__ni").cast("double") / least(col("na"), col("nb")))
       .filter(col("containment") >= minContainment)
       .select("id_a", "id_b", "containment")

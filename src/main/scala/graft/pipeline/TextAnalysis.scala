@@ -916,10 +916,12 @@ object TextAnalysis {
     * gets its greater-freq prefix from log2-band totals (≤64 bands,
     * band×band inequality join) plus a within-band prefix window
     * (partitioned by band; worst band population ~√vocab). In-tie
-    * ranks reuse the stratifiedSplit bucket-offset trick: 64 hash
-    * buckets per tie, prefix window over (freq, bucket) counts, local
-    * row_number per bucket. Every window is partitioned; nothing sorts
-    * more than ~group∕64 rows in one task. Determinism: ln() values are
+    * ranks are then GENERATED straight off the ladder — each tie owns
+    * the contiguous run (__foff, __foff+__cnt], emitted as chunked
+    * integer sequences — so after the first token aggregation nothing
+    * vocabulary-sized is ever joined, windowed, or sorted again.
+    * Every window is partitioned; nothing sorts more than ~band∕64
+    * rows in one task. Determinism: ln() values are
     * quantized to integer micro-units per VOCAB ROW (deterministic per
     * value), and all four regression sums run in decimal(38,0) — exact
     * at any partition count; the slope falls out of one fixed sequence
@@ -947,24 +949,47 @@ object TextAnalysis {
     val freqOff = fc.join(bandOff, "__band")
       .withColumn("__foff",
         col("__boff") + coalesce(sum(col("__cnt")).over(wBand), lit(0L)))
-      .select(col("freq"), col("__foff"))
-    // in-tie rank via hash buckets (sums are permutation-invariant, so
-    // hash order inside a tie is as good as lexicographic)
-    val nBkt = 64L
-    val withBkt = freq.withColumn("__bkt",
-      pmod(graft.functions.PortableHash.hash60(col("tok")), lit(nBkt)))
-    val wBktOff = Window.partitionBy("freq").orderBy(col("__bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bktOff = withBkt.groupBy(col("freq"), col("__bkt"))
-      .agg(count(lit(1)).as("__bcnt"))
-      .withColumn("__bo", coalesce(sum(col("__bcnt")).over(wBktOff), lit(0L)))
-      .select(col("freq"), col("__bkt"), col("__bo"))
-    val wIn = Window.partitionBy(col("freq"), col("__bkt")).orderBy(col("tok"))
-    val ranked = withBkt
-      .withColumn("__r", row_number().over(wIn).cast("long"))
-      .join(bktOff, Seq("freq", "__bkt"))
-      .join(freqOff, Seq("freq"))
-      .withColumn("rank", col("__foff") + col("__bo") + col("__r"))
+      .select(col("freq"), col("__cnt"), col("__foff"))
+    // In-tie ranks are GENERATED, not assigned (r20; replaces the r18
+    // hash-bucket/row_number machinery — three exchanges and two
+    // vocab-wide windows for values the regression never looks at
+    // individually): every token tied at `freq` contributes the same
+    // ln(freq), and the tie occupies the contiguous rank run
+    // (__foff, __foff + __cnt], so the regression's multiset of
+    // (rank, freq) points is exactly sequence(__foff+1, __foff+__cnt)
+    // per distinct frequency — D ladder rows (D ≤ √(2·total)) explode
+    // back to vocab-many rows with no join against the vocabulary at
+    // all. WHICH token gets which in-tie rank was already arbitrary
+    // (hash order); the sums are identical bit-for-bit because the
+    // micro-unit quantization and decimal(38,0) sums run over the same
+    // value multiset (partition-count bit-identity law unchanged).
+    // Tie-size safety at 100 TB: a hapax tie is vocabulary-sized, so
+    // one row may not explode to billions in one task — ranks generate
+    // in ≤64k chunks, and the chunk rows (≤ vocab/64k + D) spread by
+    // (freq, chunk) hash first. Cold A/B at sf0.1: jobs 10 → 9, wall
+    // flat (0.78 → 0.80 s) — the remaining wall is 9 × (stage exec +
+    // 40-80 ms AQE replan gap, measured from the job-event timeline),
+    // i.e. scheduler floor on a one-row output, not data. Two further
+    // fusions were tried and rejected with measurements: repartitioning
+    // fc by __band so bands/bandOff/the prefix window share one
+    // exchange read 11 jobs (the repartition added a stage and AQE
+    // stage-reuse already dedups the repeated fc subtrees at runtime);
+    // a metadata-sized opaque-key window for bandOff trades the
+    // band-distinct exchange for a single-partition one, job-neutral.
+    // The win that stays: nothing vocabulary-sized is windowed, joined,
+    // or sorted after the token aggregation (the r18 form ran three
+    // vocab-wide stages).
+    val chunkLen = 65536L
+    val chunks = freqOff
+      .select(col("freq"), col("__foff"), col("__cnt"),
+        explode(sequence(lit(0L),
+          expr(s"(__cnt - 1) div $chunkLen"))).as("__ch"))
+      .repartition(col("freq"), col("__ch"))
+    val ranked = chunks.select(col("freq"),
+      explode(sequence(
+        col("__foff") + col("__ch") * chunkLen + 1L,
+        col("__foff") + least(col("__cnt"), (col("__ch") + 1L) * chunkLen)))
+        .as("rank"))
     val q = ranked
       .withColumn("__x", round(log(col("rank").cast("double")) * 1e6, 0).cast("long"))
       .withColumn("__y", round(log(col("freq").cast("double")) * 1e6, 0).cast("long"))
