@@ -64,6 +64,16 @@ object Gaps {
     * by the boundary run-state law), so the split form costs ~the plain
     * form when no series actually needs splitting. `adaptiveThreshold <=
     * 0` forces every key through the bucket path (the law tests do).
+    *
+    * Bench-scale floor (r20, measured): with no heavy keys the split
+    * form still runs ~3 more AQE jobs than plain islands — the router's
+    * count aggregation plus the empty heavy branch's first stages before
+    * adaptive empty-relation propagation collapses it — ≈ +0.3 s at
+    * sf0.1, all scheduler floor (taskSec delta ~0). That is the price of
+    * the routing decision itself; the alternative (a per-key count
+    * WINDOW riding the light path's exchange) would buffer a monster
+    * key's whole series in one task — the exact hazard this operator
+    * exists to avoid — so the aggregation+join router stays.
     */
   def constantIslandsSplit(
       df: DataFrame,
@@ -91,8 +101,17 @@ object Gaps {
     require(splitSeconds > 0, s"splitSeconds must be positive, got $splitSeconds")
     val bUs = splitSeconds * 1000000L
     val ord = (col(tsCol) +: tieBreak.map(col))
+    // ONE (keys, bucket)-keyed exchange feeds the whole bucket machinery
+    // (r20; VERDICT r19 #5): the bucket-last rollup, the flagged window,
+    // and the totals rollup all cluster by (keys, __b), and the carries
+    // join preserves the streamed side's partitioning — so keying the
+    // bucketed rows HERE, below the join, lets every consumer ride the
+    // same exchange (AQE reuses the identical subtree). Before, the
+    // planner placed each consumer's exchange above its own join/window
+    // and the corpus shuffled three times on divergent pruned subtrees.
     val withB = df.withColumn("__b",
-      floor(unix_micros(col(tsCol).cast("timestamp")) / bUs))
+        floor(unix_micros(col(tsCol).cast("timestamp")) / bUs))
+      .repartition((keys :+ "__b").map(col): _*)
     // one row per (key, bucket): the bucket's last value (by the same
     // order), struct-wrapped so null values survive the max_by
     val lastRow = withB
