@@ -1202,7 +1202,7 @@ object Multimodal {
       media_id: Long, record_idx: Int, warc_type: String,
       target_uri: Option[String], warc_date: Option[String],
       content_type: Option[String], content_length: Long, body: Array[Byte],
-      complete: Boolean)
+      complete: Boolean, payload_digest: String)
 
   /** Parse one plain (non-gzip) WARC stream into records. ISO 28500
     * grammar: `WARC/<ver>` CRLF, header lines `Name: value` to a blank
@@ -1307,7 +1307,10 @@ object Multimodal {
     * the standard layout so archives are seekable per record). One
     * `mapPartitions` flatMap; payloads that are neither produce no
     * rows. Bodies stay binary (HTTP responses can be anything);
-    * `record_idx` preserves archive order within a payload.
+    * `record_idx` preserves archive order within a payload. Each record
+    * carries its WARC-Payload-Digest (`sha1:` + RFC 4648 base32 of the
+    * body) computed in the same scan pass — digest-keyed dedup and CDX
+    * joins downstream need no second pass over the bodies.
     *
     * Every record carries the payload-level `complete` flag: `true` iff
     * the WHOLE archive parsed — the gzip walk consumed every byte with
@@ -1346,7 +1349,13 @@ object Multimodal {
             case None => IndexedSeq.empty[WarcRecord]
             case Some((recs, complete)) => recs.zipWithIndex.map {
               case ((t, uri, date, ctype, clen, body), i) =>
-                WarcRecord(id, i, t, uri, date, ctype, clen, body, complete)
+                // WARC-Payload-Digest spelling (r20): the body bytes are
+                // already in hand on the scan, so the sha1:base32 digest
+                // column is free here — CDX joins and digest-keyed dedup
+                // need no second pass over the bodies. Pinned bit-equal
+                // to cdxjRecords' digest in MultimodalSpec.
+                WarcRecord(id, i, t, uri, date, ctype, clen, body, complete,
+                  "sha1:" + sha1Base32(body))
             }
           }
         }
@@ -1562,6 +1571,73 @@ object Multimodal {
         to_json(struct(col("url"), col("mime"), col("digest"),
           col("offset"), col("length"), col("media_id"), col("record_idx"))))
         .as("line"))
+  }
+
+  final case class CdxShard(shard_id: Long, n_lines: Long, payload: Array[Byte])
+
+  /** CDX-SORTED index shards — the writer face of [[cdxjLines]]: the
+    * full entry set globally ordered by (surt, ts) and serialized into
+    * newline-delimited text blobs, the `.cdxj` file convention web
+    * archives keep beside their `.warc.gz` shards (a binary-searchable
+    * merged index: concatenating the blobs in `shard_id` order IS the
+    * sorted CDX file, since range partitions are emitted in key order
+    * and each shard is sorted within). Ties beyond (surt, ts) order by
+    * the full line text, which embeds (media_id, record_idx) — a total,
+    * deterministic order. Text order equals tuple order because the
+    * line's field separator (space) sorts below every character SURT
+    * keys and timestamps use.
+    *
+    * `numShards = 0` (default) derives the count from a column-pruned
+    * size pre-pass targeting `targetShardBytes` (the [[wetExport]]
+    * precedent — one task assembles one shard, so per-task memory IS
+    * shard size); an explicit count is honored as given.
+    *
+    * Scale shape: ONE `repartitionByRange` over index-sized rows (never
+    * bodies) + in-partition sort; each blob assembles in its own task
+    * with no further shuffle. Empty ranges yield no row.
+    */
+  def cdxExport(
+      entries: Dataset[CdxjEntry],
+      numShards: Int = 0,
+      targetShardBytes: Long = 128L << 20): Dataset[CdxShard] = {
+    require(numShards >= 0, s"numShards must be >= 1 (or 0 = derive from size), got $numShards")
+    require(targetShardBytes >= 1024, s"targetShardBytes must be >= 1 KiB, got $targetShardBytes")
+    val spark = entries.sparkSession
+    import spark.implicits._
+    val lines = cdxjLines(entries)
+    val (base, shards) =
+      if (numShards >= 1) (lines, numShards)
+      else {
+        // size estimate and export share one materialization (the
+        // wetExport rationale: a derived input would otherwise pay its
+        // whole upstream lineage twice)
+        val cached = graft.StageCache.mat(lines)
+        val bytes = cached
+          .agg(coalesce(sum(octet_length(col("line")) + lit(1L)), lit(0L)))
+          .head().getLong(0)
+        (cached, math.max(1L, (bytes + targetShardBytes - 1) / targetShardBytes)
+          .min(Int.MaxValue.toLong).toInt)
+      }
+    base
+      .repartitionByRange(shards, col("surt"), col("ts"), col("line"))
+      .sortWithinPartitions("surt", "ts", "line")
+      .withColumn("__shard", spark_partition_id().cast("long"))
+      .select(col("__shard"), col("line")).as[(Long, String)]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val out = new java.io.ByteArrayOutputStream()
+          var shard = -1L
+          var n = 0L
+          it.foreach { case (s, l) =>
+            shard = s
+            out.write(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            out.write('\n')
+            n += 1
+          }
+          Iterator.single(CdxShard(shard, n, out.toByteArray))
+        }
+      }
   }
 
   final case class SniffedFormat(media_id: Long, format: String)
