@@ -1526,6 +1526,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // similarity — ITERATIVE OPQ (Ge et al. CVPR'13 §3 alternating
+    // optimization): Procrustes-refined rotation seeded by the
+    // parametric solution, keep-best distortion by construction; the
+    // refined rotation publishes for the oracle like the parametric one
+    // (the SAME ADC replay runs over whichever literals are published)
+    "q_opq_refined" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val rot = Similarity.opqRotationRefined(emb, "vec_id", "embedding",
+        m = 4, ksub = 8, iters = 2, dim = 64, rounds = 2,
+        cacheKey = Some(s"$d/embeddings"))
+      lastOpqRefinedRotation = Some(rot)
+      Similarity.opqTopK(emb.filter(col("vec_id") < 10), emb,
+          k = 5, m = 4, ksub = 8, iters = 2, dim = 64,
+          rotation = Some(rot), cacheKey = Some(s"$d/embeddings"))
+        .select(col("query_id"), col("vec_id"),
+          round(col("adc_dist"), 6).as("adc_dist"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // similarity — IVF-PQ (the composed FAISS-style IVFADC index):
     // coarse cells prune the candidate set, shared residual-PQ codebooks
     // compress what is scanned; per-(query, probed-cell) residual LUTs
@@ -1898,6 +1917,13 @@ object SparkEntry {
     */
   @volatile private var lastOpqRotation: Option[Array[Array[Double]]] = None
 
+  /** The ITERATIVE (Procrustes-refined) OPQ rotation the last
+    * q_opq_refined evaluation fitted — same publish contract as
+    * [[lastOpqRotation]]; the oracle replay is identical, only the
+    * rotation literals differ.
+    */
+  @volatile private var lastOpqRefinedRotation: Option[Array[Array[Double]]] = None
+
   /** q_opq_topk's DuckDB twin over the published rotation — rotation
     * literals + the full m-chain PQ replay
     * ([[graft.oracle.SimilarityOracles.opqTopKOracleSql]]).
@@ -1909,6 +1935,16 @@ object SparkEntry {
         rot, k = 5, m = 4, ksub = 8, iters = 2, dim = 64),
       "q_opq_codes" -> graft.oracle.SimilarityOracles.opqCodesOracleSql(
         rot, m = 4, ksub = 8, iters = 2, dim = 64))
+  }
+
+  /** q_opq_refined's twin — the unchanged rotation+m-chain+ADC replay
+    * over the refined literals.
+    */
+  private def opqRefinedOracle: Map[String, String] = lastOpqRefinedRotation match {
+    case None => Map.empty
+    case Some(rot) => Map(
+      "q_opq_refined" -> graft.oracle.SimilarityOracles.opqTopKOracleSql(
+        rot, k = 5, m = 4, ksub = 8, iters = 2, dim = 64))
   }
 
   /** q_pca_topk's DuckDB twin, built around the published basis: the 48
@@ -1951,7 +1987,7 @@ object SparkEntry {
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""")
   }
 
-  def oracleSql: Map[String, String] = pcaTopkOracle ++ opqTopkOracle ++
+  def oracleSql: Map[String, String] = pcaTopkOracle ++ opqTopkOracle ++ opqRefinedOracle ++
     graft.oracle.StoreOracles.sql ++ graft.oracle.TsOracles.sql ++
     graft.oracle.TpchOracles.sql ++ graft.oracle.TextOracles.sql ++
     graft.oracle.DedupOracles.sql ++ graft.oracle.SimilarityOracles.sql ++

@@ -388,6 +388,139 @@ object Similarity {
     }
   }
 
+  /** ITERATIVE (non-parametric) OPQ — the full Ge et al. CVPR'13 §3
+    * alternating optimization behind the parametric seed
+    * [[opqRotation]]: repeat { fix R → fit the m per-subspace codebooks
+    * on the rotated corpus; fix codebooks → solve the orthogonal
+    * Procrustes problem min_R Σ‖R·x − ŷ‖² = V·Uᵀ for the SVD
+    * U·Σ·Vᵀ of the d×d cross-scatter M = Σ x·ŷᵀ } — each half-step can
+    * only tighten its own objective, and because a fresh k-means fit is
+    * seeded independently per round (not warm-started), the RETURNED
+    * rotation is the round with the LOWEST measured distortion
+    * (parametric seed included), making `distortion(refined) ≤
+    * distortion(parametric)` a guarantee by construction, not an
+    * asymptotic hope.
+    *
+    * Fit cost at 100 TB, per round: one codebook fit (m·(1+iters)
+    * bounded k-means actions over the one materialized projection), ONE
+    * exact cross-scatter pass (the [[embeddingCovariance]] discipline:
+    * micro-unit quantization, primitive-long accumulation flushed to
+    * BigInt before overflow — bit-identical at any partition count),
+    * and one distortion aggregation; the SVD is driver-side on d×d.
+    * The corpus never moves; the returned rows become plan literals
+    * like the parametric path. Deterministic end-to-end (exact scatter,
+    * fixed-order Jacobi SVD, md5-seeded k-means).
+    */
+  def opqRotationRefined(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      m: Int = 4,
+      ksub: Int = 8,
+      iters: Int = 2,
+      dim: Int = 64,
+      rounds: Int = 3,
+      cacheKey: Option[String] = None): Array[Array[Double]] = {
+    require(m >= 1 && dim % m == 0, s"need dim divisible by m; got dim=$dim m=$m")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val ds = dim / m
+    def fit(): Array[Array[Double]] = {
+      val corpusD = pqCorpus(corpus, idCol, vecCol)
+      var cur = opqRotation(corpus, idCol, vecCol, m, dim, cacheKey)
+      var best = cur
+      var bestD = opqDistortion(corpusD, cur, m, ksub, iters, ds)
+      var r = 0
+      var degenerate = false
+      while (r < rounds && !degenerate) {
+        procrustesStep(corpusD, cur, m, ksub, iters, ds, dim) match {
+          case None => degenerate = true // empty/degenerate corpus: keep best
+          case Some(next) =>
+            val d2 = opqDistortion(corpusD, next, m, ksub, iters, ds)
+            if (d2 < bestD) { best = next; bestD = d2 }
+            cur = next
+        }
+        r += 1
+      }
+      best
+    }
+    cacheKey match {
+      case Some(key) =>
+        ModelCache.getOrFit(
+          s"opqrotit:$key:$vecCol:m$m:d$dim:k$ksub:i$iters:r$rounds")(fit())
+      case None => fit()
+    }
+  }
+
+  /** Test-visible distortion probe: mean PQ distortion of `rot` over
+    * `corpus` — the objective [[opqRotationRefined]]'s keep-best rule
+    * guarantees is never worse than the parametric seed's.
+    */
+  private[graft] def opqDistortionOf(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      rot: Array[Array[Double]], m: Int, ksub: Int, iters: Int, dim: Int): Double =
+    opqDistortion(pqCorpus(corpus, idCol, vecCol), rot, m, ksub, iters, dim / m)
+
+  /** Rotated-corpus frame (vec_id, __v = R·x) built from rotation-row
+    * literals — the internal sibling of [[projectEmbeddings]] over the
+    * already-double-cast [[pqCorpus]] stage.
+    */
+  private def rotatedCorpus(
+      corpusD: DataFrame, rot: Array[Array[Double]]): DataFrame =
+    corpusD.select(col("vec_id"),
+      array(rot.map(b => dot(col("__v"), array(b.map(lit): _*))): _*).as("__v"))
+
+  /** Mean PQ distortion of rotation `rot`: fit the m codebooks on the
+    * rotated corpus, then avg over rows of Σ_j min-codeword squared
+    * distance in subspace j — the objective both OPQ variants minimize.
+    */
+  private def opqDistortion(
+      corpusD: DataFrame, rot: Array[Array[Double]],
+      m: Int, ksub: Int, iters: Int, ds: Int): Double = {
+    val zf = rotatedCorpus(corpusD, rot)
+    val books = pqBooks(zf, m, ksub, iters, ds, cacheKey = None)
+    val per = (0 until m).map { j =>
+      array_min(Clustering.centroidDists(slice(col("__v"), j * ds + 1, ds), books(j)))
+    }.reduce(_ + _)
+    val row = zf.agg(avg(per).as("d")).head()
+    if (row.isNullAt(0)) Double.MaxValue else row.getDouble(0)
+  }
+
+  /** One Procrustes half-step: codebooks fit on the current rotation,
+    * reconstruction ŷ per row from its nearest codewords, exact d×d
+    * cross-scatter M = Σ x·ŷᵀ, and the orthogonal solution V·Uᵀ off
+    * M's SVD. None when the corpus is empty.
+    */
+  private def procrustesStep(
+      corpusD: DataFrame, rot: Array[Array[Double]],
+      m: Int, ksub: Int, iters: Int, ds: Int, dim: Int): Option[Array[Array[Double]]] = {
+    val zf = rotatedCorpus(corpusD, rot)
+    val books = pqBooks(zf, m, ksub, iters, ds, cacheKey = None)
+    // x and ŷ side by side in ONE frame, no join: z = R·x rebuilt as an
+    // expression over the corpus stage's x, then ŷ = concatenation of
+    // each subspace's nearest codeword (the PQ reconstruction), selected
+    // by the same ties-to-lowest argmin the encoder uses
+    val zCol = array(rot.map(b => dot(col("__v"), array(b.map(lit): _*))): _*)
+    def yFromZ(z: Column): Column = concat(books.toSeq.zipWithIndex.map { case (b, j) =>
+      val dists = Clustering.centroidDists(slice(z, j * ds + 1, ds), b)
+      val code = (array_position(dists, array_min(dists)) - 1).cast("int")
+      element_at(array(b.map(cw => array(cw.map(lit): _*)): _*), code + 1)
+    }: _*)
+    // z bound as a lambda variable so the m subspace slices share ONE
+    // evaluation of the d² rotation (the projectEmbeddings binding trick)
+    val yCol = flatten(transform(array(zCol), z => yFromZ(z)))
+    val xy = corpusD.select(col("__v").as("__x"), yCol.as("__y"))
+    crossMoments(xy).map { case (_, mBig) =>
+      val mm = Array.tabulate(dim, dim)((i, j) => mBig(i * dim + j).toDouble / 1e12)
+      val (u, _, v) = svdSquare(mm)
+      // B = V·Uᵀ maximizes tr(B·M): B(r)(c) = Σ_k v_k(r)·u_k(c)
+      Array.tabulate(dim, dim)((r, c) => {
+        var t = 0.0; var k = 0
+        while (k < dim) { t += v(k)(r) * u(k)(c); k += 1 }
+        t
+      })
+    }
+  }
+
   /** OPQ encoding — [[pqEncode]] over the rotated corpus: the stored
     * index artifact of [[opqTopK]] (m small codes per vector, codebooks
     * fit in the rotated space). Same output contract as pqEncode.
@@ -1011,6 +1144,172 @@ object Similarity {
     }, depth = 2))
   }
 
+  /** Exact d×d cross-scatter M = Σ x·ŷᵀ over paired vector columns
+    * (`__x`, `__y`) — the [[covMoments]] discipline applied to the OPQ
+    * Procrustes statistic: micro-unit HALF_UP quantization of both
+    * sides, primitive-long product accumulation flushed to BigInt before
+    * overflow is possible, one partial per partition combined by exact
+    * integer addition (order-free, so bit-identical at any partition
+    * count). Returns (row count, flattened row-major d×d BigInt sums of
+    * q_x(i)·q_y(j)); None when no non-null pairs exist. Rows with either
+    * side null contribute nothing.
+    */
+  private def crossMoments(
+      df: DataFrame): Option[(Long, Array[BigInt])] = {
+    val partials = df
+      .select(transform(col("__x"), x => x.cast("double")).as("__x"),
+        transform(col("__y"), y => y.cast("double")).as("__y"))
+      .rdd.mapPartitions { it =>
+        var d = -1
+        var n = 0L
+        var accL: Array[Long] = null
+        var accB: Array[BigInt] = null
+        var cap = 0L
+        def flush(): Unit = {
+          var i = 0
+          while (i < accL.length) { accB(i) += accL(i); accL(i) = 0L; i += 1 }
+          cap = 0L
+        }
+        def quant(v: Seq[Double]): (Array[Long], Long) = {
+          val q = new Array[Long](v.length)
+          var mx = 0L
+          var i = 0
+          while (i < q.length) {
+            q(i) = java.math.BigDecimal.valueOf(v(i) * 1e6)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+            if (math.abs(q(i)) > mx) mx = math.abs(q(i))
+            i += 1
+          }
+          (q, mx)
+        }
+        it.foreach { row =>
+          val x = if (row.isNullAt(0)) null else row.getSeq[Double](0)
+          val y = if (row.isNullAt(1)) null else row.getSeq[Double](1)
+          if (x != null && y != null) {
+            if (d < 0) {
+              d = x.length
+              accL = new Array[Long](d * d)
+              accB = Array.fill(d * d)(BigInt(0))
+            }
+            require(x.length == d && y.length == d,
+              s"crossMoments: ragged vector widths ($d vs ${x.length}/${y.length})")
+            val (qx, mx) = quant(x)
+            val (qy, my) = quant(y)
+            // same exact-arithmetic envelope as covMoments: any single
+            // micro-unit product must fit in Long
+            require(mx <= 2000000000L && my <= 2000000000L,
+              s"crossMoments: component magnitude ${math.max(mx, my) / 1e6} exceeds " +
+                "the 2000.0 exact-arithmetic envelope; rescale the embeddings first")
+            val rowBound = math.max(mx * my, math.max(mx, my))
+            if (cap > 4000000000000000000L - rowBound) flush()
+            cap += rowBound
+            var i = 0
+            var k = 0
+            while (i < d) {
+              val qi = qx(i)
+              var j = 0
+              while (j < d) { accL(k) += qi * qy(j); k += 1; j += 1 }
+              i += 1
+            }
+            n += 1
+          }
+        }
+        if (d < 0) Iterator.empty
+        else { flush(); Iterator.single((n, accB)) }
+      }
+    if (partials.isEmpty()) None
+    else Some(partials.treeReduce({ case ((n1, a1), (n2, a2)) =>
+      require(a1.length == a2.length,
+        s"crossMoments: ragged widths across partitions (${a1.length} vs ${a2.length})")
+      var i = 0
+      while (i < a1.length) { a1(i) += a2(i); i += 1 }
+      (n1 + n2, a1)
+    }, depth = 2))
+  }
+
+  /** Driver-side SVD of a square d×d matrix via the in-house
+    * [[jacobiEigen]]: MᵀM = V·Σ²·Vᵀ gives V and the singular values;
+    * U's columns are M·v_i/σ_i, Gram-Schmidt-polished, with a
+    * deterministic standard-basis completion for (near-)zero singular
+    * values. Returns (U columns, σ descending, V columns) with
+    * M ≈ U·Σ·Vᵀ, both U and V orthonormal.
+    */
+  private[graft] def svdSquare(
+      mIn: Array[Array[Double]]): (Array[Array[Double]], Array[Double], Array[Array[Double]]) = {
+    val d = mIn.length
+    val s = Array.ofDim[Double](d, d)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) {
+        var t = 0.0; var k = 0
+        while (k < d) { t += mIn(k)(i) * mIn(k)(j); k += 1 }
+        s(i)(j) = t; j += 1
+      }
+      i += 1
+    }
+    val (evals, v) = jacobiEigen(s) // v(i) = components of the i-th right-singular vector
+    val sig = evals.map(e => math.sqrt(math.max(e, 0.0)))
+    val eps = (if (sig.nonEmpty) sig(0) else 0.0) * 1e-9
+    val u = Array.ofDim[Double](d, d)
+    def orthogonalize(w: Array[Double], upTo: Int): Double = {
+      var p = 0
+      while (p < upTo) {
+        var dp = 0.0; var k = 0
+        while (k < d) { dp += w(k) * u(p)(k); k += 1 }
+        k = 0
+        while (k < d) { w(k) -= dp * u(p)(k); k += 1 }
+        p += 1
+      }
+      math.sqrt(w.map(x => x * x).sum)
+    }
+    i = 0
+    while (i < d) {
+      var done = false
+      if (sig(i) > eps) {
+        val w = new Array[Double](d)
+        var r = 0
+        while (r < d) {
+          var t = 0.0; var k = 0
+          while (k < d) { t += mIn(r)(k) * v(i)(k); k += 1 }
+          w(r) = t; r += 1
+        }
+        val nrm = orthogonalize(w, i)
+        if (nrm > 1e-12) {
+          var k = 0
+          while (k < d) { u(i)(k) = w(k) / nrm; k += 1 }
+          done = true
+        }
+      }
+      if (!done) {
+        // deterministic completion: the standard basis vector with the
+        // LARGEST residual against the span built so far (Σ residual²
+        // over all e_j is exactly d−i, so the max is ≥ √((d−i)/d) > 0 —
+        // always completable; ties break to the lowest index). This
+        // path is the NORM for the OPQ scatter, whose rank is bounded
+        // by the codebook span (≤ m·(ksub−1)+1 < d in typical configs).
+        var bestE = -1
+        var bestN = 0.0
+        var bestW: Array[Double] = null
+        var e = 0
+        while (e < d) {
+          val w = new Array[Double](d)
+          w(e) = 1.0
+          val nrm = orthogonalize(w, i)
+          if (nrm > bestN + 1e-15) { bestN = nrm; bestE = e; bestW = w }
+          e += 1
+        }
+        require(bestE >= 0 && bestN > 1e-9,
+          s"svdSquare: could not complete an orthonormal U basis (best residual $bestN)")
+        var k = 0
+        while (k < d) { u(i)(k) = bestW(k) / bestN; k += 1 }
+        done = true
+      }
+      i += 1
+    }
+    (u, sig, v)
+  }
+
   /** Declarative (pure-Catalyst) twin of [[embeddingCovariance]] — the
     * formulation the DuckDB oracle mirrors term for term, kept as the
     * cross-check the law tests pin the imperative pass against
@@ -1068,6 +1367,20 @@ object Similarity {
     val d = rows.map(_._2).max + 1
     val a = Array.ofDim[Double](d, d)
     rows.foreach { case (i, j, c) => a(i)(j) = c; a(j)(i) = c }
+    val (evals, vecs) = jacobiEigen(a)
+    (evals.take(k), vecs.take(k))
+  }
+
+  /** Cyclic Jacobi eigen-solver on a symmetric d×d matrix (driver-side;
+    * d is an embedding width, never a corpus size). Returns ALL d
+    * (eigenvalue, eigenvector-components) pairs, eigenvalues descending,
+    * eigenvectors orthonormal. Deterministic: fixed sweep order, fixed
+    * convergence thresholds. MUTATES its argument (callers pass a local
+    * copy).
+    */
+  private[graft] def jacobiEigen(
+      a: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a.length
     val v = Array.tabulate(d, d)((r, c) => if (r == c) 1.0 else 0.0)
     // cyclic Jacobi: rotate away the largest off-diagonal until negligible
     var sweep = 0
@@ -1106,8 +1419,9 @@ object Similarity {
       }
       sweep += 1
     }
-    val order = (0 until d).sortBy(i => -a(i)(i)).take(k)
-    (order.map(i => a(i)(i)).toArray, order.map(i => (0 until d).map(r => v(r)(i)).toArray).toArray)
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    (order.map(i => a(i)(i)).toArray,
+      order.map(i => (0 until d).map(r => v(r)(i)).toArray).toArray)
   }
 
   /** Project embeddings onto a PCA basis (optionally mean-centered):

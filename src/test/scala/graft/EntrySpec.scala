@@ -20,7 +20,7 @@ class EntrySpec extends SparkSpec {
     // exist only after a query evaluates — Verify runs every query
     // before dumping, so the driver's selfcheck always sees them), so in
     // a fresh session they are legitimately absent from the static map.
-    val deferred = Set("q_pca_topk", "q_opq_topk", "q_opq_codes")
+    val deferred = Set("q_pca_topk", "q_opq_topk", "q_opq_codes", "q_opq_refined")
     assert(rowsOnly.contains("q_pca_topk") && rowsOnly.subsetOf(deferred),
       s"unexpected rows-only queries: ${rowsOnly -- deferred}")
   }

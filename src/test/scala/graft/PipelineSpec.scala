@@ -1105,6 +1105,54 @@ class SimilaritySpec extends SparkSpec {
     assert(ranks(corpusR, "proj") === ranks(emb, "embedding"))
   }
 
+  test("opq iterative refinement: keep-best distortion <= parametric; orthonormal; deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // rounds = 0 IS the parametric seed, exactly
+    val seed = Similarity.opqRotation(emb, m = 4, dim = 64)
+    val r0 = Similarity.opqRotationRefined(emb, m = 4, ksub = 8, iters = 2, dim = 64, rounds = 0)
+    assert(r0.map(_.toSeq).toSeq === seed.map(_.toSeq).toSeq)
+    val refined = Similarity.opqRotationRefined(emb, m = 4, ksub = 8, iters = 2, dim = 64,
+      rounds = 2)
+    // still a rotation: R·Rᵀ = I (the Procrustes solution V·Uᵀ of an SVD
+    // with orthonormal factors)
+    for (i <- 0 until 64; j <- i until 64) {
+      val dot = (0 until 64).map(t => refined(i)(t) * refined(j)(t)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"R·Rᵀ[$i][$j] = $dot")
+    }
+    // the keep-best rule makes the guarantee structural: measured PQ
+    // distortion of the returned rotation never exceeds the parametric's
+    val dSeed = Similarity.opqDistortionOf(emb, "vec_id", "embedding", seed,
+      m = 4, ksub = 8, iters = 2, dim = 64)
+    val dRef = Similarity.opqDistortionOf(emb, "vec_id", "embedding", refined,
+      m = 4, ksub = 8, iters = 2, dim = 64)
+    assert(dRef <= dSeed + 1e-9, s"in=refined $dRef vs parametric $dSeed")
+    // deterministic end-to-end (exact scatter, fixed-order Jacobi SVD,
+    // md5-seeded k-means)
+    val again = Similarity.opqRotationRefined(emb, m = 4, ksub = 8, iters = 2, dim = 64,
+      rounds = 2)
+    assert(again.map(_.toSeq).toSeq === refined.map(_.toSeq).toSeq)
+  }
+
+  test("svdSquare: U·Σ·Vᵀ reconstructs M; U and V orthonormal; rank-deficient completion") {
+    // deterministic non-symmetric test matrix with a ZERO row (rank
+    // deficiency exercises the standard-basis completion path)
+    val d = 8
+    val m0 = Array.tabulate(d, d)((i, j) =>
+      if (i == d - 1) 0.0 else math.sin(i * 3 + j * 7 + 1) + (if (i == j) 2.0 else 0.0))
+    val (u, sig, v) = Similarity.svdSquare(m0.map(_.clone()))
+    assert(sig.toSeq === sig.sorted.reverse.toSeq)
+    def ortho(cols: Array[Array[Double]], name: String): Unit =
+      for (i <- 0 until d; j <- i until d) {
+        val dp = (0 until d).map(t => cols(i)(t) * cols(j)(t)).sum
+        assert(math.abs(dp - (if (i == j) 1.0 else 0.0)) < 1e-8, s"$name[$i][$j]=$dp")
+      }
+    ortho(u, "UᵀU"); ortho(v, "VᵀV")
+    for (r <- 0 until d; c <- 0 until d) {
+      val rec = (0 until d).map(k => u(k)(r) * sig(k) * v(k)(c)).sum
+      assert(math.abs(rec - m0(r)(c)) < 1e-6, s"M[$r][$c]: $rec vs ${m0(r)(c)}")
+    }
+  }
+
   test("ivfpq topk: full probing + one codeword per residual is EXACT squared-L2 search") {
     // nprobe = nlist (no candidates pruned), ksub = corpus size, PQ
     // iters via the shared `iters` = 0: every residual is its own
