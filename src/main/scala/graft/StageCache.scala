@@ -61,8 +61,16 @@ object StageCache {
     * a localCheckpoint), so an evicted stage costs at worst one rebuild.
     * Bounds the CacheManager footprint of a LONG-LIVED (server-style)
     * session, where an unbounded registry would pin every (input, n)
-    * shingle base / signature table / pair list ever built. Batch runs
-    * never approach the cap. `GRAFT_STAGE_CACHE_MAX` overrides.
+    * shingle base / signature table / pair list ever built.
+    * Default 1024 (r20; was 256): the 140-query bench registers ~280
+    * distinct stages per pass, so under the old cap an access-ordered
+    * full pass evicted every stage ~139 queries before its next use —
+    * the warm leg silently re-paid rebuilds (measured at sf0.1: warm
+    * total 56.6 → 53.7 s with the cap lifted; q_containment_pairs 2.50
+    * → 2.13, q_winnow_pairs 1.07 → 0.87). Entries are
+    * MEMORY_AND_DISK — blocks spill, and eviction past the cap only
+    * costs recomputation — so the cap is a registry-size bound, not a
+    * memory-safety bound. `GRAFT_STAGE_CACHE_MAX` overrides.
     */
   private val maxEntries: Int =
     sys.env.get("GRAFT_STAGE_CACHE_MAX")
@@ -73,7 +81,7 @@ object StageCache {
         None
       })
       .filter(_ >= 1) // 0/negative would silently evict every stage on registration
-      .getOrElse(256)
+      .getOrElse(1024)
 
   // access-ordered LRU keyed by the CANONICALIZED plan: re-registering an
   // equal stage rebuilt by another query refreshes recency instead of
