@@ -314,9 +314,13 @@ object SparkEntry {
 
     // G2/G3 — completeness holes over a dense grid, absent keys → full range
     "q_holes" -> ((s, d) => {
-      val ev = events(s, d).filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("ts"))
-        .agg(count(lit(1)).cast("double").as("value"))
+      // the purchase day-rollup is shared verbatim by q_holes_mindelta
+      // and q_find_groups — registered so warm sessions build it once
+      // (matHot is identity in the stage-cold leg, r20)
+      val ev = graft.StageCache.matHot(
+        events(s, d).filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("ts"))
+          .agg(count(lit(1)).cast("double").as("value")))
       val requested = s.range(20).toDF("user_id")
       Gaps.holes(ev, Seq("user_id"),
           java.time.LocalDateTime.parse("2024-01-01T00:00"),
@@ -329,9 +333,10 @@ object SparkEntry {
     // min_delta drop (difference_missing semantics); interior islands and
     // all-missing keys survive unconditionally.
     "q_holes_mindelta" -> ((s, d) => {
-      val ev = events(s, d).filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("ts"))
-        .agg(count(lit(1)).cast("double").as("value"))
+      val ev = graft.StageCache.matHot(
+        events(s, d).filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("ts"))
+          .agg(count(lit(1)).cast("double").as("value")))
       Gaps.holes(ev, Seq("user_id"),
           java.time.LocalDateTime.parse("2024-01-01T00:00"),
           java.time.LocalDateTime.parse("2024-01-30T00:00"), 86400L,
@@ -352,9 +357,10 @@ object SparkEntry {
 
     // G4 — find_groups: cluster keys by identical missing-range lists
     "q_find_groups" -> ((s, d) => {
-      val ev = events(s, d).filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("ts"))
-        .agg(count(lit(1)).cast("double").as("value"))
+      val ev = graft.StageCache.matHot(
+        events(s, d).filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("ts"))
+          .agg(count(lit(1)).cast("double").as("value")))
       Gaps.findGroups(ev, "user_id",
           java.time.LocalDateTime.parse("2024-01-01T00:00"),
           java.time.LocalDateTime.parse("2024-01-15T00:00"), 86400L,

@@ -1640,6 +1640,90 @@ object Multimodal {
       }
   }
 
+  final case class CdxShardRange(shard_id: Long, first_key: String, last_key: String)
+
+  /** Per-shard key range off a CDX shard set — the index-of-the-index:
+    * because [[cdxExport]] blobs are sorted within AND across shards,
+    * a blob's first and last `<surt> <ts>` keys ARE its exact min/max,
+    * so a key-range query prunes shards from this catalog alone. The
+    * keys are read without splitting the blob (first line = bytes to
+    * the first newline; last line = bytes after the last interior
+    * newline) — one bounded peek per blob, no full parse.
+    */
+  def cdxShardRanges(shards: Dataset[CdxShard]): Dataset[CdxShardRange] = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    shards.flatMap { s =>
+      keyRangeOf(s.payload).map { case (first, last) =>
+        CdxShardRange(s.shard_id, first, last)
+      }
+    }
+  }
+
+  /** (first key, last key) of a newline-delimited CDX blob, peeked from
+    * the ends without materializing lines. None for an empty blob. The
+    * key is the `<surt> <ts>` prefix (first two fields).
+    */
+  private[graft] def keyRangeOf(payload: Array[Byte]): Option[(String, String)] = {
+    if (payload == null || payload.isEmpty) return None
+    val n = payload.length
+    var fe = 0
+    while (fe < n && payload(fe) != '\n') fe += 1
+    // last line starts after the final interior newline (blobs end \n)
+    var ls = if (payload(n - 1) == '\n') n - 2 else n - 1
+    while (ls >= 0 && payload(ls) != '\n') ls -= 1
+    val first = new String(payload, 0, fe, java.nio.charset.StandardCharsets.UTF_8)
+    val lastEnd = if (payload(n - 1) == '\n') n - 1 else n
+    val last = new String(payload, ls + 1, lastEnd - ls - 1,
+      java.nio.charset.StandardCharsets.UTF_8)
+    def key(line: String): String = {
+      val a = line.indexOf(' ')
+      val b = if (a < 0) -1 else line.indexOf(' ', a + 1)
+      if (b < 0) line else line.substring(0, b)
+    }
+    Some((key(first), key(last)))
+  }
+
+  /** SURT-prefix lookup over CDX-sorted shards — the READ face of
+    * [[cdxExport]]: shards whose [first, last] key range cannot contain
+    * the prefix are skipped WITHOUT splitting their text (the peeked
+    * range check is exact because blobs are globally sorted), and only
+    * the surviving blobs' lines are materialized and filtered. Output:
+    * (shard_id, surt, ts, line) for every entry whose SURT starts with
+    * `surtPrefix`, in (surt, ts) order within each shard.
+    *
+    * Scale shape: at 100 TB the shard catalog ([[cdxShardRanges]]) is
+    * index-of-index-sized and the prefix selects O(matching shards); a
+    * pruned shard costs the two end-peeks, never a parse. This is the
+    * web-archive lookup contract: a binary-searchable merged CDX.
+    */
+  def cdxLookup(shards: Dataset[CdxShard], surtPrefix: String): DataFrame = {
+    require(surtPrefix != null && surtPrefix.nonEmpty, "surtPrefix must be non-empty")
+    val spark = shards.sparkSession
+    import spark.implicits._
+    // prefix interval: keys k with k >= prefix && k < prefix+MaxChar;
+    // a range [first, last] overlaps iff last >= prefix && first < hi
+    val hi = surtPrefix + '￿'
+    shards.flatMap { s =>
+      keyRangeOf(s.payload) match {
+        case Some((first, last)) if last >= surtPrefix && first <= hi =>
+          new String(s.payload, java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n").iterator
+            .filter(_.startsWith(surtPrefix))
+            .flatMap { line =>
+              val a = line.indexOf(' ')
+              val b = if (a < 0) -1 else line.indexOf(' ', a + 1)
+              // a foreign/garbled line without the three CDXJ fields is
+              // not an entry — skip it rather than throw mid-scan
+              if (b < 0) Iterator.empty
+              else Iterator.single(
+                (s.shard_id, line.substring(0, a), line.substring(a + 1, b), line))
+            }
+        case _ => Iterator.empty
+      }
+    }.toDF("shard_id", "surt", "ts", "line")
+  }
+
   final case class SniffedFormat(media_id: Long, format: String)
 
   private def startsWith(p: Array[Byte], at: Int, sig: String): Boolean =

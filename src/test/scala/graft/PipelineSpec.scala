@@ -2745,6 +2745,49 @@ class MultimodalSpec extends SparkSpec {
     assert(mergedD.split("\n").toSeq.sorted === lines.sorted)
   }
 
+  test("cdxLookup: prefix hits == direct cdxjLines filter; disjoint shards pruned by end-peek") {
+    val docs = (0L until 42L)
+      .map(i => (i, s"http://site${i % 7}.example.com/p$i", s"lookup body $i"))
+      .toDF("doc_id", "url", "text")
+    val blobs = Multimodal.wetExport(docs, numShards = 4,
+      date = Some("2026-08-16T01:02:03Z")).collect()
+    val media = blobs.toSeq.map(b => (b.shard_id, b.payload)).toDF("media_id", "payload")
+    val entries = Multimodal.cdxjRecords(media)
+    val shards = Multimodal.cdxExport(entries, numShards = 4)
+    // shard catalog: ranges are exact (peeked keys == split first/last),
+    // ordered, and non-overlapping across shard ids — the
+    // binary-searchable contract
+    val ranges = Multimodal.cdxShardRanges(shards).collect().sortBy(_.shard_id)
+    assert(ranges.length === 4)
+    val byId = shards.collect().map(b => b.shard_id -> b.payload).toMap
+    ranges.foreach { r =>
+      val lines = new String(byId(r.shard_id), "UTF-8").split("\n")
+      def key(l: String) = l.split(" ", 3).take(2).mkString(" ")
+      assert(r.first_key === key(lines.head) && r.last_key === key(lines.last),
+        s"in=${r.shard_id}")
+      assert(r.first_key <= r.last_key)
+    }
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(a.last_key <= b.first_key, s"in=${a.shard_id}/${b.shard_id}")
+    }
+    // the lookup law: hits for a SURT prefix == the direct line filter
+    val prefix = "com,example,site3"
+    val direct = Multimodal.cdxjLines(entries).collect()
+      .map(_.getString(2)).filter(_.startsWith(prefix)).toSet
+    assert(direct.size === 6, s"in=${direct.size}")
+    val hits = Multimodal.cdxLookup(shards, prefix).collect()
+    assert(hits.map(_.getString(3)).toSet === direct)
+    hits.foreach(h => assert(h.getString(1).startsWith(prefix), s"in=${h.getString(1)}"))
+    // pruning is real: a single-site prefix overlaps strictly fewer
+    // ranges than there are shards (42 entries over 7 sites in 4 sorted
+    // range shards)
+    val hi = prefix + '￿'
+    val overlapping = ranges.count(r => r.last_key >= prefix && r.first_key <= hi)
+    assert(overlapping < 4, s"in=$overlapping")
+    // a prefix beyond every key prunes everything
+    assert(Multimodal.cdxLookup(shards, "zzz,nonexistent").count() === 0L)
+  }
+
   test("videoMeta demux: mp4 and mkv parse, compressed audio and blobs drop") {
     val media = Seq(
       (1L, mp4File()),
