@@ -1202,7 +1202,8 @@ object Multimodal {
       media_id: Long, record_idx: Int, warc_type: String,
       target_uri: Option[String], warc_date: Option[String],
       content_type: Option[String], content_length: Long, body: Array[Byte],
-      complete: Boolean, payload_digest: String)
+      complete: Boolean, payload_digest: String,
+      refers_to: Option[String], header_digest: Option[String])
 
   /** Parse one plain (non-gzip) WARC stream into records. ISO 28500
     * grammar: `WARC/<ver>` CRLF, header lines `Name: value` to a blank
@@ -1212,8 +1213,16 @@ object Multimodal {
     * parsed so far are kept). Returns None if the payload doesn't start
     * with a `WARC/` version line.
     */
-  private[graft] def parseWarcRecords(payload: Array[Byte]): Option[Seq[
-      (String, Option[String], Option[String], Option[String], Long, Array[Byte])]] =
+  /** One parsed WARC record: (type, target-uri, date, content-type,
+    * content-length, body, refers-to-target-uri, header payload-digest).
+    * The last two carry the revisit-record linkage (r20) — None on
+    * records that don't spell them.
+    */
+  private[graft] type ParsedWarc =
+    (String, Option[String], Option[String], Option[String], Long, Array[Byte],
+      Option[String], Option[String])
+
+  private[graft] def parseWarcRecords(payload: Array[Byte]): Option[Seq[ParsedWarc]] =
     parseWarcRecordsOff(payload).map(_._1.map(_._1))
 
   /** The [[parseWarcRecords]] walk, additionally reporting each record's
@@ -1225,8 +1234,7 @@ object Multimodal {
     * so partial archive parses are countable, not silent).
     */
   private[graft] def parseWarcRecordsOff(payload: Array[Byte]): Option[(Seq[
-      ((String, Option[String], Option[String], Option[String], Long, Array[Byte]),
-        Long, Long)], Boolean)] = {
+      (ParsedWarc, Long, Long)], Boolean)] = {
     if (payload == null || payload.length < 8) return None
     val n = payload.length
     def lineEnd(p: Int): Int = { var e = p; while (e < n && payload(e) != '\n') e += 1; e }
@@ -1234,9 +1242,7 @@ object Multimodal {
       val stop = if (e > p && payload(e - 1) == '\r') e - 1 else e
       new String(payload, p, stop - p, java.nio.charset.StandardCharsets.UTF_8)
     }
-    val out = Seq.newBuilder[(
-      (String, Option[String], Option[String], Option[String], Long, Array[Byte]),
-      Long, Long)]
+    val out = Seq.newBuilder[(ParsedWarc, Long, Long)]
     var count = 0
     var pos = 0
     var ok = true
@@ -1256,6 +1262,8 @@ object Multimodal {
           var uri: Option[String] = None
           var date: Option[String] = None
           var ctype: Option[String] = None
+          var refersTo: Option[String] = None
+          var headerDigest: Option[String] = None
           var clen = -1L
           var headersDone = false
           while (ok && !headersDone) {
@@ -1277,6 +1285,8 @@ object Multimodal {
                     case "content-type" => ctype = Some(v)
                     case "content-length" =>
                       clen = try v.toLong catch { case _: NumberFormatException => -1L }
+                    case "warc-refers-to-target-uri" => refersTo = Some(v)
+                    case "warc-payload-digest" => headerDigest = Some(v)
                     case _ => // other headers carried but not projected
                   }
               }
@@ -1287,7 +1297,8 @@ object Multimodal {
             else {
               val body = java.util.Arrays.copyOfRange(payload, pos, pos + clen.toInt)
               pos += clen.toInt
-              out += (((if (wtype == null) "" else wtype, uri, date, ctype, clen, body),
+              out += (((if (wtype == null) "" else wtype, uri, date, ctype, clen, body,
+                refersTo, headerDigest),
                 recStart.toLong, (pos - recStart).toLong))
               count += 1
             }
@@ -1348,14 +1359,14 @@ object Multimodal {
           plain match {
             case None => IndexedSeq.empty[WarcRecord]
             case Some((recs, complete)) => recs.zipWithIndex.map {
-              case ((t, uri, date, ctype, clen, body), i) =>
+              case ((t, uri, date, ctype, clen, body, refersTo, headerDigest), i) =>
                 // WARC-Payload-Digest spelling (r20): the body bytes are
                 // already in hand on the scan, so the sha1:base32 digest
                 // column is free here — CDX joins and digest-keyed dedup
                 // need no second pass over the bodies. Pinned bit-equal
                 // to cdxjRecords' digest in MultimodalSpec.
                 WarcRecord(id, i, t, uri, date, ctype, clen, body, complete,
-                  "sha1:" + sha1Base32(body))
+                  "sha1:" + sha1Base32(body), refersTo, headerDigest)
             }
           }
         }
@@ -1367,12 +1378,14 @@ object Multimodal {
     */
   private[graft] def buildWarcRecord(
       wtype: String, uri: Option[String], date: Option[String],
-      contentType: String, body: Array[Byte]): Array[Byte] = {
+      contentType: String, body: Array[Byte],
+      extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("WARC/1.0\r\n")
     sb.append(s"WARC-Type: $wtype\r\n")
     uri.foreach(u => sb.append(s"WARC-Target-URI: $u\r\n"))
     date.foreach(d => sb.append(s"WARC-Date: $d\r\n"))
+    extraHeaders.foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
     sb.append(s"Content-Type: $contentType\r\n")
     sb.append(s"Content-Length: ${body.length}\r\n")
     sb.append("\r\n")
@@ -1468,6 +1481,98 @@ object Multimodal {
       }
   }
 
+  /** Dedup-aware WET export — the `revisit` convention real crawls use
+    * (ISO 28500 §6.7.2, the Common-Crawl/Heritrix
+    * `identical-payload-digest` profile): the FIRST occurrence of each
+    * distinct payload (by SHA-1, ties to the lowest doc id) serializes
+    * as a full `conversion` record; every later occurrence becomes a
+    * body-less `revisit` record carrying `WARC-Refers-To-Target-URI`
+    * (the original's uri) and `WARC-Payload-Digest` (the original
+    * body's `sha1:`base32) — so a corpus with heavy URL-level
+    * duplication archives each payload ONCE while preserving every
+    * fetch. [[warcRecords]] reads both record types back (the
+    * `refers_to`/`header_digest` columns); resolving revisits through
+    * the digest recovers every (uri, text) — the MultimodalSpec law.
+    *
+    * Scale shape: the first-occurrence decision runs over a NARROW
+    * (id, uri, digest) projection — bodies never shuffle by digest —
+    * then the flags join back on doc id (AQE-broadcast at bench scale,
+    * id-keyed SMJ at corpus scale) and the text shuffles once, on the
+    * shard id, exactly like [[wetExport]]. Shard count is derived the
+    * same way (first occurrences carry their text bytes; revisits cost
+    * ~framing only).
+    */
+  def wetExportRevisits(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      uriCol: String = "url",
+      textCol: String = "text",
+      numShards: Int = 0,
+      gzipPerRecord: Boolean = true,
+      date: Option[String] = None,
+      targetShardBytes: Long = 128L << 20): Dataset[WetShard] = {
+    require(numShards >= 0, s"numShards must be >= 1 (or 0 = derive from size), got $numShards")
+    require(targetShardBytes >= 1024, s"targetShardBytes must be >= 1 KiB, got $targetShardBytes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val proj = docs.select(col(idCol).as("__rawid"),
+      col(idCol).cast("long").as("__id"), col(uriCol).cast("string").as("__uri"),
+      col(textCol).cast("string").as("__text"))
+    // narrow digest decision: sha1 hex over the utf-8 text (built-in,
+    // codegen'd) — the header's sha1:base32 spelling is recomputed from
+    // the body bytes at write time (same digest, different encoding)
+    val withDig = proj.withColumn("__dig",
+      sha1(encode(coalesce(col("__text"), lit("")), "UTF-8")))
+    val ids = withDig.select(col("__id"), col("__uri"), col("__dig"))
+    val firsts = ids.groupBy("__dig")
+      .agg(min_by(struct(col("__id").as("i"), col("__uri").as("u")),
+        col("__id")).as("__f"))
+      .select(col("__dig"), col("__f.i").as("__fid"), col("__f.u").as("__furi"))
+    val flags = ids.join(firsts, Seq("__dig"))
+      .select(col("__id"), (col("__id") === col("__fid")).as("__isFirst"),
+        col("__furi"))
+    val full = withDig.join(flags, Seq("__id"))
+    val (base, shards) =
+      if (numShards >= 1) (full, numShards)
+      else {
+        val cached = graft.StageCache.mat(full)
+        val est = cached.agg(
+            coalesce(sum(when(col("__isFirst"), octet_length(col("__text")))
+              .otherwise(lit(0L))), lit(0L)).as("b"),
+            count(lit(1)).as("n"))
+          .head()
+        val bytes = est.getLong(0) + est.getLong(1) * 220L // revisit framing is wider
+        (cached, math.max(1L, (bytes + targetShardBytes - 1) / targetShardBytes)
+          .min(Int.MaxValue.toLong).toInt)
+      }
+    base
+      .select(pmod(xxhash64(col("__rawid")), lit(shards.toLong)).as("__shard"),
+        col("__id"), col("__uri"), col("__text"), col("__isFirst"), col("__furi"))
+      .as[(Long, Long, String, String, Boolean, String)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val rows = it.toSeq.sortBy(_._2)
+        val out = new java.io.ByteArrayOutputStream()
+        rows.foreach { case (_, _, uri, text, isFirst, furi) =>
+          val body = Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val rec =
+            if (isFirst)
+              buildWarcRecord("conversion", Option(uri), date, "text/plain", body)
+            else
+              buildWarcRecord("revisit", Option(uri), date,
+                "application/http", Array.emptyByteArray,
+                extraHeaders = Seq(
+                  "WARC-Refers-To-Target-URI" -> furi,
+                  "WARC-Payload-Digest" -> ("sha1:" + sha1Base32(body)),
+                  "WARC-Profile" ->
+                    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"))
+          out.write(if (gzipPerRecord) gzipMemberBytes(rec) else rec)
+        }
+        WetShard(shard, rows.length.toLong, out.toByteArray)
+      }
+  }
+
   final case class CdxjEntry(
       media_id: Long, record_idx: Int, surt: String, ts: String, url: String,
       mime: String, digest: String, offset: Long, length: Long)
@@ -1479,9 +1584,7 @@ object Multimodal {
     * use, because `payload[offset, offset+length)` must be independently
     * fetchable and decodable (a member is a standalone gzip stream).
     */
-  private def locateWarcRecords(payload: Array[Byte]): Seq[
-      ((String, Option[String], Option[String], Option[String], Long, Array[Byte]),
-        Long, Long)] =
+  private def locateWarcRecords(payload: Array[Byte]): Seq[(ParsedWarc, Long, Long)] =
     parseWarcRecordsOff(payload).map(_._1)
       .orElse(gunzipMembersBounded(payload).map(_._1.flatMap { m =>
         parseWarcRecordsOff(m.bytes).map(_._1).getOrElse(Seq.empty)
@@ -1532,7 +1635,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
           locateWarcRecords(payload).zipWithIndex.map {
-            case (((_, uri, date, ctype, _, body), off, len), i) =>
+            case (((_, uri, date, ctype, _, body, _, _), off, len), i) =>
               (id, i, date.map(_.filter(_.isDigit).take(14)).getOrElse(""),
                 uri.orNull, ctype.orNull, "sha1:" + sha1Base32(body), off, len)
           }

@@ -2682,6 +2682,48 @@ class MultimodalSpec extends SparkSpec {
     assert(toks(0) === "-" && toks(1) === "-" && toks(2).startsWith("{"), bareLines.head)
   }
 
+  test("wetExportRevisits: one conversion per distinct payload; revisits link back; all text recoverable") {
+    // 12 fetches of 4 distinct payloads (i % 4) from 12 distinct urls
+    val docs = (0L until 12L)
+      .map(i => (i, s"http://host$i.example.com/p", s"shared payload ${i % 4}"))
+      .toDF("doc_id", "url", "text")
+    Seq(true, false).foreach { gz =>
+      val blobs = Multimodal.wetExportRevisits(docs, numShards = 2, gzipPerRecord = gz,
+        date = Some("2026-08-16T01:02:03Z")).collect()
+      val media = blobs.toSeq.map(b => (b.shard_id, b.payload)).toDF("media_id", "payload")
+      val recs = Multimodal.warcRecords(media).collect()
+      assert(recs.length === 12 && recs.forall(_.complete), s"in=gz$gz")
+      val (convs, revs) = recs.partition(_.warc_type === "conversion")
+      assert(convs.length === 4 && revs.length === 8, s"in=gz$gz")
+      // conversions carry the full body and are each payload's LOWEST id:
+      // doc ids 0..3 own the four distinct texts
+      val convByDigest = convs.map(c => c.payload_digest ->
+        (c.target_uri.get, new String(c.body, "UTF-8"))).toMap
+      assert(convs.flatMap(_.target_uri).sorted.toSeq ===
+        (0 until 4).map(i => s"http://host$i.example.com/p"))
+      // revisits: empty body, linkage headers resolve to the original
+      revs.foreach { r =>
+        assert(r.body.isEmpty && r.content_length === 0L, s"in=${r.target_uri}")
+        val (origUri, origText) = convByDigest(r.header_digest.get)
+        assert(r.refers_to === Some(origUri), s"in=${r.target_uri}")
+        // the recovered text is the revisited fetch's own payload
+        val i = r.target_uri.get.stripPrefix("http://host").takeWhile(_.isDigit).toLong
+        assert(origText === s"shared payload ${i % 4}", s"in=${r.target_uri}")
+      }
+      // full recovery law: resolving revisits through the digest yields
+      // every (url, text) of the input
+      val recovered = recs.map { r =>
+        val text = if (r.warc_type === "conversion") new String(r.body, "UTF-8")
+          else convByDigest(r.header_digest.get)._2
+        r.target_uri.get -> text
+      }.toSet
+      assert(recovered === (0L until 12L)
+        .map(i => s"http://host$i.example.com/p" -> s"shared payload ${i % 4}").toSet)
+    }
+    // derived sizing counts only first-occurrence text bytes
+    assert(Multimodal.wetExportRevisits(docs).collect().length === 1)
+  }
+
   test("warcRecords payload_digest: bit-equal to cdxjRecords' digest, both spellings") {
     val docs = (0L until 8L)
       .map(i => (i, s"http://site$i.example.com/p", s"digest body $i"))
