@@ -1573,6 +1573,39 @@ object Multimodal {
       }
   }
 
+  /** Re-ingest a dedup-aware archive ([[wetExportRevisits]] layout, or
+    * any identical-payload-digest crawl) back to one row per FETCH:
+    * `conversion` records contribute their own body text; `revisit`
+    * records resolve through their `WARC-Payload-Digest` header to the
+    * original's body. Output: (media_id, record_idx, url, text) —
+    * exactly the corpus [[wetExportRevisits]] archived (the
+    * MultimodalSpec recovery law, productized). Revisits whose original
+    * is absent from the record set (a partial re-ingest) are dropped —
+    * an inner join, so the output never carries fabricated text.
+    *
+    * Scale shape: original BODIES shuffle once, keyed by digest
+    * (distinct payloads only — the dedup already collapsed repeats);
+    * revisit rows are body-less and narrow. Duplicate conversions of
+    * one digest across archives collapse to the lexicographically
+    * smallest (their texts are identical by the digest).
+    */
+  def resolveRevisits(records: Dataset[WarcRecord]): DataFrame = {
+    val df = records.toDF()
+    val convs = df.filter(col("warc_type") === "conversion")
+      .select(col("media_id"), col("record_idx"), col("target_uri").as("url"),
+        col("body").cast("string").as("text"), col("payload_digest"))
+    val originals = convs
+      .groupBy(col("payload_digest").as("__dig"))
+      .agg(min(col("text")).as("text"))
+    val revs = df.filter(col("warc_type") === "revisit" && col("header_digest").isNotNull)
+      .select(col("media_id"), col("record_idx"), col("target_uri").as("url"),
+        col("header_digest").as("__dig"))
+      .join(originals, Seq("__dig"))
+      .select(col("media_id"), col("record_idx"), col("url"), col("text"))
+    convs.select(col("media_id"), col("record_idx"), col("url"), col("text"))
+      .unionByName(revs)
+  }
+
   final case class CdxjEntry(
       media_id: Long, record_idx: Int, surt: String, ts: String, url: String,
       mime: String, digest: String, offset: Long, length: Long)

@@ -2724,6 +2724,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wetExportRevisits(docs).collect().length === 1)
   }
 
+  test("resolveRevisits: re-ingest of a deduped archive recovers the full corpus; orphans drop") {
+    val docs = (0L until 12L)
+      .map(i => (i, s"http://host$i.example.com/p", s"shared payload ${i % 4}"))
+      .toDF("doc_id", "url", "text")
+    val blobs = Multimodal.wetExportRevisits(docs, numShards = 2,
+      date = Some("2026-08-16T01:02:03Z")).collect()
+    val media = blobs.toSeq.map(b => (b.shard_id, b.payload)).toDF("media_id", "payload")
+    val recs = Multimodal.warcRecords(media)
+    val resolved = Multimodal.resolveRevisits(recs).collect()
+    assert(resolved.length === 12)
+    assert(resolved.map(r => r.getString(2) -> r.getString(3)).toSet ===
+      (0L until 12L)
+        .map(i => s"http://host$i.example.com/p" -> s"shared payload ${i % 4}").toSet)
+    // a partial re-ingest missing the originals drops its revisits
+    // (inner join — never fabricated text)
+    val revisitsOnly = recs.filter(col("warc_type") === "revisit")
+    assert(Multimodal.resolveRevisits(revisitsOnly).count() === 0L)
+  }
+
   test("warcRecords payload_digest: bit-equal to cdxjRecords' digest, both spellings") {
     val docs = (0L until 8L)
       .map(i => (i, s"http://site$i.example.com/p", s"digest body $i"))
