@@ -1860,6 +1860,57 @@ object Multimodal {
     }.toDF("shard_id", "surt", "ts", "line")
   }
 
+  /** Random-access record FETCH by CDX locator — the last leg of the
+    * archive stack (write: [[wetExport]]/[[wetExportRevisits]]; index:
+    * [[cdxExport]]; prune: [[cdxLookup]]; fetch: here): each requested
+    * (media_id, offset, length) span is sliced out of its blob and
+    * re-parsed standalone — a gzip member re-inflates, a plain span
+    * re-parses directly — exactly the independent-fetchability contract
+    * the CDX locator guarantees. Output rows are [[WarcRecord]]s with
+    * the entry's (media_id, record_idx).
+    *
+    * Closing law (MultimodalSpec): `cdxFetch(media, cdxjRecords(media))`
+    * == `warcRecords(media)` record-for-record, both spellings.
+    *
+    * Scale shape: the requested spans GROUP per blob first (a narrow
+    * aggregation of the index rows), so each blob is visited ONCE and
+    * sliced for all of its requested records — bodies never shuffle;
+    * the join ships blob bytes to their (usually few) requests, the
+    * archive-reader access pattern. Spans that fail to slice or parse
+    * (a stale index against a rewritten blob) are dropped, never
+    * fabricated.
+    */
+  def cdxFetch(media: DataFrame, entries: Dataset[CdxjEntry]): Dataset[WarcRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val wanted = entries.toDF()
+      .groupBy("media_id")
+      .agg(collect_list(struct(col("record_idx"), col("offset"), col("length"))).as("__spans"))
+    media.select(col("media_id"), col("payload")).join(wanted, Seq("media_id"))
+      .select(col("media_id"), col("payload"), col("__spans"))
+      .as[(Long, Array[Byte], Seq[(Int, Long, Long)])]
+      .flatMap { case (id, payload, spans) =>
+        spans.iterator.flatMap { case (idx, off, len) =>
+          if (payload == null || off < 0 || len <= 0 || off + len > payload.length)
+            Iterator.empty
+          else {
+            val slice = java.util.Arrays.copyOfRange(
+              payload, off.toInt, (off + len).toInt)
+            // gzip member → inflate then parse; plain span → parse as-is
+            val parsed =
+              if (slice.length > 1 && (slice(0) & 0xFF) == 0x1F && (slice(1) & 0xFF) == 0x8B)
+                gunzipMembers(slice).flatMap(ms => parseWarcRecords(ms.headOption.orNull))
+              else parseWarcRecords(slice)
+            parsed.toSeq.flatten.headOption.map {
+              case (t, uri, date, ctype, clen, body, refersTo, headerDigest) =>
+                WarcRecord(id, idx, t, uri, date, ctype, clen, body, complete = true,
+                  "sha1:" + sha1Base32(body), refersTo, headerDigest)
+            }.iterator
+          }
+        }
+      }
+  }
+
   final case class SniffedFormat(media_id: Long, format: String)
 
   private def startsWith(p: Array[Byte], at: Int, sig: String): Boolean =

@@ -2849,6 +2849,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.cdxLookup(shards, "zzz,nonexistent").count() === 0L)
   }
 
+  test("cdxFetch: fetching every CDX locator reproduces warcRecords, both spellings; stale spans drop") {
+    val docs = (0L until 10L)
+      .map(i => (i, s"http://fetch$i.example.com/p", s"fetch body $i"))
+      .toDF("doc_id", "url", "text")
+    Seq(true, false).foreach { gz =>
+      val blobs = Multimodal.wetExport(docs, numShards = 3, gzipPerRecord = gz,
+        date = Some("2026-08-16T01:02:03Z")).collect()
+      val media = blobs.toSeq.map(b => (b.shard_id, b.payload)).toDF("media_id", "payload")
+      val entries = Multimodal.cdxjRecords(media)
+      def keyed(rs: Array[graft.pipeline.Multimodal.WarcRecord]) =
+        rs.map(r => (r.media_id, r.record_idx) ->
+          (r.warc_type, r.target_uri, r.warc_date, r.content_type, r.content_length,
+            new String(r.body, "UTF-8"), r.payload_digest)).toMap
+      val fetched = keyed(Multimodal.cdxFetch(media, entries).collect())
+      val scanned = keyed(Multimodal.warcRecords(media).collect())
+      assert(fetched === scanned, s"in=gz$gz")
+      assert(fetched.size === 10, s"in=gz$gz")
+    }
+    // a stale locator (span past the blob end) drops, never fabricates
+    val blobs = Multimodal.wetExport(docs, numShards = 1).collect()
+    val media = blobs.toSeq.map(b => (b.shard_id, b.payload)).toDF("media_id", "payload")
+    import spark.implicits._
+    val stale = Seq(Multimodal.CdxjEntry(0L, 99, "s", "t", "u", "m", "d",
+      blobs.head.payload.length.toLong - 1, 1000L)).toDS()
+    assert(Multimodal.cdxFetch(media, stale).count() === 0L)
+  }
+
   test("videoMeta demux: mp4 and mkv parse, compressed audio and blobs drop") {
     val media = Seq(
       (1L, mp4File()),
