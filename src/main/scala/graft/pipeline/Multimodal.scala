@@ -1668,9 +1668,14 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
           locateWarcRecords(payload).zipWithIndex.map {
-            case (((_, uri, date, ctype, _, body, _, _), off, len), i) =>
+            case (((_, uri, date, ctype, _, body, _, hdig), off, len), i) =>
+              // a revisit record's meaningful digest is the REFERENCED
+              // payload's (its own body is empty by design) — CDX carries
+              // the header digest when the record spells one, so
+              // digest-keyed joins stay exact against deduped archives
               (id, i, date.map(_.filter(_.isDigit).take(14)).getOrElse(""),
-                uri.orNull, ctype.orNull, "sha1:" + sha1Base32(body), off, len)
+                uri.orNull, ctype.orNull,
+                hdig.getOrElse("sha1:" + sha1Base32(body)), off, len)
           }
         }
       }

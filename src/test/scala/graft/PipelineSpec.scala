@@ -2724,6 +2724,29 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wetExportRevisits(docs).collect().length === 1)
   }
 
+  test("cdxjRecords over a deduped archive: revisit entries carry the REFERENCED digest") {
+    val docs = (0L until 12L)
+      .map(i => (i, s"http://host$i.example.com/p", s"shared payload ${i % 4}"))
+      .toDF("doc_id", "url", "text")
+    val blobs = Multimodal.wetExportRevisits(docs, numShards = 2,
+      date = Some("2026-08-16T01:02:03Z")).collect()
+    val media = blobs.toSeq.map(b => (b.shard_id, b.payload)).toDF("media_id", "payload")
+    val entries = Multimodal.cdxjRecords(media).collect()
+    assert(entries.length === 12)
+    // every fetch of one payload shares ONE digest — 4 groups of 3 —
+    // exactly the digest-keyed dedup join the CDX convention enables
+    val byDigest = entries.groupBy(_.digest)
+    assert(byDigest.size === 4, s"in=${byDigest.keySet}")
+    assert(byDigest.values.forall(_.length === 3))
+    // and none of them is the empty-body digest a naive revisit scan
+    // would produce
+    val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val d0 = java.security.MessageDigest.getInstance("SHA-1").digest(Array.emptyByteArray)
+    val bits0 = d0.flatMap(x => (7 to 0 by -1).map(i => (x >> i) & 1))
+    val empty32 = "sha1:" + bits0.grouped(5).map(g => alpha(g.foldLeft(0)((a, v) => a * 2 + v))).mkString
+    assert(!byDigest.keySet.contains(empty32))
+  }
+
   test("resolveRevisits: re-ingest of a deduped archive recovers the full corpus; orphans drop") {
     val docs = (0L until 12L)
       .map(i => (i, s"http://host$i.example.com/p", s"shared payload ${i % 4}"))
