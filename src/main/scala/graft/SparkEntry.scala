@@ -315,12 +315,22 @@ object SparkEntry {
     // G2/G3 — completeness holes over a dense grid, absent keys → full range
     "q_holes" -> ((s, d) => {
       // the purchase day-rollup is shared verbatim by q_holes_mindelta
-      // and q_find_groups — registered so warm sessions build it once
-      // (matHot is identity in the stage-cold leg, r20)
-      val ev = graft.StageCache.matHot(
-        events(s, d).filter(col("event_type") === "purchase")
-          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("ts"))
-          .agg(count(lit(1)).cast("double").as("value")))
+      // and q_find_groups but NOT registered (r21, VERDICT r20 #1): the
+      // r20 registration coincided with a +0.9 s regression PER QUERY in
+      // the driver bench (holes 0.67→1.55, find_groups 0.83→1.69), and
+      // the r20 cached-scan profile showed an InMemoryRelation read of
+      // exactly this ~260k-row rollup costing 10-16 task-CPU-s vs 0.2 to
+      // recompute from the parquet scan. The r21 A/B on the build host
+      // (subset bench, reps=5, min-of-5, twice each way) read the
+      // OPPOSITE sign at small magnitude — registered 0.25/0.27/0.37 s
+      // vs dropped 0.31-0.34/0.34/0.44-0.54 — i.e. the cached read costs
+      // ~70-170 ms here but ~900 ms on the (memory-pressured) driver
+      // host. Dropping is the risk-asymmetric choice: a native
+      // aggregation recompute is bounded and environment-independent;
+      // the cached-read cost is not. Details in OPTIMIZATION_r21.md.
+      val ev = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("ts"))
+        .agg(count(lit(1)).cast("double").as("value"))
       val requested = s.range(20).toDF("user_id")
       Gaps.holes(ev, Seq("user_id"),
           java.time.LocalDateTime.parse("2024-01-01T00:00"),
@@ -333,10 +343,9 @@ object SparkEntry {
     // min_delta drop (difference_missing semantics); interior islands and
     // all-missing keys survive unconditionally.
     "q_holes_mindelta" -> ((s, d) => {
-      val ev = graft.StageCache.matHot(
-        events(s, d).filter(col("event_type") === "purchase")
-          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("ts"))
-          .agg(count(lit(1)).cast("double").as("value")))
+      val ev = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("ts"))
+        .agg(count(lit(1)).cast("double").as("value"))
       Gaps.holes(ev, Seq("user_id"),
           java.time.LocalDateTime.parse("2024-01-01T00:00"),
           java.time.LocalDateTime.parse("2024-01-30T00:00"), 86400L,
@@ -357,10 +366,9 @@ object SparkEntry {
 
     // G4 — find_groups: cluster keys by identical missing-range lists
     "q_find_groups" -> ((s, d) => {
-      val ev = graft.StageCache.matHot(
-        events(s, d).filter(col("event_type") === "purchase")
-          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("ts"))
-          .agg(count(lit(1)).cast("double").as("value")))
+      val ev = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("ts"))
+        .agg(count(lit(1)).cast("double").as("value"))
       Gaps.findGroups(ev, "user_id",
           java.time.LocalDateTime.parse("2024-01-01T00:00"),
           java.time.LocalDateTime.parse("2024-01-15T00:00"), 86400L,
