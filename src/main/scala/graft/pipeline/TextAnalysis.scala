@@ -863,14 +863,24 @@ object TextAnalysis {
     // every table derives from the CACHED vocab-bounded rollup stage
     // (r19): before, each marginal re-aggregated the corpus-sized bigram
     // frame from scratch (4 full passes over the cached stage — the
-    // q_pmi_pairs warm regression); now the rollup materializes once and
-    // the marginals are tiny aggregations over it
+    // q_pmi_pairs warm regression). r21 (VERDICT r20 #3): the marginals
+    // now sit ON the rollup as window sums, the bigramPerplexity model
+    // precedent — the predecessor marginal `__cp` rides the rollup's own
+    // prev clustering (no exchange: the cached stage is hash-partitioned
+    // by prev, which satisfies the window's ClusteredDistribution), and
+    // the successor marginal `__cc` costs exactly ONE cur-keyed exchange
+    // of the vocab-bounded frame, where the former groupBy+join pair per
+    // marginal cost an aggregation job + a broadcast join each. Window
+    // groups are bounded by the bigram-TYPE fan-out of one token (≤
+    // vocab), not by corpus occurrences, so no monster-key task exists.
+    // Sums are integer (order-free), so the values are bit-identical to
+    // the groupBy form; only N keeps its broadcast scalar shape.
     val bcAll = bigramCounts(df, idCol, textCol).filter(col("cur") =!= "")
-    val bc = bcAll.filter(col("n") >= minCount)
-    val pc = bcAll.groupBy("prev").agg(sum(col("n")).as("__cp"))
-    val cc = bcAll.groupBy("cur").agg(sum(col("n")).as("__cc"))
     val total = bcAll.agg(sum(col("n")).as("__N"))
-    bc.join(pc, Seq("prev")).join(cc, Seq("cur"))
+    bcAll
+      .withColumn("__cp", sum(col("n")).over(Window.partitionBy(col("prev"))))
+      .withColumn("__cc", sum(col("n")).over(Window.partitionBy(col("cur"))))
+      .filter(col("n") >= minCount)
       .crossJoin(broadcast(total))
       .withColumn("pmi",
         log(col("n").cast("double") * col("__N") / (col("__cp") * col("__cc"))))
