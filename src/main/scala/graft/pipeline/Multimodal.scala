@@ -1515,23 +1515,37 @@ object Multimodal {
     require(targetShardBytes >= 1024, s"targetShardBytes must be >= 1 KiB, got $targetShardBytes")
     val spark = docs.sparkSession
     import spark.implicits._
+    // __id orders records (lowest-id-wins first occurrence, in-shard
+    // order) and MUST be a real long for every row: a non-long-castable
+    // id would cast to null, and a null key silently never equi-joins —
+    // the export would emit an EMPTY archive (ADVICE r20). The guard
+    // fails the job loudly instead (assert_true evaluates to null when
+    // the cast succeeded); the sibling wetExport already fails loudly on
+    // null ids via its Dataset decode.
+    val idGuard = assert_true(col(idCol).cast("long").isNotNull,
+      lit(s"wetExportRevisits: idCol '$idCol' must be unique and castable to long"))
     val proj = docs.select(col(idCol).as("__rawid"),
-      col(idCol).cast("long").as("__id"), col(uriCol).cast("string").as("__uri"),
+      when(idGuard.isNull, col(idCol).cast("long")).as("__id"),
+      col(uriCol).cast("string").as("__uri"),
       col(textCol).cast("string").as("__text"))
     // narrow digest decision: sha1 hex over the utf-8 text (built-in,
     // codegen'd) — the header's sha1:base32 spelling is recomputed from
     // the body bytes at write time (same digest, different encoding)
     val withDig = proj.withColumn("__dig",
       sha1(encode(coalesce(col("__text"), lit("")), "UTF-8")))
-    val ids = withDig.select(col("__id"), col("__uri"), col("__dig"))
+    val ids = withDig.select(col("__rawid"), col("__id"), col("__uri"), col("__dig"))
     val firsts = ids.groupBy("__dig")
       .agg(min_by(struct(col("__id").as("i"), col("__uri").as("u")),
         col("__id")).as("__f"))
       .select(col("__dig"), col("__f.i").as("__fid"), col("__f.u").as("__furi"))
+    // flags join back on __rawid (the ORIGINAL id value, ADVICE r20) —
+    // not the lossy long cast: two distinct raw ids that cast to one
+    // long (e.g. "01" and "1") would fan an __id-keyed join out n².
+    // __id stays the ordering/tiebreak key (guarded non-null above).
     val flags = ids.join(firsts, Seq("__dig"))
-      .select(col("__id"), (col("__id") === col("__fid")).as("__isFirst"),
+      .select(col("__rawid"), (col("__id") === col("__fid")).as("__isFirst"),
         col("__furi"))
-    val full = withDig.join(flags, Seq("__id"))
+    val full = withDig.join(flags, Seq("__rawid"))
     val (base, shards) =
       if (numShards >= 1) (full, numShards)
       else {
@@ -1842,12 +1856,22 @@ object Multimodal {
     require(surtPrefix != null && surtPrefix.nonEmpty, "surtPrefix must be non-empty")
     val spark = shards.sparkSession
     import spark.implicits._
-    // prefix interval: keys k with k >= prefix && k < prefix+MaxChar;
-    // a range [first, last] overlaps iff last >= prefix && first < hi
-    val hi = surtPrefix + '￿'
+    // The peeked shard keys are the `<surt> <ts>` prefix (two fields);
+    // the prune test must compare against AT MOST that much of
+    // surtPrefix (ADVICE r20): a prefix extending past the second space
+    // (into the JSON field) is LONGER than any matching line's key, so
+    // `last >= surtPrefix` could be false for a shard that contains a
+    // hit. With >= 2 spaces in the prefix every matching line's key is
+    // EXACTLY the truncation, so the overlap test is equality-shaped
+    // (first <= kp <= last); with < 2 spaces the truncation is the full
+    // prefix and the usual half-open interval applies.
+    val a0 = surtPrefix.indexOf(' ')
+    val b0 = if (a0 < 0) -1 else surtPrefix.indexOf(' ', a0 + 1)
+    val keyPre = if (b0 < 0) surtPrefix else surtPrefix.substring(0, b0)
+    val hi = if (b0 < 0) surtPrefix + '￿' else keyPre
     shards.flatMap { s =>
       keyRangeOf(s.payload) match {
-        case Some((first, last)) if last >= surtPrefix && first <= hi =>
+        case Some((first, last)) if last >= keyPre && first <= hi =>
           new String(s.payload, java.nio.charset.StandardCharsets.UTF_8)
             .split("\n").iterator
             .filter(_.startsWith(surtPrefix))

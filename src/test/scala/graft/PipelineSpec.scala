@@ -2870,6 +2870,58 @@ class MultimodalSpec extends SparkSpec {
     assert(overlapping < 4, s"in=$overlapping")
     // a prefix beyond every key prunes everything
     assert(Multimodal.cdxLookup(shards, "zzz,nonexistent").count() === 0L)
+    // ADVICE r20: a prefix extending PAST the second space (into the
+    // JSON field) is longer than any line's peeked two-field key, so the
+    // naive `last >= prefix` test could prune the very shard holding the
+    // hit. Build an over-long prefix from a real line (its full key plus
+    // the start of its JSON) and demand the same hits as the direct scan.
+    val someLine = new String(byId(ranges.head.shard_id), "UTF-8").split("\n").head
+    val overLong = someLine.take(someLine.indexOf('{') + 1) // "<surt> <ts> {"
+    assert(overLong.count(_ == ' ') >= 2, s"in=$overLong")
+    val directLong = shards.collect().flatMap(b =>
+      new String(b.payload, "UTF-8").split("\n")).filter(_.startsWith(overLong)).toSet
+    assert(directLong.nonEmpty)
+    assert(Multimodal.cdxLookup(shards, overLong).collect()
+      .map(_.getString(3)).toSet === directLong)
+  }
+
+  test("wetExportRevisits: non-long-castable ids fail fast instead of emitting an empty archive") {
+    // ADVICE r20: the first-occurrence machinery keys on the id's long
+    // cast; an id whose cast yields NULL never equi-joins, and the old
+    // behavior silently emitted ZERO records. ANSI mode already throws
+    // on a MALFORMED string cast, but a null id (or a non-ANSI session)
+    // still yields a null key — the in-plan guard must surface that
+    // loudly too.
+    val docs = Seq((null: String, "http://x.example.com/1", "body a"),
+        ("2", "http://x.example.com/2", "body b"))
+      .toDF("doc_id", "url", "text")
+    val e = intercept[Exception] {
+      Multimodal.wetExportRevisits(docs, numShards = 2).collect()
+    }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("castable to long")), s"in=${chain(e)}")
+    // a malformed (non-numeric) string id also fails loudly — via the
+    // ANSI cast error or the guard, depending on session mode
+    val bad = Seq(("a", "http://x.example.com/1", "body a"))
+      .toDF("doc_id", "url", "text")
+    val e2 = intercept[Exception] {
+      Multimodal.wetExportRevisits(bad, numShards = 2).collect()
+    }
+    assert(chain(e2).exists(m =>
+      m.contains("castable to long") || m.contains("CAST_INVALID_INPUT")), s"in=${chain(e2)}")
+    // numeric STRING ids are fine (castable), and distinct raw ids that
+    // would collide after the cast cannot fan the flags join out — it
+    // keys on the raw id
+    val ok = Seq(("1", "http://x.example.com/1", "same body"),
+        ("2", "http://x.example.com/2", "same body"))
+      .toDF("doc_id", "url", "text")
+    val recs = Multimodal.warcRecords(
+      Multimodal.wetExportRevisits(ok, numShards = 1).collect().toSeq
+        .map(b => (b.shard_id, b.payload)).toDF("media_id", "payload")).collect()
+    assert(recs.length === 2)
+    assert(recs.count(_.warc_type === "conversion") === 1)
+    assert(recs.count(_.warc_type === "revisit") === 1)
   }
 
   test("cdxFetch: fetching every CDX locator reproduces warcRecords, both spellings; stale spans drop") {
