@@ -427,14 +427,26 @@ object Dedup {
     // warm 1.60 s. matHot is identity in stage-cold mode (r20 StageCache
     // contract), so registering the stage costs the cold leg nothing
     // while warm sessions reuse it across queries/reps.
-    val withDf = graft.StageCache.matHot(
+    val exploded =
       df.select(col(idCol).as("id"),
           graft.functions.ShingleOps.shingleHashModSet(
             lower(col(textCol)), n).as("__hs"))
         .select(col("id"), size(col("__hs")).as("n_sh"),
           explode(col("__hs")).as("__b"))
         .repartition(col("__b"))
-        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__b")))))
+    // document frequency as a groupBy + co-partitioned join riding the
+    // SAME __b exchange (r21, ADVICE r20 #3): both subtrees are the
+    // identical repartition, so AQE exchange reuse materializes it once;
+    // the aggregation holds one counter per distinct hash (O(keys)
+    // state) and the join streams the rows past a one-row-per-key side —
+    // where the previous window COUNT buffered each __b group in one
+    // task's WindowExec buffer, so a corpus-wide boilerplate shingle
+    // (df ~ corpus) funneled its whole group through a spillable buffer
+    // before the maxDf cap discarded it downstream. Same single
+    // materialization as r20, skew-robust df. A/B at sf0.1/sf1 in
+    // OPTIMIZATION_r21.md.
+    val dfc = exploded.groupBy(col("__b")).agg(count(lit(1)).as("__df"))
+    val withDf = graft.StageCache.matHot(exploded.join(dfc, Seq("__b")))
     // anchors: each doc's numAnchors rarest shingles (per-doc window,
     // bounded by shingles-per-doc) that clear the df cap
     val wDoc = Window.partitionBy(col("id")).orderBy(col("__df"), col("__b"))
