@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout passes through RAW (r22): the default
+// LoggedOutput strategy prefixes every stdout line with "[info] ", which
+// breaks the driver's machine-readable bench-line contract (a line-anchored
+// JSON parse never matched in any round). Stderr (Spark logs) is unchanged.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

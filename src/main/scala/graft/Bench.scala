@@ -167,39 +167,21 @@ object Bench {
     val rowsJson = queries.map { case (name, _) =>
       s"\"" + name + "\":" + rowCounts.getOrElse(name, -1L)
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_ok":$oks,"rows":$rowsJson,"spill_bytes":$spillsJson,"sf":"$sfDir","reps":$reps,"floor_ms_before":$floorBefore,"floor_ms_after":$floorAfter,"noisy":$noisy,"n_failed":${failed.length},"n_flaky":${flaky.length}}"""
-    // Full detail goes to the FILE; stdout gets a compact line. The
-    // harness keeps only the last 2000 chars of stdout, and the full
-    // ~120-query line is ~6 KB — every round so far parsed as null
-    // because the tail window started mid-line. The compact line keeps
-    // the headline total, the per-rep health counters, and the slowest
-    // queries (the only per-query numbers round-over-round comparison
-    // actually uses), and is sized to fit the tail window even with an
-    // sbt "[success]" footer appended after it.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_ok":$oks,"rows":$rowsJson,"spill_bytes":$spillsJson,"sf":"$sfDir","reps":$reps,"n_queries":${queries.length},"floor_ms":${math.min(floorBefore, floorAfter)},"floor_ms_before":$floorBefore,"floor_ms_after":$floorAfter,"noisy":$noisy,"n_failed":${failed.length},"n_flaky":${flaky.length},"full":"bench_last.json"}"""
+    // The SAME full line goes to the file and to stdout (r22, VERDICT r21
+    // #2): the driver's parser recorded `parsed: null` for EVERY round —
+    // including r20/r21 where the compact ~65-query line was fully
+    // visible in the captured tail — so the truncated `queries` map (and
+    // the sbt "[info] " logger prefix, removed via build.sbt's
+    // run/outputStrategy := StdoutOutput) are the remaining parse
+    // breakers. The machine-readable contract is ONE stdout line whose
+    // `queries` carries ALL queries, schema-identical to
+    // bench_last.json's `queries` map. Every historical key is kept
+    // (floor_ms = min of before/after, as the compact line reported).
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => }
-    def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val slowQs = {
-      val sorted = results.filter(_._2 >= 0).sortBy(-_._2)
-      val sb = new StringBuilder("{")
-      var first = true
-      // budget: stay under ~1700 chars for the whole line. Stop at the
-      // FIRST entry that doesn't fit (ADVICE r16): continuing would let a
-      // shorter-named faster query displace a slower one, so the emitted
-      // set would no longer be a true slowest-prefix.
-      val it = sorted.iterator
-      var full = false
-      while (!full && it.hasNext) {
-        val (k, v) = it.next()
-        val ent = (if (first) "" else ",") + "\"" + k + "\":" + r3(v)
-        if (sb.length + ent.length < 1450) { sb.append(ent); first = false }
-        else full = true
-      }
-      sb.append("}").toString
-    }
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowQs,"sf":"$sfDir","reps":$reps,"n_queries":${queries.length},"floor_ms":${r3(math.min(floorBefore, floorAfter))},"noisy":$noisy,"n_failed":${failed.length},"n_flaky":${flaky.length},"full":"bench_last.json"}"""
-    println(compact)
+    println(line)
     spark.stop()
     if (flaky.nonEmpty)
       System.err.println(s"[bench] ${flaky.length} queries passed only some reps: ${flaky.reverse.mkString(", ")}")
