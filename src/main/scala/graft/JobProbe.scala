@@ -25,16 +25,35 @@ object JobProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobStages = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Int]]()
+    // per-stage (tasks, task-time ms, input bytes, shuffle read bytes,
+    // shuffle write bytes) so a slow job is attributable to scan vs
+    // exchange volume without the UI (guide §7.1 equivalent)
+    val stageM = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long, Long, Long, Long)]()
     val log = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         val site = Option(e.properties)
           .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
         starts.put(e.jobId, (System.nanoTime(), site))
+        jobStages.put(e.jobId, e.stageIds.map(_.toInt))
+      }
+      override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val m = si.taskMetrics
+        if (m != null) stageM.put(si.stageId, (si.numTasks, m.executorRunTime,
+          m.inputMetrics.bytesRead, m.shuffleReadMetrics.totalBytesRead,
+          m.shuffleWriteMetrics.bytesWritten))
       }
       override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         Option(starts.remove(e.jobId)).foreach { case (t0, site) =>
-          log.add(f"    job ${e.jobId}%3d  ${(System.nanoTime() - t0) / 1e6}%8.1f ms  $site")
+          val ms = Option(jobStages.remove(e.jobId)).getOrElse(Nil)
+            .flatMap(s => Option(stageM.get(s)))
+          val (nt, rt, in, sr, sw) = ms.foldLeft((0, 0L, 0L, 0L, 0L)) {
+            case ((a, b, c, d, e2), (f, g, h, i, j)) => (a + f, b + g, c + h, d + i, e2 + j) }
+          def mb(v: Long): String = f"${v / 1048576.0}%.1f"
+          log.add(f"    job ${e.jobId}%3d  ${(System.nanoTime() - t0) / 1e6}%8.1f ms  " +
+            f"tasks $nt%4d  cpu ${rt}%6d ms  in ${mb(in)}%8s MB  sh-r ${mb(sr)}%8s MB  sh-w ${mb(sw)}%8s MB  $site")
         }
       }
     })

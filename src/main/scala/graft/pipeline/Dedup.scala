@@ -410,29 +410,39 @@ object Dedup {
     //
     // ONE materialization serves every consumer (r20; previously exd and
     // exd⋈dfc were two separate matHot stages): the exploded rows are
-    // keyed by `__b` up front, so the document frequency is a window
-    // COUNT within the key's partition — no groupBy shuffle, no df join —
-    // and the `(id, n_sh, __b, __df)` stage is a superset of the plain
-    // exploded rows, so the intersection joins read it too. The per-doc
-    // set size `n_sh` is size() of the scan-side array BEFORE the explode
-    // — free at scan time — and riding every exploded row it reaches the
-    // final containment division through the intersection groupBy (max()
-    // of a per-id constant), so the old separate `sizes` aggregation and
-    // its two closing joins (two broadcast exchanges + two aggregation
-    // jobs at sf0.1) are gone entirely.
+    // keyed by `__b` up front and the `(id, __b, __df)` stage feeds the
+    // anchor ranking, the member lists, and (via the byId exchange) the
+    // per-doc set arrays the verify reads — the corpus text is shingled
+    // exactly once. Per-doc set sizes are size() of the rebuilt arrays
+    // (r22; previously an n_sh column rode every exploded row through
+    // the __b exchange — dropped, the exchange got a column narrower).
     // Skew note (100 TB): a hot shingle hash colocates on one task here,
     // exactly as it did in the previous exd⋈dfc join on `__b`; the maxDf
     // cap discards those rows immediately downstream either way.
-    // Measured at sf0.1 (quiet window, min-of-3): cold 2.85 → 1.88 s,
-    // warm 1.60 s. matHot is identity in stage-cold mode (r20 StageCache
-    // contract), so registering the stage costs the cold leg nothing
-    // while warm sessions reuse it across queries/reps.
+    // matHot is identity in stage-cold mode (r20 StageCache contract),
+    // so registering the stage costs the cold leg nothing while warm
+    // sessions reuse it across queries/reps.
+    // Scale-adaptive pinned partition count for the stages below whose
+    // OUTPUT explodes relative to their input (guide §2.2/§2.5): AQE's
+    // coalescing sizes a stage's read by its INPUT bytes, so a
+    // mid-scale exchange under the 64 MB advisory collapses to ONE task
+    // — and when that task then computes a row-multiplying join, the
+    // whole machine waits on it (measured at the 10x fixture: the
+    // candidate-expansion join ran as 1 task for 19.1 s of a 33 s
+    // query, writing 410 MB of map output serially). Pinning the
+    // repartition width to the session's configured shuffle parallelism
+    // (spark.sql.shuffle.partitions — the cluster-tuned knob, cpus in
+    // local mode) is the scale-parameterised fix: AQE never coalesces a
+    // user-specified partition count, so the exploding map side always
+    // runs at configured width.
+    val P = scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .toOption.filter(_ >= 1).getOrElse(200)
     val exploded =
       df.select(col(idCol).as("id"),
           graft.functions.ShingleOps.shingleHashModSet(
             lower(col(textCol)), n).as("__hs"))
-        .select(col("id"), size(col("__hs")).as("n_sh"),
-          explode(col("__hs")).as("__b"))
+        .select(col("id"), explode(col("__hs")).as("__b"))
         .repartition(col("__b"))
     // document frequency as a groupBy + co-partitioned join riding the
     // SAME __b exchange (r21, ADVICE r20 #3): both subtrees are the
@@ -447,10 +457,18 @@ object Dedup {
     // OPTIMIZATION_r21.md.
     val dfc = exploded.groupBy(col("__b")).agg(count(lit(1)).as("__df"))
     val withDf = graft.StageCache.matHot(exploded.join(dfc, Seq("__b")))
+    // ONE pinned id-keyed exchange serves BOTH id-grained consumers
+    // (the q_combine_first shared-exchange trick): the anchor window's
+    // ClusteredDistribution(id) and the set-rebuild aggregation below
+    // read the same repartition subtree, which AQE materializes once.
+    // Pinned at P: the window input sits under the AQE advisory at
+    // mid scale, and a coalesced-to-1 read ranked the whole corpus in
+    // one task (2.2 s at the 10x fixture).
+    val byId = withDf.repartition(P, col("id"))
     // anchors: each doc's numAnchors rarest shingles (per-doc window,
     // bounded by shingles-per-doc) that clear the df cap
     val wDoc = Window.partitionBy(col("id")).orderBy(col("__df"), col("__b"))
-    val anchors = withDf
+    val anchors = byId
       .withColumn("__rn", row_number().over(wDoc))
       .filter(col("__rn") <= numAnchors && col("__df") <= maxDf)
       .select(col("id").as("__aid"), col("__b"))
@@ -461,22 +479,37 @@ object Dedup {
       .filter(col("__aid") =!= col("__mid"))
       .select(least(col("__aid"), col("__mid")).as("id_a"),
         greatest(col("__aid"), col("__mid")).as("id_b"))
-      .distinct()
-    // Verification by EXPLODED intersection (VERDICT r12 #4): count the
-    // hashes present in both docs' sets per candidate pair, straight from
-    // the (id, hash) rows — two hash joins + one count aggregation. The
-    // earlier collect_set/array_intersect form shipped a popular doc's
-    // whole hash ARRAY once per candidate it appeared in; here the rows
-    // shuffle by join key, partial-aggregate map-side, and spill instead
-    // of blowing a task on a hot doc. Both sides' set sizes fold into the
-    // same aggregation as max() of the per-id constant each row carries.
+      .repartition(P, col("id_a"), col("id_b")) // pinned: the dedup agg
+      .distinct()                               // rides it, and the
+      // verify joins' map side below inherits its width — unpinned, AQE
+      // coalesced the distinct to ONE task whose output then fanned out
+      // per-pair (the 19 s serial stage at the 10x fixture)
+    // Verification by per-doc hash-SET arrays (r22; replaces the r12
+    // exploded-intersection): the exploded form shipped one row per
+    // (candidate pair, doc-A shingle) through a (id_b,__b)-keyed
+    // exchange — docs x anchors x maxDf x |A| rows (37M rows / 410 MB at
+    // the 10x fixture) sorted and aggregated down to one row per pair.
+    // Attaching each side's DISTINCT hash-set array instead bounds the
+    // verify volume by candidate PAIRS (671k at the same fixture): two
+    // id-keyed joins, then size(array_intersect) per row — order-blind
+    // and bit-equal to the exploded count (both sides are value-distinct
+    // mod-P hash sets by construction, so a candidate's intersection
+    // cardinality is the same integer either way; a candidate pair
+    // always shares >= 1 anchor hash, so no zero-intersection row
+    // exists to drop). The arrays are REBUILT from the cached exploded
+    // stage (collect_list over the byId exchange the anchor window
+    // already pays), not from a second corpus text pass — the set stage
+    // rides one extra bounded aggregation, and a hot doc ships one
+    // ~|A|-long array per candidate it appears in instead of |A| rows
+    // per candidate: strictly fewer bytes, no post-join aggregation.
+    val sets = graft.StageCache.matHot(
+      byId.groupBy(col("id")).agg(collect_list(col("__b")).as("__hs2")))
     val inter = cand
-      .join(withDf.select(col("id").as("id_a"), col("n_sh").as("__na"), col("__b")),
-        Seq("id_a"))
-      .join(withDf.select(col("id").as("id_b"), col("n_sh").as("__nb"), col("__b")),
-        Seq("id_b", "__b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("__ni"), max(col("__na")).as("na"), max(col("__nb")).as("nb"))
+      .join(sets.select(col("id").as("id_a"), col("__hs2").as("__ha")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("__hs2").as("__hb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__ha"), col("__hb"))).as("__ni"),
+        size(col("__ha")).as("na"), size(col("__hb")).as("nb"))
     inter
       .withColumn("containment", col("__ni").cast("double") / least(col("na"), col("nb")))
       .filter(col("containment") >= minContainment)
