@@ -259,16 +259,25 @@ class TimeseriesStore(
 
   /** Surface the in-plan null-key guard with the same exception type the
     * pre-write `require` used: a failed `assert_true` arrives wrapped in
-    * SparkException layers at the action — unwrap by message, rethrow
-    * the contract's IllegalArgumentException.
+    * SparkException layers at the action — unwrap, rethrow the contract's
+    * IllegalArgumentException. Matched precisely (ADVICE r21): the cause
+    * must be Spark's own raise_error surface (a SparkThrowable whose
+    * condition is USER_RAISED_EXCEPTION — what a failed `assert_true`
+    * throws) carrying this guard's message, so an unrelated failure whose
+    * message merely CONTAINS the text can never be recast and masked.
     */
   private def rethrowNullKey[T](f: => T): T =
     try f catch {
       case e: Throwable =>
         var c: Throwable = e
         while (c != null) {
-          if (c.getMessage != null && c.getMessage.contains(NullKeyMsg))
-            throw new IllegalArgumentException(NullKeyMsg)
+          c match {
+            case st: org.apache.spark.SparkThrowable
+                if st.getCondition == "USER_RAISED_EXCEPTION" &&
+                  c.getMessage != null && c.getMessage.contains(NullKeyMsg) =>
+              throw new IllegalArgumentException(NullKeyMsg)
+            case _ =>
+          }
           c = c.getCause
         }
         throw e
@@ -357,8 +366,18 @@ class TimeseriesStore(
       .repartition(keys.map(col): _*)
       .sortWithinPartitions((keys.map(col) :+ col("ts")): _*)
 
+  /** All writes stay DYNAMIC OVERWRITE (r22 A/B): routing insert-shaped
+    * writes (fresh batch / probed-absent keys) through SaveMode.Append
+    * was measured ~60-140 ms SLOWER per store query on the same host
+    * (append re-resolves the existing path as a datasource — listing +
+    * footer reads — which costs more than the dynamic staging it saves).
+    * The _SUCCESS marker is suppressed: one fewer file create per
+    * commit, and nothing reads it (the store's own reads are schema'd
+    * parquet scans).
+    */
   private def writePrepared(prepared: DataFrame): Unit =
     prepared.write.mode(SaveMode.Overwrite)
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(keys: _*)
       .parquet(path)

@@ -154,6 +154,32 @@ class TimeseriesStoreSpec extends SparkSpec {
     assert(!st.exists(Map("year" -> 2024, "kind" -> "b")))
   }
 
+  test("setManyTs on a FRESH store refuses null keys via the in-plan guard") {
+    // ADVICE r21: the existing null-key tests seed the store via setTs
+    // first, exercising only the existing-store checkpoint path — this
+    // one drives the fresh-store write whose refusal is the assert_true
+    // guard fused into the write job (nothing staged before commit).
+    val ldt = (s: String) => java.time.LocalDateTime.parse(s)
+    val st = newStore()
+    val nullKey = Seq(
+      (2020, "a", ldt("2021-01-01T00:00"), 1.0),
+      (2020, null: String, ldt("2021-01-01T00:00"), 2.0))
+      .toDF("year", "kind", "ts", "value")
+    val e = intercept[IllegalArgumentException](st.setManyTs(nullKey))
+    assert(e.getMessage.contains("null key values are not allowed"))
+    // the poisoned batch aborted before job commit: nothing written,
+    // including the clean rows that shared the batch
+    assert(st.getTs().count() === 0)
+    // null-key + NaN-value parity: the guard rides BOTH projected
+    // columns, so the refusal precedes row normalization dropping the row
+    val nullKeyNan = Seq(
+      (2024, "b", ldt("2021-01-01T00:00"), 1.0),
+      (2020, null: String, ldt("2021-01-01T00:00"), Double.NaN))
+      .toDF("year", "kind", "ts", "value")
+    assertThrows[IllegalArgumentException](st.setManyTs(nullKeyNan))
+    assert(st.getTs().count() === 0)
+  }
+
   test("clear removes matching series only; partial + lookup filters work") {
     val st = newStore()
     st.setTs(a2020, hourly("2020-01-01T00:00", 3, i => Some(1.0)))
