@@ -281,13 +281,25 @@ object Dedup {
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
     // Materialize the exploded shingle table once (shared stage): both
-    // join branches read it. Pre-partitioning the stage on h was A/B
-    // measured r18 and is WORSE cold (+0.3 s at sf0.1): the up-front
-    // shuffle of the whole exploded table costs more than the two
-    // post-cache join exchanges it replaces (which run after the
-    // size-ratio prune has cut the rows).
+    // join branches read it, PRE-PARTITIONED on h at PINNED width (r22,
+    // third look at the r18/r21 rejections — with new evidence): a
+    // small corpus file scans as ONE split (openCostInBytes floors the
+    // split size), so the cached stage held ONE partition and every
+    // consumer — the self-join probe and the pair aggregation — ran as
+    // ONE task (JobProbe: 437 ms single-task verify at sf0.1). The r18
+    // experiment repartitioned WITHOUT an explicit count, so AQE's
+    // input-size coalescing collapsed the exchange right back to one
+    // partition and the run only paid the extra shuffle — that A/B
+    // rejected the coalescible variant, not this one. The pinned count
+    // comes from spark.sql.shuffle.partitions (cluster-tuned; cpus
+    // locally), and h-hash partitioning co-partitions a scale-mode SMJ
+    // self-join for free.
+    val P = scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .toOption.filter(_ >= 1).getOrElse(200)
     val ex = sh.select(
       (col("id") +: col("n_sh") +: blockCols.map(col)) :+ explode(col("sh")).as("h"): _*)
+      .repartition(P, col("h"))
       .pipe(graft.StageCache.matHot)
     val a = ex.select((col("id").as("id_a") +: col("n_sh").as("na") +: blockCols.map(c => col(c).as(s"__ba_$c"))) :+ col("h").as("ha"): _*)
     val b = ex.select((col("id").as("id_b") +: col("n_sh").as("nb") +: blockCols.map(c => col(c).as(s"__bb_$c"))) :+ col("h").as("hb"): _*)
