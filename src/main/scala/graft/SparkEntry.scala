@@ -720,6 +720,7 @@ object SparkEntry {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       events(s, d)
+        .repartition(pinP(s), col("user_id")) // pinned window exchange (r22)
         .withColumn("__prev", lag(col("ts"), 1).over(w))
         .withColumn("__new", when(col("__prev").isNull ||
           unix_micros(col("ts").cast("timestamp")) - unix_micros(col("__prev").cast("timestamp")) > 1800L * 1000000L, 1L).otherwise(0L))

@@ -1066,8 +1066,15 @@ object Dedup {
       textCol: String,
       w: Int = 5,
       minCount: Long = 2): DataFrame = {
+    // count branch + semi-join branch both read the stage; pre-partitioned
+    // on __h at pinned width (r22, the jaccard-stage fix): a single-split
+    // local scan left the cached table with ONE partition, serializing the
+    // count, the join probe, and everything downstream — and __h is the
+    // key both consumers need, so at scale this is the exchange the plan
+    // wants anyway
     val wins = windowHashTable(df, idCol, textCol, w)
-      .pipe(graft.StageCache.matHot) // count branch + semi-join branch both read it
+      .repartition(graft.functions.ShuffleWidth.pinned(df), col("__h"))
+      .pipe(graft.StageCache.matHot)
     val dup = wins.groupBy("__h").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount)
       .select("__h")
