@@ -71,7 +71,10 @@ object Intervals {
       endCol: String = "end"): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(startCol), col(endCol))
     val prevMax = max(col(endCol)).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    // pinned window exchange (r22, see ShuffleWidth): the sweep ran as
+    // one 288 ms task at sf0.1 when AQE coalesced the few-MB exchange
     val flagged = df
+      .repartition(graft.functions.ShuffleWidth.pinned(df), keys.map(col): _*)
       .withColumn("__new", when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
       .withColumn("__island", sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     flagged
