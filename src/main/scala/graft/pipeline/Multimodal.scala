@@ -1534,16 +1534,21 @@ object Multimodal {
     val withDig = proj.withColumn("__dig",
       sha1(encode(coalesce(col("__text"), lit("")), "UTF-8")))
     val ids = withDig.select(col("__rawid"), col("__id"), col("__uri"), col("__dig"))
+    // first occurrence = lexicographic min over (__id, __rawid, __uri)
+    // (ADVICE r21): the raw id rides the struct so ties on the long cast
+    // ("1" vs "01") resolve to exactly ONE first — deterministically —
+    // instead of flagging every tied raw id a conversion; __id stays the
+    // leading (documented lowest-id-wins) ordering key.
     val firsts = ids.groupBy("__dig")
-      .agg(min_by(struct(col("__id").as("i"), col("__uri").as("u")),
-        col("__id")).as("__f"))
-      .select(col("__dig"), col("__f.i").as("__fid"), col("__f.u").as("__furi"))
+      .agg(min(struct(col("__id").as("i"), col("__rawid").as("r"),
+        col("__uri").as("u"))).as("__f"))
+      .select(col("__dig"), col("__f.r").as("__fraw"), col("__f.u").as("__furi"))
     // flags join back on __rawid (the ORIGINAL id value, ADVICE r20) —
     // not the lossy long cast: two distinct raw ids that cast to one
-    // long (e.g. "01" and "1") would fan an __id-keyed join out n².
-    // __id stays the ordering/tiebreak key (guarded non-null above).
+    // long would fan an __id-keyed join out n² — and __isFirst compares
+    // raw ids for the same reason.
     val flags = ids.join(firsts, Seq("__dig"))
-      .select(col("__rawid"), (col("__id") === col("__fid")).as("__isFirst"),
+      .select(col("__rawid"), (col("__rawid") === col("__fraw")).as("__isFirst"),
         col("__furi"))
     val full = withDig.join(flags, Seq("__rawid"))
     val (base, shards) =

@@ -2922,6 +2922,18 @@ class MultimodalSpec extends SparkSpec {
     assert(recs.length === 2)
     assert(recs.count(_.warc_type === "conversion") === 1)
     assert(recs.count(_.warc_type === "revisit") === 1)
+    // distinct raw ids that cast to the SAME long in one digest group
+    // (ADVICE r21): exactly one conversion — the tie resolves on the raw
+    // id, deterministically — never two firsts for one digest
+    val tied = Seq(("1", "http://x.example.com/1", "same body"),
+        ("01", "http://x.example.com/01", "same body"))
+      .toDF("doc_id", "url", "text")
+    val recs2 = Multimodal.warcRecords(
+      Multimodal.wetExportRevisits(tied, numShards = 1).collect().toSeq
+        .map(b => (b.shard_id, b.payload)).toDF("media_id", "payload")).collect()
+    assert(recs2.length === 2)
+    assert(recs2.count(_.warc_type === "conversion") === 1, recs2.map(_.warc_type).toSeq)
+    assert(recs2.count(_.warc_type === "revisit") === 1)
   }
 
   test("cdxFetch: fetching every CDX locator reproduces warcRecords, both spellings; stale spans drop") {

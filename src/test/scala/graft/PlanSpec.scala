@@ -386,6 +386,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("in-plan guards survive optimization (wetExport id; fresh-store null-key shape)") {
+    // VERDICT r21 #8: two silent-miss fixes ride assert_true guards
+    // fused into projections. A future optimizer rule folding them away
+    // would reopen the hazards without any test failing at plan level —
+    // pin their survival here (the behavioral refusals are pinned in
+    // PipelineSpec / TimeseriesStoreSpec).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 1. wetExportRevisits' id guard must reach the optimized plan
+    // parquet-backed STRING ids: local rows would be constant-evaluated
+    // by ConvertToLocalRelation (guard runs at optimize time and
+    // vanishes), and a non-nullable long id folds the guard away
+    // legitimately (the cast is a no-op) — the hazard shape is a SOURCE
+    // column whose long cast can null
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("string").as("doc_id"),
+        concat(lit("http://g.example.com/"), col("doc_id")).as("url"), col("text"))
+    val wet = graft.pipeline.Multimodal.wetExportRevisits(docs, numShards = 1)
+    val wetPlan = wet.queryExecution.optimizedPlan.toString
+    assert(wetPlan.contains("raise_error") || wetPlan.contains("assert_true"),
+      s"wetExportRevisits id guard folded away:\n${wetPlan.take(600)}")
+    // 2. the fresh-store write's guard SHAPE: assert_true fused into a
+    // when(...isNull, value) projection under the normalization filter —
+    // Catalyst on this Spark version must keep the raise_error (it is
+    // non-foldable and side-effecting); if an upgrade starts folding it,
+    // the store's one-job refusal contract needs the pre-write probe back
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id").as("k"), col("ts"), col("value"))
+    val guard = assert_true(!col("k").isNull, lit("null key values are not allowed"))
+    val shaped = raw.select(col("k"),
+        when(guard.isNull, col("ts")).as("ts"),
+        when(guard.isNull, col("value")).as("value"))
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+    val shapedPlan = shaped.queryExecution.optimizedPlan.toString
+    assert(shapedPlan.contains("raise_error") || shapedPlan.contains("assert_true"),
+      s"fresh-store guard shape folded away:\n$shapedPlan")
+  }
+
   test("q_cusum plan: local prefix windows shuffle on (key, bucket), never key alone") {
     val p = plan("q_cusum")
     // the data-wide cumulative windows must carry the bucket column —
