@@ -21,6 +21,17 @@ import org.apache.spark.sql.DataFrame
   * never to ADD a payload shuffle a cluster-scale plan wouldn't want —
   * e.g. a single-split local scan doing heavy per-row compute stays
   * serial here rather than paying a corpus-wide text shuffle at scale.
+  *
+  * AND only where the win is HOST-REGIME-ROBUST (r22, measured): pinning
+  * pays N-task scheduling every run but buys parallel compute only when
+  * effective cores ≈ configured cores. On a contended host (effective
+  * cores << configured — the benchmark driver's usual regime) the same
+  * pin that won 1.5-2x on a quiet host measured 10-60% SLOWER
+  * (same code, same day, back-to-back legs). Keep a pin only when a
+  * back-to-back A/B wins in BOTH regimes — true for reduces doing real
+  * per-row work (the TS merge family, the interval sweep, containment's
+  * candidate machinery), false for cheap window passes and cached-stage
+  * re-layouts (reverted; numbers in OPTIMIZATION_r22.md).
   */
 object ShuffleWidth {
   def pinned(df: DataFrame): Int =

@@ -281,25 +281,17 @@ object Dedup {
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
     // Materialize the exploded shingle table once (shared stage): both
-    // join branches read it, PRE-PARTITIONED on h at PINNED width (r22,
-    // third look at the r18/r21 rejections — with new evidence): a
-    // small corpus file scans as ONE split (openCostInBytes floors the
-    // split size), so the cached stage held ONE partition and every
-    // consumer — the self-join probe and the pair aggregation — ran as
-    // ONE task (JobProbe: 437 ms single-task verify at sf0.1). The r18
-    // experiment repartitioned WITHOUT an explicit count, so AQE's
-    // input-size coalescing collapsed the exchange right back to one
-    // partition and the run only paid the extra shuffle — that A/B
-    // rejected the coalescible variant, not this one. The pinned count
-    // comes from spark.sql.shuffle.partitions (cluster-tuned; cpus
-    // locally), and h-hash partitioning co-partitions a scale-mode SMJ
-    // self-join for free.
-    val P = scala.util.Try(
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-      .toOption.filter(_ >= 1).getOrElse(200)
+    // join branches read it. Pre-partitioning the stage on h is REJECTED
+    // for the THIRD time (r22): the r18/r21 unpinned variant lost to AQE
+    // re-coalescing, and the r22 PINNED-width variant (explicit
+    // spark.sql.shuffle.partitions count) won only on a quiet host
+    // (cold 1.47 -> 1.04 s) while LOSING on a contended one (+0.08 s
+    // warm, same code, same day) — the serial verify it fixes is priced
+    // below the 32-task scheduling it costs whenever effective cores <
+    // configured cores, which is exactly the driver-host regime. Numbers
+    // in OPTIMIZATION_r22.md; prefer environment-independent shapes.
     val ex = sh.select(
       (col("id") +: col("n_sh") +: blockCols.map(col)) :+ explode(col("sh")).as("h"): _*)
-      .repartition(P, col("h"))
       .pipe(graft.StageCache.matHot)
     val a = ex.select((col("id").as("id_a") +: col("n_sh").as("na") +: blockCols.map(c => col(c).as(s"__ba_$c"))) :+ col("h").as("ha"): _*)
     val b = ex.select((col("id").as("id_b") +: col("n_sh").as("nb") +: blockCols.map(c => col(c).as(s"__bb_$c"))) :+ col("h").as("hb"): _*)
@@ -1066,15 +1058,8 @@ object Dedup {
       textCol: String,
       w: Int = 5,
       minCount: Long = 2): DataFrame = {
-    // count branch + semi-join branch both read the stage; pre-partitioned
-    // on __h at pinned width (r22, the jaccard-stage fix): a single-split
-    // local scan left the cached table with ONE partition, serializing the
-    // count, the join probe, and everything downstream — and __h is the
-    // key both consumers need, so at scale this is the exchange the plan
-    // wants anyway
     val wins = windowHashTable(df, idCol, textCol, w)
-      .repartition(graft.functions.ShuffleWidth.pinned(df), col("__h"))
-      .pipe(graft.StageCache.matHot)
+      .pipe(graft.StageCache.matHot) // count branch + semi-join branch both read it
     val dup = wins.groupBy("__h").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount)
       .select("__h")

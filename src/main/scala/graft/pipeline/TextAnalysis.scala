@@ -317,22 +317,15 @@ object TextAnalysis {
     // from tf as before: the (id, term) base has one row per
     // document-term pair, so its per-term row count IS the document
     // frequency — no count-distinct expand.
-    // the stage is term-partitioned at pinned width (r22, ShuffleWidth):
-    // a single-split local scan cached it with ONE partition, so the df
-    // rollup and the idf join probe ran serially; term is the key both
-    // consumers need, so at scale this is the exchange the plan wants
-    val P = graft.functions.ShuffleWidth.pinned(df)
     val tf = graft.StageCache.matHot(
       df.select(col(idCol).as("id"),
-        explode(graft.functions.ShingleOps.tokenTfCol(lower(col(textCol)))).as(Seq("term", "tf")))
-        .repartition(P, col("term")))
+        explode(graft.functions.ShingleOps.tokenTfCol(lower(col(textCol)))).as(Seq("term", "tf"))))
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n   = df.select(count(lit(1)).as("n_docs"))
     val s = tf.join(idf, "term").crossJoin(broadcast(n))
       .withColumn("tfidf", col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
     val w = Window.partitionBy(col("id")).orderBy(col("tfidf").desc, col("term"))
-    s.repartition(P, col("id")) // pinned: the top-k window's required exchange
-      .withColumn("rank", row_number().over(w))
+    s.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("id", "term", "tfidf", "rank")
   }

@@ -28,13 +28,7 @@ object Gaps {
       tieBreak: Seq[String] = Nil): DataFrame = {
     val ord = (col(tsCol) +: tieBreak.map(col))
     val w   = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
-    // the window's required keys-exchange, PINNED at configured width
-    // (r22): a few-MB exchange coalesces to one task under the AQE
-    // advisory, serializing the whole run-length pass (335 ms single
-    // task at sf0.1); the final islands groupBy clusters on a superset
-    // of the keys, so it rides the same pinned exchange
     val flagged = df
-      .repartition(graft.functions.ShuffleWidth.pinned(df), keys.map(col): _*)
       .withColumn("__chg", when(col(valueCol) <=> lag(col(valueCol), 1).over(w), 0L).otherwise(1L))
       .withColumn("__grp", sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     flagged
@@ -117,7 +111,7 @@ object Gaps {
     // and the corpus shuffled three times on divergent pruned subtrees.
     val withB = df.withColumn("__b",
         floor(unix_micros(col(tsCol).cast("timestamp")) / bUs))
-      .repartition(graft.functions.ShuffleWidth.pinned(df), (keys :+ "__b").map(col): _*)
+      .repartition((keys :+ "__b").map(col): _*)
     // one row per (key, bucket): the bucket's last value (by the same
     // order), struct-wrapped so null values survive the max_by
     val lastRow = withB

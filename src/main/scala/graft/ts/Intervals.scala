@@ -72,7 +72,10 @@ object Intervals {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(startCol), col(endCol))
     val prevMax = max(col(endCol)).over(w.rowsBetween(Window.unboundedPreceding, -1))
     // pinned window exchange (r22, see ShuffleWidth): the sweep ran as
-    // one 288 ms task at sf0.1 when AQE coalesced the few-MB exchange
+    // one 288 ms task at sf0.1 when AQE coalesced the few-MB exchange.
+    // Measured a win in BOTH host regimes (quiet 0.533->0.373, contended
+    // 0.686->0.629 same-day back-to-back) — unlike the window pins that
+    // were reverted as quiet-only wins (OPTIMIZATION_r22.md).
     val flagged = df
       .repartition(graft.functions.ShuffleWidth.pinned(df), keys.map(col): _*)
       .withColumn("__new", when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
